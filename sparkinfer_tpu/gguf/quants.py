@@ -1,0 +1,459 @@
+"""Vectorized numpy codecs for GGML block-quantized tensor formats.
+
+Decode coverage: F32/F16/BF16/I8/I16/I32/I64/F64, Q4_0, Q4_1, Q5_0, Q5_1,
+Q8_0, Q4_K, Q5_K, Q6_K, MXFP4.
+Encode coverage: F32/F16/BF16, Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q4_K, Q6_K.
+
+The wire layouts match ggml's block structs (ref: ggml/src/ggml-common.h,
+dequant loops in ggml/src/ggml-quants.c) — these are format facts. The
+implementations here are fully vectorized numpy, written for throughput on
+host CPU during weight load; the TPU-side fused dequant-matmul kernels live
+in sparkinfer_tpu/ops/quant_matmul.py and share these layout conventions.
+
+All codecs operate on the flattened last-axis-contiguous element stream,
+exactly as ggml stores tensor data row-major over ne[0] (the fastest dim).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import GGMLType, GGML_TYPE_TRAITS, tensor_nbytes
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _f16(buf: np.ndarray) -> np.ndarray:
+    return buf.view(np.float16).astype(np.float32)
+
+
+def _to_f16_bytes(x: np.ndarray) -> np.ndarray:
+    return x.astype(np.float16).view(np.uint8)
+
+
+def _bf16_to_f32(u16: np.ndarray) -> np.ndarray:
+    return (u16.astype(np.uint32) << 16).view(np.float32)
+
+
+def _f32_to_bf16(x: np.ndarray) -> np.ndarray:
+    """Round-to-nearest-even f32 -> bf16 (as uint16)."""
+    u = x.astype(np.float32).view(np.uint32)
+    rounding = ((u >> 16) & 1) + np.uint32(0x7FFF)
+    return ((u + rounding) >> 16).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# simple 32-element block formats
+
+
+def _dec_q4_0(blocks: np.ndarray) -> np.ndarray:
+    # block: [d:f16][qs:16]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))  # (nb, 1)
+    qs = blocks[:, 2:18]
+    lo = (qs & 0x0F).astype(np.int8) - 8
+    hi = (qs >> 4).astype(np.int8) - 8
+    out = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return out * d
+
+
+def _enc_q4_0(x: np.ndarray) -> np.ndarray:
+    # x: (nb, 32). Scale by the max-|x| element, preserving its sign (d = that/-8).
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(x.shape[0]), idx]
+    d = maxv / -8.0
+    d16 = d.astype(np.float16)
+    dd = d16.astype(np.float32)
+    inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
+    q = np.clip(x * inv[:, None] + 8.5, 0, 15).astype(np.uint8)
+    lo, hi = q[:, :16], q[:, 16:]
+    qs = (lo | (hi << 4)).astype(np.uint8)
+    return np.concatenate([d16.view(np.uint8).reshape(-1, 2), qs], axis=1)
+
+
+def _dec_q4_1(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    m = _f16(blocks[:, 2:4].copy().view(np.uint16))
+    qs = blocks[:, 4:20]
+    lo = (qs & 0x0F).astype(np.float32)
+    hi = (qs >> 4).astype(np.float32)
+    return np.concatenate([lo, hi], axis=1) * d + m
+
+
+def _enc_q4_1(x: np.ndarray) -> np.ndarray:
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = (mx - mn) / 15.0
+    d16 = d.astype(np.float16)
+    m16 = mn.astype(np.float16)
+    dd = d16.astype(np.float32)
+    inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
+    q = np.clip((x - m16.astype(np.float32)[:, None]) * inv[:, None] + 0.5, 0, 15).astype(np.uint8)
+    qs = (q[:, :16] | (q[:, 16:] << 4)).astype(np.uint8)
+    return np.concatenate(
+        [d16.view(np.uint8).reshape(-1, 2), m16.view(np.uint8).reshape(-1, 2), qs], axis=1
+    )
+
+
+def _dec_q5_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qh = blocks[:, 2:6].copy().view(np.uint32)  # (nb, 1)
+    qs = blocks[:, 6:22]
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = ((qh >> shifts[None, :]) & 1).astype(np.uint8)  # (nb, 32)
+    lo = (qs & 0x0F) | (bits[:, :16] << 4)
+    hi = (qs >> 4) | (bits[:, 16:] << 4)
+    out = np.concatenate([lo, hi], axis=1).astype(np.int16) - 16
+    return out.astype(np.float32) * d
+
+
+def _enc_q5_0(x: np.ndarray) -> np.ndarray:
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(x.shape[0]), idx]
+    d = maxv / -16.0
+    d16 = d.astype(np.float16)
+    dd = d16.astype(np.float32)
+    inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
+    q = np.clip(x * inv[:, None] + 16.5, 0, 31).astype(np.uint8)
+    qs = ((q[:, :16] & 0xF) | ((q[:, 16:] & 0xF) << 4)).astype(np.uint8)
+    bits = (q >> 4).astype(np.uint32)
+    qh = (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(axis=1, dtype=np.uint32)
+    return np.concatenate(
+        [d16.view(np.uint8).reshape(-1, 2), qh.astype(np.uint32).view(np.uint8).reshape(-1, 4), qs],
+        axis=1,
+    )
+
+
+def _dec_q5_1(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    m = _f16(blocks[:, 2:4].copy().view(np.uint16))
+    qh = blocks[:, 4:8].copy().view(np.uint32)
+    qs = blocks[:, 8:24]
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = ((qh >> shifts[None, :]) & 1).astype(np.uint8)
+    lo = (qs & 0x0F) | (bits[:, :16] << 4)
+    hi = (qs >> 4) | (bits[:, 16:] << 4)
+    out = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return out * d + m
+
+
+def _enc_q5_1(x: np.ndarray) -> np.ndarray:
+    mn = x.min(axis=1)
+    mx = x.max(axis=1)
+    d = (mx - mn) / 31.0
+    d16 = d.astype(np.float16)
+    m16 = mn.astype(np.float16)
+    dd = d16.astype(np.float32)
+    inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
+    q = np.clip((x - m16.astype(np.float32)[:, None]) * inv[:, None] + 0.5, 0, 31).astype(np.uint8)
+    qs = ((q[:, :16] & 0xF) | ((q[:, 16:] & 0xF) << 4)).astype(np.uint8)
+    bits = (q >> 4).astype(np.uint32)
+    qh = (bits << np.arange(32, dtype=np.uint32)[None, :]).sum(axis=1, dtype=np.uint32)
+    return np.concatenate(
+        [
+            d16.view(np.uint8).reshape(-1, 2),
+            m16.view(np.uint8).reshape(-1, 2),
+            qh.astype(np.uint32).view(np.uint8).reshape(-1, 4),
+            qs,
+        ],
+        axis=1,
+    )
+
+
+def _dec_q8_0(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs = blocks[:, 2:34].view(np.int8).astype(np.float32)
+    return qs * d
+
+
+def _enc_q8_0(x: np.ndarray) -> np.ndarray:
+    amax = np.abs(x).max(axis=1)
+    d = amax / 127.0
+    d16 = d.astype(np.float16)
+    dd = d16.astype(np.float32)
+    inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
+    q = np.clip(np.rint(x * inv[:, None]), -127, 127).astype(np.int8)
+    return np.concatenate([d16.view(np.uint8).reshape(-1, 2), q.view(np.uint8)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# MXFP4 (32-elem block: 1-byte E8M0 scale + 16 bytes of e2m1 nibbles)
+
+_MXFP4_TABLE = np.array(
+    [0, 1, 2, 3, 4, 6, 8, 12, 0, -1, -2, -3, -4, -6, -8, -12], dtype=np.float32
+)
+
+
+def _e8m0_to_f32_half(e: np.ndarray) -> np.ndarray:
+    # 2^(e-127) / 2, as a float32; e==0 -> 2^-128 (handled via exp2)
+    return np.exp2(e.astype(np.float32) - 128.0)
+
+
+def _dec_mxfp4(blocks: np.ndarray) -> np.ndarray:
+    d = _e8m0_to_f32_half(blocks[:, 0:1])
+    qs = blocks[:, 1:17]
+    lo = _MXFP4_TABLE[qs & 0x0F]
+    hi = _MXFP4_TABLE[qs >> 4]
+    return np.concatenate([lo, hi], axis=1) * d
+
+
+# ---------------------------------------------------------------------------
+# K-quants (256-elem super-blocks)
+
+
+def _unpack_kscales(scales: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unpack the 12-byte 6-bit scale/min packing shared by Q4_K/Q5_K.
+
+    Layout (ref: ggml-quants.c get_scale_min_k4): for sub-block j<4,
+    sc=scales[j]&63, m=scales[j+4]&63; for j>=4, sc=(scales[j+4]&0xF)|
+    ((scales[j-4]>>6)<<4), m=(scales[j+4]>>4)|((scales[j]>>6)<<4).
+    Returns (sc, m) each (nb, 8) uint8.
+    """
+    s = scales
+    sc = np.empty(s.shape[:-1] + (8,), dtype=np.uint8)
+    mn = np.empty_like(sc)
+    sc[..., :4] = s[..., :4] & 63
+    mn[..., :4] = s[..., 4:8] & 63
+    sc[..., 4:] = (s[..., 8:12] & 0x0F) | ((s[..., 0:4] >> 6) << 4)
+    mn[..., 4:] = (s[..., 8:12] >> 4) | ((s[..., 4:8] >> 6) << 4)
+    return sc, mn
+
+
+def _pack_kscales(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_kscales. sc, mn: (nb, 8) uint8 in [0,63]."""
+    out = np.zeros(sc.shape[:-1] + (12,), dtype=np.uint8)
+    out[..., 0:4] = (sc[..., :4] & 63) | ((sc[..., 4:] >> 4) << 6)
+    out[..., 4:8] = (mn[..., :4] & 63) | ((mn[..., 4:] >> 4) << 6)
+    out[..., 8:12] = (sc[..., 4:] & 0x0F) | ((mn[..., 4:] & 0x0F) << 4)
+    return out
+
+
+def _dec_q4_k(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    dmin = _f16(blocks[:, 2:4].copy().view(np.uint16))
+    sc, mn = _unpack_kscales(blocks[:, 4:16])
+    qs = blocks[:, 16:144]  # (nb, 128)
+    nb = blocks.shape[0]
+    # chunk l in 0..3 covers elements 64l..64l+63 from bytes 32l..32l+31
+    qs4 = qs.reshape(nb, 4, 32)
+    lo = (qs4 & 0x0F).astype(np.float32)  # sub-block 2l
+    hi = (qs4 >> 4).astype(np.float32)  # sub-block 2l+1
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32)
+    scf = sc.astype(np.float32) * d  # (nb, 8)
+    mnf = mn.astype(np.float32) * dmin
+    return (q * scf[:, :, None] - mnf[:, :, None]).reshape(nb, 256)
+
+
+def _enc_q4_k(x: np.ndarray) -> np.ndarray:
+    """Simple (non-search) Q4_K encoder: per-sub-block affine grid."""
+    nb = x.shape[0]
+    xs = x.reshape(nb, 8, 32)
+    mins = np.minimum(xs.min(axis=2), 0.0)  # min stored non-negative as -min
+    maxs = xs.max(axis=2)
+    scales = (maxs - mins) / 15.0  # (nb, 8) >= 0
+    max_scale = scales.max(axis=1)
+    max_min = (-mins).max(axis=1)
+    d = (max_scale / 63.0).astype(np.float16)
+    dmin = (max_min / 63.0).astype(np.float16)
+    df = d.astype(np.float32)
+    dminf = dmin.astype(np.float32)
+    inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    inv_m = np.where(dminf > 0, 1.0 / np.where(dminf == 0, 1, dminf), 0.0)
+    sc = np.clip(np.rint(scales * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint((-mins) * inv_m[:, None]), 0, 63).astype(np.uint8)
+    eff_scale = df[:, None] * sc.astype(np.float32)  # (nb, 8)
+    eff_min = dminf[:, None] * mn.astype(np.float32)
+    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1, eff_scale), 0.0)
+    q = np.clip(np.rint((xs + eff_min[:, :, None]) * inv_s[:, :, None]), 0, 15).astype(np.uint8)
+    qp = q.reshape(nb, 4, 2, 32)
+    qs = (qp[:, :, 0] | (qp[:, :, 1] << 4)).reshape(nb, 128).astype(np.uint8)
+    return np.concatenate(
+        [
+            d.view(np.uint8).reshape(-1, 2),
+            dmin.view(np.uint8).reshape(-1, 2),
+            _pack_kscales(sc, mn),
+            qs,
+        ],
+        axis=1,
+    )
+
+
+def _dec_q5_k(blocks: np.ndarray) -> np.ndarray:
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    dmin = _f16(blocks[:, 2:4].copy().view(np.uint16))
+    sc, mn = _unpack_kscales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]  # (nb, 32)
+    qs = blocks[:, 48:176]  # (nb, 128)
+    nb = blocks.shape[0]
+    qs4 = qs.reshape(nb, 4, 32)
+    lo = (qs4 & 0x0F).astype(np.uint8)
+    hi = (qs4 >> 4).astype(np.uint8)
+    # qh bit 2l gates sub-block 2l (lo), bit 2l+1 gates 2l+1 (hi)
+    l_idx = np.arange(4, dtype=np.uint8)
+    bit_lo = ((qh[:, None, :] >> (2 * l_idx)[None, :, None]) & 1).astype(np.uint8)
+    bit_hi = ((qh[:, None, :] >> (2 * l_idx + 1)[None, :, None]) & 1).astype(np.uint8)
+    lo = lo | (bit_lo << 4)
+    hi = hi | (bit_hi << 4)
+    q = np.stack([lo, hi], axis=2).reshape(nb, 8, 32).astype(np.float32)
+    scf = sc.astype(np.float32) * d
+    mnf = mn.astype(np.float32) * dmin
+    return (q * scf[:, :, None] - mnf[:, :, None]).reshape(nb, 256)
+
+
+def _dec_q6_k(blocks: np.ndarray) -> np.ndarray:
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    scales = blocks[:, 192:208].view(np.int8).astype(np.float32)  # (nb, 16)
+    d = _f16(blocks[:, 208:210].copy().view(np.uint16))
+    nb = blocks.shape[0]
+    # two 128-element halves, each from ql[64], qh[32]
+    ql2 = ql.reshape(nb, 2, 2, 32)  # [half][lo/hi group of 32 bytes]
+    qh2 = qh.reshape(nb, 2, 32)
+    q1 = (ql2[:, :, 0] & 0x0F) | ((qh2 & 0x03) << 4)  # elems l+0
+    q2 = (ql2[:, :, 1] & 0x0F) | (((qh2 >> 2) & 0x03) << 4)  # elems l+32
+    q3 = (ql2[:, :, 0] >> 4) | (((qh2 >> 4) & 0x03) << 4)  # elems l+64
+    q4 = (ql2[:, :, 1] >> 4) | (((qh2 >> 6) & 0x03) << 4)  # elems l+96
+    q = np.stack([q1, q2, q3, q4], axis=2).reshape(nb, 2, 4, 32).astype(np.int16) - 32
+    # scale index: half h, quarter c (0..3), element l (0..31): is = 8h + 2c + l//16
+    sc = scales.reshape(nb, 2, 8)  # per half: 8 scales
+    l16 = np.arange(32) // 16  # (32,)
+    c_idx = np.arange(4)
+    sidx = (2 * c_idx[:, None] + l16[None, :]).astype(np.int64)  # (4, 32)
+    scale_per_elem = sc[:, :, sidx]  # (nb, 2, 4, 32)
+    out = q.astype(np.float32) * scale_per_elem
+    return (out * d[:, None, None]).reshape(nb, 256)
+
+
+def _enc_q6_k(x: np.ndarray) -> np.ndarray:
+    nb = x.shape[0]
+    xs = x.reshape(nb, 16, 16)  # 16 sub-blocks of 16
+    # per-sub signed scale from the max-|x| element: f = that / -32
+    idx = np.argmax(np.abs(xs), axis=2)
+    maxv = np.take_along_axis(xs, idx[:, :, None], axis=2)[:, :, 0]
+    f = maxv / -32.0  # (nb, 16)
+    fmax_idx = np.argmax(np.abs(f), axis=1)
+    fmax = f[np.arange(nb), fmax_idx]
+    d = (fmax / -128.0).astype(np.float16)
+    df = d.astype(np.float32)
+    inv_d = np.where(df != 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    sc = np.clip(np.rint(f * inv_d[:, None]), -128, 127).astype(np.int8)
+    eff = df[:, None] * sc.astype(np.float32)  # (nb, 16)
+    inv_s = np.where(eff != 0, 1.0 / np.where(eff == 0, 1, eff), 0.0)
+    q = np.clip(np.rint(xs * inv_s[:, :, None]) + 32, 0, 63).astype(np.uint8)  # (nb,16,16)
+    q = q.reshape(nb, 2, 4, 32)  # [half][quarter q1..q4][l]
+    # ql[l] = low4(q1) | low4(q3)<<4 ; ql[l+32] = low4(q2) | low4(q4)<<4
+    ql = np.empty((nb, 2, 2, 32), dtype=np.uint8)
+    ql[:, :, 0] = (q[:, :, 0] & 0x0F) | ((q[:, :, 2] & 0x0F) << 4)
+    ql[:, :, 1] = (q[:, :, 1] & 0x0F) | ((q[:, :, 3] & 0x0F) << 4)
+    # qh[l]: bits 0-1 = q1>>4, 2-3 = q2>>4, 4-5 = q3>>4, 6-7 = q4>>4
+    qh = (
+        ((q[:, :, 0] >> 4) & 0x03)
+        | (((q[:, :, 1] >> 4) & 0x03) << 2)
+        | (((q[:, :, 2] >> 4) & 0x03) << 4)
+        | (((q[:, :, 3] >> 4) & 0x03) << 6)
+    ).astype(np.uint8)
+    return np.concatenate(
+        [
+            ql.reshape(nb, 128),
+            qh.reshape(nb, 64),
+            sc.view(np.uint8),
+            d.view(np.uint8).reshape(-1, 2),
+        ],
+        axis=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+_DECODERS = {
+    GGMLType.Q4_0: _dec_q4_0,
+    GGMLType.Q4_1: _dec_q4_1,
+    GGMLType.Q5_0: _dec_q5_0,
+    GGMLType.Q5_1: _dec_q5_1,
+    GGMLType.Q8_0: _dec_q8_0,
+    GGMLType.Q4_K: _dec_q4_k,
+    GGMLType.Q5_K: _dec_q5_k,
+    GGMLType.Q6_K: _dec_q6_k,
+    GGMLType.MXFP4: _dec_mxfp4,
+}
+
+_ENCODERS = {
+    GGMLType.Q4_0: _enc_q4_0,
+    GGMLType.Q4_1: _enc_q4_1,
+    GGMLType.Q5_0: _enc_q5_0,
+    GGMLType.Q5_1: _enc_q5_1,
+    GGMLType.Q8_0: _enc_q8_0,
+    GGMLType.Q4_K: _enc_q4_k,
+    GGMLType.Q6_K: _enc_q6_k,
+}
+
+_PLAIN_DTYPES = {
+    GGMLType.F32: np.dtype(np.float32),
+    GGMLType.F16: np.dtype(np.float16),
+    GGMLType.F64: np.dtype(np.float64),
+    GGMLType.I8: np.dtype(np.int8),
+    GGMLType.I16: np.dtype(np.int16),
+    GGMLType.I32: np.dtype(np.int32),
+    GGMLType.I64: np.dtype(np.int64),
+}
+
+
+def dequantize(data: bytes | np.ndarray, ggml_type: GGMLType, n_elems: int) -> np.ndarray:
+    """Decode a flat GGML-typed buffer to float32 (or native int dtype)."""
+    raw = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    raw = raw.reshape(-1).view(np.uint8)
+    if ggml_type in _PLAIN_DTYPES:
+        dt = _PLAIN_DTYPES[ggml_type]
+        return raw[: n_elems * dt.itemsize].view(dt)[:n_elems]
+    if ggml_type == GGMLType.BF16:
+        return _bf16_to_f32(raw[: n_elems * 2].view(np.uint16)[:n_elems])
+    bs, tsz = GGML_TYPE_TRAITS[ggml_type]
+    nb = n_elems // bs
+    blocks = raw[: nb * tsz].reshape(nb, tsz)
+    dec = _DECODERS.get(ggml_type)
+    if dec is None:
+        raise NotImplementedError(f"no decoder for {ggml_type.name}")
+    return dec(blocks).reshape(-1)[:n_elems]
+
+
+def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
+    """Encode a float array to a flat GGML-typed uint8 buffer."""
+    flat = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if ggml_type == GGMLType.F32:
+        return flat.view(np.uint8)
+    if ggml_type == GGMLType.F16:
+        return flat.astype(np.float16).view(np.uint8)
+    if ggml_type == GGMLType.BF16:
+        return _f32_to_bf16(flat).view(np.uint8)
+    bs, _ = GGML_TYPE_TRAITS[ggml_type]
+    if flat.size % bs != 0:
+        raise ValueError(f"size {flat.size} not a multiple of {bs} for {ggml_type.name}")
+    enc = _ENCODERS.get(ggml_type)
+    if enc is None:
+        raise NotImplementedError(f"no encoder for {ggml_type.name}")
+    return enc(flat.reshape(-1, bs)).reshape(-1)
+
+
+def dequantize_tensor(data: np.ndarray, ggml_type: GGMLType, shape: tuple[int, ...]) -> np.ndarray:
+    """Decode to the given (row-major, numpy-order) shape."""
+    n = int(np.prod(shape)) if shape else 1
+    return dequantize(data, ggml_type, n).reshape(shape)
+
+
+def supported_decode_types() -> list[GGMLType]:
+    return sorted(set(_DECODERS) | set(_PLAIN_DTYPES) | {GGMLType.BF16})
+
+
+def supported_encode_types() -> list[GGMLType]:
+    return sorted(set(_ENCODERS) | {GGMLType.F32, GGMLType.F16, GGMLType.BF16})
+
+
+__all__ = [
+    "dequantize",
+    "dequantize_tensor",
+    "quantize",
+    "tensor_nbytes",
+    "supported_decode_types",
+    "supported_encode_types",
+]

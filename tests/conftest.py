@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX inits.
+
+The driver benches on one real TPU chip; tests validate numerics and the
+multi-chip sharding paths on a virtual CPU mesh (SURVEY.md environment notes).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import pathlib
+
+import pytest
+
+REFERENCE_MODELS = pathlib.Path("/root/reference/models")
+
+
+@pytest.fixture(scope="session")
+def vocab_gguf_spm():
+    p = REFERENCE_MODELS / "ggml-vocab-llama-spm.gguf"
+    if not p.exists():
+        pytest.skip("llama-spm vocab fixture unavailable")
+    return p
+
+
+@pytest.fixture(scope="session")
+def vocab_gguf_bpe():
+    p = REFERENCE_MODELS / "ggml-vocab-gpt-2.gguf"
+    if not p.exists():
+        pytest.skip("gpt-2 vocab fixture unavailable")
+    return p

@@ -1,0 +1,130 @@
+"""GGUF container + quant codec tests.
+
+Mirrors the reference's test strategy (SURVEY.md §4: test-gguf round-trip,
+gguf-py/tests/test_quants.py) — round-trip our writer through our reader,
+check quant encode/decode error bounds, and parse real GGUF fixtures
+produced by the reference's gguf-py (the vocab files under
+/root/reference/models)."""
+
+import numpy as np
+import pytest
+
+from sparkinfer_tpu.gguf import (
+    GGMLType,
+    GGUFReader,
+    GGUFWriter,
+    dequantize,
+    quantize,
+    tensor_nbytes,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def test_read_reference_vocab_gguf(vocab_gguf_spm):
+    r = GGUFReader(vocab_gguf_spm)
+    assert r.arch() == "llama"
+    toks = r.kv["tokenizer.ggml.tokens"]
+    assert len(toks) == 32000
+    assert toks[1] == "<s>"
+    r.close()
+
+
+def test_roundtrip_container(tmp_path):
+    path = tmp_path / "t.gguf"
+    w = GGUFWriter(path, "llama")
+    w.add_kv("general.name", "test-model")
+    w.add_kv("llama.block_count", 2)
+    w.add_kv("llama.rope.freq_base", 10000.0)
+    w.add_kv("flag", True)
+    w.add_array("llama.pred_lora", np.array([64, 64], dtype=np.int32))
+    w.add_array("strs", ["a", "bc", "def"])
+    x32 = RNG.standard_normal((8, 64)).astype(np.float32)
+    x16 = RNG.standard_normal((4, 32)).astype(np.float16)
+    xi = RNG.integers(0, 100, (3, 5)).astype(np.int32)
+    w.add_tensor("w32", x32)
+    w.add_tensor("w16", x16)
+    w.add_tensor("wi32", xi)
+    xq = RNG.standard_normal((4, 256)).astype(np.float32)
+    w.add_tensor("wq4", xq, GGMLType.Q4_0)
+    w.write()
+
+    r = GGUFReader(path)
+    assert r.arch() == "llama"
+    assert r.kv["general.name"] == "test-model"
+    assert r.kv["llama.block_count"] == 2
+    assert r.kv["flag"] is True or r.kv["flag"] == 1
+    assert abs(r.kv["llama.rope.freq_base"] - 10000.0) < 1e-6
+    assert list(r.kv["llama.pred_lora"]) == [64, 64]
+    assert r.kv["strs"] == ["a", "bc", "def"]
+    np.testing.assert_array_equal(r.tensors["w32"].astype_np(), x32)
+    np.testing.assert_array_equal(r.tensors["w16"].astype_np(), x16)
+    np.testing.assert_array_equal(r.tensors["wi32"].astype_np(), xi)
+    assert r.tensors["wq4"].shape == (4, 256)
+    assert r.tensors["wq4"].ggml_type == GGMLType.Q4_0
+    dq = r.tensors["wq4"].to_f32()
+    # q4_0 at ~N(0,1): rough bound on abs error
+    assert np.abs(dq - xq).max() < 0.4
+    r.close()
+
+
+QUANT_CASES = [
+    # (type, rel rmse bound at N(0,1))
+    (GGMLType.Q4_0, 0.20),
+    (GGMLType.Q4_1, 0.15),
+    (GGMLType.Q5_0, 0.10),
+    (GGMLType.Q5_1, 0.08),
+    (GGMLType.Q8_0, 0.01),
+    (GGMLType.Q4_K, 0.15),
+    (GGMLType.Q6_K, 0.05),
+]
+
+
+@pytest.mark.parametrize("ttype,bound", QUANT_CASES, ids=[c[0].name for c in QUANT_CASES])
+def test_quant_roundtrip_error(ttype, bound):
+    x = RNG.standard_normal(4096).astype(np.float32)
+    buf = quantize(x, ttype)
+    assert buf.nbytes == tensor_nbytes(x.size, ttype)
+    y = dequantize(buf, ttype, x.size)
+    rmse = np.sqrt(np.mean((x - y) ** 2))
+    assert rmse < bound, f"{ttype.name} rmse {rmse}"
+
+
+@pytest.mark.parametrize("ttype,bound", QUANT_CASES, ids=[c[0].name for c in QUANT_CASES])
+def test_quant_idempotent(ttype, bound):
+    """quantize(dequantize(q)) == q: the decoded points lie on the grid."""
+    x = RNG.standard_normal(1024).astype(np.float32)
+    buf1 = quantize(x, ttype)
+    y1 = dequantize(buf1, ttype, x.size)
+    buf2 = quantize(y1, ttype)
+    y2 = dequantize(buf2, ttype, x.size)
+    np.testing.assert_allclose(y1, y2, rtol=0, atol=2e-3)
+
+
+def test_bf16_roundtrip():
+    x = RNG.standard_normal(256).astype(np.float32)
+    buf = quantize(x, GGMLType.BF16)
+    y = dequantize(buf, GGMLType.BF16, x.size)
+    assert np.abs(x - y).max() < 0.01
+    # exactly representable values survive
+    x2 = np.array([1.0, -2.0, 0.5, 0.0, 65280.0], dtype=np.float32)
+    y2 = dequantize(quantize(x2, GGMLType.BF16), GGMLType.BF16, x2.size)
+    np.testing.assert_array_equal(x2, y2)
+
+
+def test_q4k_scale_packing():
+    from sparkinfer_tpu.gguf.quants import _pack_kscales, _unpack_kscales
+
+    sc = RNG.integers(0, 64, (5, 8)).astype(np.uint8)
+    mn = RNG.integers(0, 64, (5, 8)).astype(np.uint8)
+    sc2, mn2 = _unpack_kscales(_pack_kscales(sc, mn))
+    np.testing.assert_array_equal(sc, sc2)
+    np.testing.assert_array_equal(mn, mn2)
+
+
+def test_decode_vs_reference_fixture_types(vocab_gguf_spm):
+    """All tensors in the fixture decode without error (there are none, but
+    KV-only files must parse); also verify data_offset alignment."""
+    r = GGUFReader(vocab_gguf_spm)
+    assert r.data_offset % r.alignment == 0
+    r.close()
