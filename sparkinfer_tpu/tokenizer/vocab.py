@@ -1,0 +1,140 @@
+"""Vocabulary loaded from GGUF metadata + tokenizer dispatch.
+
+Behavioral parity target: src/llama-vocab.cpp (SPM/BPE tokenizers, special
+token handling, add_bos/add_eos/add_space_prefix semantics). Tokenization is
+validated against the reference's models/ggml-vocab-*.gguf.{inp,out} vectors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+from ..gguf.constants import Keys, TokenType
+
+if TYPE_CHECKING:
+    from ..gguf.reader import GGUFReader
+
+
+@dataclass
+class Vocab:
+    model: str  # "llama" (SPM) | "gpt2" (BPE) | "bert" (WPM) | ...
+    pre: str
+    tokens: list[str]
+    token_types: np.ndarray  # TokenType per id
+    scores: np.ndarray | None
+    merges: list[str] | None
+    bos_id: int = 1
+    eos_id: int = 2
+    unk_id: int = 0
+    pad_id: int = -1
+    add_bos: bool = False
+    add_eos: bool = False
+    add_space_prefix: bool = True
+    chat_template: str | None = None
+    token_to_id: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.token_to_id:
+            self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
+
+    @property
+    def n_tokens(self) -> int:
+        return len(self.tokens)
+
+    def special_ids(self) -> list[int]:
+        tt = self.token_types
+        return [
+            i
+            for i in range(len(self.tokens))
+            if tt[i] in (TokenType.CONTROL, TokenType.USER_DEFINED)
+        ]
+
+    def is_eog(self, tok: int) -> bool:
+        """End-of-generation: EOS or common EOT-style control tokens."""
+        if tok == self.eos_id:
+            return True
+        t = self.tokens[tok] if 0 <= tok < len(self.tokens) else ""
+        return t in (
+            "<|eot_id|>", "<|im_end|>", "<|end|>", "<end_of_turn>",
+            "<|endoftext|>", "<|end_of_text|>", "<EOT>", "</s>", "<|return|>",
+        )
+
+    @classmethod
+    def from_gguf(cls, reader: "GGUFReader") -> "Vocab":
+        kv = reader.kv
+        tokens = kv[Keys.Tokenizer.LIST]
+        n = len(tokens)
+        tt = kv.get(Keys.Tokenizer.TOKEN_TYPE)
+        token_types = (
+            np.asarray(tt, dtype=np.int32) if tt is not None else np.full(n, TokenType.NORMAL, np.int32)
+        )
+        scores = kv.get(Keys.Tokenizer.SCORES)
+        model = kv.get(Keys.Tokenizer.MODEL, "llama")
+        v = cls(
+            model=model,
+            pre=kv.get(Keys.Tokenizer.PRE, "default"),
+            tokens=tokens,
+            token_types=token_types,
+            scores=np.asarray(scores, dtype=np.float32) if scores is not None else None,
+            merges=kv.get(Keys.Tokenizer.MERGES),
+            bos_id=int(kv.get(Keys.Tokenizer.BOS_ID, 1 if model == "llama" else -1)),
+            eos_id=int(kv.get(Keys.Tokenizer.EOS_ID, 2 if model == "llama" else -1)),
+            unk_id=int(kv.get(Keys.Tokenizer.UNK_ID, 0 if model == "llama" else -1)),
+            pad_id=int(kv.get(Keys.Tokenizer.PAD_ID, -1)),
+            add_bos=bool(kv.get(Keys.Tokenizer.ADD_BOS, model == "llama")),
+            add_eos=bool(kv.get(Keys.Tokenizer.ADD_EOS, False)),
+            add_space_prefix=bool(kv.get(Keys.Tokenizer.ADD_SPACE_PREFIX, model == "llama")),
+            chat_template=kv.get(Keys.Tokenizer.CHAT_TEMPLATE),
+        )
+        return v
+
+
+def split_on_specials(text: str, vocab: Vocab) -> list[tuple[str, int | None]]:
+    """Partition text into (raw_fragment, None) / ("", special_id) pieces.
+
+    Mirrors tokenizer_st_partition: special/user-defined token strings are
+    matched literally, longest-first.
+    """
+    specials = sorted(
+        ((vocab.tokens[i], i) for i in vocab.special_ids() if vocab.tokens[i]),
+        key=lambda p: -len(p[0]),
+    )
+    frags: list[tuple[str, int | None]] = [(text, None)]
+    for s, sid in specials:
+        out: list[tuple[str, int | None]] = []
+        for frag, fid in frags:
+            if fid is not None:
+                out.append((frag, fid))
+                continue
+            start = 0
+            while True:
+                idx = frag.find(s, start)
+                if idx < 0:
+                    if start < len(frag):
+                        out.append((frag[start:], None))
+                    break
+                if idx > start:
+                    out.append((frag[start:idx], None))
+                out.append(("", sid))
+                start = idx + len(s)
+        frags = out
+    return frags
+
+
+def build_tokenizer(vocab: Vocab):
+    if vocab.model == "llama":
+        from .spm import SPMTokenizer
+
+        return SPMTokenizer(vocab)
+    if vocab.model == "gpt2":
+        from .bpe import BPETokenizer
+
+        return BPETokenizer(vocab)
+    if vocab.model == "bert":
+        from .wpm import WPMTokenizer
+
+        return WPMTokenizer(vocab)
+    raise NotImplementedError(f"tokenizer model {vocab.model!r}")
