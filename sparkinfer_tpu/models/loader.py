@@ -1,0 +1,208 @@
+"""GGUF -> JAX params loader.
+
+The TPU-native analogue of src/llama-model-loader.cpp + the per-arch
+create_tensor tables in src/llama-model.cpp: weights are dequantized (or
+kept quantized for the fused Pallas dequant-matmul path), transposed to
+(in, out) for `x @ w`, stacked across layers for lax.scan, and device_put
+with the requested sharding.
+
+Sparse-model conventions handled here (ref: src/llama-model.cpp:2758-2770):
+  - ffn_down may be stored transposed {n_embd, n_ff} so neuron rows are
+    contiguous; we canonicalize to (n_ff, n_embd) = (in, out) either way.
+  - per-layer predictor ranks (`{arch}.pred_lora`) are zero-padded to the
+    max rank so layers stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFReader
+from .config import ModelConfig
+
+Params = dict[str, Any]
+
+
+def _as_jnp(x: np.ndarray, dtype) -> jnp.ndarray:
+    if x.dtype == np.float16:
+        # bf16 conversion via f32 to avoid double-rounding surprises
+        x = x.astype(np.float32)
+    return jnp.asarray(x, dtype=dtype)
+
+
+@dataclass
+class LoadedModel:
+    config: ModelConfig
+    params: Params
+    vocab: Any = None
+    quant_meta: dict[str, GGMLType] = field(default_factory=dict)
+
+
+def _get(r: GGUFReader, name: str) -> np.ndarray | None:
+    t = r.tensors.get(name)
+    return None if t is None else t.to_f32()
+
+
+def _linear(r: GGUFReader, name: str, in_dim: int, out_dim: int) -> np.ndarray | None:
+    """Fetch a weight canonicalized to numpy (in_dim, out_dim)."""
+    w = _get(r, name)
+    if w is None:
+        return None
+    if w.shape == (out_dim, in_dim):
+        return np.ascontiguousarray(w.T)
+    if w.shape == (in_dim, out_dim):
+        return w
+    raise ValueError(f"{name}: shape {w.shape} matches neither ({out_dim},{in_dim}) nor ({in_dim},{out_dim})")
+
+
+def _split_fused_qkv(
+    wqkv: np.ndarray, bqkv: np.ndarray | None, cfg: ModelConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None, np.ndarray | None]:
+    """Split a fused attn_qkv (in=E, out=(H+2*Hkv)*D) into wq/wk/wv.
+
+    Falcon interleaves per kv-group: [q_0..q_{g-1}, k, v] per group
+    (ref: falcon graph builder layout); GPT-2 concatenates [Q; K; V].
+    """
+    E = cfg.n_embd
+    H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    g = H // Hkv
+    total = (H + 2 * Hkv) * D
+    assert wqkv.shape == (E, total), wqkv.shape
+    if Hkv == H:
+        # plain concat [Q;K;V]
+        wq = wqkv[:, : H * D]
+        wk = wqkv[:, H * D : (H + Hkv) * D]
+        wv = wqkv[:, (H + Hkv) * D :]
+        bq = bk = bv = None
+        if bqkv is not None:
+            bq = bqkv[: H * D]
+            bk = bqkv[H * D : (H + Hkv) * D]
+            bv = bqkv[(H + Hkv) * D :]
+        return wq, wk, wv, bq, bk, bv
+    # grouped interleave
+    w = wqkv.reshape(E, Hkv, (g + 2), D)
+    wq = np.ascontiguousarray(w[:, :, :g].reshape(E, H * D))
+    wk = np.ascontiguousarray(w[:, :, g].reshape(E, Hkv * D))
+    wv = np.ascontiguousarray(w[:, :, g + 1].reshape(E, Hkv * D))
+    bq = bk = bv = None
+    if bqkv is not None:
+        b = bqkv.reshape(Hkv, (g + 2), D)
+        bq = np.ascontiguousarray(b[:, :g].reshape(H * D))
+        bk = np.ascontiguousarray(b[:, g].reshape(Hkv * D))
+        bv = np.ascontiguousarray(b[:, g + 1].reshape(Hkv * D))
+    return wq, wk, wv, bq, bk, bv
+
+
+def load_model(
+    path: str,
+    dtype=jnp.bfloat16,
+    device_put_fn: Callable[[str, jnp.ndarray], jnp.ndarray] | None = None,
+) -> LoadedModel:
+    """Load a GGUF model into stacked JAX arrays.
+
+    device_put_fn(name, array) may apply shardings; default puts on the
+    default device.
+    """
+    r = GGUFReader(path)
+    cfg = ModelConfig.from_gguf(r)
+    tr = cfg.traits
+    E, H, Hkv, D, F, L = cfg.n_embd, cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_ff, cfg.n_layer
+
+    put = device_put_fn or (lambda name, x: x)
+
+    params: Params = {}
+    tok = _get(r, "token_embd.weight")
+    params["tok_embd"] = put("tok_embd", _as_jnp(tok, dtype))
+    if tr.pos_embd:
+        params["pos_embd"] = put("pos_embd", _as_jnp(_get(r, "position_embd.weight"), dtype))
+    params["output_norm_w"] = put("output_norm_w", _as_jnp(_get(r, "output_norm.weight"), jnp.float32))
+    onb = _get(r, "output_norm.bias")
+    if onb is not None:
+        params["output_norm_b"] = put("output_norm_b", _as_jnp(onb, jnp.float32))
+    out_w = _linear(r, "output.weight", E, cfg.n_vocab)
+    if out_w is None:
+        out_w = np.ascontiguousarray(tok.T)  # tied embeddings
+    params["output"] = put("output", _as_jnp(out_w, dtype))
+
+    max_rank = cfg.max_pred_rank
+
+    per_layer: dict[str, list[np.ndarray]] = {}
+
+    def add(key: str, arr: np.ndarray | None):
+        if arr is not None:
+            per_layer.setdefault(key, []).append(arr)
+
+    for i in range(L):
+        p = f"blk.{i}."
+        add("attn_norm_w", _get(r, p + "attn_norm.weight"))
+        add("attn_norm_b", _get(r, p + "attn_norm.bias"))
+        add("attn_norm2_w", _get(r, p + "attn_norm_2.weight"))
+        add("attn_norm2_b", _get(r, p + "attn_norm_2.bias"))
+        if tr.fused_qkv:
+            wqkv = _linear(r, p + "attn_qkv.weight", E, (H + 2 * Hkv) * D)
+            bqkv = _get(r, p + "attn_qkv.bias")
+            wq, wk, wv, bq, bk, bv = _split_fused_qkv(wqkv, bqkv, cfg)
+        else:
+            wq = _linear(r, p + "attn_q.weight", E, H * D)
+            wk = _linear(r, p + "attn_k.weight", E, Hkv * D)
+            wv = _linear(r, p + "attn_v.weight", E, Hkv * D)
+            bq = _get(r, p + "attn_q.bias")
+            bk = _get(r, p + "attn_k.bias")
+            bv = _get(r, p + "attn_v.bias")
+        add("wq", wq)
+        add("wk", wk)
+        add("wv", wv)
+        add("bq", bq)
+        add("bk", bk)
+        add("bv", bv)
+        add("wo", _linear(r, p + "attn_output.weight", H * D, E))
+        add("bo", _get(r, p + "attn_output.bias"))
+        add("ffn_norm_w", _get(r, p + "ffn_norm.weight"))
+        add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
+        add("w_up", _linear(r, p + "ffn_up.weight", E, F))
+        add("b_up", _get(r, p + "ffn_up.bias"))
+        add("w_gate", _linear(r, p + "ffn_gate.weight", E, F))
+        # ffn_down: sparse GGUFs store it transposed; _linear canonicalizes
+        add("w_down", _linear(r, p + "ffn_down.weight", F, E))
+        add("b_down", _get(r, p + "ffn_down.bias"))
+        # predictors (low-rank ReLU MLP), zero-padded to max rank
+        pu = _linear(r, p + "ffn_pred_up.weight", E, cfg.pred_lora[i] if cfg.pred_lora else 0)
+        if pu is not None:
+            rank = pu.shape[1]
+            pub = _get(r, p + "ffn_pred_up.bias")
+            pd = _linear(r, p + "ffn_pred_down.weight", rank, F)
+            pdb = _get(r, p + "ffn_pred_down.bias")
+            if rank < max_rank:
+                pu = np.pad(pu, ((0, 0), (0, max_rank - rank)))
+                pd = np.pad(pd, ((0, max_rank - rank), (0, 0)))
+                if pub is not None:
+                    pub = np.pad(pub, (0, max_rank - rank))
+            add("pred_up", pu)
+            add("pred_up_b", pub if pub is not None else np.zeros(max_rank, np.float32))
+            add("pred_down", pd)
+            add("pred_down_b", pdb if pdb is not None else np.zeros(F, np.float32))
+
+    layers: Params = {}
+    for k, arrs in per_layer.items():
+        assert len(arrs) == L, f"{k}: {len(arrs)} != {L} layers"
+        stacked = np.stack(arrs)
+        want = jnp.float32 if ("norm" in k or k.startswith("pred") or k.startswith("b")) else dtype
+        layers[k] = put(f"layers.{k}", _as_jnp(stacked, want))
+    params["layers"] = layers
+
+    model = LoadedModel(config=cfg, params=params)
+    try:
+        from ..tokenizer import Vocab
+
+        if "tokenizer.ggml.tokens" in r.kv:
+            model.vocab = Vocab.from_gguf(r)
+    except Exception:
+        pass
+    r.close()
+    return model

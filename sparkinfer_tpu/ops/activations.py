@@ -1,0 +1,70 @@
+"""FFN activation functions, including the sparse-model variants.
+
+Ref semantics: ggml unary ops + SparkInfer's GGML_OP_FATRELU
+(ggml.h:1159 — FATReLU: x if x > threshold else 0) and the per-arch
+activation selection in build_sparse_ffn (src/llama-graph.cpp:1063-1094):
+ProSparse -> fatrelu(gate)*up; Bamboo/SparseQwen2 -> relu(gate)*relu(up);
+OPT/ReluFalcon -> relu(up).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def fatrelu(x: jnp.ndarray, threshold: float = 0.0) -> jnp.ndarray:
+    return jnp.where(x > threshold, x, 0.0).astype(x.dtype)
+
+
+def shifted_step(x: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
+    """1.0 where x >= threshold else 0.0 (ref: GGML_OP_SHIFTED_STEP)."""
+    return (x >= threshold).astype(jnp.float32)
+
+
+# gated activations: combine(gate, up) -> hidden
+def _silu_gate(g, u):
+    return jax.nn.silu(g.astype(jnp.float32)).astype(g.dtype) * u
+
+
+def _gelu_gate(g, u):
+    return jax.nn.gelu(g.astype(jnp.float32), approximate=True).astype(g.dtype) * u
+
+
+def _relu_gate(g, u):
+    return jnp.maximum(g, 0) * u
+
+
+def _drelu(g, u):
+    return jnp.maximum(g, 0) * jnp.maximum(u, 0)
+
+
+def _fatrelu_gate(threshold: float):
+    def f(g, u):
+        return fatrelu(g, threshold) * u
+
+    return f
+
+
+# ungated: act(up)
+def _relu(u):
+    return jnp.maximum(u, 0)
+
+
+def _gelu(u):
+    return jax.nn.gelu(u.astype(jnp.float32), approximate=True).astype(u.dtype)
+
+
+def act_fn(name: str, fatrelu_threshold: float = 0.0):
+    """Returns (gated, fn). gated=True -> fn(gate, up); else fn(up)."""
+    table = {
+        "silu": (True, _silu_gate),
+        "swiglu": (True, _silu_gate),
+        "gelu": (False, _gelu),
+        "geglu": (True, _gelu_gate),
+        "relu": (False, _relu),
+        "reglu": (True, _relu_gate),
+        "drelu": (True, _drelu),
+        "fatrelu": (True, _fatrelu_gate(fatrelu_threshold)),
+    }
+    return table[name]

@@ -1,0 +1,207 @@
+"""Generation engine: jitted prefill + decode over a static-shape KV cache.
+
+TPU re-design of llama_context::decode (src/llama-context.cpp:985) and the
+llama-cli REPL loop (tools/main/main.cpp): instead of building a fresh ggml
+graph per ubatch and scheduling it across backends, we jit ONE prefill step
+(bucketed prompt lengths to bound recompiles — the analogue of n_ubatch
+splitting, src/llama-batch.h:101-107) and ONE single-token decode step, and
+carry the KV cache + sampler state through them as pytrees.
+
+All sampling runs on-device inside the decode step; the host only sees the
+sampled token ids (one small D2H transfer per step, overlapping the next
+step's dispatch thanks to JAX async dispatch).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.loader import LoadedModel
+from ..models.transformer import make_forward
+from .kv_cache import KVCache, init_cache
+from .sampling import SamplerConfig, SamplerState, init_state, make_sampler
+
+PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket_len(n: int, buckets=PREFILL_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+@dataclass
+class PerfCounters:
+    """Analogue of llama_perf_context (include/llama.h:1371-1391)."""
+
+    t_prefill_s: float = 0.0
+    n_prefill: int = 0
+    t_decode_s: float = 0.0
+    n_decode: int = 0
+
+    @property
+    def prefill_tps(self) -> float:
+        return self.n_prefill / self.t_prefill_s if self.t_prefill_s > 0 else 0.0
+
+    @property
+    def decode_tps(self) -> float:
+        return self.n_decode / self.t_decode_s if self.t_decode_s > 0 else 0.0
+
+    def summary(self) -> dict:
+        return {
+            "prefill_tokens": self.n_prefill,
+            "prefill_tps": round(self.prefill_tps, 2),
+            "decode_tokens": self.n_decode,
+            "decode_tps": round(self.decode_tps, 2),
+        }
+
+
+class Engine:
+    """Single-sequence / static-batch generation engine.
+
+    ffn_fn lets the sparse predictor-gated FFN path plug in (see
+    sparse/ffn.py); extra_state threads any additional carried state
+    (e.g. the sparse hot-set) through prefill/decode steps.
+    """
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        max_seq: int = 2048,
+        batch: int = 1,
+        sampler: SamplerConfig | None = None,
+        kv_dtype=jnp.bfloat16,
+        kv_quantized: bool = False,
+        ffn_fn: Callable | None = None,
+        donate_cache: bool = True,
+    ):
+        self.model = model
+        self.cfg: ModelConfig = model.config
+        self.max_seq = max_seq
+        self.batch = batch
+        self.sampler_cfg = sampler or SamplerConfig()
+        self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+        self.sample = make_sampler(self.sampler_cfg)
+        self.kv_dtype = kv_dtype
+        self.kv_quantized = kv_quantized
+
+        donate = (3,) if donate_cache else ()
+        self._prefill = jax.jit(self._prefill_impl, donate_argnums=donate)
+        self._decode = jax.jit(self._decode_impl, donate_argnums=donate)
+        self.perf = PerfCounters()
+
+    # --- jitted step bodies -------------------------------------------------
+    def _prefill_impl(self, params, tokens, positions, cache, last_idx, sstate):
+        """tokens (B, Tpad); last_idx (B,) index of last real token."""
+        logits, cache = self.fwd(params, tokens, positions, cache)
+        B = tokens.shape[0]
+        last = logits[jnp.arange(B), last_idx]  # (B, V)
+        toks, sstates = jax.vmap(self.sample)(last, sstate)
+        return toks, cache, sstates
+
+    def _decode_impl(self, params, tokens, positions, cache, sstate):
+        """tokens (B, 1); positions (B, 1)."""
+        logits, cache = self.fwd(params, tokens, positions, cache)
+        toks, sstates = jax.vmap(self.sample)(logits[:, -1], sstate)
+        return toks, cache, sstates
+
+    # --- host-side API ------------------------------------------------------
+    def new_cache(self) -> KVCache:
+        return init_cache(
+            self.cfg, self.batch, self.max_seq, self.kv_dtype, self.kv_quantized
+        )
+
+    def new_sampler_state(self, seed: int | None = None) -> SamplerState:
+        states = [
+            init_state(self.sampler_cfg, (seed if seed is not None else self.sampler_cfg.seed) + i)
+            for i in range(self.batch)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def prefill(
+        self, prompt_tokens: list[int], cache: KVCache, sstate: SamplerState
+    ) -> tuple[int, KVCache, SamplerState, int]:
+        """Returns (first sampled token, cache, sampler state, n_past)."""
+        n = len(prompt_tokens)
+        if n == 0:
+            raise ValueError("empty prompt")
+        if n > self.max_seq:
+            raise ValueError(f"prompt of {n} tokens exceeds max_seq {self.max_seq}")
+        t0 = time.perf_counter()
+        Tpad = bucket_len(n)
+        toks = np.zeros((self.batch, Tpad), np.int32)
+        toks[:, :n] = prompt_tokens
+        pos = np.zeros((self.batch, Tpad), np.int32)
+        # padding positions point past the real tokens but are masked out of
+        # attention reads by the causal mask; their KV writes land at clamped
+        # slots which later real writes overwrite.
+        pos[:, :] = np.arange(Tpad)
+        last_idx = np.full((self.batch,), n - 1, np.int32)
+        tok, cache, sstate = self._prefill(
+            self.model.params,
+            jnp.asarray(toks),
+            jnp.asarray(pos),
+            cache,
+            jnp.asarray(last_idx),
+            sstate,
+        )
+        tok = int(np.asarray(tok)[0])
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return tok, cache, sstate, n
+
+    def decode_step(
+        self, token: int | np.ndarray, n_past: int, cache: KVCache, sstate: SamplerState
+    ) -> tuple[int, KVCache, SamplerState]:
+        t0 = time.perf_counter()
+        toks = jnp.full((self.batch, 1), token, jnp.int32)
+        pos = jnp.full((self.batch, 1), n_past, jnp.int32)
+        tok, cache, sstate = self._decode(self.model.params, toks, pos, cache, sstate)
+        tok = int(np.asarray(tok)[0])
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += 1
+        return tok, cache, sstate
+
+    def generate(
+        self,
+        prompt_tokens: list[int],
+        max_new_tokens: int = 128,
+        stop_ids: set[int] | None = None,
+        seed: int | None = None,
+        stream: bool = False,
+    ) -> list[int] | Iterator[int]:
+        """Greedy/sampled generation; returns generated token ids."""
+        it = self._generate_iter(prompt_tokens, max_new_tokens, stop_ids or set(), seed)
+        return it if stream else list(it)
+
+    def _generate_iter(self, prompt_tokens, max_new_tokens, stop_ids, seed):
+        cache = self.new_cache()
+        sstate = self.new_sampler_state(seed)
+        tok, cache, sstate, n_past = self.prefill(prompt_tokens, cache, sstate)
+        for _ in range(max_new_tokens):
+            if tok in stop_ids:
+                break
+            yield tok
+            tok, cache, sstate = self.decode_step(tok, n_past, cache, sstate)
+            n_past += 1
+
+    def generate_text(self, prompt: str, max_new_tokens: int = 128, seed: int | None = None) -> str:
+        vocab = self.model.vocab
+        if vocab is None:
+            raise ValueError("model has no tokenizer vocab")
+        from ..tokenizer import build_tokenizer
+
+        tk = build_tokenizer(vocab)
+        ids = tk.encode(prompt, add_bos=True)
+        stop = {vocab.eos_id} if vocab.eos_id is not None else set()
+        out = self.generate(ids, max_new_tokens, stop_ids=stop, seed=seed)
+        return tk.decode(out)

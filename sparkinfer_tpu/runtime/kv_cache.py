@@ -1,0 +1,87 @@
+"""KV cache for continuous-batching decode.
+
+The TPU-native re-design of src/llama-kv-cache.cpp: instead of a cell
+allocator with defrag/shift over one shared buffer, each batch slot owns a
+static (max_seq, n_head_kv, head_dim) region — slot s, position p lives at
+cache[:, s, p]. Continuous batching reuses slots; "freeing" a sequence is
+just resetting its length. This keeps every shape static for XLA and makes
+the cache a plain pytree carried through the jitted step.
+
+Supports bf16 or int8 (per-head-block scaled) storage; int8 is the
+analogue of llama.cpp's quantized KV (-ctk/-ctv, common/arg.cpp:1665).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+if TYPE_CHECKING:
+    from ..models.config import ModelConfig
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, S, Hkv, D) storage dtype
+    v: jnp.ndarray  # (L, B, S, Hkv, D)
+    k_scale: jnp.ndarray | None = None  # (L, B, S, Hkv, 1) f32, int8 mode
+    v_scale: jnp.ndarray | None = None
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def init_cache(
+    cfg: "ModelConfig", batch: int, max_seq: int, dtype=jnp.bfloat16, quantized: bool = False
+) -> KVCache:
+    shape = (cfg.n_layer, batch, max_seq, cfg.n_head_kv, cfg.head_dim)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+        )
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, head) symmetric int8: x (..., D) -> (q, scale(...,1))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-12)).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def write_layer(
+    kc: jnp.ndarray,  # (B, S, Hkv, D) one layer's K or V storage
+    sc: jnp.ndarray | None,  # (B, S, Hkv, 1) scales when quantized
+    new: jnp.ndarray,  # (B, T, Hkv, D) compute-dtype values
+    positions: jnp.ndarray,  # (B, T) int32
+) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+    B, T = positions.shape
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None] * jnp.ones((1, T), jnp.int32)
+    # clamp to keep OOB writes in-bounds (slots past max_seq are rejected upstream)
+    pos = jnp.clip(positions, 0, kc.shape[1] - 1)
+    if sc is not None:
+        q, s = quantize_kv(new)
+        return kc.at[b_idx, pos].set(q), sc.at[b_idx, pos].set(s)
+    return kc.at[b_idx, pos].set(new.astype(kc.dtype)), None
+
+
+def read_layer(
+    kc: jnp.ndarray, sc: jnp.ndarray | None, dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    if sc is not None:
+        return dequantize_kv(kc, sc, dtype)
+    return kc.astype(dtype)

@@ -6,7 +6,9 @@ multi-chip sharding paths on a virtual CPU mesh (SURVEY.md environment notes).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env points JAX at the one real TPU chip (e.g.
+# JAX_PLATFORMS=axon); unit tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"

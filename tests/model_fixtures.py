@@ -1,0 +1,163 @@
+"""Test fixtures: tiny random GGUF models + an independent numpy reference
+forward pass (the role the CPU backend plays in the reference's
+test-backend-ops: a slow, obviously-correct oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparkinfer_tpu.gguf.constants import GGMLType
+from sparkinfer_tpu.gguf.writer import GGUFWriter
+
+
+def make_tiny_llama(
+    path,
+    *,
+    arch: str = "llama",
+    n_layer: int = 2,
+    n_embd: int = 64,
+    n_head: int = 4,
+    n_head_kv: int = 2,
+    n_ff: int = 96,
+    n_vocab: int = 199,
+    n_ctx: int = 256,
+    rope_freq_base: float = 10000.0,
+    pred_rank: int = 0,
+    seed: int = 0,
+    scale: float = 0.08,
+) -> dict[str, np.ndarray]:
+    """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
+    orientation: weights are (out_dim, in_dim) in numpy order)."""
+    rng = np.random.default_rng(seed)
+    D = n_embd // n_head
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors: dict[str, np.ndarray] = {}
+    tensors["token_embd.weight"] = w(n_vocab, n_embd)
+    tensors["output_norm.weight"] = 1.0 + w(n_embd) * 0.1
+    tensors["output.weight"] = w(n_vocab, n_embd)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        tensors[p + "attn_norm.weight"] = 1.0 + w(n_embd) * 0.1
+        tensors[p + "attn_q.weight"] = w(n_head * D, n_embd)
+        tensors[p + "attn_k.weight"] = w(n_head_kv * D, n_embd)
+        tensors[p + "attn_v.weight"] = w(n_head_kv * D, n_embd)
+        tensors[p + "attn_output.weight"] = w(n_embd, n_head * D)
+        tensors[p + "ffn_norm.weight"] = 1.0 + w(n_embd) * 0.1
+        tensors[p + "ffn_up.weight"] = w(n_ff, n_embd)
+        tensors[p + "ffn_gate.weight"] = w(n_ff, n_embd)
+        tensors[p + "ffn_down.weight"] = w(n_embd, n_ff)
+        if pred_rank > 0:
+            tensors[p + "ffn_pred_up.weight"] = w(pred_rank, n_embd)
+            tensors[p + "ffn_pred_up.bias"] = w(pred_rank)
+            tensors[p + "ffn_pred_down.weight"] = w(n_ff, pred_rank)
+            tensors[p + "ffn_pred_down.bias"] = w(n_ff)
+
+    wr = GGUFWriter(path, arch)
+    wr.add_kv(f"{arch}.block_count", np.uint32(n_layer))
+    wr.add_kv(f"{arch}.embedding_length", np.uint32(n_embd))
+    wr.add_kv(f"{arch}.attention.head_count", np.uint32(n_head))
+    wr.add_kv(f"{arch}.attention.head_count_kv", np.uint32(n_head_kv))
+    wr.add_kv(f"{arch}.feed_forward_length", np.uint32(n_ff))
+    wr.add_kv(f"{arch}.vocab_size", np.uint32(n_vocab))
+    wr.add_kv(f"{arch}.context_length", np.uint32(n_ctx))
+    wr.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    wr.add_kv(f"{arch}.rope.freq_base", np.float32(rope_freq_base))
+    wr.add_kv(f"{arch}.rope.dimension_count", np.uint32(D))
+    if pred_rank > 0:
+        wr.add_array(f"{arch}.pred_lora", np.full(n_layer, pred_rank, np.uint32))
+    for name, data in tensors.items():
+        wr.add_tensor(name, data, GGMLType.F32)
+    wr.write()
+    return tensors
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle
+
+
+def _np_rms_norm(x, w, eps=1e-5):
+    var = np.mean(x * x, axis=-1, keepdims=True)
+    return x / np.sqrt(var + eps) * w
+
+
+def _np_rope_norm(x, pos, freq_base):
+    """x (T, H, D): rotate adjacent pairs."""
+    T, H, D = x.shape
+    half = D // 2
+    inv_freq = freq_base ** (-np.arange(half) / half)
+    theta = pos[:, None] * inv_freq  # (T, half)
+    cos, sin = np.cos(theta)[:, None, :], np.sin(theta)[:, None, :]
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    o1 = x1 * cos - x2 * sin
+    o2 = x1 * sin + x2 * cos
+    out = np.empty_like(x)
+    out[..., 0::2] = o1
+    out[..., 1::2] = o2
+    return out
+
+
+def _np_softmax(x, axis=-1):
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+def ref_llama_forward(
+    tensors: dict[str, np.ndarray],
+    tokens: np.ndarray,  # (T,) int
+    *,
+    n_head: int,
+    n_head_kv: int,
+    rope_freq_base: float = 10000.0,
+    eps: float = 1e-5,
+    sparse_mask: list[np.ndarray] | None = None,
+) -> np.ndarray:
+    """Dense full-attention llama forward in f64-ish numpy. Returns (T, V)
+    logits. If sparse_mask is given (per layer, (T, n_ff) {0,1}), the FFN
+    hidden activations are masked — the oracle for predictor-gated FFN."""
+    x = tensors["token_embd.weight"][tokens].astype(np.float64)
+    T = x.shape[0]
+    E = x.shape[1]
+    D = E // n_head
+    pos = np.arange(T, dtype=np.float64)
+    n_layer = max(int(k.split(".")[1]) for k in tensors if k.startswith("blk.")) + 1
+    causal = np.tril(np.ones((T, T), bool))
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        h = _np_rms_norm(x, tensors[p + "attn_norm.weight"].astype(np.float64), eps)
+        q = (h @ tensors[p + "attn_q.weight"].T.astype(np.float64)).reshape(T, n_head, D)
+        k = (h @ tensors[p + "attn_k.weight"].T.astype(np.float64)).reshape(T, n_head_kv, D)
+        v = (h @ tensors[p + "attn_v.weight"].T.astype(np.float64)).reshape(T, n_head_kv, D)
+        q = _np_rope_norm(q, pos, rope_freq_base)
+        k = _np_rope_norm(k, pos, rope_freq_base)
+        g = n_head // n_head_kv
+        kk = np.repeat(k, g, axis=1)  # (T, H, D)
+        vv = np.repeat(v, g, axis=1)
+        att = np.einsum("thd,shd->hts", q, kk) / np.sqrt(D)
+        att = np.where(causal[None], att, -np.inf)
+        att = _np_softmax(att, axis=-1)
+        out = np.einsum("hts,shd->thd", att, vv).reshape(T, E)
+        x = x + out @ tensors[p + "attn_output.weight"].T.astype(np.float64)
+        h = _np_rms_norm(x, tensors[p + "ffn_norm.weight"].astype(np.float64), eps)
+        up = h @ tensors[p + "ffn_up.weight"].T.astype(np.float64)
+        gate = h @ tensors[p + "ffn_gate.weight"].T.astype(np.float64)
+        silu = gate / (1.0 + np.exp(-gate))
+        hidden = silu * up
+        if sparse_mask is not None:
+            hidden = hidden * sparse_mask[i]
+        x = x + hidden @ tensors[p + "ffn_down.weight"].T.astype(np.float64)
+    x = _np_rms_norm(x, tensors["output_norm.weight"].astype(np.float64), eps)
+    return x @ tensors["output.weight"].T.astype(np.float64)
+
+
+def ref_predictor(tensors: dict[str, np.ndarray], layer: int, h_normed: np.ndarray) -> np.ndarray:
+    """sigmoid(pred_down @ relu(pred_up @ x + b) + b) — ref build_predictor
+    (src/llama-graph.cpp:865-894). h_normed (T, E) -> (T, n_ff) probs."""
+    p = f"blk.{layer}."
+    z = h_normed @ tensors[p + "ffn_pred_up.weight"].T + tensors[p + "ffn_pred_up.bias"]
+    z = np.maximum(z, 0.0)
+    z = z @ tensors[p + "ffn_pred_down.weight"].T + tensors[p + "ffn_pred_down.bias"]
+    return 1.0 / (1.0 + np.exp(-z))

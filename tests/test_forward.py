@@ -1,0 +1,177 @@
+"""Dense engine end-to-end: tiny GGUF -> loader -> jitted forward vs numpy
+oracle, plus prefill/decode KV-cache consistency.
+
+Mirrors the reference's test strategy (SURVEY.md §4): CPU oracle as the
+universal numerical reference, tiny models as the universal fixture."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.models.transformer import make_forward
+from sparkinfer_tpu.runtime.engine import Engine
+from sparkinfer_tpu.runtime.kv_cache import init_cache
+from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+from model_fixtures import make_tiny_llama, ref_llama_forward
+
+N_HEAD, N_HEAD_KV = 4, 2
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-llama.gguf"
+    tensors = make_tiny_llama(path, n_head=N_HEAD, n_head_kv=N_HEAD_KV)
+    model = load_model(str(path), dtype=jnp.float32)
+    return model, tensors
+
+
+def test_config_from_gguf(tiny_model):
+    model, _ = tiny_model
+    cfg = model.config
+    assert cfg.arch == "llama"
+    assert cfg.n_layer == 2
+    assert cfg.n_embd == 64
+    assert cfg.n_head == N_HEAD
+    assert cfg.n_head_kv == N_HEAD_KV
+    assert cfg.n_vocab == 199
+    assert cfg.head_dim == 16
+    assert not cfg.has_predictors
+
+
+def test_forward_matches_numpy_oracle(tiny_model):
+    model, tensors = tiny_model
+    cfg = model.config
+    T = 7
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.n_vocab, size=T).astype(np.int32)
+
+    ref = ref_llama_forward(tensors, tokens, n_head=N_HEAD, n_head_kv=N_HEAD_KV)
+
+    fwd = make_forward(cfg)
+    cache = init_cache(cfg, batch=1, max_seq=16, dtype=jnp.float32)
+    logits, _ = jax.jit(fwd)(
+        model.params,
+        jnp.asarray(tokens)[None, :],
+        jnp.arange(T, dtype=jnp.int32)[None, :],
+        cache,
+    )
+    got = np.asarray(logits)[0]
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_then_decode_matches_full_forward(tiny_model):
+    """KV-cache path: forward(prompt) then stepwise decode must equal one
+    full forward over the whole sequence (the cache is exact)."""
+    model, tensors = tiny_model
+    cfg = model.config
+    rng = np.random.default_rng(11)
+    full = rng.integers(0, cfg.n_vocab, size=9).astype(np.int32)
+    n_pre = 5
+
+    fwd = jax.jit(make_forward(cfg))
+    # full forward
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    logits_full, _ = fwd(
+        model.params, jnp.asarray(full)[None], jnp.arange(9, dtype=jnp.int32)[None], cache
+    )
+    # prefill + stepwise
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    logits_pre, cache = fwd(
+        model.params,
+        jnp.asarray(full[:n_pre])[None],
+        jnp.arange(n_pre, dtype=jnp.int32)[None],
+        cache,
+    )
+    step_logits = [np.asarray(logits_pre)[0, -1]]
+    for t in range(n_pre, 9):
+        lg, cache = fwd(
+            model.params,
+            jnp.asarray(full[t : t + 1])[None],
+            jnp.full((1, 1), t, jnp.int32),
+            cache,
+        )
+        step_logits.append(np.asarray(lg)[0, -1])
+
+    ref_rows = np.asarray(logits_full)[0, n_pre - 1 :]
+    np.testing.assert_allclose(np.stack(step_logits), ref_rows, rtol=1e-4, atol=1e-4)
+
+
+def test_prefill_padding_is_harmless(tiny_model):
+    """Engine pads prompts to bucket lengths; padded tail must not change
+    the sampled logits (padding KV writes are masked/overwritten)."""
+    model, _ = tiny_model
+    cfg = model.config
+    fwd = jax.jit(make_forward(cfg))
+    rng = np.random.default_rng(5)
+    n = 6
+    toks = rng.integers(0, cfg.n_vocab, size=n).astype(np.int32)
+
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+    exact, _ = fwd(model.params, jnp.asarray(toks)[None], jnp.arange(n, dtype=jnp.int32)[None], cache)
+
+    pad_to = 16
+    padded = np.zeros(pad_to, np.int32)
+    padded[:n] = toks
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+    pl, _ = fwd(
+        model.params, jnp.asarray(padded)[None], jnp.arange(pad_to, dtype=jnp.int32)[None], cache
+    )
+    np.testing.assert_allclose(
+        np.asarray(pl)[0, n - 1], np.asarray(exact)[0, n - 1], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_engine_greedy_generation_deterministic(tiny_model):
+    model, _ = tiny_model
+    eng = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32)
+    prompt = [3, 14, 15, 92]
+    out1 = eng.generate(prompt, max_new_tokens=8)
+    out2 = eng.generate(prompt, max_new_tokens=8)
+    assert out1 == out2
+    assert len(out1) == 8
+    assert all(0 <= t < model.config.n_vocab for t in out1)
+
+
+def test_engine_greedy_matches_stepwise_argmax(tiny_model):
+    """Engine output must equal argmax over the oracle's logits chain."""
+    model, tensors = tiny_model
+    eng = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32)
+    prompt = [3, 14, 15, 92]
+    out = eng.generate(prompt, max_new_tokens=5)
+
+    seq = list(prompt)
+    for i in range(5):
+        logits = ref_llama_forward(
+            tensors, np.asarray(seq, np.int32), n_head=N_HEAD, n_head_kv=N_HEAD_KV
+        )
+        nxt = int(np.argmax(logits[-1]))
+        assert nxt == out[i], f"step {i}: oracle {nxt} vs engine {out[i]}"
+        seq.append(nxt)
+
+
+def test_int8_kv_cache_close_to_exact(tiny_model):
+    model, _ = tiny_model
+    cfg = model.config
+    fwd = jax.jit(make_forward(cfg))
+    rng = np.random.default_rng(7)
+    toks = rng.integers(0, cfg.n_vocab, size=8).astype(np.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+
+    exact, _ = fwd(
+        model.params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32)
+    )
+    quant, _ = fwd(
+        model.params,
+        jnp.asarray(toks)[None],
+        pos,
+        init_cache(cfg, 1, 16, quantized=True),
+    )
+    # int8 KV is approximate; logits should still agree to ~1e-2
+    np.testing.assert_allclose(np.asarray(quant), np.asarray(exact), rtol=0.08, atol=0.08)
+    assert np.array_equal(
+        np.argmax(np.asarray(quant)[0, -1]), np.argmax(np.asarray(exact)[0, -1])
+    )
