@@ -23,8 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import TYPE_CHECKING
+
 from ..models.config import ModelConfig
 from ..models.loader import LoadedModel
+
+if TYPE_CHECKING:
+    from ..sparse.config import SparseConfig
 from ..models.transformer import make_forward
 from .kv_cache import KVCache, init_cache
 from .sampling import SamplerConfig, SamplerState, init_state, make_sampler
@@ -82,6 +87,8 @@ class Engine:
         kv_dtype=jnp.bfloat16,
         kv_quantized: bool = False,
         ffn_fn: Callable | None = None,
+        sparse: "SparseConfig | None" = None,
+        sparse_decode_mode: str = "pallas",
         donate_cache: bool = True,
     ):
         self.model = model
@@ -89,7 +96,23 @@ class Engine:
         self.max_seq = max_seq
         self.batch = batch
         self.sampler_cfg = sampler or SamplerConfig()
-        self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+        self.sparse = sparse
+        if sparse is not None:
+            # predictor-gated FFN: masked-dense for prefill (cross-token
+            # active-union is large), gathered top-k for decode (reads only
+            # selected weight groups — the sparse speedup path)
+            from ..sparse.ffn import make_sparse_ffn, prepare_sparse_params
+
+            if not self.cfg.has_predictors:
+                raise ValueError("sparse mode requires predictor tensors in the model")
+            self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
+            prefill_ffn = make_sparse_ffn(self.cfg, sparse, mode="dense")
+            decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
+            self.fwd = make_forward(self.cfg, ffn_fn=prefill_ffn)
+            self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
+        else:
+            self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+            self.fwd_decode = self.fwd
         self.sample = make_sampler(self.sampler_cfg)
         self.kv_dtype = kv_dtype
         self.kv_quantized = kv_quantized
@@ -110,7 +133,7 @@ class Engine:
 
     def _decode_impl(self, params, tokens, positions, cache, sstate):
         """tokens (B, 1); positions (B, 1)."""
-        logits, cache = self.fwd(params, tokens, positions, cache)
+        logits, cache = self.fwd_decode(params, tokens, positions, cache)
         toks, sstates = jax.vmap(self.sample)(logits[:, -1], sstate)
         return toks, cache, sstates
 

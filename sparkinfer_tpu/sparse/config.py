@@ -1,0 +1,50 @@
+"""Sparse-FFN configuration.
+
+TPU re-design of the reference's env-var config surface (SPIF_* knobs,
+ggml/include/ggml-sparkinfer.hpp:20-30 + compile-time SPIF_SPARSE_THRESHOLD
+mm-sparse.cu:5-7) and the split-file group geometry
+(`ffn_group_size` KV, src/llama-sparkinfer.cpp:150-158).
+
+Key deviation from the reference, forced by XLA static shapes: sparsity is
+expressed as a FIXED-CAPACITY top-k over neuron GROUPS rather than a
+data-dependent threshold count (SURVEY.md §7 hard part (b)). The threshold
+still gates individual neurons inside selected groups (multiplicative
+mask), so the computed function matches the reference's
+"rows with sparse_idx < 0.5 contribute zero" semantics for every neuron
+that falls inside the top-k group capacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseConfig:
+    # neurons per group; 128 aligns groups with MXU/VPU lanes
+    # (ref: split-file KV `ffn_group_size`)
+    group_size: int = 128
+    # number of groups computed per token (static top-k capacity).
+    # 0 = dense (all groups).
+    capacity_groups: int = 0
+    # activation-probability threshold gating individual neurons
+    # (ref: SPIF_SPARSE_THRESHOLD = 0.5)
+    threshold: float = 0.5
+    # DFR (decayed firing rate) EMA decay λ (ref: SPIF_INIT_DFR_DECAY=67 -> 0.67)
+    dfr_decay: float = 0.67
+    # EMA vs plain accumulate (ref: SPIF_DFR_EMA)
+    dfr_ema: bool = True
+    # number of HBM-resident hot groups per layer (0 = all in HBM / gpu_only).
+    # The analogue of n_group_cache[il] (src/llama-sparkinfer.cpp:179-202).
+    hot_groups: int = 0
+    # window of group copies per reload step (ref: SPIF_RELOAD_WINDOW_SIZE=4)
+    reload_window: int = 4
+
+    def n_groups(self, n_ff: int) -> int:
+        assert n_ff % self.group_size == 0, (n_ff, self.group_size)
+        return n_ff // self.group_size
+
+    def capacity(self, n_ff: int) -> int:
+        ng = self.n_groups(n_ff)
+        c = self.capacity_groups if self.capacity_groups > 0 else ng
+        return min(c, ng)

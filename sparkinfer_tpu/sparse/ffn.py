@@ -1,0 +1,191 @@
+"""Predictor-gated sparse FFN — the TPU re-design of build_sparse_ffn
+(src/llama-graph.cpp:896-1142).
+
+Reference semantics: every FFN neuron whose predicted activation
+probability >= threshold is computed (GGML_OP_MUL_MAT_SPARSE skips rows
+below threshold, mm-sparse.cu:22; the down-projection accumulates per
+active neuron row via GGML_OP_AXPY_SPARSE); inactive neurons contribute
+exactly zero.
+
+TPU re-design (static shapes, MXU-aligned):
+  - neurons are processed in GROUPS of `group_size` (128 = lane width),
+    mirroring the reference split-file's `ffn_group_size`;
+  - per token we select the top-`capacity` groups by active-neuron count
+    (fixed capacity => static shapes; capacity >= #active groups makes the
+    result EXACTLY the thresholded reference function, enforced in tests);
+  - inside selected groups, sub-threshold neurons are masked to zero, so
+    group granularity never changes values, only which neurons get cut
+    when capacity is exceeded;
+  - three execution paths:
+      "dense"  — masked dense matmuls (reads all weights; right for
+                 prefill where the cross-token union of active groups is
+                 large);
+      "gather" — jnp take of selected weight blocks (reference
+                 implementation & CPU-mesh testable);
+      "pallas" — fused scalar-prefetch streaming kernel that reads ONLY
+                 the selected groups' weight rows from HBM
+                 (ops/sparse_ffn_pallas.py) — the analogue of
+                 mm-sparse.cu + axpy-sparse.cu fused into one kernel.
+
+Weight layout: the sparse path wants neuron-major rows; `sparse_layout`
+precomputes (n_g, G, E) blocks for up/gate/down from the loader's
+canonical (E, F)/(F, E) — the same motivation as the reference loading
+ffn_down transposed (src/llama-model.cpp:2758-2770).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import ModelConfig
+from .config import SparseConfig
+from .predictor import predict_activations
+
+
+def _sparse_act(name: str, threshold: float = 0.0):
+    """combine(gate, up) for the sparse archs (src/llama-graph.cpp:1063-1094).
+    For ungated archs (relu), gate is None."""
+    if name == "fatrelu":
+        return lambda g, u: jnp.where(g > threshold, g, 0.0) * u
+    if name == "drelu":
+        return lambda g, u: jnp.maximum(g, 0.0) * jnp.maximum(u, 0.0)
+    if name == "relu":
+        return lambda g, u: jnp.maximum(u, 0.0)
+    raise ValueError(name)
+
+
+def sparse_layout(lp: dict, cfg: ModelConfig, scfg: SparseConfig) -> dict:
+    """Augment a layer-param dict (possibly L-stacked) with neuron-major
+    grouped weight blocks: w_up_rows/w_gate_rows/w_down_rows (…, n_g, G, E)."""
+    G = scfg.group_size
+    F, E = cfg.n_ff, cfg.n_embd
+    ng = scfg.n_groups(F)
+
+    def rows_from_col(w):  # (..., E, F) -> (..., n_g, G, E)
+        wt = jnp.swapaxes(w, -1, -2)  # (..., F, E)
+        return wt.reshape(wt.shape[:-2] + (ng, G, E))
+
+    def rows_from_row(w):  # (..., F, E) -> (..., n_g, G, E)
+        return w.reshape(w.shape[:-2] + (ng, G, E))
+
+    out = dict(lp)
+    out["w_up_rows"] = rows_from_col(lp["w_up"])
+    if "w_gate" in lp:
+        out["w_gate_rows"] = rows_from_col(lp["w_gate"])
+    out["w_down_rows"] = rows_from_row(lp["w_down"])
+    return out
+
+
+def select_groups(probs: jnp.ndarray, scfg: SparseConfig, n_ff: int):
+    """probs (..., F) -> (idx (..., C) int32 group ids, group mask info).
+
+    Score = active-neuron count per group (threshold crossings), with the
+    max prob as tiebreak so near-threshold groups order stably."""
+    G = scfg.group_size
+    ng = scfg.n_groups(n_ff)
+    C = scfg.capacity(n_ff)
+    gp = probs.reshape(probs.shape[:-1] + (ng, G))
+    active = (gp >= scfg.threshold).astype(jnp.float32)
+    score = active.sum(-1) + gp.max(-1)  # (..., ng); max<1 breaks ties only
+    _, idx = jax.lax.top_k(score, C)
+    return idx.astype(jnp.int32)
+
+
+def prepare_sparse_params(params: dict, cfg: ModelConfig, scfg: SparseConfig) -> dict:
+    """Return params with the stacked layer dict augmented by sparse_layout
+    row blocks (leading L axis handled by the reshape rules)."""
+    out = dict(params)
+    out["layers"] = sparse_layout(params["layers"], cfg, scfg)
+    return out
+
+
+def make_sparse_ffn(
+    cfg: ModelConfig,
+    scfg: SparseConfig,
+    mode: str = "dense",
+) -> Callable:
+    """Build ffn(lp, x) for models/transformer.make_forward.
+
+    lp must carry predictor weights; for the gather/pallas paths, also the
+    sparse_layout row blocks."""
+    act = _sparse_act(cfg.traits.sparse_act, cfg.fatrelu_threshold)
+    gated = cfg.traits.sparse_act in ("fatrelu", "drelu")
+    G = scfg.group_size
+    F = cfg.n_ff
+    ng = scfg.n_groups(F)
+    thr = scfg.threshold
+
+    def dense_ffn(lp, x):
+        probs = predict_activations(lp, x)  # (..., F) f32
+        mask = (probs >= thr).astype(x.dtype)
+        up = x @ lp["w_up"]
+        if "b_up" in lp:
+            up = up + lp["b_up"].astype(up.dtype)
+        gate = x @ lp["w_gate"] if gated and "w_gate" in lp else None
+        hidden = act(gate, up) if gate is not None else act(None, up)
+        hidden = hidden * mask
+        out = hidden @ lp["w_down"]
+        if "b_down" in lp:
+            out = out + lp["b_down"].astype(out.dtype)
+        return out
+
+    def gather_ffn(lp, x):
+        # x (B, T, E); per-token group selection
+        B, T, E = x.shape
+        xt = x.reshape(B * T, E)
+        probs = predict_activations(lp, xt)  # (N, F)
+        idx = select_groups(probs, scfg, F)  # (N, C)
+        C = idx.shape[-1]
+
+        up_rows = lp["w_up_rows"]  # (ng, G, E)
+        down_rows = lp["w_down_rows"]
+        wu = jnp.take(up_rows, idx, axis=0)  # (N, C, G, E)
+        up = jnp.einsum("ne,ncge->ncg", xt, wu.astype(xt.dtype))
+        if "b_up" in lp:
+            bu = jnp.take(lp["b_up"].reshape(ng, G), idx, axis=0)  # (N, C, G)
+            up = up + bu.astype(up.dtype)
+        if gated and "w_gate_rows" in lp:
+            wg = jnp.take(lp["w_gate_rows"], idx, axis=0)
+            gate = jnp.einsum("ne,ncge->ncg", xt, wg.astype(xt.dtype))
+        else:
+            gate = None
+        hidden = act(gate, up) if gate is not None else act(None, up)
+        # within-group threshold mask
+        gp = probs.reshape(B * T, ng, G)
+        pmask = jnp.take_along_axis(gp, idx[..., None], axis=1) >= thr  # (N, C, G)
+        hidden = hidden * pmask.astype(hidden.dtype)
+        wd = jnp.take(down_rows, idx, axis=0)  # (N, C, G, E)
+        out = jnp.einsum("ncg,ncge->ne", hidden, wd.astype(hidden.dtype))
+        if "b_down" in lp:
+            out = out + lp["b_down"].astype(out.dtype)
+        return out.reshape(B, T, E)
+
+    def pallas_ffn(lp, x):
+        from ..ops.sparse_ffn_pallas import sparse_ffn_block
+
+        B, T, E = x.shape
+        xt = x.reshape(B * T, E)
+        probs = predict_activations(lp, xt)
+        idx = select_groups(probs, scfg, F)
+        gp = probs.reshape(B * T, ng, G)
+        out = sparse_ffn_block(
+            xt,
+            idx,
+            gp,
+            lp["w_up_rows"],
+            lp.get("w_gate_rows"),
+            lp["w_down_rows"],
+            act=cfg.traits.sparse_act,
+            fatrelu_threshold=cfg.fatrelu_threshold,
+            prob_threshold=thr,
+            b_up=lp.get("b_up"),
+        )
+        if "b_down" in lp:
+            out = out + lp["b_down"].astype(out.dtype)
+        return out.reshape(B, T, E).astype(x.dtype)
+
+    table = {"dense": dense_ffn, "gather": gather_ffn, "pallas": pallas_ffn}
+    return table[mode]

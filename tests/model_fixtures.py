@@ -52,8 +52,16 @@ def make_tiny_llama(
         if pred_rank > 0:
             tensors[p + "ffn_pred_up.weight"] = w(pred_rank, n_embd)
             tensors[p + "ffn_pred_up.bias"] = w(pred_rank)
-            tensors[p + "ffn_pred_down.weight"] = w(n_ff, pred_rank)
-            tensors[p + "ffn_pred_down.bias"] = w(n_ff)
+            pd_w = w(n_ff, pred_rank) * 20.0
+            pd_b = w(n_ff) - 1.0
+            # structurally sparse predictor: the last third of neurons can
+            # never fire, so some groups are always inactive and the
+            # fixed-capacity top-k path has real headroom to be exact.
+            cold = slice(2 * n_ff // 3, n_ff)
+            pd_w[cold] = 0.0
+            pd_b[cold] = -6.0
+            tensors[p + "ffn_pred_down.weight"] = pd_w
+            tensors[p + "ffn_pred_down.bias"] = pd_b
 
     wr = GGUFWriter(path, arch)
     wr.add_kv(f"{arch}.block_count", np.uint32(n_layer))
@@ -114,6 +122,7 @@ def ref_llama_forward(
     rope_freq_base: float = 10000.0,
     eps: float = 1e-5,
     sparse_mask: list[np.ndarray] | None = None,
+    act: str = "silu",
 ) -> np.ndarray:
     """Dense full-attention llama forward in f64-ish numpy. Returns (T, V)
     logits. If sparse_mask is given (per layer, (T, n_ff) {0,1}), the FFN
@@ -144,8 +153,14 @@ def ref_llama_forward(
         h = _np_rms_norm(x, tensors[p + "ffn_norm.weight"].astype(np.float64), eps)
         up = h @ tensors[p + "ffn_up.weight"].T.astype(np.float64)
         gate = h @ tensors[p + "ffn_gate.weight"].T.astype(np.float64)
-        silu = gate / (1.0 + np.exp(-gate))
-        hidden = silu * up
+        if act == "silu":
+            hidden = gate / (1.0 + np.exp(-gate)) * up
+        elif act == "fatrelu":
+            hidden = np.where(gate > 0.0, gate, 0.0) * up
+        elif act == "drelu":
+            hidden = np.maximum(gate, 0.0) * np.maximum(up, 0.0)
+        else:
+            raise ValueError(act)
         if sparse_mask is not None:
             hidden = hidden * sparse_mask[i]
         x = x + hidden @ tensors[p + "ffn_down.weight"].T.astype(np.float64)

@@ -1,0 +1,258 @@
+"""Sparse-FFN subsystem: predictor parity, thresholded-FFN semantics vs the
+numpy oracle, capacity top-k exactness, and the fused Pallas kernel
+(interpret mode) vs the jnp gather path.
+
+This closes the test gap the reference left open: it ships ZERO test cases
+for its sparse ops (SURVEY.md §4, test-backend-ops has no
+MUL_MAT_SPARSE/AXPY_SPARSE coverage)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.config import ModelConfig
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.models.transformer import make_forward
+from sparkinfer_tpu.runtime.kv_cache import init_cache
+from sparkinfer_tpu.sparse import (
+    SparseConfig,
+    make_sparse_ffn,
+    predict_activations,
+    prepare_sparse_params,
+    select_groups,
+    sparse_layout,
+)
+
+from model_fixtures import make_tiny_llama, ref_llama_forward, ref_predictor
+
+G = 16  # tiny group size for tests (real models use 128)
+PRED_RANK = 8
+
+
+@pytest.fixture(scope="module")
+def sparse_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-prosparse.gguf"
+    tensors = make_tiny_llama(
+        path, arch="prosparse_llama", pred_rank=PRED_RANK, n_ff=96, seed=5
+    )
+    model = load_model(str(path), dtype=jnp.float32)
+    return model, tensors
+
+
+def test_config_reads_pred_lora(sparse_model):
+    model, _ = sparse_model
+    cfg = model.config
+    assert cfg.arch == "prosparse_llama"
+    assert cfg.pred_lora == (PRED_RANK, PRED_RANK)
+    assert cfg.has_predictors
+    assert cfg.traits.sparse_act == "fatrelu"
+
+
+def test_predictor_matches_oracle(sparse_model):
+    model, tensors = sparse_model
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 64)).astype(np.float32)
+    lp0 = jax.tree.map(lambda a: a[0], model.params["layers"])
+    got = np.asarray(predict_activations(lp0, jnp.asarray(x)))
+    ref = ref_predictor(tensors, 0, x.astype(np.float64))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def _layer0(model, scfg):
+    lp = jax.tree.map(lambda a: a[0], model.params["layers"])
+    return sparse_layout(lp, model.config, scfg)
+
+
+def test_dense_masked_ffn_matches_manual(sparse_model):
+    """dense mode == act(gate)*up masked by predictor>=thr, down-projected."""
+    model, tensors = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G)
+    ffn = make_sparse_ffn(cfg, scfg, mode="dense")
+    lp = _layer0(model, scfg)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 5, 64)).astype(np.float32)
+    got = np.asarray(ffn(lp, jnp.asarray(x)))[0]
+
+    xf = x[0].astype(np.float64)
+    probs = ref_predictor(tensors, 0, xf)
+    up = xf @ tensors["blk.0.ffn_up.weight"].T
+    gate = xf @ tensors["blk.0.ffn_gate.weight"].T
+    hidden = np.where(gate > 0, gate, 0.0) * up * (probs >= 0.5)
+    want = hidden @ tensors["blk.0.ffn_down.weight"].T
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_gather_equals_dense_at_full_capacity(sparse_model):
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=0)  # all groups
+    lp = _layer0(model, scfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 3, 64)).astype(np.float32))
+    dense = make_sparse_ffn(cfg, scfg, mode="dense")(lp, x)
+    gather = make_sparse_ffn(cfg, scfg, mode="gather")(lp, x)
+    np.testing.assert_allclose(np.asarray(gather), np.asarray(dense), rtol=1e-4, atol=1e-4)
+
+
+def test_gather_exact_when_capacity_covers_active(sparse_model):
+    """With capacity >= #active groups the top-k path is EXACTLY the
+    thresholded function (no approximation)."""
+    model, tensors = sparse_model
+    cfg = model.config
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, 4, 64)).astype(np.float32)
+    probs = ref_predictor(tensors, 0, x[0].astype(np.float64))
+    active = probs >= 0.5  # (T, F)
+    ng = cfg.n_ff // G
+    act_groups = active.reshape(-1, ng, G).any(-1).sum(-1).max()
+    assert act_groups < ng, "fixture should be sparse enough"
+
+    scfg = SparseConfig(group_size=G, capacity_groups=int(act_groups))
+    lp = _layer0(model, scfg)
+    dense = make_sparse_ffn(cfg, SparseConfig(group_size=G), mode="dense")(lp, jnp.asarray(x))
+    gather = make_sparse_ffn(cfg, scfg, mode="gather")(lp, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(gather), np.asarray(dense), rtol=1e-4, atol=1e-4)
+
+
+def test_select_groups_prefers_active_count():
+    scfg = SparseConfig(group_size=4, capacity_groups=2)
+    probs = jnp.asarray(
+        [[0.9, 0.9, 0.9, 0.1,  0.1, 0.0, 0.0, 0.0,  0.6, 0.6, 0.6, 0.6]], jnp.float32
+    )  # groups: 3 active, 0 active, 4 active
+    idx = np.asarray(select_groups(probs, scfg, 12))
+    assert set(idx[0].tolist()) == {0, 2}
+
+
+def test_pallas_kernel_matches_gather(sparse_model):
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=3)
+    lp = _layer0(model, scfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 2, 64)).astype(np.float32))
+    gather = make_sparse_ffn(cfg, scfg, mode="gather")(lp, x)
+    pallas = make_sparse_ffn(cfg, scfg, mode="pallas")(lp, x)
+    np.testing.assert_allclose(np.asarray(pallas), np.asarray(gather), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_kernel_ungated():
+    """relu (OPT/falcon-style) path with bias, no gate."""
+    from sparkinfer_tpu.ops.sparse_ffn_pallas import sparse_ffn_block
+
+    rng = np.random.default_rng(6)
+    N, E, ng, C = 2, 32, 6, 3
+    F = ng * G
+    x = jnp.asarray(rng.standard_normal((N, E)).astype(np.float32))
+    wu = jnp.asarray(rng.standard_normal((ng, G, E)).astype(np.float32) * 0.1)
+    wd = jnp.asarray(rng.standard_normal((ng, G, E)).astype(np.float32) * 0.1)
+    bu = jnp.asarray(rng.standard_normal((F,)).astype(np.float32) * 0.1)
+    gp = jnp.asarray(rng.uniform(0, 1, (N, ng, G)).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(ng)[:C])[None].repeat(N, 0).astype(jnp.int32)
+
+    out = sparse_ffn_block(
+        x, idx, gp, wu, None, wd, act="relu", prob_threshold=0.5, b_up=bu
+    )
+    # manual
+    want = np.zeros((N, E))
+    for n in range(N):
+        for c in range(C):
+            g = int(idx[n, c])
+            up = np.asarray(x)[n] @ np.asarray(wu)[g].T + np.asarray(bu).reshape(ng, G)[g]
+            h = np.maximum(up, 0) * (np.asarray(gp)[n, g] >= 0.5)
+            want[n] += h @ np.asarray(wd)[g]
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_full_model_sparse_forward_matches_oracle(sparse_model):
+    """End-to-end: prosparse model with dense-masked sparse FFN vs the
+    oracle with the predictor-derived mask."""
+    model, tensors = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G)
+    params = prepare_sparse_params(model.params, cfg, scfg)
+    ffn = make_sparse_ffn(cfg, scfg, mode="dense")
+    fwd = jax.jit(make_forward(cfg, ffn_fn=ffn))
+    rng = np.random.default_rng(8)
+    T = 6
+    toks = rng.integers(0, cfg.n_vocab, T).astype(np.int32)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    logits, _ = fwd(
+        params, jnp.asarray(toks)[None], jnp.arange(T, dtype=jnp.int32)[None], cache
+    )
+
+    # oracle: compute per-layer masks by replaying the reference math
+    x = tensors["token_embd.weight"][toks].astype(np.float64)
+    masks = []
+    h_cur = x
+    # build masks layer by layer by running the oracle incrementally is
+    # complex; instead compute masks from the jax-side h (trusted via
+    # test_predictor_matches_oracle) — here recompute via numpy oracle pass
+    # that applies masks as it goes.
+    from model_fixtures import _np_rms_norm
+
+    # replicate ref_llama_forward but capturing masks
+    def full_with_masks():
+        import model_fixtures as mf
+
+        xx = tensors["token_embd.weight"][toks].astype(np.float64)
+        T_ = len(toks)
+        masks = []
+        causal = np.tril(np.ones((T_, T_), bool))
+        pos = np.arange(T_, dtype=np.float64)
+        for i in range(cfg.n_layer):
+            p = f"blk.{i}."
+            h = mf._np_rms_norm(xx, tensors[p + "attn_norm.weight"].astype(np.float64))
+            q = (h @ tensors[p + "attn_q.weight"].T).reshape(T_, 4, 16)
+            k = (h @ tensors[p + "attn_k.weight"].T).reshape(T_, 2, 16)
+            v = (h @ tensors[p + "attn_v.weight"].T).reshape(T_, 2, 16)
+            q = mf._np_rope_norm(q, pos, 10000.0)
+            k = mf._np_rope_norm(k, pos, 10000.0)
+            kk = np.repeat(k, 2, axis=1)
+            vv = np.repeat(v, 2, axis=1)
+            att = np.einsum("thd,shd->hts", q, kk) / 4.0
+            att = np.where(causal[None], att, -np.inf)
+            att = mf._np_softmax(att)
+            out = np.einsum("hts,shd->thd", att, vv).reshape(T_, 64)
+            xx = xx + out @ tensors[p + "attn_output.weight"].T
+            h = mf._np_rms_norm(xx, tensors[p + "ffn_norm.weight"].astype(np.float64))
+            probs = ref_predictor(tensors, i, h)
+            mask = (probs >= 0.5).astype(np.float64)
+            masks.append(mask)
+            up = h @ tensors[p + "ffn_up.weight"].T
+            gate = h @ tensors[p + "ffn_gate.weight"].T
+            hidden = np.where(gate > 0, gate, 0.0) * up * mask
+            xx = xx + hidden @ tensors[p + "ffn_down.weight"].T
+        xx = mf._np_rms_norm(xx, tensors["output_norm.weight"].astype(np.float64))
+        return xx @ tensors["output.weight"].T
+
+    ref = full_with_masks()
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, rtol=5e-4, atol=5e-4)
+
+
+def test_engine_sparse_decode_matches_dense_masked(sparse_model):
+    """Engine with sparse decode (gather path, full capacity) must generate
+    the same tokens as the masked-dense FFN used for both phases."""
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=0)
+
+    params_backup = model.params
+    ffn = make_sparse_ffn(cfg, scfg, mode="dense")
+    import copy
+
+    eng_ref = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                     kv_dtype=jnp.float32, ffn_fn=ffn)
+    prompt = [7, 30, 99]
+    ref = eng_ref.generate(prompt, max_new_tokens=6)
+
+    eng_sp = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                    kv_dtype=jnp.float32, sparse=scfg, sparse_decode_mode="gather")
+    got = eng_sp.generate(prompt, max_new_tokens=6)
+    model.params = params_backup
+    assert got == ref
