@@ -120,17 +120,26 @@ def attention(
 def make_forward(
     cfg: ModelConfig,
     ffn_fn: Callable | None = None,
+    stateful_ffn: bool = False,
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
-    positions of `tokens` per batch slot."""
+    positions of `tokens` per batch slot.
+
+    stateful_ffn=True changes the signature to
+        fwd(params, tokens, positions, cache, fstate) ->
+            (logits, cache, new_fstate)
+    where fstate is a pytree whose leaves have a leading n_layer axis; the
+    per-layer slice is threaded through ffn_fn(lp, x, fs, layer_idx) ->
+    (y, fs'). Used for DFR statistics (sparse/tiering.py) and firing-rate
+    calibration (sparse/split.py)."""
     tr = cfg.traits
     rp = rope_params(cfg)
     ffn = ffn_fn or dense_ffn(cfg)
     eps = cfg.norm_eps
-    quant_kv_keys = ("k_scale", "v_scale")
 
-    def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache):
+    def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache,
+            fstate=None):
         x = params["tok_embd"][tokens]  # (B, T, E)
         if tr.pos_embd:
             x = x + params["pos_embd"][positions + tr.pos_embd_offset]
@@ -138,45 +147,64 @@ def make_forward(
         layers = params["layers"]
         quantized = cache.quantized
 
-        def body(x, layer_in):
-            lp, kc, vc, ks, vs = layer_in
+        def body(x, lp, kc, vc, ks, vs, fs, il):
+            # unpack the zero-size placeholders lax.scan required (None can't
+            # ride in xs/ys); shapes are static so this resolves at trace time
+            empty_ks, empty_vs = ks, vs
+            if ks is not None and ks.shape[-1] == 0:
+                ks = vs = None
             h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
             attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp)
+            if ks is None:
+                ks, vs = empty_ks, empty_vs
+
+            def run_ffn(h_in):
+                if stateful_ffn:
+                    return ffn(lp, h_in, fs, il)
+                return ffn(lp, h_in), fs  # echo placeholder state
+
             if tr.parallel_blocks:
                 # falcon: FFN reads attn_norm_2(x) (or the same norm when absent)
                 if "attn_norm2_w" in lp:
                     h2 = _norm(x, lp["attn_norm2_w"], lp.get("attn_norm2_b"), tr.norm, eps)
                 else:
                     h2 = h
-                x = x + attn_out + ffn(lp, h2)
+                y, fs2 = run_ffn(h2)
+                x = x + attn_out + y
             else:
                 x = x + attn_out
                 h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), tr.norm, eps)
-                x = x + ffn(lp, h2)
-            return x, (kc, vc, ks, vs)
+                y, fs2 = run_ffn(h2)
+                x = x + y
+            return x, (kc, vc, ks, vs, fs2)
 
-        def scan_body(carry, layer_in):
-            return body(carry, layer_in)
-
+        L = cfg.n_layer
+        layer_ids = jnp.arange(L, dtype=jnp.int32)
         ks = cache.k_scale if quantized else None
         vs = cache.v_scale if quantized else None
-        xs = (layers, cache.k, cache.v, ks, vs)
+
+        def scan_body(carry, t):
+            lp, kc, vc, ks_, vs_, fs, il = t
+            return body(carry, lp, kc, vc, ks_, vs_, fs, il)
+
+        # lax.scan can't carry None leaves in xs; substitute empty arrays
+        def pack(a):
+            return a if a is not None else jnp.zeros((L, 0))
+
+        xs = (layers, cache.k, cache.v, pack(ks), pack(vs), pack(fstate), layer_ids)
+        x, (k_new, v_new, ks_new, vs_new, fs_new) = jax.lax.scan(scan_body, x, xs)
 
         if quantized:
-            x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-                lambda c, t: scan_body(c, t), x, xs
-            )
             new_cache = KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
         else:
-            x, (k_new, v_new, _, _) = jax.lax.scan(
-                lambda c, t: scan_body(c, (t[0], t[1], t[2], None, None)), x, (layers, cache.k, cache.v)
-            )
             new_cache = KVCache(k=k_new, v=v_new)
 
         x = _norm(x, params["output_norm_w"], params.get("output_norm_b"), tr.norm, eps)
         logits = jnp.einsum(
             "bte,ev->btv", x, params["output"], preferred_element_type=jnp.float32
         )
+        if stateful_ffn:
+            return logits, new_cache, fs_new
         return logits, new_cache
 
     return fwd

@@ -14,7 +14,11 @@ skipped rows are never read. Unlike the reference's atomicAdd scatter
 (axpy-sparse.cu:10-12, nondeterministic), the sequential grid accumulation
 here is deterministic (SURVEY.md §7 hard part (e)).
 
-Weight layout: neuron-major (n_g, G, E) blocks from sparse/ffn.sparse_layout.
+The weight store indexed by `idx` can be the full (n_g, G, E) neuron-major
+layout (sparse/ffn.sparse_layout) or a tiered HBM hot-cache (H, G, E)
+holding only hot groups (sparse/tiering.py) — the kernel only sees row
+indices; probs/bias are pre-gathered on the jnp side so they stay keyed by
+ORIGINAL group id regardless of the store layout.
 """
 
 from __future__ import annotations
@@ -44,17 +48,24 @@ def _combine(act: str, fatrelu_threshold: float, gate, up):
     raise ValueError(act)
 
 
-def _kernel_gated(act, fatrelu_threshold, prob_threshold,
-                  idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wg_ref, wd_ref, out_ref):
+def _kernel(act, fatrelu_threshold, prob_threshold, gated, refs):
+    if gated:
+        (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wg_ref, wd_ref, out_ref) = refs
+    else:
+        (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wd_ref, out_ref) = refs
+        wg_ref = None
     c = pl.program_id(1)
     x = x_ref[:]  # (1, E)
     up = jax.lax.dot_general(
         x, wu_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (1, G)
-    up = up + bu_ref[:]
-    gate = jax.lax.dot_general(
-        x, wg_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    up = up + bu_ref[0]
+    if gated:
+        gate = jax.lax.dot_general(
+            x, wg_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    else:
+        gate = None
     hidden = _combine(act, fatrelu_threshold, gate, up)
     mask = (gp_ref[0] >= prob_threshold).astype(jnp.float32)  # (1, G)
     hidden = hidden * mask
@@ -72,83 +83,55 @@ def _kernel_gated(act, fatrelu_threshold, prob_threshold,
         out_ref[:] = out_ref[:] + partial
 
 
-def _kernel_ungated(act, fatrelu_threshold, prob_threshold,
-                    idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wd_ref, out_ref):
-    c = pl.program_id(1)
-    x = x_ref[:]
-    up = jax.lax.dot_general(
-        x, wu_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    up = up + bu_ref[:]
-    hidden = _combine(act, fatrelu_threshold, None, up)
-    mask = (gp_ref[0] >= prob_threshold).astype(jnp.float32)
-    hidden = hidden * mask
-    partial = jax.lax.dot_general(
-        hidden.astype(wd_ref.dtype), wd_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(c == 0)
-    def _():
-        out_ref[:] = partial
-
-    @pl.when(c > 0)
-    def _():
-        out_ref[:] = out_ref[:] + partial
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret"),
 )
 def sparse_ffn_block(
     x: jnp.ndarray,  # (N, E) tokens
-    idx: jnp.ndarray,  # (N, C) int32 selected group ids per token
-    gp: jnp.ndarray,  # (N, n_g, G) f32 activation probs (grouped)
-    w_up_rows: jnp.ndarray,  # (n_g, G, E)
-    w_gate_rows: jnp.ndarray | None,  # (n_g, G, E) or None
-    w_down_rows: jnp.ndarray,  # (n_g, G, E)
+    idx: jnp.ndarray,  # (N, C) int32 row index into the weight stores
+    gp_sel: jnp.ndarray,  # (N, C, G) f32 activation probs of the selections
+    w_up_rows: jnp.ndarray,  # (R, G, E) weight store (R = n_g or hot size)
+    w_gate_rows: jnp.ndarray | None,
+    w_down_rows: jnp.ndarray,  # (R, G, E)
     *,
     act: str,
     fatrelu_threshold: float = 0.0,
     prob_threshold: float = 0.5,
-    b_up: jnp.ndarray | None = None,  # (F,) or None
+    bu_sel: jnp.ndarray | None = None,  # (N, C, G) pre-gathered up-bias
     interpret: bool | None = None,
 ) -> jnp.ndarray:  # (N, E) f32
     N, E = x.shape
     C = idx.shape[1]
-    ng, G, _ = w_up_rows.shape
+    R, G, _ = w_up_rows.shape
     if interpret is None:
         interpret = not _on_tpu()
 
-    if b_up is None:
-        bu = jnp.zeros((ng, G), jnp.float32)
-    else:
-        bu = b_up.reshape(ng, G).astype(jnp.float32)
-
+    bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
     gated = w_gate_rows is not None and act in ("fatrelu", "drelu")
 
     w_spec = pl.BlockSpec(
         (1, G, E), lambda n, c, idx_ref: (idx_ref[n, c], 0, 0), memory_space=pltpu.VMEM
     )
+    sel_spec = pl.BlockSpec(
+        (1, 1, G), lambda n, c, idx_ref: (n, c, 0), memory_space=pltpu.VMEM
+    )
     in_specs = [
         pl.BlockSpec((1, E), lambda n, c, idx_ref: (n, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (1, 1, G), lambda n, c, idx_ref: (n, idx_ref[n, c], 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec((1, G), lambda n, c, idx_ref: (idx_ref[n, c], 0), memory_space=pltpu.VMEM),
-        w_spec,
+        sel_spec,  # gp_sel
+        sel_spec,  # bu_sel
+        w_spec,  # up
     ]
-    inputs = [x, gp, bu, w_up_rows]
+    inputs = [x, gp_sel, bu, w_up_rows]
     if gated:
         in_specs.append(w_spec)
         inputs.append(w_gate_rows)
-        kern = functools.partial(_kernel_gated, act, fatrelu_threshold, prob_threshold)
-    else:
-        kern = functools.partial(_kernel_ungated, act, fatrelu_threshold, prob_threshold)
     in_specs.append(w_spec)
     inputs.append(w_down_rows)
 
+    kern = functools.partial(
+        lambda *refs: _kernel(act, fatrelu_threshold, prob_threshold, gated, refs)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, C),
@@ -157,15 +140,15 @@ def sparse_ffn_block(
             (1, E), lambda n, c, idx_ref: (n, 0), memory_space=pltpu.VMEM
         ),
     )
-    flops = 2 * N * C * G * E * (3 if gated else 2)
+    n_mm = 3 if gated else 2
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, E), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(3 if gated else 2) * N * C * G * E * 2 + N * E * 4,
+            flops=2 * N * C * G * E * n_mm,
+            bytes_accessed=n_mm * N * C * G * E * 2 + N * E * 4,
             transcendentals=0,
         ),
     )(idx, *inputs)

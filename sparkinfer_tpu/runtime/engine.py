@@ -89,6 +89,9 @@ class Engine:
         ffn_fn: Callable | None = None,
         sparse: "SparseConfig | None" = None,
         sparse_decode_mode: str = "pallas",
+        sparse_cold_mode: str = "host",
+        split=None,  # ModelSplit | path — offline profile (reorder + pattern)
+        rebalance_every: int = 1,
         donate_cache: bool = True,
     ):
         self.model = model
@@ -97,6 +100,9 @@ class Engine:
         self.batch = batch
         self.sampler_cfg = sampler or SamplerConfig()
         self.sparse = sparse
+        self.tiered = sparse is not None and sparse.hot_groups > 0
+        self.rebalance_every = max(rebalance_every, 1)
+        self._step_count = 0
         if sparse is not None:
             # predictor-gated FFN: masked-dense for prefill (cross-token
             # active-union is large), gathered top-k for decode (reads only
@@ -105,11 +111,46 @@ class Engine:
 
             if not self.cfg.has_predictors:
                 raise ValueError("sparse mode requires predictor tensors in the model")
+            if split is not None:
+                from ..sparse.split import ModelSplit, apply_reorder, read_split
+
+                if not isinstance(split, ModelSplit):
+                    split = read_split(split)
+                self.model.params = apply_reorder(self.model.params, self.cfg, split.perms)
             self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
             prefill_ffn = make_sparse_ffn(self.cfg, sparse, mode="dense")
-            decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
             self.fwd = make_forward(self.cfg, ffn_fn=prefill_ffn)
-            self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
+            if self.tiered:
+                # hot/cold neuron tiering: HBM hot cache + host cold store,
+                # DFR stats carried through the step, balancer between steps
+                from ..sparse.balancer import Balancer
+                from ..sparse.tiering import (
+                    ColdStore,
+                    init_tiered,
+                    make_tiered_ffn,
+                    tiered_layer_params,
+                )
+
+                layers = self.model.params["layers"]
+                self._full_layers = layers
+                self._tp, self._fstate = init_tiered(
+                    self.cfg, sparse, layers, sparse.hot_groups
+                )
+                cold_np = {
+                    k: np.asarray(v)
+                    for k, v in layers.items()
+                    if k.endswith("_rows") or k == "b_up"
+                }
+                self._cold = ColdStore(self.cfg, sparse, cold_np)
+                self.balancer = Balancer(cold=self._cold, scfg=sparse)
+                decode_ffn = make_tiered_ffn(self.cfg, sparse, self._cold, mode=sparse_cold_mode)
+                self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn, stateful_ffn=True)
+                # decode params: hot caches instead of full row layouts
+                self._decode_params = dict(self.model.params)
+                self._decode_params["layers"] = tiered_layer_params(layers, self._tp)
+            else:
+                decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
+                self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
         else:
             self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
             self.fwd_decode = self.fwd
@@ -131,11 +172,14 @@ class Engine:
         toks, sstates = jax.vmap(self.sample)(last, sstate)
         return toks, cache, sstates
 
-    def _decode_impl(self, params, tokens, positions, cache, sstate):
+    def _decode_impl(self, params, tokens, positions, cache, sstate, fstate=None):
         """tokens (B, 1); positions (B, 1)."""
-        logits, cache = self.fwd_decode(params, tokens, positions, cache)
+        if self.tiered:
+            logits, cache, fstate = self.fwd_decode(params, tokens, positions, cache, fstate)
+        else:
+            logits, cache = self.fwd_decode(params, tokens, positions, cache)
         toks, sstates = jax.vmap(self.sample)(logits[:, -1], sstate)
-        return toks, cache, sstates
+        return toks, cache, sstates, fstate
 
     # --- host-side API ------------------------------------------------------
     def new_cache(self) -> KVCache:
@@ -188,10 +232,30 @@ class Engine:
         t0 = time.perf_counter()
         toks = jnp.full((self.batch, 1), token, jnp.int32)
         pos = jnp.full((self.batch, 1), n_past, jnp.int32)
-        tok, cache, sstate = self._decode(self.model.params, toks, pos, cache, sstate)
+        if self.tiered:
+            params = self._decode_params
+            tok, cache, sstate, self._fstate = self._decode(
+                params, toks, pos, cache, sstate, self._fstate
+            )
+        else:
+            tok, cache, sstate, _ = self._decode(
+                self.model.params, toks, pos, cache, sstate
+            )
         tok = int(np.asarray(tok)[0])
-        self.perf.t_decode_s += time.perf_counter() - t0
+        step_s = time.perf_counter() - t0
+        self.perf.t_decode_s += step_s
         self.perf.n_decode += 1
+        self._step_count += 1
+        if self.tiered and self._step_count % self.rebalance_every == 0:
+            # between-step online balancing (async H2D of swapped groups
+            # overlaps the next step via JAX dispatch)
+            from ..sparse.tiering import tiered_layer_params
+
+            self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
+            self._decode_params["layers"] = tiered_layer_params(
+                self._full_layers, self._tp
+            )
+            self.balancer.adapt_window(step_s)
         return tok, cache, sstate
 
     def generate(

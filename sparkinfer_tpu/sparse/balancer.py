@@ -1,0 +1,132 @@
+"""Online neuron balancing — host-side re-design of the reference's
+RELOAD_PLAN / RELOAD_EXEC machinery.
+
+Reference flow (per decode token, per layer): argsort_top_k over DFR scores
+picks the desired hot GROUP set; GGML_OP_RELOAD_PLAN runs the host
+two-pointer diff (sparkinfer_reload_plan, src/llama-sparkinfer.cpp:45-91)
+emitting copy pairs {enter group -> leaving slot}; GGML_OP_RELOAD_EXEC
+posts windowed (SPIF_RELOAD_WINDOW_SIZE) async H2D copies to the executor
+thread, paced against compute by the anchor mechanism which also adapts
+the DFR decay ±SPIF_DX_DFR_DECAY (ggml-sparkinfer.hpp:143-175).
+
+TPU re-design: the jitted decode step carries DFR state; BETWEEN steps the
+balancer reads a small (L, n_g) DFR array off-device, computes the same
+two-pointer plan, and applies at most `window` group swaps per projection
+via donated .at[].set updates whose H2D block transfers JAX dispatches
+asynchronously — the copy overlaps the next step's compute exactly like
+the reference's executor-thread cudaMemcpyAsync, but with XLA owning the
+ordering (no events needed). The adaptive feedback (reference: decay
+±dx when reload IO overruns the compute window) becomes window-size
+adaptation from measured wall times.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SparseConfig
+from .tiering import ColdStore, TieredParams
+
+
+def reload_plan(
+    current_hot: np.ndarray,  # (H,) group ids currently in slots 0..H-1
+    desired_hot: np.ndarray,  # (H',) desired group ids (any order)
+    window: int,
+) -> list[tuple[int, int]]:
+    """Two-pointer diff (ref: sparkinfer_reload_plan): pair groups that
+    should enter with slots whose groups should leave; at most `window`
+    pairs. Returns [(slot, entering_group), ...]."""
+    cur = set(int(g) for g in current_hot)
+    want = set(int(g) for g in desired_hot)
+    entering = sorted(want - cur)
+    leaving_slots = [s for s, g in enumerate(current_hot) if int(g) not in want]
+    pairs = list(zip(leaving_slots, entering))[: max(window, 0)]
+    return pairs
+
+
+@jax.jit
+def _apply_swaps(cache: jnp.ndarray, l_idx: jnp.ndarray, s_idx: jnp.ndarray, blocks: jnp.ndarray):
+    """cache (L,H,G,E); scatter blocks (K,G,E) into [l_idx[k], s_idx[k]]."""
+    return cache.at[l_idx, s_idx].set(blocks.astype(cache.dtype))
+
+
+@dataclass
+class Balancer:
+    cold: ColdStore
+    scfg: SparseConfig
+    # adaptive window state
+    window: int = 0
+    min_window: int = 1
+    max_window: int = 64
+    last_reload_s: float = 0.0
+    total_swaps: int = 0
+    rebalances: int = 0
+
+    def __post_init__(self):
+        if self.window <= 0:
+            self.window = self.scfg.reload_window
+
+    def rebalance(self, tp: TieredParams, dfr: np.ndarray) -> TieredParams:
+        """dfr (L, n_g) host array -> updated TieredParams with at most
+        `window` group swaps per layer applied."""
+        t0 = time.perf_counter()
+        hot_ids = np.array(tp.hot_ids)  # (L, H) writable copy
+        gmap = np.array(tp.group_map)  # (L, ng) mutable copy
+        L, H = hot_ids.shape
+
+        swaps: list[tuple[int, int, int]] = []  # (layer, slot, group)
+        for l in range(L):
+            order = np.argsort(-dfr[l], kind="stable")
+            desired = order[:H]
+            for slot, g in reload_plan(hot_ids[l], desired, self.window):
+                swaps.append((l, slot, g))
+
+        if not swaps:
+            self.rebalances += 1
+            return tp
+
+        l_idx = np.asarray([s[0] for s in swaps], np.int32)
+        s_idx = np.asarray([s[1] for s in swaps], np.int32)
+        g_idx = np.asarray([s[2] for s in swaps], np.int32)
+
+        # host-side map/ids update
+        for l, slot, g in swaps:
+            old = hot_ids[l, slot]
+            gmap[l, old] = -1
+            gmap[l, g] = slot
+            hot_ids[l, slot] = g
+
+        lj = jnp.asarray(l_idx)
+        sj = jnp.asarray(s_idx)
+        new_up = _apply_swaps(tp.hot_up, lj, sj, jnp.asarray(self.cold.up[l_idx, g_idx]))
+        new_gate = (
+            _apply_swaps(tp.hot_gate, lj, sj, jnp.asarray(self.cold.gate[l_idx, g_idx]))
+            if tp.hot_gate is not None
+            else None
+        )
+        new_down = _apply_swaps(tp.hot_down, lj, sj, jnp.asarray(self.cold.down[l_idx, g_idx]))
+
+        self.total_swaps += len(swaps)
+        self.rebalances += 1
+        self.last_reload_s = time.perf_counter() - t0
+        return TieredParams(
+            hot_up=new_up,
+            hot_gate=new_gate,
+            hot_down=new_down,
+            group_map=jnp.asarray(gmap),
+            hot_ids=jnp.asarray(hot_ids),
+        )
+
+    def adapt_window(self, step_s: float):
+        """Reference feedback loop analogue: if reload IO overruns the
+        compute window, back off; otherwise grow (ggml-sparkinfer.hpp:169-173
+        adapts DFR decay; here the lever is the swap window)."""
+        if self.last_reload_s > step_s and self.window > self.min_window:
+            self.window = max(self.min_window, self.window // 2)
+        elif self.last_reload_s < 0.5 * step_s and self.window < self.max_window:
+            self.window = min(self.max_window, self.window * 2)

@@ -171,17 +171,21 @@ def make_sparse_ffn(
         probs = predict_activations(lp, xt)
         idx = select_groups(probs, scfg, F)
         gp = probs.reshape(B * T, ng, G)
+        gp_sel = jnp.take_along_axis(gp, idx[..., None], axis=1)  # (N, C, G)
+        bu_sel = None
+        if "b_up" in lp:
+            bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32), idx, axis=0)
         out = sparse_ffn_block(
             xt,
             idx,
-            gp,
+            gp_sel,
             lp["w_up_rows"],
             lp.get("w_gate_rows"),
             lp["w_down_rows"],
             act=cfg.traits.sparse_act,
             fatrelu_threshold=cfg.fatrelu_threshold,
             prob_threshold=thr,
-            b_up=lp.get("b_up"),
+            bu_sel=bu_sel,
         )
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)

@@ -1,0 +1,260 @@
+"""HBM / host-DRAM neuron tiering — the TPU re-design of the SparkInfer
+cache manager (src/llama-sparkinfer.cpp:147-388, sparkinfer_layer_cache
+ggml/include/ggml-sparkinfer.hpp:32-81).
+
+Reference architecture: hot neuron groups live in a GPU cache
+(ffn_{up,gate,down}_cache + neuron_idx); cold neurons stay in host RAM and
+their activations are computed BY THE CPU concurrently (hybrid matmul),
+while DFR statistics pick which groups to swap into the GPU cache via
+async H2D copies overlapped with compute.
+
+TPU re-design (SURVEY.md §7 hard part (a) — no event-driven scheduler;
+everything is expressed around one jitted decode step):
+
+  - The HOT store is an HBM-resident (L, H, G, E) cache per projection;
+    `group_map` (L, n_g) maps group id -> hot slot (or -1 = cold). The
+    fused Pallas kernel indexes the hot store by SLOT, with probs/bias
+    pre-gathered by original group id.
+  - The COLD store is the full neuron-major weight set in host RAM
+    (numpy). Cold∩active contributions are either
+      * computed on the host inside the step via `jax.pure_callback`
+        (mode="host") — the direct analogue of the reference's CPU
+        complement (ggml-cpu.c:1692-1925), with only activations (KB)
+        crossing the PCIe, never weights; XLA can overlap the callback
+        with the independent hot-store matmul; or
+      * dropped (mode="drop") — an approximation whose error shrinks as
+        the DFR balancer adapts the hot set; miss counts are tracked
+        in-step for telemetry.
+  - DFR (decayed firing rate) EMA statistics update INSIDE the step as
+    carried state (ref build_dfr, src/llama-graph.cpp:910-930; math
+    dfr = λ·dfr + (1-λ)·delta/norm, binbcast.cu:26-33).
+  - Rebalancing happens BETWEEN steps on the host (sparse/balancer.py),
+    replacing the reference's RELOAD_PLAN/RELOAD_EXEC ops + executor
+    thread with windowed host->HBM block updates that JAX async dispatch
+    overlaps with the next step's compute.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from .config import SparseConfig
+from .ffn import _sparse_act, select_groups
+from .predictor import predict_activations
+
+
+class ColdStore:
+    """Host-RAM neuron-major weights + the host complement computation."""
+
+    def __init__(self, cfg: ModelConfig, scfg: SparseConfig, layers_np: dict):
+        """layers_np: numpy copies of the stacked layer params (at least
+        w_up_rows / w_down_rows (+ w_gate_rows, b_up) in (L, n_g, G, E))."""
+        self.cfg = cfg
+        self.scfg = scfg
+        self.up = np.asarray(layers_np["w_up_rows"], np.float32)
+        self.gate = (
+            np.asarray(layers_np["w_gate_rows"], np.float32)
+            if "w_gate_rows" in layers_np
+            else None
+        )
+        self.down = np.asarray(layers_np["w_down_rows"], np.float32)
+        self.b_up = (
+            np.asarray(layers_np["b_up"], np.float32).reshape(
+                self.up.shape[0], self.up.shape[1], self.up.shape[2]
+            )
+            if "b_up" in layers_np
+            else None
+        )
+        self.act = cfg.traits.sparse_act
+        self.fatrelu_threshold = cfg.fatrelu_threshold
+
+    def complement(
+        self,
+        il: np.ndarray,  # () int32 layer
+        x: np.ndarray,  # (N, E) f32
+        probs: np.ndarray,  # (N, n_g, G) f32
+        cold_active: np.ndarray,  # (N, n_g) bool — active AND not in hot set
+    ) -> np.ndarray:  # (N, E) f32
+        l = int(il)
+        N, E = x.shape
+        out = np.zeros((N, E), np.float32)
+        thr = self.scfg.threshold
+        for n in range(N):
+            groups = np.nonzero(cold_active[n])[0]
+            for g in groups:
+                up = x[n] @ self.up[l, g].T
+                if self.b_up is not None:
+                    up = up + self.b_up[l, g]
+                if self.act == "fatrelu":
+                    gate = x[n] @ self.gate[l, g].T
+                    h = np.where(gate > self.fatrelu_threshold, gate, 0.0) * up
+                elif self.act == "drelu":
+                    gate = x[n] @ self.gate[l, g].T
+                    h = np.maximum(gate, 0.0) * np.maximum(up, 0.0)
+                else:
+                    h = np.maximum(up, 0.0)
+                h = h * (probs[n, g] >= thr)
+                out[n] += h @ self.down[l, g]
+        return out
+
+
+class TieredParams(NamedTuple):
+    """Device-side tiered weight state, swapped by the balancer between
+    steps (analogue of the GPU-side sparkinfer_layer_cache buffers)."""
+
+    hot_up: jnp.ndarray  # (L, H, G, E)
+    hot_gate: jnp.ndarray | None
+    hot_down: jnp.ndarray  # (L, H, G, E)
+    group_map: jnp.ndarray  # (L, n_g) int32: slot or -1
+    hot_ids: jnp.ndarray  # (L, H) int32: slot -> group id (for debug/state io)
+
+
+class DFRState(NamedTuple):
+    """Carried per-layer statistics (leading L axis; threads through scan)."""
+
+    dfr: jnp.ndarray  # (L, n_g) f32 decayed firing rate
+    miss: jnp.ndarray  # (L, 1) f32 count of active-but-cold group hits
+    steps: jnp.ndarray  # (L, 1) f32 tokens seen
+
+
+def init_tiered(
+    cfg: ModelConfig,
+    scfg: SparseConfig,
+    layers: dict,
+    hot_groups: int,
+    init_hot: np.ndarray | None = None,  # (L, H) group ids; default first H
+) -> tuple[TieredParams, DFRState]:
+    """Build the initial hot cache from the (stacked, row-layout) layer
+    params. By default the FIRST H groups are hot — combined with the
+    split-file reorder permutation (hot-first neuron order,
+    src/llama-sparkinfer.cpp:286-352) that means 'the profiled-hottest'."""
+    L = cfg.n_layer
+    ng = scfg.n_groups(cfg.n_ff)
+    H = min(hot_groups, ng)
+    if init_hot is None:
+        init_hot = np.tile(np.arange(H, dtype=np.int32), (L, 1))
+    gm = np.full((L, ng), -1, np.int32)
+    for l in range(L):
+        gm[l, init_hot[l]] = np.arange(H, dtype=np.int32)
+
+    ids = jnp.asarray(init_hot, jnp.int32)
+
+    def gather(w):  # (L, ng, G, E) -> (L, H, G, E)
+        return jnp.take_along_axis(w, ids[:, :, None, None], axis=1)
+
+    tp = TieredParams(
+        hot_up=gather(layers["w_up_rows"]),
+        hot_gate=gather(layers["w_gate_rows"]) if "w_gate_rows" in layers else None,
+        hot_down=gather(layers["w_down_rows"]),
+        group_map=jnp.asarray(gm),
+        hot_ids=ids,
+    )
+    st = DFRState(
+        dfr=jnp.zeros((L, ng), jnp.float32),
+        miss=jnp.zeros((L, 1), jnp.float32),
+        steps=jnp.zeros((L, 1), jnp.float32),
+    )
+    return tp, st
+
+
+def make_tiered_ffn(
+    cfg: ModelConfig,
+    scfg: SparseConfig,
+    cold: ColdStore | None,
+    mode: str = "host",  # "host" | "drop"
+):
+    """Stateful ffn(lp, x, fs, il) -> (y, fs') for make_forward(...,
+    stateful_ffn=True). Layer params lp must carry 'tiered' (per-layer
+    slices of TieredParams leaves) plus predictor weights."""
+    act_name = cfg.traits.sparse_act
+    G = scfg.group_size
+    F = cfg.n_ff
+    ng = scfg.n_groups(F)
+    thr = scfg.threshold
+    lam = scfg.dfr_decay
+
+    if mode == "host" and cold is None:
+        raise ValueError("mode='host' needs a ColdStore")
+
+    def ffn(lp: dict, x: jnp.ndarray, fs: dict, il: jnp.ndarray):
+        from ..ops.sparse_ffn_pallas import sparse_ffn_block
+
+        B, T, E = x.shape
+        xt = x.reshape(B * T, E)
+        N = B * T
+        probs = predict_activations(lp, xt)  # (N, F)
+        gp = probs.reshape(N, ng, G)
+
+        idx = select_groups(probs, scfg, F)  # (N, C) original group ids
+        C = idx.shape[-1]
+        gmap = lp["group_map"]  # (ng,)
+        slots = jnp.take(gmap, idx)  # (N, C), -1 = cold
+        hot = slots >= 0
+        slots_safe = jnp.maximum(slots, 0).astype(jnp.int32)
+
+        gp_sel = jnp.take_along_axis(gp, idx[..., None], axis=1)  # (N, C, G)
+        gp_hot = jnp.where(hot[..., None], gp_sel, 0.0)
+        bu_sel = None
+        if "b_up" in lp:
+            bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32), idx, axis=0)
+
+        out = sparse_ffn_block(
+            xt,
+            slots_safe,
+            gp_hot,
+            lp["hot_up"],
+            lp.get("hot_gate"),
+            lp["hot_down"],
+            act=act_name,
+            fatrelu_threshold=cfg.fatrelu_threshold,
+            prob_threshold=thr,
+            bu_sel=bu_sel,
+        )
+
+        # cold∩active bookkeeping
+        group_active = (gp >= thr).any(-1)  # (N, ng)
+        cold_active = group_active & (gmap[None, :] < 0)  # (N, ng)
+        n_miss = cold_active.sum().astype(jnp.float32)
+
+        if mode == "host":
+            comp = jax.pure_callback(
+                cold.complement,
+                jax.ShapeDtypeStruct((N, E), jnp.float32),
+                il,
+                xt.astype(jnp.float32),
+                gp,
+                cold_active,
+            )
+            out = out + comp
+
+        # DFR EMA (ref: ggml_scale_add; delta = fired fraction per group)
+        fired = (gp >= thr).astype(jnp.float32).sum(-1).sum(0) / (N * G)  # (ng,)
+        if scfg.dfr_ema:
+            dfr = lam * fs.dfr + (1.0 - lam) * fired
+        else:
+            dfr = fs.dfr + fired
+        fs2 = DFRState(dfr=dfr, miss=fs.miss + n_miss, steps=fs.steps + 1.0)
+        if "b_down" in lp:
+            out = out + lp["b_down"].astype(out.dtype)
+        return out.reshape(B, T, E).astype(x.dtype), fs2
+
+    return ffn
+
+
+def tiered_layer_params(layers: dict, tp: TieredParams) -> dict:
+    """Merge TieredParams leaves into the stacked layer dict so the scan
+    slices them per layer alongside the other weights. Drops the full-size
+    HBM row layouts (the whole point is not to keep them in HBM; the dense
+    prefill path re-reads from the loader params when needed)."""
+    out = {k: v for k, v in layers.items() if not k.endswith("_rows")}
+    out["hot_up"] = tp.hot_up
+    if tp.hot_gate is not None:
+        out["hot_gate"] = tp.hot_gate
+    out["hot_down"] = tp.hot_down
+    out["group_map"] = tp.group_map
+    return out

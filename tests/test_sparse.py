@@ -152,8 +152,10 @@ def test_pallas_kernel_ungated():
     gp = jnp.asarray(rng.uniform(0, 1, (N, ng, G)).astype(np.float32))
     idx = jnp.asarray(rng.permutation(ng)[:C])[None].repeat(N, 0).astype(jnp.int32)
 
+    gp_sel = jnp.take_along_axis(gp, idx[..., None], axis=1)
+    bu_sel = jnp.take(bu.reshape(ng, G), idx, axis=0)
     out = sparse_ffn_block(
-        x, idx, gp, wu, None, wd, act="relu", prob_threshold=0.5, b_up=bu
+        x, idx, gp_sel, wu, None, wd, act="relu", prob_threshold=0.5, bu_sel=bu_sel
     )
     # manual
     want = np.zeros((N, E))

@@ -1,0 +1,253 @@
+"""Neuron tiering + online balancing: hot-cache correctness, host-complement
+exactness, DFR statistics, reload planning, reorder invariance, and the
+end-to-end convergence of the hot set under the balancer."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.models.transformer import make_forward
+from sparkinfer_tpu.runtime.kv_cache import init_cache
+from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn, sparse_layout
+from sparkinfer_tpu.sparse.balancer import Balancer, reload_plan
+from sparkinfer_tpu.sparse.split import (
+    apply_reorder,
+    apportion,
+    build_split,
+    profile_firing,
+    read_split,
+    write_split,
+)
+from sparkinfer_tpu.sparse.tiering import (
+    ColdStore,
+    DFRState,
+    init_tiered,
+    make_tiered_ffn,
+    tiered_layer_params,
+)
+
+from model_fixtures import make_tiny_llama
+
+G = 16
+
+
+@pytest.fixture(scope="module")
+def sp(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-prosparse.gguf"
+    tensors = make_tiny_llama(path, arch="prosparse_llama", pred_rank=8, n_ff=96, seed=5)
+    model = load_model(str(path), dtype=jnp.float32)
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    model.params["layers"] = sparse_layout(model.params["layers"], model.config, scfg)
+    return model, tensors, scfg
+
+
+def _mk(model, scfg, hot_groups, mode, init_hot=None):
+    cfg = model.config
+    layers = model.params["layers"]
+    tp, st = init_tiered(cfg, scfg, layers, hot_groups, init_hot=init_hot)
+    cold = ColdStore(cfg, scfg, {k: np.asarray(v) for k, v in layers.items()
+                                 if k.endswith("_rows") or k == "b_up"})
+    ffn = make_tiered_ffn(cfg, scfg, cold, mode=mode)
+    params = dict(model.params)
+    params["layers"] = tiered_layer_params(layers, tp)
+    fwd = jax.jit(make_forward(cfg, ffn_fn=ffn, stateful_ffn=True))
+    return fwd, params, tp, st, cold
+
+
+def _ref_logits(model, scfg, toks):
+    cfg = model.config
+    ffn = make_sparse_ffn(cfg, scfg, mode="gather")
+    fwd = jax.jit(make_forward(cfg, ffn_fn=ffn))
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    pos = jnp.arange(len(toks), dtype=jnp.int32)[None]
+    logits, _ = fwd(model.params, jnp.asarray(toks)[None], pos, cache)
+    return np.asarray(logits)
+
+
+def test_host_mode_exact_for_any_hot_set(sp):
+    """hot kernel + host complement == the full gathered sparse FFN, even
+    with a tiny, badly-chosen hot set."""
+    model, _, scfg = sp
+    cfg = model.config
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    ref = _ref_logits(model, scfg, toks)
+
+    # deliberately bad hot set: the never-firing last groups
+    ng = cfg.n_ff // G
+    bad_hot = np.tile(np.arange(ng - 2, ng, dtype=np.int32), (cfg.n_layer, 1))
+    fwd, params, tp, st, _ = _mk(model, scfg, 2, "host", init_hot=bad_hot)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+    logits, _, st2 = fwd(params, jnp.asarray(toks)[None], pos, cache, st)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-4)
+    assert float(np.asarray(st2.miss).sum()) > 0  # cold groups were hit
+
+
+def test_drop_mode_exact_when_hot_covers_active(sp):
+    model, _, scfg = sp
+    cfg = model.config
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    ref = _ref_logits(model, scfg, toks)
+    ng = cfg.n_ff // G
+    # hot set = the structurally-fireable first 2/3 of groups
+    fireable = int(np.ceil(2 * ng / 3))
+    fwd, params, tp, st, _ = _mk(model, scfg, fireable, "drop")
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+    logits, _, st2 = fwd(params, jnp.asarray(toks)[None], pos, cache, st)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-4)
+    assert float(np.asarray(st2.miss).sum()) == 0
+
+
+def test_dfr_ema_math(sp):
+    """One step: dfr' = λ·0 + (1-λ)·fired_fraction."""
+    model, _, scfg = sp
+    cfg = model.config
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, cfg.n_vocab, 4).astype(np.int32)
+    fwd, params, tp, st, _ = _mk(model, scfg, 2, "host")
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    _, _, st2 = fwd(params, jnp.asarray(toks)[None], pos, cache, st)
+    dfr = np.asarray(st2.dfr)
+    assert dfr.shape == (cfg.n_layer, cfg.n_ff // G)
+    assert (dfr >= 0).all() and (dfr <= (1 - scfg.dfr_decay) + 1e-6).all()
+    # never-fireable groups stay at zero
+    ng = cfg.n_ff // G
+    assert np.allclose(dfr[:, 2 * ng // 3 + 1 :], 0.0)
+
+
+def test_reload_plan_two_pointer():
+    cur = np.asarray([3, 7, 9, 1])
+    want = np.asarray([3, 2, 9, 5])
+    pairs = reload_plan(cur, want, window=8)
+    # slots of 7 and 1 leave; groups 2 and 5 enter
+    assert sorted(p[0] for p in pairs) == [1, 3]
+    assert sorted(p[1] for p in pairs) == [2, 5]
+    assert reload_plan(cur, want, window=1) == pairs[:1]
+    assert reload_plan(cur, cur, window=8) == []
+
+
+def test_apportion_budget():
+    pattern = np.asarray([0.5, 0.3, 0.2], np.float32)
+    counts = apportion(10, pattern, ng=6)
+    assert counts.sum() == 10
+    assert (counts <= 6).all()
+    assert counts[0] >= counts[1] >= counts[2]
+    # budget exceeding capacity saturates
+    counts = apportion(100, pattern, ng=6)
+    assert (counts == 6).all()
+
+
+def test_balancer_converges_hot_set(sp):
+    """Drop mode, bad initial hot set; DFR + rebalancing between steps must
+    adapt the hot set so misses vanish."""
+    model, _, scfg = sp
+    cfg = model.config
+    ng = cfg.n_ff // G
+    fireable = int(np.ceil(2 * ng / 3))
+    bad_hot = np.tile(np.arange(ng - fireable, ng, dtype=np.int32), (cfg.n_layer, 1))
+    fwd, params, tp, st, cold = _mk(model, scfg, fireable, "drop", init_hot=bad_hot)
+    bal = Balancer(cold=cold, scfg=scfg, window=8)
+
+    from sparkinfer_tpu.sparse.tiering import tiered_layer_params
+
+    rng = np.random.default_rng(3)
+    cache = init_cache(cfg, 1, 64, jnp.float32)
+    layers = model.params["layers"]
+    miss_t = []
+    for t in range(12):
+        tok = rng.integers(0, cfg.n_vocab, 1).astype(np.int32)
+        pos = jnp.full((1, 1), t, jnp.int32)
+        prev_miss = float(np.asarray(st.miss).sum())
+        _, cache, st = fwd(params, jnp.asarray(tok)[None], pos, cache, st)
+        miss_t.append(float(np.asarray(st.miss).sum()) - prev_miss)
+        tp = bal.rebalance(tp, np.asarray(st.dfr))
+        params["layers"] = tiered_layer_params(layers, tp)
+    assert miss_t[-1] == 0.0, miss_t
+    assert bal.total_swaps > 0
+    # hot ids now cover every fireable group
+    ids = np.asarray(tp.hot_ids)
+    for l in range(cfg.n_layer):
+        assert set(range(fireable)) <= set(ids[l].tolist()) | set(
+            np.nonzero(np.asarray(st.dfr)[l] == 0)[0].tolist()
+        )
+
+
+def test_reorder_preserves_function(sp, tmp_path):
+    model, _, scfg = sp
+    cfg = model.config
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, cfg.n_vocab, 6).astype(np.int32)
+
+    fwd = jax.jit(make_forward(cfg))  # plain dense forward
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    base, _ = fwd(model.params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+
+    perms = np.stack([
+        np.random.default_rng(l).permutation(cfg.n_ff).astype(np.int32)
+        for l in range(cfg.n_layer)
+    ])
+    params2 = apply_reorder(model.params, cfg, perms)
+    got, _ = fwd(params2, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base), rtol=1e-4, atol=1e-4)
+
+    # sparse dense-masked path is also invariant (predictor permuted too)
+    sffn = make_sparse_ffn(cfg, scfg, mode="dense")
+    fwd_s = jax.jit(make_forward(cfg, ffn_fn=sffn))
+    a, _ = fwd_s(model.params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+    b, _ = fwd_s(params2, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+def test_split_profile_and_roundtrip(sp, tmp_path):
+    model, _, scfg = sp
+    cfg = model.config
+    rng = np.random.default_rng(5)
+    batches = [rng.integers(0, cfg.n_vocab, 8) for _ in range(3)]
+    firing = profile_firing(model, batches, scfg)
+    assert firing.shape == (cfg.n_layer, cfg.n_ff)
+    assert (firing >= 0).all() and (firing <= 1).all()
+    # structurally-cold last third never fires
+    assert np.allclose(firing[:, 2 * cfg.n_ff // 3 :], 0.0)
+
+    split = build_split(firing, scfg)
+    assert np.isclose(split.pattern.sum(), 1.0, atol=1e-5)
+    # perms put highest-firing neurons first
+    for l in range(cfg.n_layer):
+        f = firing[l][split.perms[l]]
+        assert (np.diff(f) <= 1e-9).all()
+
+    p = tmp_path / "split.gguf"
+    write_split(str(p), split, arch=cfg.arch)
+    rt = read_split(str(p))
+    assert rt.group_size == split.group_size
+    np.testing.assert_allclose(rt.pattern, split.pattern, rtol=1e-6)
+    np.testing.assert_array_equal(rt.perms, split.perms)
+    np.testing.assert_allclose(rt.firing, firing, rtol=1e-6)
+
+
+def test_engine_tiered_host_mode_matches_untiered(sp):
+    """Engine with hot/cold tiering (host complement) must generate exactly
+    the same tokens as the untiered gather engine."""
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig as SC
+
+    model, _, _ = sp
+    scfg_flat = SparseConfig(group_size=G, capacity_groups=4)
+    eng_ref = Engine(model, max_seq=64, sampler=SC(temp=0.0), kv_dtype=jnp.float32,
+                     sparse=scfg_flat, sparse_decode_mode="gather")
+    prompt = [11, 22, 33]
+    want = eng_ref.generate(prompt, max_new_tokens=6)
+
+    scfg_tier = SparseConfig(group_size=G, capacity_groups=4, hot_groups=2)
+    eng_t = Engine(model, max_seq=64, sampler=SC(temp=0.0), kv_dtype=jnp.float32,
+                   sparse=scfg_tier, sparse_cold_mode="host")
+    got = eng_t.generate(prompt, max_new_tokens=6)
+    assert got == want
+    assert eng_t.balancer.rebalances > 0
