@@ -288,7 +288,7 @@ class Engine:
         from ..tokenizer import build_tokenizer
 
         tk = build_tokenizer(vocab)
-        ids = tk.encode(prompt, add_bos=True)
+        ids = tk.encode(prompt, add_special=True)
         stop = {vocab.eos_id} if vocab.eos_id is not None else set()
         out = self.generate(ids, max_new_tokens, stop_ids=stop, seed=seed)
         return tk.decode(out)

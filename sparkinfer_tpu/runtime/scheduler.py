@@ -1,0 +1,311 @@
+"""Continuous-batching scheduler — the TPU re-design of llama-server's slot
+machinery (tools/server/server-context.cpp update_slots :704-775,
+server-queue.h, slot selection/deferral :1479-1493).
+
+Reference: one inference thread builds a single llama_batch (<= n_batch
+tokens) across all running slots each iteration, decodes, samples per slot,
+streams results. Here the analogue is ONE jitted batched decode step over a
+fixed slot count B (static shapes): every tick gathers each running slot's
+last token + position, steps them together, and samples with the vmapped
+sampler chain (per-slot sampler state, seeds, penalties).
+
+Prefill runs per-slot at batch=1 over bucketed lengths (bounded compile
+count) into a slot-sized cache view scattered into the shared cache —
+the analogue of ubatch splitting (src/llama-batch.h:101-107). New requests
+admit into free slots; when none are free they queue FIFO (the reference's
+"defer" path).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import PREFILL_BUCKETS, bucket_len
+from .kv_cache import KVCache, init_cache
+from .sampling import SamplerConfig, init_state, make_sampler
+
+
+@dataclass
+class Request:
+    prompt_tokens: list[int]
+    max_new_tokens: int = 128
+    sampler: SamplerConfig | None = None
+    seed: int | None = None
+    stop_ids: set[int] = field(default_factory=set)
+    # filled by the scheduler
+    id: int = -1
+    out_queue: "queue.Queue[int | None]" = field(default_factory=queue.Queue)
+    n_prompt: int = 0
+    created_s: float = field(default_factory=time.time)
+    first_token_s: float | None = None
+    done_s: float | None = None
+
+    def stream(self) -> Iterator[int]:
+        while True:
+            t = self.out_queue.get()
+            if t is None:
+                return
+            yield t
+
+    def tokens(self) -> list[int]:
+        return list(self.stream())
+
+
+@dataclass
+class SlotState:
+    req: Request | None = None
+    n_past: int = 0
+    n_gen: int = 0
+    last_token: int = 0
+
+    @property
+    def running(self) -> bool:
+        return self.req is not None
+
+
+class Scheduler:
+    """Owns the slot cache + per-slot sampler states and the decode loop.
+
+    Built on a LoadedModel the same way Engine is; in fact it reuses the
+    Engine's jitted fwd/sample by constructing one internally.
+    """
+
+    def __init__(
+        self,
+        model,
+        n_slots: int = 4,
+        max_seq: int = 2048,
+        sampler: SamplerConfig | None = None,
+        kv_dtype=jnp.bfloat16,
+        kv_quantized: bool = False,
+        ffn_fn: Callable | None = None,
+    ):
+        from ..models.transformer import make_forward
+
+        self.model = model
+        self.cfg = model.config
+        self.n_slots = n_slots
+        self.max_seq = max_seq
+        self.sampler_cfg = sampler or SamplerConfig()
+        self.sample = make_sampler(self.sampler_cfg)
+        self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+        self.kv_dtype = kv_dtype
+        self.kv_quantized = kv_quantized
+
+        self.cache = init_cache(self.cfg, n_slots, max_seq, kv_dtype, kv_quantized)
+        self.slots = [SlotState() for _ in range(n_slots)]
+        self.sstate = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[init_state(self.sampler_cfg, i) for i in range(n_slots)],
+        )
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._req_ids = itertools.count()
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: threading.Thread | None = None
+
+        self._jit_prefill = jax.jit(self._prefill_impl)
+        self._jit_decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+
+        # metrics (analogue of server_metrics, server-context.cpp:444-545)
+        self.metrics = {
+            "n_requests": 0,
+            "n_tokens_generated": 0,
+            "n_prompt_tokens": 0,
+            "n_decode_steps": 0,
+            "t_decode_s": 0.0,
+            "t_prefill_s": 0.0,
+            "queue_peak": 0,
+        }
+
+    # --- jitted bodies ------------------------------------------------------
+    def _prefill_impl(self, params, tokens, positions, cache1, last_idx, sstate1):
+        logits, cache1 = self.fwd(params, tokens, positions, cache1)
+        last = logits[jnp.arange(tokens.shape[0]), last_idx]
+        tok, sstate1 = jax.vmap(self.sample)(last, sstate1)
+        return tok, cache1, sstate1
+
+    def _decode_impl(self, params, tokens, positions, cache, sstate, active):
+        """tokens/positions (B,1); active (B,) masks sampler-state updates
+        for idle slots (their dummy writes are position-overwritten later)."""
+        logits, cache = self.fwd(params, tokens, positions, cache)
+        tok, new_sstate = jax.vmap(self.sample)(logits[:, -1], sstate)
+        # idle slots keep their old sampler state untouched
+        keep = lambda new, old: jnp.where(
+            active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        sstate = jax.tree.map(keep, new_sstate, sstate)
+        return tok, cache, sstate
+
+    # --- public API ---------------------------------------------------------
+    def submit(self, req: Request) -> Request:
+        req.id = next(self._req_ids)
+        req.n_prompt = len(req.prompt_tokens)
+        if req.n_prompt == 0:
+            raise ValueError("empty prompt")
+        if req.n_prompt >= self.max_seq:
+            raise ValueError(f"prompt of {req.n_prompt} tokens exceeds max_seq {self.max_seq}")
+        self.pending.put(req)
+        self.metrics["queue_peak"] = max(self.metrics["queue_peak"], self.pending.qsize())
+        return req
+
+    def _admit(self):
+        """Move pending requests into free slots (prefill)."""
+        for s_i, slot in enumerate(self.slots):
+            if slot.running:
+                continue
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            self._prefill_into_slot(s_i, req)
+
+    def _prefill_into_slot(self, s_i: int, req: Request):
+        t0 = time.perf_counter()
+        n = req.n_prompt
+        Tpad = bucket_len(n)
+        toks = np.zeros((1, Tpad), np.int32)
+        toks[0, :n] = req.prompt_tokens
+        pos = np.arange(Tpad, dtype=np.int32)[None]
+        cache1 = init_cache(self.cfg, 1, self.max_seq, self.kv_dtype, self.kv_quantized)
+        st1 = jax.tree.map(lambda a: a[s_i : s_i + 1], self.sstate)
+        seed = req.seed if req.seed is not None else self.sampler_cfg.seed + req.id
+        st1 = jax.tree.map(
+            lambda a, b: b[None], st1, init_state(self.sampler_cfg, seed)
+        )
+        tok, cache1, st1 = self._jit_prefill(
+            self.model.params,
+            jnp.asarray(toks),
+            jnp.asarray(pos),
+            cache1,
+            jnp.asarray([n - 1], jnp.int32),
+            st1,
+        )
+        # scatter into the shared slot cache / sampler state
+        self.cache = scatter_slot(self.cache, cache1, s_i)
+        self.sstate = jax.tree.map(
+            lambda big, small: big.at[s_i].set(small[0]), self.sstate, st1
+        )
+        first = int(np.asarray(tok)[0])
+        slot = self.slots[s_i]
+        slot.req = req
+        slot.n_past = n
+        slot.n_gen = 0
+        slot.last_token = first
+        req.first_token_s = time.time()
+        self.metrics["n_requests"] += 1
+        self.metrics["n_prompt_tokens"] += n
+        self.metrics["t_prefill_s"] += time.perf_counter() - t0
+        self._emit(s_i, first)
+
+    def _emit(self, s_i: int, tok: int):
+        slot = self.slots[s_i]
+        req = slot.req
+        slot.n_gen += 1
+        self.metrics["n_tokens_generated"] += 1
+        finished = (
+            tok in req.stop_ids
+            or slot.n_gen >= req.max_new_tokens
+            or slot.n_past + 1 >= self.max_seq
+        )
+        if tok in req.stop_ids:
+            pass  # stop token not emitted
+        else:
+            req.out_queue.put(tok)
+        if finished:
+            req.done_s = time.time()
+            req.out_queue.put(None)
+            slot.req = None
+        else:
+            slot.last_token = tok
+
+    def step(self) -> bool:
+        """One scheduler tick: admit + one batched decode over running slots.
+        Returns True if any slot is running afterwards."""
+        self._admit()
+        active = np.asarray([s.running for s in self.slots])
+        if not active.any():
+            return False
+        t0 = time.perf_counter()
+        toks = np.asarray(
+            [[s.last_token if s.running else 0] for s in self.slots], np.int32
+        )
+        pos = np.asarray(
+            [[s.n_past if s.running else 0] for s in self.slots], np.int32
+        )
+        tok, self.cache, self.sstate = self._jit_decode(
+            self.model.params,
+            jnp.asarray(toks),
+            jnp.asarray(pos),
+            self.cache,
+            self.sstate,
+            jnp.asarray(active),
+        )
+        tok = np.asarray(tok)
+        self.metrics["n_decode_steps"] += 1
+        self.metrics["t_decode_s"] += time.perf_counter() - t0
+        for s_i, slot in enumerate(self.slots):
+            if not slot.running:
+                continue
+            slot.n_past += 1
+            self._emit(s_i, int(tok[s_i]))
+        return any(s.running for s in self.slots) or not self.pending.empty()
+
+    # --- background loop ----------------------------------------------------
+    def start(self):
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while self._running:
+            busy = self.step()
+            if not busy:
+                time.sleep(0.002)
+
+    def stop(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def run_until_idle(self):
+        """Synchronous drain (for tests / batch tools)."""
+        while self.step():
+            pass
+
+    def metrics_snapshot(self) -> dict:
+        m = dict(self.metrics)
+        m["slots_running"] = sum(s.running for s in self.slots)
+        m["queue_depth"] = self.pending.qsize()
+        if m["t_decode_s"] > 0:
+            m["decode_tps"] = m["n_tokens_generated"] / m["t_decode_s"]
+        if m["t_prefill_s"] > 0:
+            m["prefill_tps"] = m["n_prompt_tokens"] / m["t_prefill_s"]
+        return m
+
+
+@jax.jit
+def _scatter(big: jnp.ndarray, small: jnp.ndarray, s_i: int) -> jnp.ndarray:
+    return big.at[:, s_i].set(small[:, 0])
+
+
+def scatter_slot(cache: KVCache, cache1: KVCache, s_i: int) -> KVCache:
+    maybe = lambda b, s: None if b is None else _scatter(b, s, s_i)
+    return KVCache(
+        k=_scatter(cache.k, cache1.k, s_i),
+        v=_scatter(cache.v, cache1.v, s_i),
+        k_scale=maybe(cache.k_scale, cache1.k_scale),
+        v_scale=maybe(cache.v_scale, cache1.v_scale),
+    )

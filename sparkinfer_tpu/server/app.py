@@ -1,0 +1,302 @@
+"""OpenAI-compatible HTTP serving — the TPU re-design of llama-server
+(tools/server/server.cpp routes :154-187, server-http over cpp-httplib).
+
+Stdlib ThreadingHTTPServer front-end over the continuous-batching
+Scheduler (runtime/scheduler.py): HTTP threads build Requests and block on
+(or stream from) their token queues while the single inference thread
+drains slots — the same two-plane design as the reference's queue_tasks /
+inference-thread split (server-queue.h:30,60).
+
+Endpoints (reference parity set):
+  GET  /health /props /metrics /v1/models /slots
+  POST /tokenize /detokenize /completion /v1/completions /v1/chat/completions
+Streaming via SSE (`stream: true`).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax.numpy as jnp
+
+from ..runtime.sampling import SamplerConfig
+from ..runtime.scheduler import Request, Scheduler
+from ..tokenizer import build_tokenizer
+from .chat import apply_template, detect_template
+
+
+@dataclass
+class ServerConfig:
+    host: str = "127.0.0.1"
+    port: int = 8080
+    n_slots: int = 4
+    max_seq: int = 2048
+    model_name: str = "sparkinfer-tpu"
+    kv_dtype: str = "bf16"  # "bf16" | "f32" | "int8"
+    chat_template: str | None = None  # override; default = detect from GGUF
+
+
+class SparkServer:
+    def __init__(self, model, cfg: ServerConfig | None = None, ffn_fn=None,
+                 sampler: SamplerConfig | None = None):
+        self.cfg = cfg or ServerConfig()
+        self.model = model
+        if model.vocab is None:
+            raise ValueError("server needs a model with tokenizer vocab")
+        self.tokenizer = build_tokenizer(model.vocab)
+        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}.get(self.cfg.kv_dtype, jnp.bfloat16)
+        self.sched = Scheduler(
+            model,
+            n_slots=self.cfg.n_slots,
+            max_seq=self.cfg.max_seq,
+            sampler=sampler or SamplerConfig(),
+            kv_dtype=kv_dtype,
+            kv_quantized=self.cfg.kv_dtype == "int8",
+            ffn_fn=ffn_fn,
+        )
+        self.template = self.cfg.chat_template or detect_template(
+            model.vocab.chat_template
+        )
+        self._httpd: ThreadingHTTPServer | None = None
+        self._t0 = time.time()
+
+    # --- request handling ---------------------------------------------------
+    def _sampler_from(self, body: dict) -> SamplerConfig:
+        base = self.sched.sampler_cfg
+        return SamplerConfig(
+            temp=float(body.get("temperature", base.temp)),
+            top_k=int(body.get("top_k", base.top_k)),
+            top_p=float(body.get("top_p", base.top_p)),
+            min_p=float(body.get("min_p", base.min_p)),
+            penalty_repeat=float(body.get("repeat_penalty", base.penalty_repeat)),
+            penalty_freq=float(body.get("frequency_penalty", base.penalty_freq)),
+            penalty_present=float(body.get("presence_penalty", base.penalty_present)),
+            seed=int(body.get("seed", base.seed)),
+        )
+
+    def _stop_ids(self) -> set[int]:
+        v = self.model.vocab
+        ids = {v.eos_id} if v.eos_id is not None and v.eos_id >= 0 else set()
+        for i in range(v.n_tokens):
+            if v.is_eog(i):
+                ids.add(i)
+        return ids
+
+    def _make_request(self, prompt: str | list[int], body: dict) -> Request:
+        if isinstance(prompt, str):
+            ids = self.tokenizer.encode(prompt, add_special=True)
+        else:
+            ids = [int(t) for t in prompt]
+        max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
+        return Request(
+            prompt_tokens=ids,
+            max_new_tokens=max_new,
+            seed=body.get("seed"),
+            stop_ids=self._stop_ids(),
+        )
+
+    def completion(self, body: dict):
+        """Returns (request, detok) — caller decides stream vs collect."""
+        prompt = body.get("prompt", "")
+        req = self._make_request(prompt, body)
+        self.sched.submit(req)
+        return req
+
+    def chat_completion(self, body: dict):
+        msgs = body.get("messages", [])
+        prompt = apply_template(msgs, self.template)
+        req = self._make_request(prompt, body)
+        self.sched.submit(req)
+        return req
+
+    def detok(self, toks: list[int]) -> str:
+        return self.tokenizer.decode(toks)
+
+    # --- metrics ------------------------------------------------------------
+    def prometheus(self) -> str:
+        m = self.sched.metrics_snapshot()
+        lines = []
+        for k, v in m.items():
+            lines.append(f"# TYPE sparkinfer_{k} gauge")
+            lines.append(f"sparkinfer_{k} {v}")
+        lines.append("# TYPE sparkinfer_uptime_seconds gauge")
+        lines.append(f"sparkinfer_uptime_seconds {time.time() - self._t0:.1f}")
+        return "\n".join(lines) + "\n"
+
+    def props(self) -> dict:
+        cfg = self.model.config
+        return {
+            "model_name": self.cfg.model_name,
+            "arch": cfg.arch,
+            "n_ctx": self.cfg.max_seq,
+            "n_slots": self.cfg.n_slots,
+            "n_vocab": cfg.n_vocab,
+            "n_layer": cfg.n_layer,
+            "n_embd": cfg.n_embd,
+            "chat_template": self.template,
+            "has_predictors": cfg.has_predictors,
+        }
+
+    # --- http ---------------------------------------------------------------
+    def serve(self, block: bool = True):
+        self.sched.start()
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((self.cfg.host, self.cfg.port), handler)
+        if block:
+            try:
+                self._httpd.serve_forever()
+            finally:
+                self.shutdown()
+        else:
+            t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+            t.start()
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1] if self._httpd else self.cfg.port
+
+    def shutdown(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None
+        self.sched.stop()
+
+
+def _make_handler(srv: SparkServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", 0))
+            if n == 0:
+                return {}
+            try:
+                return json.loads(self.rfile.read(n))
+            except json.JSONDecodeError:
+                return {}
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/props":
+                self._json(200, srv.props())
+            elif self.path == "/metrics":
+                data = srv.prometheus().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path == "/v1/models":
+                self._json(200, {
+                    "object": "list",
+                    "data": [{"id": srv.cfg.model_name, "object": "model",
+                              "owned_by": "sparkinfer-tpu"}],
+                })
+            elif self.path == "/slots":
+                slots = [
+                    {"id": i, "running": s.running, "n_past": s.n_past,
+                     "n_gen": s.n_gen}
+                    for i, s in enumerate(srv.sched.slots)
+                ]
+                self._json(200, slots)
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            body = self._body()
+            try:
+                if self.path == "/tokenize":
+                    ids = srv.tokenizer.encode(
+                        body.get("content", ""), add_special=bool(body.get("add_special", False))
+                    )
+                    self._json(200, {"tokens": ids})
+                elif self.path == "/detokenize":
+                    self._json(200, {"content": srv.detok(body.get("tokens", []))})
+                elif self.path in ("/completion", "/completions", "/v1/completions"):
+                    self._completion(body, chat=False)
+                elif self.path == "/v1/chat/completions":
+                    self._completion(body, chat=True)
+                else:
+                    self._json(404, {"error": "not found"})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+            except BrokenPipeError:
+                pass
+
+        def _completion(self, body: dict, chat: bool):
+            req = srv.chat_completion(body) if chat else srv.completion(body)
+            created = int(time.time())
+            rid = f"cmpl-{req.id}"
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(obj):
+                    data = f"data: {json.dumps(obj)}\n\n".encode()
+                    self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+
+                for tok in req.stream():
+                    text = srv.detok([tok])
+                    if chat:
+                        payload = {
+                            "id": rid, "object": "chat.completion.chunk",
+                            "created": created, "model": srv.cfg.model_name,
+                            "choices": [{"index": 0, "delta": {"content": text},
+                                         "finish_reason": None}],
+                        }
+                    else:
+                        payload = {
+                            "id": rid, "object": "text_completion",
+                            "created": created, "model": srv.cfg.model_name,
+                            "choices": [{"index": 0, "text": text,
+                                         "finish_reason": None}],
+                        }
+                    chunk(payload)
+                data = b"data: [DONE]\n\n"
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.write(b"0\r\n\r\n")
+                return
+            toks = req.tokens()
+            text = srv.detok(toks)
+            usage = {
+                "prompt_tokens": req.n_prompt,
+                "completion_tokens": len(toks),
+                "total_tokens": req.n_prompt + len(toks),
+            }
+            if chat:
+                self._json(200, {
+                    "id": rid, "object": "chat.completion", "created": created,
+                    "model": srv.cfg.model_name,
+                    "choices": [{"index": 0,
+                                 "message": {"role": "assistant", "content": text},
+                                 "finish_reason": "stop"}],
+                    "usage": usage,
+                })
+            else:
+                self._json(200, {
+                    "id": rid, "object": "text_completion", "created": created,
+                    "model": srv.cfg.model_name,
+                    "choices": [{"index": 0, "text": text, "finish_reason": "stop"}],
+                    "usage": usage,
+                })
+
+    return Handler

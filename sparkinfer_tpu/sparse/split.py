@@ -152,8 +152,8 @@ def apply_reorder(params: dict, cfg: ModelConfig, perms: np.ndarray) -> dict:
 
 def write_split(path: str, split: ModelSplit, arch: str = "llama"):
     w = GGUFWriter(path, arch)
-    w.add_kv("split.ffn_group_size", np.uint32(split.group_size))
-    w.add_array("split.ffn_normalized_pattern", split.pattern.astype(np.float32))
+    w.add_kv("ffn_group_size", np.uint32(split.group_size))
+    w.add_array("ffn_normalized_pattern", split.pattern.astype(np.float32))
     for l in range(split.perms.shape[0]):
         w.add_tensor(f"blk.{l}.ffn_reorder_perms", split.perms[l].astype(np.int32),
                      GGMLType.I32)
@@ -165,8 +165,8 @@ def write_split(path: str, split: ModelSplit, arch: str = "llama"):
 
 def read_split(path: str) -> ModelSplit:
     r = GGUFReader(path)
-    gs = int(r.kv["split.ffn_group_size"])
-    pattern = np.asarray(r.kv["split.ffn_normalized_pattern"], np.float32)
+    gs = int(r.kv["ffn_group_size"])
+    pattern = np.asarray(r.kv["ffn_normalized_pattern"], np.float32)
     L = len(pattern)
     perms = np.stack(
         [r.tensors[f"blk.{l}.ffn_reorder_perms"].astype_np().astype(np.int32) for l in range(L)]

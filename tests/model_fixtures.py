@@ -25,6 +25,8 @@ def make_tiny_llama(
     pred_rank: int = 0,
     seed: int = 0,
     scale: float = 0.08,
+    with_vocab: bool = False,
+    chat_template: str | None = None,
 ) -> dict[str, np.ndarray]:
     """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
     orientation: weights are (out_dim, in_dim) in numpy order)."""
@@ -64,6 +66,33 @@ def make_tiny_llama(
             tensors[p + "ffn_pred_down.bias"] = pd_b
 
     wr = GGUFWriter(path, arch)
+    if with_vocab:
+        # minimal SPM vocab: specials + byte fallback + a few word pieces;
+        # any text tokenizes via byte tokens
+        tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+        # word pieces with full bigram-merge chains so SPM can build them
+        words = ["▁h", "▁he", "▁hel", "▁hell", "▁hello",
+                 "▁w", "▁wo", "▁wor", "▁worl", "▁world",
+                 "▁t", "▁th", "▁the", "he", "ll", "o", "el"]
+        n_words = len(words)
+        tokens += words
+        assert len(tokens) <= n_vocab, (len(tokens), n_vocab)
+        tokens += [f"<extra_{i}>" for i in range(n_vocab - len(tokens))]
+        scores = np.zeros(n_vocab, np.float32)
+        scores[259 : 259 + n_words] = -1.0
+        ttypes = np.full(n_vocab, 1, np.int32)  # NORMAL
+        ttypes[0] = 2  # UNKNOWN
+        ttypes[1] = ttypes[2] = 3  # CONTROL
+        ttypes[3:259] = 6  # BYTE
+        wr.add_kv("tokenizer.ggml.model", "llama")
+        wr.add_array("tokenizer.ggml.tokens", tokens)
+        wr.add_array("tokenizer.ggml.scores", scores)
+        wr.add_array("tokenizer.ggml.token_type", ttypes)
+        wr.add_kv("tokenizer.ggml.bos_token_id", np.uint32(1))
+        wr.add_kv("tokenizer.ggml.eos_token_id", np.uint32(2))
+        wr.add_kv("tokenizer.ggml.unknown_token_id", np.uint32(0))
+        if chat_template:
+            wr.add_kv("tokenizer.chat_template", chat_template)
     wr.add_kv(f"{arch}.block_count", np.uint32(n_layer))
     wr.add_kv(f"{arch}.embedding_length", np.uint32(n_embd))
     wr.add_kv(f"{arch}.attention.head_count", np.uint32(n_head))

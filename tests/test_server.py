@@ -1,0 +1,147 @@
+"""HTTP server integration: spawn a real SparkServer on a loopback port and
+exercise the reference-parity endpoint set (the analogue of
+tools/server/tests pytest suite, which spawns a real llama-server)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.runtime.sampling import SamplerConfig
+from sparkinfer_tpu.server import ServerConfig, SparkServer
+
+from model_fixtures import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-vocab.gguf"
+    make_tiny_llama(path, n_vocab=300, with_vocab=True, chat_template="{{'<|im_start|>'}}")
+    model = load_model(str(path), dtype=jnp.float32)
+    srv = SparkServer(
+        model,
+        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32"),
+        sampler=SamplerConfig(temp=0.0),
+    )
+    srv.serve(block=False)
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}", timeout=30) as r:
+        return r.status, r.read()
+
+
+def _post(srv, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, r.read()
+
+
+def test_health_props_models_metrics(server):
+    code, body = _get(server, "/health")
+    assert code == 200 and json.loads(body)["status"] == "ok"
+    code, body = _get(server, "/props")
+    props = json.loads(body)
+    assert props["arch"] == "llama" and props["n_slots"] == 2
+    assert props["chat_template"] == "chatml"
+    code, body = _get(server, "/v1/models")
+    assert json.loads(body)["data"][0]["id"] == "sparkinfer-tpu"
+    code, body = _get(server, "/metrics")
+    assert b"sparkinfer_n_requests" in body
+    code, body = _get(server, "/slots")
+    assert len(json.loads(body)) == 2
+
+
+def test_tokenize_roundtrip(server):
+    code, body = _post(server, "/tokenize", {"content": "hello world"})
+    toks = json.loads(body)["tokens"]
+    assert toks
+    code, body = _post(server, "/detokenize", {"tokens": toks})
+    assert json.loads(body)["content"].strip() == "hello world"
+
+
+def test_completion(server):
+    code, body = _post(
+        server, "/v1/completions",
+        {"prompt": "hello world", "max_tokens": 6, "temperature": 0.0},
+    )
+    out = json.loads(body)
+    assert out["object"] == "text_completion"
+    assert out["usage"]["completion_tokens"] >= 1
+    assert isinstance(out["choices"][0]["text"], str)
+
+
+def test_chat_completion(server):
+    code, body = _post(
+        server, "/v1/chat/completions",
+        {"messages": [{"role": "user", "content": "hello"}], "max_tokens": 4},
+    )
+    out = json.loads(body)
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming_sse(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/completions",
+        data=json.dumps({"prompt": "hello", "max_tokens": 4, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        data = r.read().decode()
+    events = [l for l in data.split("\n") if l.startswith("data: ")]
+    assert events[-1] == "data: [DONE]"
+    assert len(events) >= 2  # at least one token + DONE
+    first = json.loads(events[0][6:])
+    assert first["object"] == "text_completion"
+
+
+def test_concurrent_requests(server):
+    """Two clients at once exercise both slots."""
+    results = {}
+
+    def call(i):
+        code, body = _post(
+            server, "/v1/completions",
+            {"prompt": f"hello world", "max_tokens": 5, "temperature": 0.0},
+        )
+        results[i] = json.loads(body)["choices"][0]["text"]
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert len(results) == 2
+    assert results[0] == results[1]  # greedy + same prompt -> same text
+
+
+def test_404_and_bad_request(server):
+    import urllib.error
+
+    try:
+        _get(server, "/nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # empty prompt is fine (BOS only) — reference accepts it too
+    code, _ = _post(server, "/v1/completions", {"prompt": "", "max_tokens": 2})
+    assert code == 200
+    try:
+        _post(server, "/v1/completions",
+              {"prompt": "word " * 200, "max_tokens": 2})
+        assert False, "oversize prompt should 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

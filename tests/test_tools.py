@@ -1,0 +1,57 @@
+"""CLI tools: sparkinfer-cli generate + bench mode, perplexity evaluator."""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.tools.cli import main as cli_main
+from sparkinfer_tpu.tools.perplexity import compute_ppl
+
+from model_fixtures import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-vocab.gguf"
+    make_tiny_llama(path, n_vocab=300, with_vocab=True)
+    return str(path)
+
+
+def test_cli_generate(model_path, capsys):
+    rc = cli_main(["-m", model_path, "-p", "hello world", "-n", "4",
+                   "--temp", "0", "-c", "64", "-ctk", "f32"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("hello world")
+
+
+def test_cli_bench_mode(model_path, tmp_path, capsys):
+    pf = tmp_path / "prompts.txt"
+    pf.write_text("hello world\nthe hello\n")
+    rc = cli_main(["-m", model_path, "-f", str(pf), "-nps", "2", "-n", "4",
+                   "--temp", "0", "-c", "64", "--json", "-ctk", "f32"])
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    assert all(r["decode_tokens"] >= 1 for r in rows)
+
+
+def test_cli_missing_prompt(model_path):
+    rc = cli_main(["-m", model_path])
+    assert rc == 1
+
+
+def test_perplexity_basic(model_path):
+    model = load_model(model_path, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, model.config.n_vocab, 80).astype(np.int32)
+    out = compute_ppl(model, ids, ctx=32)
+    assert out["n_tokens"] > 0
+    assert out["ppl"] > 1.0
+    # random tokens under a random model: ppl near vocab size magnitude
+    assert out["ppl"] < 10 * model.config.n_vocab
