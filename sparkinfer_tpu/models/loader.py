@@ -36,6 +36,15 @@ def _as_jnp(x: np.ndarray, dtype) -> jnp.ndarray:
     return jnp.asarray(x, dtype=dtype)
 
 
+def _pack(w, dtype):
+    """numpy array -> jnp (dtype); quant tuple -> QuantTensor."""
+    if isinstance(w, tuple) and w[0] == "quant":
+        from ..ops.quant_matmul import QuantTensor
+
+        return QuantTensor(jnp.asarray(w[2]), jnp.asarray(w[3]), w[1])
+    return _as_jnp(w, dtype)
+
+
 @dataclass
 class LoadedModel:
     config: ModelConfig
@@ -59,6 +68,34 @@ def _linear(r: GGUFReader, name: str, in_dim: int, out_dim: int) -> np.ndarray |
     if w.shape == (in_dim, out_dim):
         return w
     raise ValueError(f"{name}: shape {w.shape} matches neither ({out_dim},{in_dim}) nor ({in_dim},{out_dim})")
+
+
+_QUANT_KINDS = {GGMLType.Q4_0: "q4_0", GGMLType.Q8_0: "q8_0"}
+
+
+def _linear_maybe_quant(
+    r: GGUFReader, name: str, in_dim: int, out_dim: int, keep_quantized: bool
+):
+    """Like _linear, but when keep_quantized and the stored type is Q4_0 /
+    Q8_0 with the standard (out, in) row-major orientation, return a host
+    tuple ("quant", kind, qw, scales) holding the PACKED rows (repacked to
+    the kernel layout) — the fused dequant-matmul path keeps them packed in
+    HBM (ops/quant_matmul.py)."""
+    t = r.tensors.get(name)
+    if t is None:
+        return None
+    if keep_quantized and t.ggml_type in _QUANT_KINDS and t.shape == (out_dim, in_dim) \
+            and in_dim % 32 == 0:
+        from ..ops.quant_matmul import repack_q4_0, repack_q8_0
+
+        kind = _QUANT_KINDS[t.ggml_type]
+        raw = t.raw()
+        if kind == "q4_0":
+            qw, sc = repack_q4_0(raw, out_dim, in_dim)
+        else:
+            qw, sc = repack_q8_0(raw, out_dim, in_dim)
+        return ("quant", kind, qw, sc)
+    return _linear(r, name, in_dim, out_dim)
 
 
 def _split_fused_qkv(
@@ -103,16 +140,22 @@ def load_model(
     path: str,
     dtype=jnp.bfloat16,
     device_put_fn: Callable[[str, jnp.ndarray], jnp.ndarray] | None = None,
+    keep_quantized: bool = False,
 ) -> LoadedModel:
     """Load a GGUF model into stacked JAX arrays.
 
     device_put_fn(name, array) may apply shardings; default puts on the
-    default device.
+    default device. keep_quantized=True keeps Q4_0/Q8_0 matmul weights
+    packed on device (fused dequant-matmul path) instead of dequantizing.
     """
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r)
     tr = cfg.traits
     E, H, Hkv, D, F, L = cfg.n_embd, cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_ff, cfg.n_layer
+    kq = keep_quantized and not tr.fused_qkv  # fused qkv must split -> dense
+
+    def _lin(name, in_dim, out_dim):
+        return _linear_maybe_quant(r, name, in_dim, out_dim, kq)
 
     put = device_put_fn or (lambda name, x: x)
 
@@ -125,10 +168,10 @@ def load_model(
     onb = _get(r, "output_norm.bias")
     if onb is not None:
         params["output_norm_b"] = put("output_norm_b", _as_jnp(onb, jnp.float32))
-    out_w = _linear(r, "output.weight", E, cfg.n_vocab)
+    out_w = _lin("output.weight", E, cfg.n_vocab)
     if out_w is None:
         out_w = np.ascontiguousarray(tok.T)  # tied embeddings
-    params["output"] = put("output", _as_jnp(out_w, dtype))
+    params["output"] = put("output", _pack(out_w, dtype))
 
     max_rank = cfg.max_pred_rank
 
@@ -149,9 +192,9 @@ def load_model(
             bqkv = _get(r, p + "attn_qkv.bias")
             wq, wk, wv, bq, bk, bv = _split_fused_qkv(wqkv, bqkv, cfg)
         else:
-            wq = _linear(r, p + "attn_q.weight", E, H * D)
-            wk = _linear(r, p + "attn_k.weight", E, Hkv * D)
-            wv = _linear(r, p + "attn_v.weight", E, Hkv * D)
+            wq = _lin(p + "attn_q.weight", E, H * D)
+            wk = _lin(p + "attn_k.weight", E, Hkv * D)
+            wv = _lin(p + "attn_v.weight", E, Hkv * D)
             bq = _get(r, p + "attn_q.bias")
             bk = _get(r, p + "attn_k.bias")
             bv = _get(r, p + "attn_v.bias")
@@ -161,15 +204,15 @@ def load_model(
         add("bq", bq)
         add("bk", bk)
         add("bv", bv)
-        add("wo", _linear(r, p + "attn_output.weight", H * D, E))
+        add("wo", _lin(p + "attn_output.weight", H * D, E))
         add("bo", _get(r, p + "attn_output.bias"))
         add("ffn_norm_w", _get(r, p + "ffn_norm.weight"))
         add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
-        add("w_up", _linear(r, p + "ffn_up.weight", E, F))
+        add("w_up", _lin(p + "ffn_up.weight", E, F))
         add("b_up", _get(r, p + "ffn_up.bias"))
-        add("w_gate", _linear(r, p + "ffn_gate.weight", E, F))
+        add("w_gate", _lin(p + "ffn_gate.weight", E, F))
         # ffn_down: sparse GGUFs store it transposed; _linear canonicalizes
-        add("w_down", _linear(r, p + "ffn_down.weight", F, E))
+        add("w_down", _lin(p + "ffn_down.weight", F, E))
         add("b_down", _get(r, p + "ffn_down.bias"))
         # predictors (low-rank ReLU MLP), zero-padded to max rank
         pu = _linear(r, p + "ffn_pred_up.weight", E, cfg.pred_lora[i] if cfg.pred_lora else 0)
@@ -191,6 +234,18 @@ def load_model(
     layers: Params = {}
     for k, arrs in per_layer.items():
         assert len(arrs) == L, f"{k}: {len(arrs)} != {L} layers"
+        if isinstance(arrs[0], tuple) and arrs[0][0] == "quant":
+            from ..ops.quant_matmul import QuantTensor
+
+            kind = arrs[0][1]
+            assert all(a[1] == kind for a in arrs), f"{k}: mixed quant kinds"
+            qt = QuantTensor(
+                jnp.asarray(np.stack([a[2] for a in arrs])),
+                jnp.asarray(np.stack([a[3] for a in arrs])),
+                kind,
+            )
+            layers[k] = put(f"layers.{k}", qt)
+            continue
         stacked = np.stack(arrs)
         want = jnp.float32 if ("norm" in k or k.startswith("pred") or k.startswith("b")) else dtype
         layers[k] = put(f"layers.{k}", _as_jnp(stacked, want))

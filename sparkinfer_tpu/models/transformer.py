@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.activations import act_fn
 from ..ops.norms import layer_norm, rms_norm
+from ..ops.quant_matmul import quant_linear as mm
 from ..ops.rope import RopeParams, apply_rope
 from ..runtime.kv_cache import KVCache, read_layer, write_layer
 from .config import ModelConfig
@@ -52,17 +53,17 @@ def dense_ffn(cfg: ModelConfig):
     gated, f = act_fn(cfg.traits.act, cfg.fatrelu_threshold)
 
     def ffn(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
-        up = x @ lp["w_up"]
+        up = mm(x, lp["w_up"])
         if "b_up" in lp:
             up = up + lp["b_up"].astype(up.dtype)
         if gated and "w_gate" in lp:
-            hidden = f(x @ lp["w_gate"], up)
+            hidden = f(mm(x, lp["w_gate"]), up)
         elif gated:
             # gated act but model has no gate proj: act on up alone
             hidden = f(up, jnp.ones_like(up))
         else:
             hidden = f(up)
-        out = hidden @ lp["w_down"]
+        out = mm(hidden, lp["w_down"])
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)
         return out
@@ -84,9 +85,9 @@ def attention(
     B, T, _ = x.shape
     H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
     S = kc.shape[1]
-    q = (x @ lp["wq"]).reshape(B, T, H, D)
-    k = (x @ lp["wk"]).reshape(B, T, Hkv, D)
-    v = (x @ lp["wv"]).reshape(B, T, Hkv, D)
+    q = mm(x, lp["wq"]).reshape(B, T, H, D)
+    k = mm(x, lp["wk"]).reshape(B, T, Hkv, D)
+    v = mm(x, lp["wv"]).reshape(B, T, Hkv, D)
     if "bq" in lp:
         q = q + lp["bq"].astype(q.dtype).reshape(H, D)
         k = k + lp["bk"].astype(k.dtype).reshape(Hkv, D)
@@ -111,7 +112,7 @@ def attention(
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, vals)
     out = out.reshape(B, T, H * D)
-    out = out @ lp["wo"]
+    out = mm(out, lp["wo"])
     if "bo" in lp:
         out = out + lp["bo"].astype(out.dtype)
     return out, kc, vc, ks, vs
@@ -200,9 +201,13 @@ def make_forward(
             new_cache = KVCache(k=k_new, v=v_new)
 
         x = _norm(x, params["output_norm_w"], params.get("output_norm_b"), tr.norm, eps)
-        logits = jnp.einsum(
-            "bte,ev->btv", x, params["output"], preferred_element_type=jnp.float32
-        )
+        out_w = params["output"]
+        if hasattr(out_w, "kind"):  # QuantTensor
+            logits = mm(x, out_w).astype(jnp.float32)
+        else:
+            logits = jnp.einsum(
+                "bte,ev->btv", x, out_w, preferred_element_type=jnp.float32
+            )
         if stateful_ffn:
             return logits, new_cache, fs_new
         return logits, new_cache

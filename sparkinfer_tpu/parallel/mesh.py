@@ -96,6 +96,14 @@ def shard_params(mesh: Mesh, cfg: ModelConfig, params: dict) -> dict:
     a dim doesn't divide the mesh axis — e.g. odd vocab sizes)."""
 
     def put(name: str, x, rules):
+        if hasattr(x, "kind"):  # QuantTensor: replicate (packed layouts don't
+            # line up with the logical partition dims; revisit for tp>1)
+            return jax.tree.map(
+                lambda leaf: jax.device_put(
+                    leaf, NamedSharding(mesh, P(*([None] * leaf.ndim)))
+                ),
+                x,
+            )
         spec = rules.get(name)
         if spec is None or not _divisible(x.shape, spec, mesh):
             spec = P(*([None] * x.ndim))

@@ -64,6 +64,14 @@ def sparse_layout(lp: dict, cfg: ModelConfig, scfg: SparseConfig) -> dict:
     F, E = cfg.n_ff, cfg.n_embd
     ng = scfg.n_groups(F)
 
+    for k in ("w_up", "w_gate", "w_down"):
+        if k in lp and not hasattr(lp[k], "reshape"):
+            raise ValueError(
+                f"sparse FFN needs dense (bf16/f32) {k}; load the model with "
+                "keep_quantized=False (ref parity: sparse FFN weight types are "
+                "F16/BF16/Q8_0, src/llama-sparkinfer.cpp:178)"
+            )
+
     def rows_from_col(w):  # (..., E, F) -> (..., n_g, G, E)
         wt = jnp.swapaxes(w, -1, -2)  # (..., F, E)
         return wt.reshape(wt.shape[:-2] + (ng, G, E))

@@ -1,0 +1,269 @@
+"""HF checkpoint -> GGUF converter (ref: convert_hf_to_gguf.py, ~9k LoC).
+
+Covers the sparse-relevant families (LlamaForCausalLM, ProSparseLlama,
+Bamboo, Qwen2, OPT, Falcon) plus the SparkInfer additions
+(convert_hf_to_gguf.py:4571-4645):
+  --pred-path DIR   per-layer ReluMLP predictor checkpoints model_<i>.pt
+                    -> blk.i.ffn_pred_{up,down}.{weight,bias} tensors and
+                    the `{arch}.pred_lora` per-layer rank KV array
+  --pred-bias       predictors carry biases
+  transposes ffn_down to {n_embd, n_ff} when predictors are present
+  (':2236-2238' — neuron rows contiguous for the sparse down-proj)
+
+Reads config.json + *.safetensors / pytorch_model*.bin directly (no
+transformers model instantiation — just tensor IO) and tokenizer metadata
+from tokenizer.json / tokenizer.model when present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.writer import GGUFWriter
+
+_ARCH_MAP = {
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "llama",
+    "ProSparseLlamaForCausalLM": "prosparse_llama",
+    "SparseLlamaForCausalLM": "prosparse_llama",
+    "BambooForCausalLM": "bamboo",
+    "Qwen2ForCausalLM": "qwen2",
+    "OPTForCausalLM": "opt",
+    "FalconForCausalLM": "falcon",
+    "RWForCausalLM": "falcon",
+}
+
+# HF name template -> GGUF name template (llama-family layout;
+# ref: gguf-py tensor_mapping.py)
+_LLAMA_TENSORS = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+    "model.layers.{i}.input_layernorm.weight": "blk.{i}.attn_norm.weight",
+    "model.layers.{i}.self_attn.q_proj.weight": "blk.{i}.attn_q.weight",
+    "model.layers.{i}.self_attn.k_proj.weight": "blk.{i}.attn_k.weight",
+    "model.layers.{i}.self_attn.v_proj.weight": "blk.{i}.attn_v.weight",
+    "model.layers.{i}.self_attn.q_proj.bias": "blk.{i}.attn_q.bias",
+    "model.layers.{i}.self_attn.k_proj.bias": "blk.{i}.attn_k.bias",
+    "model.layers.{i}.self_attn.v_proj.bias": "blk.{i}.attn_v.bias",
+    "model.layers.{i}.self_attn.o_proj.weight": "blk.{i}.attn_output.weight",
+    "model.layers.{i}.post_attention_layernorm.weight": "blk.{i}.ffn_norm.weight",
+    "model.layers.{i}.mlp.gate_proj.weight": "blk.{i}.ffn_gate.weight",
+    "model.layers.{i}.mlp.up_proj.weight": "blk.{i}.ffn_up.weight",
+    "model.layers.{i}.mlp.down_proj.weight": "blk.{i}.ffn_down.weight",
+}
+
+
+def _iter_hf_tensors(model_dir: Path):
+    """Yield (name, np.ndarray f32) from safetensors or torch .bin shards."""
+    st_files = sorted(model_dir.glob("*.safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(str(f), framework="np") as sf:
+                for name in sf.keys():
+                    t = sf.get_tensor(name)
+                    if t.dtype == np.float16 or str(t.dtype) == "bfloat16":
+                        t = t.astype(np.float32)
+                    yield name, np.asarray(t, np.float32) if t.dtype != np.float32 else t
+        return
+    bins = sorted(model_dir.glob("pytorch_model*.bin"))
+    if not bins:
+        raise FileNotFoundError(f"no safetensors/bin shards in {model_dir}")
+    import torch
+
+    for f in bins:
+        sd = torch.load(str(f), map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+def _load_predictors(pred_path: Path, n_layer: int, pred_bias: bool):
+    """ReluMLP predictor per layer: model_<i>.pt with fc1/fc2 weights
+    (ref convert_hf_to_gguf.py:4571-4591). Returns list of dicts or None."""
+    import torch
+
+    preds = []
+    for i in range(n_layer):
+        f = pred_path / f"model_{i}.pt"
+        if not f.exists():
+            preds.append(None)
+            continue
+        sd = torch.load(str(f), map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        # accept fc1/fc2 or 0/2 (Sequential) naming
+        def pick(*names):
+            for n in names:
+                if n in sd:
+                    return sd[n].float().numpy()
+            return None
+
+        up_w = pick("fc1.weight", "0.weight", "up.weight")
+        down_w = pick("fc2.weight", "2.weight", "down.weight")
+        if up_w is None or down_w is None:
+            raise ValueError(f"{f}: unrecognized predictor keys {list(sd)[:6]}")
+        p = {"up_w": up_w, "down_w": down_w}
+        if pred_bias:
+            p["up_b"] = pick("fc1.bias", "0.bias", "up.bias")
+            p["down_b"] = pick("fc2.bias", "2.bias", "down.bias")
+        preds.append(p)
+    return preds
+
+
+def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF llama q/k layout -> GGUF 'norm' rope layout (adjacent pairs):
+    the inverse of convert_hf_to_gguf.py LlamaModel.permute."""
+    out_d, in_d = w.shape
+    D = out_d // n_head
+    return (
+        w.reshape(n_head, 2, D // 2, in_d).transpose(0, 2, 1, 3).reshape(out_d, in_d)
+    )
+
+
+def convert(
+    model_dir: str,
+    out_path: str,
+    pred_path: str | None = None,
+    pred_bias: bool = False,
+    out_type: str = "f16",
+) -> dict:
+    model_dir = Path(model_dir)
+    cfgj = json.loads((model_dir / "config.json").read_text())
+    hf_arch = (cfgj.get("architectures") or ["LlamaForCausalLM"])[0]
+    if hf_arch not in _ARCH_MAP:
+        raise NotImplementedError(f"HF arch {hf_arch} not supported")
+    arch = _ARCH_MAP[hf_arch]
+    if arch not in ("llama", "prosparse_llama", "bamboo", "qwen2"):
+        raise NotImplementedError(
+            f"{arch}: only llama-family layouts implemented in this converter"
+        )
+
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    H = cfgj["num_attention_heads"]
+    Hkv = cfgj.get("num_key_value_heads", H)
+    F = cfgj["intermediate_size"]
+    V = cfgj["vocab_size"]
+
+    preds = None
+    if pred_path:
+        preds = _load_predictors(Path(pred_path), L, pred_bias)
+
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    w = GGUFWriter(out_path, arch)
+    w.add_kv(f"{arch}.block_count", np.uint32(L))
+    w.add_kv(f"{arch}.embedding_length", np.uint32(E))
+    w.add_kv(f"{arch}.attention.head_count", np.uint32(H))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.uint32(Hkv))
+    w.add_kv(f"{arch}.feed_forward_length", np.uint32(F))
+    w.add_kv(f"{arch}.vocab_size", np.uint32(V))
+    w.add_kv(f"{arch}.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("rms_norm_eps", 1e-5)))
+    w.add_kv(f"{arch}.rope.freq_base", np.float32(cfgj.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.rope.dimension_count", np.uint32(E // H))
+    if preds is not None:
+        ranks = [0 if p is None else p["up_w"].shape[0] for p in preds]
+        w.add_array(f"{arch}.pred_lora", np.asarray(ranks, np.uint32))
+
+    # reverse map with layer index substitution
+    n_written = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("model.layers."):
+            i = int(parts[2])
+            templ = ".".join(parts[:2] + ["{i}"] + parts[3:])
+        gname = _LLAMA_TENSORS.get(templ)
+        if gname is None:
+            continue
+        gname = gname.format(i=i) if i is not None else gname
+        if gname.endswith("attn_q.weight") and arch != "qwen2_no_permute":
+            data = permute_rope(data, H)
+        if gname.endswith("attn_k.weight"):
+            data = permute_rope(data, Hkv)
+        if gname.endswith("attn_q.bias"):
+            data = permute_rope(data[:, None], H)[:, 0]
+        if gname.endswith("attn_k.bias"):
+            data = permute_rope(data[:, None], Hkv)[:, 0]
+        if preds is not None and gname.endswith("ffn_down.weight"):
+            # transpose so neuron rows are contiguous (ref :2236-2238)
+            data = np.ascontiguousarray(data.T)
+        tt = gtype if data.ndim == 2 and "norm" not in gname else GGMLType.F32
+        if tt == GGMLType.Q8_0 and data.shape[-1] % 32 != 0:
+            tt = GGMLType.F16
+        w.add_tensor(gname, data, tt)
+        n_written += 1
+
+    if preds is not None:
+        for i, p in enumerate(preds):
+            if p is None:
+                continue
+            w.add_tensor(f"blk.{i}.ffn_pred_up.weight", p["up_w"], GGMLType.F32)
+            w.add_tensor(f"blk.{i}.ffn_pred_down.weight", p["down_w"], GGMLType.F32)
+            if p.get("up_b") is not None:
+                w.add_tensor(f"blk.{i}.ffn_pred_up.bias", p["up_b"], GGMLType.F32)
+            if p.get("down_b") is not None:
+                w.add_tensor(f"blk.{i}.ffn_pred_down.bias", p["down_b"], GGMLType.F32)
+            n_written += 2
+
+    # tokenizer metadata (SPM .model file or tokenizer.json BPE)
+    _write_tokenizer(w, model_dir)
+
+    w.write()
+    return {"arch": arch, "n_tensors": n_written, "n_layer": L}
+
+
+def _write_tokenizer(w: GGUFWriter, model_dir: Path):
+    tj = model_dir / "tokenizer.json"
+    if not tj.exists():
+        return
+    try:
+        data = json.loads(tj.read_text())
+        model = data.get("model", {})
+        if model.get("type") == "BPE":
+            vocab = model["vocab"]
+            tokens = [None] * len(vocab)
+            for tok, tid in vocab.items():
+                tokens[tid] = tok
+            merges = [" ".join(m) if isinstance(m, list) else m
+                      for m in model.get("merges", [])]
+            w.add_kv("tokenizer.ggml.model", "gpt2")
+            w.add_array("tokenizer.ggml.tokens", tokens)
+            w.add_array("tokenizer.ggml.merges", merges)
+            w.add_array("tokenizer.ggml.token_type",
+                        np.ones(len(tokens), np.int32))
+    except Exception as e:
+        print(f"tokenizer conversion skipped: {e}", file=sys.stderr)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sparkinfer-convert-hf")
+    ap.add_argument("model_dir")
+    ap.add_argument("-o", "--outfile", required=True)
+    ap.add_argument("--pred-path", default=None,
+                    help="dir of per-layer predictor checkpoints model_<i>.pt")
+    ap.add_argument("--pred-bias", action="store_true")
+    ap.add_argument("--outtype", choices=["f32", "f16", "bf16", "q8_0"],
+                    default="f16")
+    args = ap.parse_args(argv)
+    info = convert(args.model_dir, args.outfile, args.pred_path, args.pred_bias,
+                   args.outtype)
+    print(json.dumps(info))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

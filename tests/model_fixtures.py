@@ -27,6 +27,7 @@ def make_tiny_llama(
     scale: float = 0.08,
     with_vocab: bool = False,
     chat_template: str | None = None,
+    quant_type: str | None = None,  # "q4_0" | "q8_0": store matmul weights quantized
 ) -> dict[str, np.ndarray]:
     """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
     orientation: weights are (out_dim, in_dim) in numpy order)."""
@@ -105,8 +106,20 @@ def make_tiny_llama(
     wr.add_kv(f"{arch}.rope.dimension_count", np.uint32(D))
     if pred_rank > 0:
         wr.add_array(f"{arch}.pred_lora", np.full(n_layer, pred_rank, np.uint32))
+    qt = {"q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0}.get(quant_type or "")
     for name, data in tensors.items():
-        wr.add_tensor(name, data, GGMLType.F32)
+        gt = GGMLType.F32
+        if (
+            qt is not None
+            and data.ndim == 2
+            and name.endswith(".weight")
+            and "norm" not in name
+            and "pred" not in name
+            and name != "token_embd.weight"
+            and data.shape[1] % 32 == 0
+        ):
+            gt = qt
+        wr.add_tensor(name, data, gt)
     wr.write()
     return tensors
 

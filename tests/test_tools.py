@@ -55,3 +55,40 @@ def test_perplexity_basic(model_path):
     assert out["ppl"] > 1.0
     # random tokens under a random model: ppl near vocab size magnitude
     assert out["ppl"] < 10 * model.config.n_vocab
+
+
+def test_quantize_tool_roundtrip(model_path, tmp_path):
+    """GGUF->GGUF q8_0 requantize; quantized model loads + generates."""
+    from sparkinfer_tpu.gguf.constants import GGMLType
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+    from sparkinfer_tpu.tools.quantize import quantize_file
+
+    dst = tmp_path / "tiny-q8.gguf"
+    stats = quantize_file(model_path, str(dst), GGMLType.Q8_0)
+    assert stats["bytes_out"] < stats["bytes_in"]
+    r = GGUFReader(str(dst))
+    assert r.tensors["blk.0.ffn_up.weight"].ggml_type == GGMLType.Q8_0
+    assert r.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+    assert r.kv["tokenizer.ggml.model"] == "llama"
+    r.close()
+
+    m = load_model(str(dst), dtype=jnp.float32, keep_quantized=True)
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    eng = Engine(m, max_seq=64, sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32)
+    out = eng.generate([5, 9, 42], max_new_tokens=4)
+    assert len(out) == 4
+
+
+def test_quantize_q4_keeps_head_q8(model_path, tmp_path):
+    from sparkinfer_tpu.gguf.constants import GGMLType
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+    from sparkinfer_tpu.tools.quantize import quantize_file
+
+    dst = tmp_path / "tiny-q4.gguf"
+    quantize_file(model_path, str(dst), GGMLType.Q4_0)
+    r = GGUFReader(str(dst))
+    assert r.tensors["blk.0.ffn_up.weight"].ggml_type == GGMLType.Q4_0
+    assert r.tensors["output.weight"].ggml_type == GGMLType.Q8_0
+    r.close()
