@@ -38,7 +38,12 @@ QK = 32  # ggml block size for q4_0/q8_0
 def repack_q4_0(raw: np.ndarray, out_dim: int, in_dim: int):
     """raw: ggml q4_0 blocks for a (out, in) row-major tensor
     (uint8 (nblocks, 18): 2B f16 scale + 16B packed). Returns
-    (qw uint8 (out, in/2) sequential nibbles, scales f32 (out, in/32))."""
+    (qw uint8 (out, in/2) sequential nibbles, scales f32 (out, in/32)).
+    Uses the native OpenMP repack when available."""
+    from .. import native
+
+    if native.available():
+        return native.repack_q4_0(np.asarray(raw, np.uint8), out_dim, in_dim)
     nb = out_dim * in_dim // QK
     blocks = raw.reshape(nb, 18)
     scales = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(out_dim, in_dim // QK)
@@ -53,6 +58,10 @@ def repack_q4_0(raw: np.ndarray, out_dim: int, in_dim: int):
 
 def repack_q8_0(raw: np.ndarray, out_dim: int, in_dim: int):
     """ggml q8_0 blocks (nblocks, 34): 2B f16 scale + 32B int8."""
+    from .. import native
+
+    if native.available():
+        return native.repack_q8_0(np.asarray(raw, np.uint8), out_dim, in_dim)
     nb = out_dim * in_dim // QK
     blocks = raw.reshape(nb, 34)
     scales = blocks[:, :2].copy().view(np.float16).astype(np.float32).reshape(out_dim, in_dim // QK)

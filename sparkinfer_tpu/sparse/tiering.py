@@ -72,6 +72,9 @@ class ColdStore:
         )
         self.act = cfg.traits.sparse_act
         self.fatrelu_threshold = cfg.fatrelu_threshold
+        from .. import native as _native
+
+        self._native = _native if _native.available() else None
 
     def complement(
         self,
@@ -81,6 +84,19 @@ class ColdStore:
         cold_active: np.ndarray,  # (N, n_g) bool — active AND not in hot set
     ) -> np.ndarray:  # (N, E) f32
         l = int(il)
+        if self._native is not None:
+            return self._native.sparse_complement(
+                np.asarray(x, np.float32),
+                self.up[l],
+                None if self.gate is None else self.gate[l],
+                self.down[l],
+                None if self.b_up is None else self.b_up[l],
+                np.asarray(probs, np.float32),
+                np.asarray(cold_active),
+                self.act,
+                self.fatrelu_threshold,
+                self.scfg.threshold,
+            )
         N, E = x.shape
         out = np.zeros((N, E), np.float32)
         thr = self.scfg.threshold
