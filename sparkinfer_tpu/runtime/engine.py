@@ -281,6 +281,24 @@ class Engine:
             tok, cache, sstate = self.decode_step(tok, n_past, cache, sstate)
             n_past += 1
 
+    def save_session(self, path: str, cache: KVCache, n_past: int,
+                     sstate: SamplerState | None = None,
+                     tokens: list[int] | None = None) -> int:
+        """Save slot 0's state (ref: llama_state_save_file + llama-cli
+        --prompt-cache)."""
+        from .state_io import save_state
+
+        return save_state(path, self.cfg, cache, n_past, sstate, tokens)
+
+    def load_session(self, path: str):
+        """Returns (cache, n_past, tokens, sstate) restored into fresh
+        buffers (ref: llama_state_load_file)."""
+        from .state_io import load_state
+
+        cache = self.new_cache()
+        sstate = self.new_sampler_state()
+        return load_state(path, self.cfg, cache, 0, sstate)
+
     def generate_text(self, prompt: str, max_new_tokens: int = 128, seed: int | None = None) -> str:
         vocab = self.model.vocab
         if vocab is None:

@@ -66,6 +66,9 @@ class SlotState:
     n_past: int = 0
     n_gen: int = 0
     last_token: int = 0
+    # token history whose KV lives in this slot's cache rows (enables
+    # prompt-prefix reuse + /slots save|restore, ref server slot save)
+    cached_tokens: list[int] = field(default_factory=list)
 
     @property
     def running(self) -> bool:
@@ -159,7 +162,8 @@ class Scheduler:
         return req
 
     def _admit(self):
-        """Move pending requests into free slots (prefill)."""
+        """Move pending requests into free slots (prefill). A failing
+        prefill fails only that request (ref: per-slot error propagation)."""
         for s_i, slot in enumerate(self.slots):
             if slot.running:
                 continue
@@ -167,16 +171,39 @@ class Scheduler:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
-            self._prefill_into_slot(s_i, req)
+            try:
+                self._prefill_into_slot(s_i, req)
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+                self.metrics["n_errors"] = self.metrics.get("n_errors", 0) + 1
+                req.out_queue.put(None)
+                slot.req = None
+                slot.cached_tokens = []
 
     def _prefill_into_slot(self, s_i: int, req: Request):
         t0 = time.perf_counter()
-        n = req.n_prompt
+        slot = self.slots[s_i]
+        # prompt-prefix reuse: skip prefill of tokens whose KV this slot
+        # already holds (ref: server slot prompt caching / restore)
+        cached = slot.cached_tokens
+        n_reuse = 0
+        if cached:
+            limit = min(len(cached), req.n_prompt - 1)  # keep >=1 suffix token
+            while n_reuse < limit and cached[n_reuse] == req.prompt_tokens[n_reuse]:
+                n_reuse += 1
+        suffix = req.prompt_tokens[n_reuse:]
+        n = len(suffix)
         Tpad = bucket_len(n)
         toks = np.zeros((1, Tpad), np.int32)
-        toks[0, :n] = req.prompt_tokens
-        pos = np.arange(Tpad, dtype=np.int32)[None]
-        cache1 = init_cache(self.cfg, 1, self.max_seq, self.kv_dtype, self.kv_quantized)
+        toks[0, :n] = suffix
+        pos = (np.arange(Tpad, dtype=np.int32) + n_reuse)[None]
+        if n_reuse > 0:
+            cache1 = gather_slot(self.cache, s_i)
+            self.metrics["n_prompt_cached"] = self.metrics.get("n_prompt_cached", 0) + n_reuse
+        else:
+            cache1 = init_cache(self.cfg, 1, self.max_seq, self.kv_dtype, self.kv_quantized)
         st1 = jax.tree.map(lambda a: a[s_i : s_i + 1], self.sstate)
         seed = req.seed if req.seed is not None else self.sampler_cfg.seed + req.id
         st1 = jax.tree.map(
@@ -196,11 +223,11 @@ class Scheduler:
             lambda big, small: big.at[s_i].set(small[0]), self.sstate, st1
         )
         first = int(np.asarray(tok)[0])
-        slot = self.slots[s_i]
         slot.req = req
-        slot.n_past = n
+        slot.n_past = req.n_prompt
         slot.n_gen = 0
         slot.last_token = first
+        slot.cached_tokens = list(req.prompt_tokens)
         req.first_token_s = time.time()
         self.metrics["n_requests"] += 1
         self.metrics["n_prompt_tokens"] += n
@@ -256,6 +283,7 @@ class Scheduler:
         for s_i, slot in enumerate(self.slots):
             if not slot.running:
                 continue
+            slot.cached_tokens.append(slot.last_token)
             slot.n_past += 1
             self._emit(s_i, int(tok[s_i]))
         return any(s.running for s in self.slots) or not self.pending.empty()
@@ -269,8 +297,23 @@ class Scheduler:
         self._thread.start()
 
     def _loop(self):
+        import traceback
+
         while self._running:
-            busy = self.step()
+            try:
+                busy = self.step()
+            except Exception:
+                # a crashed inference loop must not strand clients: fail the
+                # affected requests, log, and keep serving (ref: server slot
+                # error propagation)
+                traceback.print_exc()
+                self.metrics["n_errors"] = self.metrics.get("n_errors", 0) + 1
+                for slot in self.slots:
+                    if slot.req is not None:
+                        slot.req.out_queue.put(None)
+                        slot.req = None
+                    slot.cached_tokens = []
+                busy = False
             if not busy:
                 time.sleep(0.002)
 
@@ -284,6 +327,32 @@ class Scheduler:
         """Synchronous drain (for tests / batch tools)."""
         while self.step():
             pass
+
+    def save_slot(self, s_i: int, path: str) -> int:
+        """Persist a slot's KV + token history (ref: server
+        /slots/:id?action=save)."""
+        slot = self.slots[s_i]
+        from .state_io import save_state
+
+        return save_state(
+            path, self.cfg, self.cache, slot.n_past, self.sstate,
+            tokens=slot.cached_tokens, slot=s_i,
+        )
+
+    def restore_slot(self, s_i: int, path: str) -> dict:
+        """Load a saved state into an idle slot; subsequent requests whose
+        prompt shares the token prefix skip re-prefilling it."""
+        slot = self.slots[s_i]
+        if slot.running:
+            raise ValueError(f"slot {s_i} is busy")
+        from .state_io import load_state
+
+        self.cache, n_past, tokens, self.sstate = load_state(
+            path, self.cfg, self.cache, s_i, self.sstate
+        )
+        slot.n_past = n_past
+        slot.cached_tokens = list(tokens)
+        return {"n_past": n_past, "n_tokens": len(tokens)}
 
     def metrics_snapshot(self) -> dict:
         m = dict(self.metrics)
@@ -299,6 +368,21 @@ class Scheduler:
 @jax.jit
 def _scatter(big: jnp.ndarray, small: jnp.ndarray, s_i: int) -> jnp.ndarray:
     return big.at[:, s_i].set(small[:, 0])
+
+
+@jax.jit
+def _gather(big: jnp.ndarray, s_i: int) -> jnp.ndarray:
+    return jax.lax.dynamic_slice_in_dim(big, s_i, 1, axis=1)
+
+
+def gather_slot(cache: KVCache, s_i: int) -> KVCache:
+    maybe = lambda b: None if b is None else _gather(b, s_i)
+    return KVCache(
+        k=_gather(cache.k, s_i),
+        v=_gather(cache.v, s_i),
+        k_scale=maybe(cache.k_scale),
+        v_scale=maybe(cache.v_scale),
+    )
 
 
 def scatter_slot(cache: KVCache, cache1: KVCache, s_i: int) -> KVCache:

@@ -38,6 +38,7 @@ class ServerConfig:
     model_name: str = "sparkinfer-tpu"
     kv_dtype: str = "bf16"  # "bf16" | "f32" | "int8"
     chat_template: str | None = None  # override; default = detect from GGUF
+    slot_save_path: str | None = None  # dir for /slots/:id?action=save files
 
 
 class SparkServer:
@@ -232,6 +233,28 @@ def _make_handler(srv: SparkServer):
                     self._completion(body, chat=False)
                 elif self.path == "/v1/chat/completions":
                     self._completion(body, chat=True)
+                elif self.path.startswith("/slots/"):
+                    # /slots/<id>?action=save|restore  (ref: server slot save)
+                    import urllib.parse
+
+                    parsed = urllib.parse.urlparse(self.path)
+                    s_i = int(parsed.path.split("/")[2])
+                    action = urllib.parse.parse_qs(parsed.query).get("action", [""])[0]
+                    fname = body.get("filename")
+                    if not fname or "/" in fname or ".." in fname:
+                        self._json(400, {"error": "filename required (no paths)"})
+                        return
+                    import os
+
+                    path = os.path.join(srv.cfg.slot_save_path or ".", fname)
+                    if action == "save":
+                        n = srv.sched.save_slot(s_i, path)
+                        self._json(200, {"saved": True, "n_bytes": n})
+                    elif action == "restore":
+                        info = srv.sched.restore_slot(s_i, path)
+                        self._json(200, {"restored": True, **info})
+                    else:
+                        self._json(400, {"error": "action must be save|restore"})
                 else:
                     self._json(404, {"error": "not found"})
             except ValueError as e:

@@ -74,3 +74,62 @@ def test_stop_ids_end_generation(model):
                                stop_ids={stop}))
     sched.run_until_idle()
     assert req.tokens() == full[:3]
+
+
+def test_prompt_prefix_reuse_and_slot_save_restore(model, tmp_path):
+    """Sequential requests sharing a prompt prefix reuse the slot KV; a
+    saved slot restores into a fresh scheduler and still matches isolated
+    generation (ref: server slot save/restore + prompt caching)."""
+    cfg = SamplerConfig(temp=0.0)
+    eng = Engine(model, max_seq=64, sampler=cfg, kv_dtype=jnp.float32)
+    p1 = [3, 14, 15]
+    p2 = [3, 14, 15, 99, 42]
+    want1 = eng.generate(p1, max_new_tokens=4)
+    want2 = eng.generate(p2, max_new_tokens=4)
+
+    sched = Scheduler(model, n_slots=1, max_seq=64, sampler=cfg, kv_dtype=jnp.float32)
+    r1 = sched.submit(Request(prompt_tokens=p1, max_new_tokens=4))
+    sched.run_until_idle()
+    assert r1.tokens() == want1
+
+    # second request shares the 3-token prefix -> reuse
+    r2 = sched.submit(Request(prompt_tokens=p2, max_new_tokens=4))
+    sched.run_until_idle()
+    assert r2.tokens() == want2
+    assert sched.metrics.get("n_prompt_cached", 0) >= 3
+
+    # save slot state, restore into a fresh scheduler, reuse again
+    state = tmp_path / "slot.state"
+    sched.save_slot(0, str(state))
+    sched2 = Scheduler(model, n_slots=1, max_seq=64, sampler=cfg, kv_dtype=jnp.float32)
+    info = sched2.restore_slot(0, str(state))
+    assert info["n_tokens"] > 0
+    r3 = sched2.submit(Request(prompt_tokens=p2, max_new_tokens=4))
+    sched2.run_until_idle()
+    assert r3.tokens() == want2
+    assert sched2.metrics.get("n_prompt_cached", 0) >= 4
+
+
+def test_inference_loop_survives_errors(model, monkeypatch):
+    """A crashing step must fail in-flight requests but keep the loop alive."""
+    cfg = SamplerConfig(temp=0.0)
+    sched = Scheduler(model, n_slots=1, max_seq=64, sampler=cfg, kv_dtype=jnp.float32)
+    original = sched._prefill_into_slot
+    calls = {"n": 0}
+
+    def flaky(s_i, req):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected fault")
+        return original(s_i, req)
+
+    monkeypatch.setattr(sched, "_prefill_into_slot", flaky)
+    sched.start()
+    try:
+        bad = sched.submit(Request(prompt_tokens=[1, 2], max_new_tokens=3))
+        assert bad.tokens() == []  # failed cleanly, no hang
+        good = sched.submit(Request(prompt_tokens=[1, 2], max_new_tokens=3))
+        assert len(good.tokens()) == 3  # loop still serving
+        assert sched.metrics.get("n_errors", 0) == 1
+    finally:
+        sched.stop()
