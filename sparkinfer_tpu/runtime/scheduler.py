@@ -41,6 +41,8 @@ class Request:
     sampler: SamplerConfig | None = None
     seed: int | None = None
     stop_ids: set[int] = field(default_factory=set)
+    grammar: str | None = None  # GBNF source (constrained decoding)
+    _gsampler: object = None  # GrammarSampler, built at admit time
     # filled by the scheduler
     id: int = -1
     out_queue: "queue.Queue[int | None]" = field(default_factory=queue.Queue)
@@ -91,9 +93,11 @@ class Scheduler:
         kv_dtype=jnp.bfloat16,
         kv_quantized: bool = False,
         ffn_fn: Callable | None = None,
+        tokenizer=None,  # needed for grammar-constrained requests
     ):
         from ..models.transformer import make_forward
 
+        self.tokenizer = tokenizer
         self.model = model
         self.cfg = model.config
         self.n_slots = n_slots
@@ -135,19 +139,20 @@ class Scheduler:
         logits, cache1 = self.fwd(params, tokens, positions, cache1)
         last = logits[jnp.arange(tokens.shape[0]), last_idx]
         tok, sstate1 = jax.vmap(self.sample)(last, sstate1)
-        return tok, cache1, sstate1
+        return tok, cache1, sstate1, last
 
     def _decode_impl(self, params, tokens, positions, cache, sstate, active):
         """tokens/positions (B,1); active (B,) masks sampler-state updates
         for idle slots (their dummy writes are position-overwritten later)."""
         logits, cache = self.fwd(params, tokens, positions, cache)
-        tok, new_sstate = jax.vmap(self.sample)(logits[:, -1], sstate)
+        last = logits[:, -1]
+        tok, new_sstate = jax.vmap(self.sample)(last, sstate)
         # idle slots keep their old sampler state untouched
         keep = lambda new, old: jnp.where(
             active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
         )
         sstate = jax.tree.map(keep, new_sstate, sstate)
-        return tok, cache, sstate
+        return tok, cache, sstate, last
 
     # --- public API ---------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -209,7 +214,7 @@ class Scheduler:
         st1 = jax.tree.map(
             lambda a, b: b[None], st1, init_state(self.sampler_cfg, seed)
         )
-        tok, cache1, st1 = self._jit_prefill(
+        tok, cache1, st1, last_logits = self._jit_prefill(
             self.model.params,
             jnp.asarray(toks),
             jnp.asarray(pos),
@@ -223,6 +228,15 @@ class Scheduler:
             lambda big, small: big.at[s_i].set(small[0]), self.sstate, st1
         )
         first = int(np.asarray(tok)[0])
+        if req.grammar is not None and self.tokenizer is not None:
+            from ..grammar.sampler import GrammarSampler
+
+            req._gsampler = GrammarSampler(
+                req.grammar, self.model.vocab, self.tokenizer
+            )
+            first = req._gsampler.constrain_and_pick(
+                np.asarray(last_logits)[0], first
+            )
         slot.req = req
         slot.n_past = req.n_prompt
         slot.n_gen = 0
@@ -269,7 +283,7 @@ class Scheduler:
         pos = np.asarray(
             [[s.n_past if s.running else 0] for s in self.slots], np.int32
         )
-        tok, self.cache, self.sstate = self._jit_decode(
+        tok, self.cache, self.sstate, last_logits = self._jit_decode(
             self.model.params,
             jnp.asarray(toks),
             jnp.asarray(pos),
@@ -277,7 +291,15 @@ class Scheduler:
             self.sstate,
             jnp.asarray(active),
         )
-        tok = np.asarray(tok)
+        tok = np.array(tok)
+        lg_host = None
+        if any(s.running and s.req._gsampler is not None for s in self.slots):
+            lg_host = np.asarray(last_logits)
+        for s_i, slot in enumerate(self.slots):
+            if slot.running and slot.req._gsampler is not None:
+                tok[s_i] = slot.req._gsampler.constrain_and_pick(
+                    lg_host[s_i], int(tok[s_i])
+                )
         self.metrics["n_decode_steps"] += 1
         self.metrics["t_decode_s"] += time.perf_counter() - t0
         for s_i, slot in enumerate(self.slots):

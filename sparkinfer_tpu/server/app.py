@@ -58,6 +58,7 @@ class SparkServer:
             kv_dtype=kv_dtype,
             kv_quantized=self.cfg.kv_dtype == "int8",
             ffn_fn=ffn_fn,
+            tokenizer=self.tokenizer,
         )
         self.template = self.cfg.chat_template or detect_template(
             model.vocab.chat_template
@@ -93,11 +94,23 @@ class SparkServer:
         else:
             ids = [int(t) for t in prompt]
         max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
+        grammar = body.get("grammar")
+        rf = body.get("response_format") or {}
+        if grammar is None and rf.get("type") == "json_schema":
+            from ..grammar import json_schema_to_gbnf
+
+            schema = rf.get("json_schema", {})
+            grammar = json_schema_to_gbnf(schema.get("schema", schema))
+        elif grammar is None and rf.get("type") == "json_object":
+            from ..grammar import json_schema_to_gbnf
+
+            grammar = json_schema_to_gbnf({})
         return Request(
             prompt_tokens=ids,
             max_new_tokens=max_new,
             seed=body.get("seed"),
             stop_ids=self._stop_ids(),
+            grammar=grammar,
         )
 
     def completion(self, body: dict):

@@ -133,3 +133,30 @@ def test_inference_loop_survives_errors(model, monkeypatch):
         assert sched.metrics.get("n_errors", 0) == 1
     finally:
         sched.stop()
+
+
+def test_grammar_constrained_request(model, tmp_path):
+    """Scheduler honors a GBNF grammar (needs a tokenizer-equipped model)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama as mk
+    from sparkinfer_tpu.models.loader import load_model as lm
+    from sparkinfer_tpu.tokenizer import build_tokenizer
+
+    p = tmp_path / "gv.gguf"
+    mk(p, n_vocab=300, with_vocab=True)
+    m = lm(str(p), dtype=jnp.float32)
+    tk = build_tokenizer(m.vocab)
+    sched = Scheduler(m, n_slots=1, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                      kv_dtype=jnp.float32, tokenizer=tk)
+    prompt = tk.encode("the", add_special=True)
+    eog = {i for i in range(m.vocab.n_tokens) if m.vocab.is_eog(i)}
+    req = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=6,
+                               stop_ids=eog,
+                               grammar='root ::= ("hello" | "world")+'))
+    sched.run_until_idle()
+    toks = req.tokens()
+    text = tk.decode(toks)
+    from sparkinfer_tpu.grammar import parse_gbnf
+    g = parse_gbnf('root ::= ("hello" | "world")+')
+    assert g.accept_text(g.start_stacks(), text), text
