@@ -208,6 +208,17 @@ def load_model(
         add("bo", _get(r, p + "attn_output.bias"))
         add("ffn_norm_w", _get(r, p + "ffn_norm.weight"))
         add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
+        # MoE expert tensors (3D); canonicalized to (X, E, F)/(X, F, E)
+        gi = _get(r, p + "ffn_gate_inp.weight")  # (X, E)
+        if gi is not None:
+            add("w_router", np.ascontiguousarray(gi.T))  # (E, X)
+            ue = _get(r, p + "ffn_up_exps.weight")  # (X, F, E)
+            add("w_up_exps", np.ascontiguousarray(np.swapaxes(ue, -1, -2)))
+            ge = _get(r, p + "ffn_gate_exps.weight")
+            if ge is not None:
+                add("w_gate_exps", np.ascontiguousarray(np.swapaxes(ge, -1, -2)))
+            de = _get(r, p + "ffn_down_exps.weight")  # (X, E, F)
+            add("w_down_exps", np.ascontiguousarray(np.swapaxes(de, -1, -2)))
         add("w_up", _lin(p + "ffn_up.weight", E, F))
         add("b_up", _get(r, p + "ffn_up.bias"))
         add("w_gate", _lin(p + "ffn_gate.weight", E, F))

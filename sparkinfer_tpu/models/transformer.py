@@ -122,6 +122,7 @@ def make_forward(
     cfg: ModelConfig,
     ffn_fn: Callable | None = None,
     stateful_ffn: bool = False,
+    with_hidden: bool = False,
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
@@ -136,7 +137,12 @@ def make_forward(
     calibration (sparse/split.py)."""
     tr = cfg.traits
     rp = rope_params(cfg)
-    ffn = ffn_fn or dense_ffn(cfg)
+    if ffn_fn is None and cfg.n_expert > 0:
+        from ..sparse.moe import make_moe_ffn
+
+        ffn = make_moe_ffn(cfg, mode="dense")
+    else:
+        ffn = ffn_fn or dense_ffn(cfg)
     eps = cfg.norm_eps
 
     def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache,
@@ -177,6 +183,8 @@ def make_forward(
                 h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), tr.norm, eps)
                 y, fs2 = run_ffn(h2)
                 x = x + y
+            if "cvec" in lp:  # control vector (llama_adapter_cvec)
+                x = x + lp["cvec"].astype(x.dtype)
             return x, (kc, vc, ks, vs, fs2)
 
         L = cfg.n_layer
@@ -201,6 +209,7 @@ def make_forward(
             new_cache = KVCache(k=k_new, v=v_new)
 
         x = _norm(x, params["output_norm_w"], params.get("output_norm_b"), tr.norm, eps)
+        hidden = x
         out_w = params["output"]
         if hasattr(out_w, "kind"):  # QuantTensor
             logits = mm(x, out_w).astype(jnp.float32)
@@ -208,8 +217,12 @@ def make_forward(
             logits = jnp.einsum(
                 "bte,ev->btv", x, out_w, preferred_element_type=jnp.float32
             )
+        if stateful_ffn and with_hidden:
+            return logits, new_cache, fs_new, hidden
         if stateful_ffn:
             return logits, new_cache, fs_new
+        if with_hidden:
+            return logits, new_cache, hidden
         return logits, new_cache
 
     return fwd

@@ -45,10 +45,14 @@ def _combine(act: str, fatrelu_threshold: float, gate, up):
         return jnp.maximum(gate, 0.0) * jnp.maximum(up, 0.0)
     if act == "relu":
         return jnp.maximum(up, 0.0)
+    if act == "silu":
+        return gate * jax.nn.sigmoid(gate) * up
+    if act == "gelu":
+        return jax.nn.gelu(gate, approximate=True) * up
     raise ValueError(act)
 
 
-def _kernel(act, fatrelu_threshold, prob_threshold, gated, refs):
+def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs):
     if gated:
         (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wg_ref, wd_ref, out_ref) = refs
     else:
@@ -67,7 +71,10 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, refs):
     else:
         gate = None
     hidden = _combine(act, fatrelu_threshold, gate, up)
-    mask = (gp_ref[0] >= prob_threshold).astype(jnp.float32)  # (1, G)
+    if mask_mode == "threshold":
+        mask = (gp_ref[0] >= prob_threshold).astype(jnp.float32)  # (1, G)
+    else:  # "scale": multiply by the provided per-neuron weight (MoE router)
+        mask = gp_ref[0]
     hidden = hidden * mask
     partial = jax.lax.dot_general(
         hidden.astype(wd_ref.dtype), wd_ref[0], (((1,), (0,)), ((), ())),
@@ -85,7 +92,7 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret"),
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret", "mask_mode"),
 )
 def sparse_ffn_block(
     x: jnp.ndarray,  # (N, E) tokens
@@ -100,6 +107,7 @@ def sparse_ffn_block(
     prob_threshold: float = 0.5,
     bu_sel: jnp.ndarray | None = None,  # (N, C, G) pre-gathered up-bias
     interpret: bool | None = None,
+    mask_mode: str = "threshold",  # "threshold" | "scale"
 ) -> jnp.ndarray:  # (N, E) f32
     N, E = x.shape
     C = idx.shape[1]
@@ -108,7 +116,7 @@ def sparse_ffn_block(
         interpret = not _on_tpu()
 
     bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
-    gated = w_gate_rows is not None and act in ("fatrelu", "drelu")
+    gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu", "gelu")
 
     w_spec = pl.BlockSpec(
         (1, G, E), lambda n, c, idx_ref: (idx_ref[n, c], 0, 0), memory_space=pltpu.VMEM
@@ -130,7 +138,7 @@ def sparse_ffn_block(
     inputs.append(w_down_rows)
 
     kern = functools.partial(
-        lambda *refs: _kernel(act, fatrelu_threshold, prob_threshold, gated, refs)
+        lambda *refs: _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -63,6 +63,7 @@ class SparkServer:
         self.template = self.cfg.chat_template or detect_template(
             model.vocab.chat_template
         )
+        self._embedder = None
         self._httpd: ThreadingHTTPServer | None = None
         self._t0 = time.time()
 
@@ -246,6 +247,8 @@ def _make_handler(srv: SparkServer):
                     self._completion(body, chat=False)
                 elif self.path == "/v1/chat/completions":
                     self._completion(body, chat=True)
+                elif self.path in ("/embeddings", "/v1/embeddings"):
+                    self._embeddings(body)
                 elif self.path.startswith("/slots/"):
                     # /slots/<id>?action=save|restore  (ref: server slot save)
                     import urllib.parse
@@ -274,6 +277,27 @@ def _make_handler(srv: SparkServer):
                 self._json(400, {"error": str(e)})
             except BrokenPipeError:
                 pass
+
+        def _embeddings(self, body: dict):
+            inputs = body.get("input", body.get("content", ""))
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            if srv._embedder is None:
+                from ..runtime.embeddings import Embedder
+
+                srv._embedder = Embedder(srv.model, max_seq=srv.cfg.max_seq)
+            toks = [srv.tokenizer.encode(t, add_special=True) for t in inputs]
+            vecs = srv._embedder.embed_tokens(toks)
+            self._json(200, {
+                "object": "list",
+                "model": srv.cfg.model_name,
+                "data": [
+                    {"object": "embedding", "index": i, "embedding": v.tolist()}
+                    for i, v in enumerate(vecs)
+                ],
+                "usage": {"prompt_tokens": sum(len(t) for t in toks),
+                          "total_tokens": sum(len(t) for t in toks)},
+            })
 
         def _completion(self, body: dict, chat: bool):
             req = srv.chat_completion(body) if chat else srv.completion(body)

@@ -23,6 +23,8 @@ def make_tiny_llama(
     n_ctx: int = 256,
     rope_freq_base: float = 10000.0,
     pred_rank: int = 0,
+    n_expert: int = 0,
+    n_expert_used: int = 0,
     seed: int = 0,
     scale: float = 0.08,
     with_vocab: bool = False,
@@ -39,6 +41,7 @@ def make_tiny_llama(
 
     tensors: dict[str, np.ndarray] = {}
     tensors["token_embd.weight"] = w(n_vocab, n_embd)
+    moe = n_expert > 0
     tensors["output_norm.weight"] = 1.0 + w(n_embd) * 0.1
     tensors["output.weight"] = w(n_vocab, n_embd)
     for i in range(n_layer):
@@ -49,9 +52,15 @@ def make_tiny_llama(
         tensors[p + "attn_v.weight"] = w(n_head_kv * D, n_embd)
         tensors[p + "attn_output.weight"] = w(n_embd, n_head * D)
         tensors[p + "ffn_norm.weight"] = 1.0 + w(n_embd) * 0.1
-        tensors[p + "ffn_up.weight"] = w(n_ff, n_embd)
-        tensors[p + "ffn_gate.weight"] = w(n_ff, n_embd)
-        tensors[p + "ffn_down.weight"] = w(n_embd, n_ff)
+        if moe:
+            tensors[p + "ffn_gate_inp.weight"] = w(n_expert, n_embd)
+            tensors[p + "ffn_up_exps.weight"] = w(n_expert, n_ff, n_embd)
+            tensors[p + "ffn_gate_exps.weight"] = w(n_expert, n_ff, n_embd)
+            tensors[p + "ffn_down_exps.weight"] = w(n_expert, n_embd, n_ff)
+        else:
+            tensors[p + "ffn_up.weight"] = w(n_ff, n_embd)
+            tensors[p + "ffn_gate.weight"] = w(n_ff, n_embd)
+            tensors[p + "ffn_down.weight"] = w(n_embd, n_ff)
         if pred_rank > 0:
             tensors[p + "ffn_pred_up.weight"] = w(pred_rank, n_embd)
             tensors[p + "ffn_pred_up.bias"] = w(pred_rank)
@@ -106,6 +115,9 @@ def make_tiny_llama(
     wr.add_kv(f"{arch}.rope.dimension_count", np.uint32(D))
     if pred_rank > 0:
         wr.add_array(f"{arch}.pred_lora", np.full(n_layer, pred_rank, np.uint32))
+    if moe:
+        wr.add_kv(f"{arch}.expert_count", np.uint32(n_expert))
+        wr.add_kv(f"{arch}.expert_used_count", np.uint32(n_expert_used))
     qt = {"q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0}.get(quant_type or "")
     for name, data in tensors.items():
         gt = GGMLType.F32
