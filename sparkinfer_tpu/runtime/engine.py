@@ -120,6 +120,7 @@ class Engine:
             self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
             prefill_ffn = make_sparse_ffn(self.cfg, sparse, mode="dense")
             self.fwd = make_forward(self.cfg, ffn_fn=prefill_ffn)
+            self.fwd_prefill = make_forward(self.cfg, ffn_fn=prefill_ffn, fresh_prefill=True)
             if self.tiered:
                 # hot/cold neuron tiering: HBM hot cache + host cold store,
                 # DFR stats carried through the step, balancer between steps
@@ -153,6 +154,7 @@ class Engine:
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
         else:
             self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+            self.fwd_prefill = make_forward(self.cfg, ffn_fn=ffn_fn, fresh_prefill=True)
             self.fwd_decode = self.fwd
         self.sample = make_sampler(self.sampler_cfg)
         self.kv_dtype = kv_dtype
@@ -165,8 +167,9 @@ class Engine:
 
     # --- jitted step bodies -------------------------------------------------
     def _prefill_impl(self, params, tokens, positions, cache, last_idx, sstate):
-        """tokens (B, Tpad); last_idx (B,) index of last real token."""
-        logits, cache = self.fwd(params, tokens, positions, cache)
+        """tokens (B, Tpad); last_idx (B,) index of last real token.
+        Always a from-scratch prompt -> chunk-local (flash) attention."""
+        logits, cache = self.fwd_prefill(params, tokens, positions, cache)
         B = tokens.shape[0]
         last = logits[jnp.arange(B), last_idx]  # (B, V)
         toks, sstates = jax.vmap(self.sample)(last, sstate)
@@ -274,10 +277,21 @@ class Engine:
         cache = self.new_cache()
         sstate = self.new_sampler_state(seed)
         tok, cache, sstate, n_past = self.prefill(prompt_tokens, cache, sstate)
+        n_keep = len(prompt_tokens)
         for _ in range(max_new_tokens):
             if tok in stop_ids:
                 break
             yield tok
+            if n_past >= self.max_seq - 1:
+                # context shift (ref: llama-cli context shift): keep the
+                # prompt, drop half of the generated region, slide + re-rope
+                from ..models.transformer import rope_params
+                from .kv_cache import shift_cache
+
+                discard = max((self.max_seq - n_keep) // 2, 1)
+                cache = shift_cache(cache, rope_params(self.cfg), n_keep,
+                                    discard, n_past)
+                n_past -= discard
             tok, cache, sstate = self.decode_step(tok, n_past, cache, sstate)
             n_past += 1
 

@@ -85,3 +85,51 @@ def read_layer(
     if sc is not None:
         return dequantize_kv(kc, sc, dtype)
     return kc.astype(dtype)
+
+
+def shift_cache(
+    cache: KVCache,
+    rp,  # RopeParams of the model
+    keep: int,
+    discard: int,
+    n_past: int,
+) -> KVCache:
+    """Context shift (ref: llama.cpp context shift / llama_kv_cache_seq_add):
+    drop rows [keep, keep+discard) and slide [keep+discard, n_past) down by
+    `discard`, re-rotating K by -discard positions (RoPE is additive in the
+    position angle, so a constant negative rotation relabels the rows).
+    Applies to ALL batch slots; static sizes -> jit-compatible."""
+    from ..ops.rope import apply_rope
+
+    def move_k(k):  # (L, B, S, Hkv, D)
+        seg = k[:, :, keep + discard : n_past]
+        segf = seg.astype(jnp.float32)
+        # rotate by a constant -discard: positions array of that constant
+        L, B, n, Hkv, D = seg.shape
+        pos = jnp.full((L, B, n), -discard, jnp.int32)
+        seg2 = apply_rope(segf, pos, rp).astype(k.dtype)
+        return k.at[:, :, keep : n_past - discard].set(seg2)
+
+    def move_v(v):
+        seg = v[:, :, keep + discard : n_past]
+        return v.at[:, :, keep : n_past - discard].set(seg)
+
+    if cache.quantized:
+        # dequantize K segment, rotate, requantize
+        kseg = dequantize_kv(
+            cache.k[:, :, keep + discard : n_past],
+            cache.k_scale[:, :, keep + discard : n_past],
+            jnp.float32,
+        )
+        L, B, n, Hkv, D = kseg.shape
+        pos = jnp.full((L, B, n), -discard, jnp.int32)
+        kseg = apply_rope(kseg, pos, rp)
+        q, s = quantize_kv(kseg)
+        k = cache.k.at[:, :, keep : n_past - discard].set(q)
+        ks = cache.k_scale.at[:, :, keep : n_past - discard].set(s)
+        v = move_v(cache.v)
+        vs = cache.v_scale.at[:, :, keep : n_past - discard].set(
+            cache.v_scale[:, :, keep + discard : n_past]
+        )
+        return KVCache(k=k, v=v, k_scale=ks, v_scale=vs)
+    return KVCache(k=move_k(cache.k), v=move_v(cache.v))

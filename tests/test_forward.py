@@ -175,3 +175,68 @@ def test_int8_kv_cache_close_to_exact(tiny_model):
     assert np.array_equal(
         np.argmax(np.asarray(quant)[0, -1]), np.argmax(np.asarray(exact)[0, -1])
     )
+
+
+def test_fresh_prefill_matches_general(tiny_model):
+    """Chunk-local prefill attention (flash path on TPU) must equal the
+    cache-read path for a from-scratch prompt."""
+    model, _ = tiny_model
+    cfg = model.config
+    rng = np.random.default_rng(21)
+    T = 8
+    toks = rng.integers(0, cfg.n_vocab, T).astype(np.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+
+    general = jax.jit(make_forward(cfg))
+    fresh = jax.jit(make_forward(cfg, fresh_prefill=True))
+    lg_a, cache_a = general(model.params, jnp.asarray(toks)[None], pos,
+                            init_cache(cfg, 1, 32, jnp.float32))
+    lg_b, cache_b = fresh(model.params, jnp.asarray(toks)[None], pos,
+                          init_cache(cfg, 1, 32, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_a), rtol=1e-4, atol=1e-4)
+    # caches must be identical too (decode continues off either)
+    np.testing.assert_allclose(np.asarray(cache_b.k), np.asarray(cache_a.k),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_context_shift_rope_relabeling(tiny_model):
+    """shift_cache must relabel K rows exactly as if they had been roped at
+    the shifted positions (RoPE additivity), and generation must run past
+    max_seq via shifting."""
+    from sparkinfer_tpu.models.transformer import rope_params
+    from sparkinfer_tpu.ops.rope import apply_rope
+    from sparkinfer_tpu.runtime.kv_cache import KVCache, shift_cache
+
+    model, _ = tiny_model
+    cfg = model.config
+    rp = rope_params(cfg)
+    rng = np.random.default_rng(31)
+    L, B, S, Hkv, D = cfg.n_layer, 1, 16, cfg.n_head_kv, cfg.head_dim
+    T = 12
+    raw = jnp.asarray(rng.standard_normal((L, B, T, Hkv, D)).astype(np.float32))
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, None], (L, B, T))
+    roped = apply_rope(raw, pos, rp)
+
+    k = jnp.zeros((L, B, S, Hkv, D), jnp.float32).at[:, :, :T].set(roped)
+    v = jnp.asarray(rng.standard_normal((L, B, S, Hkv, D)).astype(np.float32))
+    cache = KVCache(k=k, v=v)
+
+    keep, discard = 2, 4
+    shifted = shift_cache(cache, rp, keep, discard, T)
+
+    # rows keep..T-discard must equal raw[keep+discard:] roped at pos-d
+    want = apply_rope(raw[:, :, keep + discard :], pos[:, :, keep + discard :] - discard, rp)
+    got = shifted.k[:, :, keep : T - discard]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    # untouched prefix + V slide
+    np.testing.assert_allclose(np.asarray(shifted.k[:, :, :keep]), np.asarray(k[:, :, :keep]))
+    np.testing.assert_allclose(
+        np.asarray(shifted.v[:, :, keep : T - discard]),
+        np.asarray(v[:, :, keep + discard : T]),
+    )
+
+    # engine runs past max_seq without error
+    eng = Engine(model, max_seq=24, sampler=SamplerConfig(temp=0.0),
+                 kv_dtype=jnp.float32, donate_cache=False)
+    out = eng.generate([1, 2, 3], max_new_tokens=40)
+    assert len(out) == 40
