@@ -1,11 +1,14 @@
 #!/usr/bin/env python
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Metric: single-chip decode throughput (tokens/s) on a llama-7B-shaped
-bf16 model (or a scaled-down variant if HBM is tight), the analogue of
-llama-bench tg (tools/llama-bench). vs_baseline compares against the
-reference's DGX-Spark dense-path tg numbers only loosely — the real
-baseline for the sparse path lands once the sparse bench exists.
+Headline: single-chip decode tokens/s on the SPARSE predictor-gated path
+for a 7B-shaped ProSparse-style model at realistic firing rates, with
+vs_baseline = speedup over this framework's own dense decode of the same
+model — the same ratio family as the reference's headline claim (up to
+5.05x over dense llama.cpp, README.md:11; north star >=2x,
+BASELINE.json).
+
+On CPU (no TPU attached) runs a tiny preset as a smoke test.
 """
 
 from __future__ import annotations
@@ -23,21 +26,22 @@ def build_model(preset: str):
     from sparkinfer_tpu.models.config import ModelConfig
 
     shapes = {
-        # name: (L, E, H, Hkv, F, V)
-        "7b": (32, 4096, 32, 32, 11008, 32000),
-        "3b": (26, 3200, 32, 32, 8640, 32000),
-        "1b": (22, 2048, 32, 4, 5632, 32000),
-        "tiny": (2, 256, 8, 4, 512, 1024),
+        # name: (L, E, H, Hkv, F, V, pred_rank)
+        "7b": (32, 4096, 32, 32, 11008, 32000, 1024),
+        "1b": (22, 2048, 32, 4, 5632, 32000, 512),
+        "tiny": (2, 256, 8, 4, 512, 1024, 64),
     }
-    L, E, H, Hkv, F, V = shapes[preset]
+    L, E, H, Hkv, F, V, R = shapes[preset]
+    # round F to a multiple of 128 groups
+    F = (F // 128) * 128
     D = E // H
-    cfg = ModelConfig(arch="llama", n_layer=L, n_embd=E, n_head=H, n_head_kv=Hkv,
-                      n_ff=F, n_vocab=V, head_dim=D)
+    cfg = ModelConfig(arch="prosparse_llama", n_layer=L, n_embd=E, n_head=H,
+                      n_head_kv=Hkv, n_ff=F, n_vocab=V, head_dim=D,
+                      pred_lora=(R,) * L)
     rng = np.random.default_rng(0)
 
-    def w(*shape):
-        # iid small weights; bf16 on device
-        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.02, jnp.bfloat16)
+    def w(*shape, scale=0.02, dtype=jnp.bfloat16):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale, dtype)
 
     layers = {
         "attn_norm_w": jnp.ones((L, E), jnp.float32),
@@ -45,6 +49,12 @@ def build_model(preset: str):
         "wq": w(L, E, H * D), "wk": w(L, E, Hkv * D), "wv": w(L, E, Hkv * D),
         "wo": w(L, H * D, E),
         "w_up": w(L, E, F), "w_gate": w(L, E, F), "w_down": w(L, F, E),
+        # predictor biased so ~12% of neurons fire (ProSparse-like rates)
+        "pred_up": w(L, E, R, scale=0.05, dtype=jnp.float32),
+        "pred_up_b": jnp.zeros((L, R), jnp.float32),
+        "pred_down": w(L, R, F, scale=0.6, dtype=jnp.float32),
+        "pred_down_b": jnp.asarray(
+            rng.standard_normal((L, F)).astype(np.float32) * 0.5 - 1.2, jnp.float32),
     }
     params = {
         "tok_embd": w(V, E),
@@ -55,12 +65,34 @@ def build_model(preset: str):
     return cfg, params
 
 
-def main():
+def bench_decode(fwd, params, cfg, n_steps: int, S: int = 1024):
     import jax
     import jax.numpy as jnp
 
-    from sparkinfer_tpu.models.transformer import make_forward
     from sparkinfer_tpu.runtime.kv_cache import init_cache
+
+    step = jax.jit(fwd, donate_argnums=(3,))
+    cache = init_cache(cfg, 1, S, jnp.bfloat16)
+    T0 = S // 2
+    tokens = jnp.zeros((1, T0), jnp.int32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    lg, cache = step(params, tokens, pos, cache)
+    lg.block_until_ready()
+    tok = jnp.zeros((1, 1), jnp.int32)
+    lg, cache = step(params, tok, jnp.full((1, 1), T0, jnp.int32), cache)
+    lg.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        lg, cache = step(params, tok, jnp.full((1, 1), T0 + 1 + i, jnp.int32), cache)
+    lg.block_until_ready()
+    return n_steps / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn, prepare_sparse_params
 
     plat = jax.devices()[0].platform
     preset = "7b" if plat == "tpu" else "tiny"
@@ -68,40 +100,33 @@ def main():
         preset = sys.argv[1]
     cfg, params = build_model(preset)
 
-    fwd = jax.jit(make_forward(cfg), donate_argnums=(3,))
-    B, S = 1, 1024
-    cache = init_cache(cfg, B, S, jnp.bfloat16)
+    n_steps = 32 if preset != "tiny" else 16
+    dense_fwd = make_forward(cfg)
+    dense_tps = bench_decode(dense_fwd, params, cfg, n_steps)
 
-    # prefill 512 to fill cache state realistically
-    T0 = 512
-    tokens = jnp.zeros((B, T0), jnp.int32)
-    pos = jnp.broadcast_to(jnp.arange(T0, dtype=jnp.int32)[None], (B, T0))
-    logits, cache = fwd(params, tokens, pos, cache)
-    logits.block_until_ready()
+    # sparse path: capacity sized to typical firing (~12% + head-room)
+    ng = cfg.n_ff // 128 if cfg.n_ff % 128 == 0 else cfg.n_ff // 64
+    gs = 128 if cfg.n_ff % 128 == 0 else 64
+    cap = max(2, int(ng * 0.25))
+    scfg = SparseConfig(group_size=gs, capacity_groups=cap)
+    sparams = prepare_sparse_params(params, cfg, scfg)
+    sparse_fwd = make_forward(
+        cfg, ffn_fn=make_sparse_ffn(cfg, scfg,
+                                    mode="pallas" if plat == "tpu" else "gather"))
+    sparse_tps = bench_decode(sparse_fwd, sparams, cfg, n_steps)
 
-    tok = jnp.zeros((B, 1), jnp.int32)
-    # warmup decode step (compile)
-    lg, cache = fwd(params, tok, jnp.full((B, 1), T0, jnp.int32), cache)
-    lg.block_until_ready()
-
-    n_steps = 64 if preset != "tiny" else 32
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        lg, cache = fwd(params, tok, jnp.full((B, 1), T0 + 1 + i, jnp.int32), cache)
-    lg.block_until_ready()
-    dt = time.perf_counter() - t0
-    tps = n_steps / dt
-
-    # reference anchor: no published single-chip dense tg for this shape;
-    # report ratio vs the DGX-Spark gpt-oss-20B tg32 86.58 t/s only as a
-    # loose cross-hardware marker when running the 7b preset on real TPU.
-    vs = tps / 86.58 if (preset == "7b" and plat == "tpu") else 0.0
     print(json.dumps({
-        "metric": f"decode_tps_dense_{preset}_bf16_b1",
-        "value": round(tps, 2),
+        "metric": f"decode_tps_sparse_{preset}_b1",
+        "value": round(sparse_tps, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(sparse_tps / max(dense_tps, 1e-9), 3),
     }))
+    print(json.dumps({
+        "metric": f"decode_tps_dense_{preset}_b1",
+        "value": round(dense_tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": 1.0,
+    }), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -92,3 +92,52 @@ def test_quantize_q4_keeps_head_q8(model_path, tmp_path):
     assert r.tensors["blk.0.ffn_up.weight"].ggml_type == GGMLType.Q4_0
     assert r.tensors["output.weight"].ggml_type == GGMLType.Q8_0
     r.close()
+
+
+def test_gguf_split_merge_roundtrip(model_path, tmp_path):
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+    from sparkinfer_tpu.tools.gguf_split import merge_files, split_file
+
+    shards = split_file(model_path, str(tmp_path / "m.gguf"), max_tensors=7)
+    assert len(shards) > 1
+    merged = tmp_path / "merged.gguf"
+    n = merge_files(shards[0], str(merged))
+
+    a = GGUFReader(model_path)
+    b = GGUFReader(str(merged))
+    assert set(a.tensors) == set(b.tensors)
+    assert n == len(a.tensors)
+    import numpy as np
+    for name in list(a.tensors)[:5]:
+        np.testing.assert_array_equal(a.tensors[name].raw(), b.tensors[name].raw())
+    assert b.kv["tokenizer.ggml.model"] == "llama"
+    a.close(); b.close()
+
+    m = load_model(str(merged), dtype=jnp.float32)
+    assert m.config.n_layer == 2
+
+
+def test_imatrix_collection(model_path, tmp_path):
+    from sparkinfer_tpu.tools.imatrix import collect_imatrix, read_imatrix, write_imatrix
+
+    model = load_model(model_path, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, model.config.n_vocab, 16) for _ in range(2)]
+    data = collect_imatrix(model, batches)
+    assert data["n_tokens"] == 32
+    assert data["blk.0.ffn_up.weight.imatrix"].shape == (64,)
+    assert (data["blk.0.ffn_down.weight.imatrix"] >= 0).all()
+    p = tmp_path / "im.gguf"
+    write_imatrix(str(p), data, model.config.arch)
+    rt = read_imatrix(str(p))
+    np.testing.assert_allclose(rt["blk.1.ffn_up.weight.imatrix"],
+                               data["blk.1.ffn_up.weight.imatrix"], rtol=1e-6)
+
+
+def test_tokenize_tool(model_path, capsys):
+    from sparkinfer_tpu.tools.tokenize import main as tok_main
+
+    rc = tok_main(["-m", model_path, "-p", "hello world", "--ids"])
+    assert rc == 0
+    ids = json.loads(capsys.readouterr().out)
+    assert isinstance(ids, list) and len(ids) >= 2
