@@ -87,6 +87,28 @@ _reg(ArchTraits("gpt2", norm="ln", act="gelu", rope_mode="none", fused_qkv=True,
                 pos_embd=True))
 _reg(ArchTraits("gemma2", rope_mode="neox", act="geglu"))
 _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
+# broader llama-family coverage: these archs are trait-compatible with the
+# generic forward (ref: per-arch builders in src/models/*.cpp that differ
+# only in norm/act/rope/bias choices)
+_reg(ArchTraits("qwen2moe", rope_mode="neox", qkv_bias=True))
+_reg(ArchTraits("qwen3moe", rope_mode="neox"))
+_reg(ArchTraits("mixtral"))  # HF converts as llama; kept for direct GGUFs
+_reg(ArchTraits("phi2", norm="ln", act="gelu", rope_mode="neox", qkv_bias=True,
+                attn_out_bias=True, ffn_bias=True, norm_bias=True,
+                parallel_blocks=True))
+_reg(ArchTraits("phi3", rope_mode="neox"))
+_reg(ArchTraits("olmo2", rope_mode="neox"))
+_reg(ArchTraits("smollm", ))
+_reg(ArchTraits("tinyllama", ))
+_reg(ArchTraits("internlm2", rope_mode="neox"))
+_reg(ArchTraits("starcoder2", norm="ln", act="gelu", rope_mode="neox",
+                qkv_bias=True, attn_out_bias=True, ffn_bias=True,
+                norm_bias=True))
+_reg(ArchTraits("exaone", ))
+_reg(ArchTraits("granite", ))
+_reg(ArchTraits("minicpm", ))
+_reg(ArchTraits("deepseek2", rope_mode="neox"))
+_reg(ArchTraits("cohere2", rope_mode="neox", norm="ln"))
 
 
 @dataclasses.dataclass

@@ -53,13 +53,18 @@ def _combine(act: str, fatrelu_threshold: float, gate, up):
 
 
 def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs):
+    # every per-token operand rides as a 3D (rows, 1, lanes) array with a
+    # (1, 1, lanes) block dynamically indexed on the UNTILED leading dim —
+    # the same pattern as the weight store (per-token rows are far below the
+    # (8, 128) tile minimum, so token-axis tiling is impossible; leading-dim
+    # indexing keeps Mosaic happy for packed dtypes too)
     if gated:
         (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wg_ref, wd_ref, out_ref) = refs
     else:
         (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wd_ref, out_ref) = refs
         wg_ref = None
     c = pl.program_id(1)
-    x = x_ref[:]  # (1, E)
+    x = x_ref[0]  # (1, E)
     up = jax.lax.dot_general(
         x, wu_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (1, G)
@@ -71,10 +76,11 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs):
     else:
         gate = None
     hidden = _combine(act, fatrelu_threshold, gate, up)
+    gp = gp_ref[0]  # (1, G)
     if mask_mode == "threshold":
-        mask = (gp_ref[0] >= prob_threshold).astype(jnp.float32)  # (1, G)
+        mask = (gp >= prob_threshold).astype(jnp.float32)
     else:  # "scale": multiply by the provided per-neuron weight (MoE router)
-        mask = gp_ref[0]
+        mask = gp
     hidden = hidden * mask
     partial = jax.lax.dot_general(
         hidden.astype(wd_ref.dtype), wd_ref[0], (((1,), (0,)), ((), ())),
@@ -83,11 +89,11 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs):
 
     @pl.when(c == 0)
     def _():
-        out_ref[:] = partial
+        out_ref[0] = partial
 
     @pl.when(c > 0)
     def _():
-        out_ref[:] = out_ref[:] + partial
+        out_ref[0] = out_ref[0] + partial
 
 
 @functools.partial(
@@ -121,16 +127,15 @@ def sparse_ffn_block(
     w_spec = pl.BlockSpec(
         (1, G, E), lambda n, c, idx_ref: (idx_ref[n, c], 0, 0), memory_space=pltpu.VMEM
     )
-    sel_spec = pl.BlockSpec(
-        (1, 1, G), lambda n, c, idx_ref: (n, c, 0), memory_space=pltpu.VMEM
-    )
-    in_specs = [
-        pl.BlockSpec((1, E), lambda n, c, idx_ref: (n, 0), memory_space=pltpu.VMEM),
-        sel_spec,  # gp_sel
-        sel_spec,  # bu_sel
-        w_spec,  # up
-    ]
-    inputs = [x, gp_sel, bu, w_up_rows]
+    x3 = x.reshape(N, 1, E)
+    gp3 = gp_sel.reshape(N * C, 1, G)
+    bu3 = bu.reshape(N * C, 1, G)
+    x_spec = pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec((1, 1, G), lambda n, c, idx_ref: (n * C + c, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [x_spec, sel_spec, sel_spec, w_spec]
+    inputs = [x3, gp3, bu3, w_up_rows]
     if gated:
         in_specs.append(w_spec)
         inputs.append(w_gate_rows)
@@ -144,15 +149,14 @@ def sparse_ffn_block(
         num_scalar_prefetch=1,
         grid=(N, C),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, E), lambda n, c, idx_ref: (n, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     n_mm = 3 if gated else 2
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, E), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, 1, E), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * N * C * G * E * n_mm,
@@ -160,4 +164,4 @@ def sparse_ffn_block(
             transcendentals=0,
         ),
     )(idx, *inputs)
-    return out
+    return out.reshape(N, E)

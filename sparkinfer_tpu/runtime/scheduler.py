@@ -94,6 +94,7 @@ class Scheduler:
         kv_quantized: bool = False,
         ffn_fn: Callable | None = None,
         tokenizer=None,  # needed for grammar-constrained requests
+        sparse=None,  # SparseConfig: predictor-gated sparse serving
     ):
         from ..models.transformer import make_forward
 
@@ -104,7 +105,18 @@ class Scheduler:
         self.max_seq = max_seq
         self.sampler_cfg = sampler or SamplerConfig()
         self.sample = make_sampler(self.sampler_cfg)
-        self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+        if sparse is not None:
+            # sparse serving: masked-dense prefill, gathered top-k decode
+            from ..sparse.ffn import make_sparse_ffn, prepare_sparse_params
+
+            if not self.cfg.has_predictors:
+                raise ValueError("sparse serving needs predictor tensors")
+            self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
+            self.fwd = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="dense"))
+            self.fwd_decode = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="pallas"))
+        else:
+            self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
+            self.fwd_decode = self.fwd
         self.kv_dtype = kv_dtype
         self.kv_quantized = kv_quantized
 
@@ -144,7 +156,7 @@ class Scheduler:
     def _decode_impl(self, params, tokens, positions, cache, sstate, active):
         """tokens/positions (B,1); active (B,) masks sampler-state updates
         for idle slots (their dummy writes are position-overwritten later)."""
-        logits, cache = self.fwd(params, tokens, positions, cache)
+        logits, cache = self.fwd_decode(params, tokens, positions, cache)
         last = logits[:, -1]
         tok, new_sstate = jax.vmap(self.sample)(last, sstate)
         # idle slots keep their old sampler state untouched

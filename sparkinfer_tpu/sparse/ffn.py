@@ -102,11 +102,21 @@ def select_groups(probs: jnp.ndarray, scfg: SparseConfig, n_ff: int):
     return idx.astype(jnp.int32)
 
 
-def prepare_sparse_params(params: dict, cfg: ModelConfig, scfg: SparseConfig) -> dict:
+def prepare_sparse_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
+                          drop_dense: bool = False) -> dict:
     """Return params with the stacked layer dict augmented by sparse_layout
-    row blocks (leading L axis handled by the reshape rules)."""
+    row blocks (leading L axis handled by the reshape rules).
+
+    drop_dense=True removes the original (E,F)/(F,E) FFN weights so only the
+    neuron-major row layout stays in HBM (halves FFN weight memory — needed
+    for models near the HBM limit); the masked-dense prefill path computes
+    from the row layout in that case."""
     out = dict(params)
-    out["layers"] = sparse_layout(params["layers"], cfg, scfg)
+    layers = sparse_layout(params["layers"], cfg, scfg)
+    if drop_dense:
+        for k in ("w_up", "w_gate", "w_down"):
+            layers.pop(k, None)
+    out["layers"] = layers
     return out
 
 
@@ -129,13 +139,29 @@ def make_sparse_ffn(
     def dense_ffn(lp, x):
         probs = predict_activations(lp, x)  # (..., F) f32
         mask = (probs >= thr).astype(x.dtype)
-        up = x @ lp["w_up"]
+
+        def col_mm(key_dense, key_rows):
+            if key_dense in lp:
+                return x @ lp[key_dense]
+            # row layout (ng, G, E): contract E, flatten groups back to F
+            w = lp[key_rows]
+            y = jnp.einsum("...e,nge->...ng", x, w.astype(x.dtype))
+            return y.reshape(y.shape[:-2] + (F,))
+
+        up = col_mm("w_up", "w_up_rows")
         if "b_up" in lp:
             up = up + lp["b_up"].astype(up.dtype)
-        gate = x @ lp["w_gate"] if gated and "w_gate" in lp else None
+        gate = None
+        if gated and ("w_gate" in lp or "w_gate_rows" in lp):
+            gate = col_mm("w_gate", "w_gate_rows")
         hidden = act(gate, up) if gate is not None else act(None, up)
         hidden = hidden * mask
-        out = hidden @ lp["w_down"]
+        if "w_down" in lp:
+            out = hidden @ lp["w_down"]
+        else:
+            h3 = hidden.reshape(hidden.shape[:-1] + (ng, G))
+            out = jnp.einsum("...ng,nge->...e", h3,
+                             lp["w_down_rows"].astype(hidden.dtype))
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)
         return out

@@ -137,4 +137,12 @@ def build_tokenizer(vocab: Vocab):
         from .wpm import WPMTokenizer
 
         return WPMTokenizer(vocab)
+    if vocab.model in ("t5", "ugm"):
+        from .ugm import UGMTokenizer
+
+        return UGMTokenizer(vocab)
+    if vocab.model == "rwkv":
+        from .rwkv import RWKVTokenizer
+
+        return RWKVTokenizer(vocab)
     raise NotImplementedError(f"tokenizer model {vocab.model!r}")

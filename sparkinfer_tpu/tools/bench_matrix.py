@@ -36,7 +36,7 @@ def bench_pp(model, n_tokens: int, n_rep: int, kv_dtype) -> float:
         cache = init_cache(cfg, 1, n_tokens, kv_dtype)
         t0 = time.perf_counter()
         logits, cache = fwd(model.params, toks, pos, cache)
-        logits.block_until_ready()
+        float(logits.reshape(-1)[0])  # host readback = reliable fence
         times.append(time.perf_counter() - t0)
     return n_tokens / statistics.median(times[1:])  # skip compile
 
@@ -59,11 +59,11 @@ def bench_tg(model, n_tokens: int, n_rep: int, kv_dtype, ctx: int = 1024,
     toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (batch, T0)), jnp.int32)
     pos = jnp.broadcast_to(jnp.arange(T0, dtype=jnp.int32)[None], (batch, T0))
     logits, cache = fwd(model.params, toks, pos, cache)
-    logits.block_until_ready()
+    float(logits.reshape(-1)[0])
 
     tok = jnp.zeros((batch, 1), jnp.int32)
     lg, cache = fwd(model.params, tok, jnp.full((batch, 1), T0, jnp.int32), cache)
-    lg.block_until_ready()
+    float(lg.reshape(-1)[0])
     rates = []
     for r in range(n_rep):
         t0 = time.perf_counter()
@@ -72,7 +72,7 @@ def bench_tg(model, n_tokens: int, n_rep: int, kv_dtype, ctx: int = 1024,
                 model.params, tok,
                 jnp.full((batch, 1), T0 + 1 + r * n_tokens + i, jnp.int32), cache
             )
-        lg.block_until_ready()
+        float(lg.reshape(-1)[0])  # host readback fence
         rates.append(batch * n_tokens / (time.perf_counter() - t0))
     return statistics.median(rates)
 

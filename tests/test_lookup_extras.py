@@ -1,0 +1,88 @@
+"""Prompt-lookup decoding, export-lora tool, sparse serving scheduler."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.runtime.engine import Engine
+from sparkinfer_tpu.runtime.lookup import LookupEngine, NgramCache
+from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+from model_fixtures import make_tiny_llama
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    p = tmp_path_factory.mktemp("m") / "t.gguf"
+    make_tiny_llama(p)
+    return load_model(str(p), dtype=jnp.float32)
+
+
+def test_ngram_cache_proposals():
+    ng = NgramCache(n=2)
+    toks = [1, 2, 3, 4, 1, 2, 3]
+    ng.update(toks)
+    # suffix (2,3) seen before at pos 1..2, continuation was [4, 1, ...]
+    assert ng.propose(toks, 3) == [4, 1, 2]
+    assert ng.propose([9, 9, 9], 3) == []
+
+
+def test_lookup_decoding_lossless(model):
+    eng = Engine(model, max_seq=96, sampler=SamplerConfig(temp=0.0),
+                 kv_dtype=jnp.float32, donate_cache=False)
+    # prompt with repetition so n-grams hit
+    prompt = [5, 9, 42, 7, 5, 9, 42, 7, 5, 9]
+    want = eng.generate(prompt, max_new_tokens=16)
+    lk = LookupEngine(eng, n_draft=4, ngram=2)
+    got = lk.generate(prompt, max_new_tokens=16)
+    assert got == want
+    assert lk.stats.n_rounds >= 0  # proposals may or may not hit; output exact
+
+
+def test_export_lora_tool(model, tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_adapters_embeddings import _write_lora
+    from sparkinfer_tpu.tools.export_lora import main as el_main
+
+    base = tmp_path / "base.gguf"
+    make_tiny_llama(base)
+    lora = tmp_path / "lora.gguf"
+    _write_lora(str(lora), 2, 64, 96)
+    out = tmp_path / "merged.gguf"
+    rc = el_main(["-m", str(base), "--lora", str(lora), "-o", str(out)])
+    assert rc == 0
+    assert "merged 4 tensors" in capsys.readouterr().out
+
+    # merged model == runtime apply_lora
+    from sparkinfer_tpu.models.lora import apply_lora
+    m1 = load_model(str(base), dtype=jnp.float32)
+    m1.params = apply_lora(m1.params, m1.config, str(lora))
+    m2 = load_model(str(out), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(m2.params["layers"]["wq"]),
+        np.asarray(m1.params["layers"]["wq"]), rtol=1e-5, atol=1e-6)
+
+
+def test_scheduler_sparse_serving(tmp_path):
+    from sparkinfer_tpu.runtime.scheduler import Request, Scheduler
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    p = tmp_path / "sp.gguf"
+    make_tiny_llama(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+    m = load_model(str(p), dtype=jnp.float32)
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+
+    eng = Engine(m, max_seq=64, sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32,
+                 sparse=scfg, sparse_decode_mode="gather")
+    want = eng.generate([7, 30, 99], max_new_tokens=5)
+
+    m2 = load_model(str(p), dtype=jnp.float32)
+    sched = Scheduler(m2, n_slots=2, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                      kv_dtype=jnp.float32, sparse=scfg)
+    r = sched.submit(Request(prompt_tokens=[7, 30, 99], max_new_tokens=5))
+    sched.run_until_idle()
+    assert r.tokens() == want

@@ -82,3 +82,40 @@ def test_spm_add_bos(vocab_gguf_spm):
     tok = build_tokenizer(vocab)
     ids = tok.encode("Hello", add_special=True)
     assert ids[0] == vocab.bos_id
+
+
+def test_ugm_viterbi_segmentation():
+    """UGM picks the max-score segmentation, not greedy longest."""
+    import numpy as np
+    from sparkinfer_tpu.tokenizer.ugm import UGMTokenizer
+    from sparkinfer_tpu.tokenizer.vocab import Vocab
+
+    tokens = ["<unk>", "▁", "a", "b", "ab", "▁ab", "▁a"]
+    scores = np.asarray([0, -2.0, -1.0, -1.0, -3.5, -1.5, -1.2], np.float32)
+    v = Vocab(model="t5", pre="default", tokens=tokens,
+              token_types=np.full(len(tokens), 1, np.int32), scores=scores,
+              merges=None, bos_id=-1, eos_id=-1, unk_id=0, add_bos=False,
+              add_eos=False, add_space_prefix=True)
+    tk = UGMTokenizer(v)
+    # "ab" -> "▁ab": "▁ab"(-1.5) beats "▁a"+"b"(-2.2) and "▁"+"ab"(-5.5)
+    assert tk.encode("ab", add_special=False) == [5]
+    # unknown chars collapse to single UNK
+    ids = tk.encode("xy", add_special=False)
+    assert 0 in ids
+    assert tk.decode([5]) == "ab"
+
+
+def test_rwkv_longest_match():
+    import numpy as np
+    from sparkinfer_tpu.tokenizer.rwkv import RWKVTokenizer
+    from sparkinfer_tpu.tokenizer.vocab import Vocab
+
+    tokens = ["h", "e", "l", "o", "he", "hel", "hello", " ", " wor", "ld"]
+    v = Vocab(model="rwkv", pre="default", tokens=tokens,
+              token_types=np.full(len(tokens), 1, np.int32), scores=None,
+              merges=None, bos_id=-1, eos_id=-1, unk_id=-1, add_bos=False,
+              add_eos=False, add_space_prefix=False)
+    tk = RWKVTokenizer(v)
+    ids = tk.encode("hello world")
+    assert ids[0] == tokens.index("hello")  # greedy longest match
+    assert tk.decode(ids) == "hello world"
