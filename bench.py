@@ -50,10 +50,11 @@ def build_model(preset: str):
         "wq": w(L, E, H * D), "wk": w(L, E, Hkv * D), "wv": w(L, E, Hkv * D),
         "wo": w(L, H * D, E),
         "w_up": w(L, E, F), "w_gate": w(L, E, F), "w_down": w(L, F, E),
-        # predictor biased so ~12% of neurons fire (ProSparse-like rates)
-        "pred_up": w(L, E, R, scale=0.05, dtype=jnp.float32),
+        # predictor biased so ~12% of neurons fire (ProSparse-like rates);
+        # bf16 storage (compute is f32 inside predict_activations)
+        "pred_up": w(L, E, R, scale=0.05),
         "pred_up_b": jnp.zeros((L, R), jnp.float32),
-        "pred_down": w(L, R, F, scale=0.6, dtype=jnp.float32),
+        "pred_down": w(L, R, F, scale=0.6),
         "pred_down_b": jnp.asarray(
             rng.standard_normal((L, F), dtype=np.float32) * 0.5 - 1.2, jnp.float32),
     }
@@ -116,7 +117,7 @@ def main():
     # sparse path: capacity sized to typical firing (~12% + head-room)
     ng = cfg.n_ff // 128 if cfg.n_ff % 128 == 0 else cfg.n_ff // 64
     gs = 128 if cfg.n_ff % 128 == 0 else 64
-    cap = max(2, int(ng * 0.25))
+    cap = max(4, (int(ng * 0.25) + 3) // 4 * 4)  # multiple of 4 -> kernel unroll
     scfg = SparseConfig(group_size=gs, capacity_groups=cap)
     sparams = prepare_sparse_params(params, cfg, scfg, drop_dense=True)
     del params["layers"]["w_up"], params["layers"]["w_gate"], params["layers"]["w_down"]

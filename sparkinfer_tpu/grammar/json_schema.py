@@ -11,7 +11,9 @@ from __future__ import annotations
 import json
 
 _PRIMS = {
-    "space": r'space ::= [ \t\n]*',
+    # bounded whitespace (ref json grammar bounds it too — unbounded space
+    # lets degenerate models emit whitespace forever under constraint)
+    "space": r'space ::= [ \t\n]{0,4}',
     "string": r'string ::= "\"" ([^"\\] | "\\" (["\\/bfnrt] | "u" [0-9a-fA-F]{4}))* "\"" space',
     "number": r'number ::= "-"? ([0-9] | [1-9] [0-9]*) ("." [0-9]+)? ([eE] [-+]? [0-9]+)? space',
     "integer": r'integer ::= "-"? ([0-9] | [1-9] [0-9]*) space',

@@ -258,7 +258,7 @@ def load_model(
             layers[k] = put(f"layers.{k}", qt)
             continue
         stacked = np.stack(arrs)
-        want = jnp.float32 if ("norm" in k or k.startswith("pred") or k.startswith("b")) else dtype
+        want = jnp.float32 if ("norm" in k or k.startswith("b")) else dtype
         layers[k] = put(f"layers.{k}", _as_jnp(stacked, want))
     params["layers"] = layers
 

@@ -52,48 +52,60 @@ def _combine(act: str, fatrelu_threshold: float, gate, up):
     raise ValueError(act)
 
 
-def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs):
-    # every per-token operand rides as a 3D (rows, 1, lanes) array with a
-    # (1, 1, lanes) block dynamically indexed on the UNTILED leading dim —
-    # the same pattern as the weight store (per-token rows are far below the
-    # (8, 128) tile minimum, so token-axis tiling is impossible; leading-dim
-    # indexing keeps Mosaic happy for packed dtypes too)
-    if gated:
-        (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wg_ref, wd_ref, out_ref) = refs
-    else:
-        (idx_ref, x_ref, gp_ref, bu_ref, wu_ref, wd_ref, out_ref) = refs
-        wg_ref = None
+def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, U, refs):
+    # every per-token operand rides as a 3D (rows, 1/U, lanes) array with a
+    # dynamically indexed UNTILED leading dim — the same pattern as the
+    # weight store (per-token rows are far below the (8, 128) tile minimum,
+    # so token-axis tiling is impossible; leading-dim indexing keeps Mosaic
+    # happy for packed dtypes too). U groups are processed per grid step
+    # (U separate weight streams) to amortize per-step pipeline overhead.
+    idx_ref = refs[0]
+    x_ref = refs[1]
+    gp_ref = refs[2]
+    bu_ref = refs[3]
+    w_refs = refs[4:-1]
+    out_ref = refs[-1]
+    n_proj = 3 if gated else 2
+    wu_refs = w_refs[0:U]
+    wg_refs = w_refs[U : 2 * U] if gated else [None] * U
+    wd_refs = w_refs[(n_proj - 1) * U : n_proj * U]
+
     c = pl.program_id(1)
     x = x_ref[0]  # (1, E)
-    up = jax.lax.dot_general(
-        x, wu_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (1, G)
-    up = up + bu_ref[0]
-    if gated:
-        gate = jax.lax.dot_general(
-            x, wg_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-    else:
-        gate = None
-    hidden = _combine(act, fatrelu_threshold, gate, up)
-    gp = gp_ref[0]  # (1, G)
-    if mask_mode == "threshold":
-        mask = (gp >= prob_threshold).astype(jnp.float32)
-    else:  # "scale": multiply by the provided per-neuron weight (MoE router)
-        mask = gp
-    hidden = hidden * mask
-    partial = jax.lax.dot_general(
-        hidden.astype(wd_ref.dtype), wd_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (1, E)
+    acc = None
+    for u in range(U):
+        up = jax.lax.dot_general(
+            x, wu_refs[u][0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, G)
+        up = up + bu_ref[0, pl.ds(u, 1), :][0]
+        if gated:
+            gate = jax.lax.dot_general(
+                x, wg_refs[u][0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            gate = None
+        hidden = _combine(act, fatrelu_threshold, gate, up)
+        gp = gp_ref[0, pl.ds(u, 1), :][0]  # (1, G)
+        if mask_mode == "threshold":
+            mask = (gp >= prob_threshold).astype(jnp.float32)
+        else:  # "scale": router weights (MoE)
+            mask = gp
+        hidden = hidden * mask
+        partial = jax.lax.dot_general(
+            hidden.astype(wd_refs[u].dtype), wd_refs[u][0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, E)
+        acc = partial if acc is None else acc + partial
 
     @pl.when(c == 0)
     def _():
-        out_ref[0] = partial
+        out_ref[0] = acc
 
     @pl.when(c > 0)
     def _():
-        out_ref[0] = out_ref[0] + partial
+        out_ref[0] = out_ref[0] + acc
 
 
 @functools.partial(
@@ -124,30 +136,44 @@ def sparse_ffn_block(
     bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
     gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu", "gelu")
 
-    w_spec = pl.BlockSpec(
-        (1, G, E), lambda n, c, idx_ref: (idx_ref[n, c], 0, 0), memory_space=pltpu.VMEM
-    )
+    # unroll factor: U groups per grid step (U weight streams per projection)
+    U = 1
+    for cand in (4, 2):
+        if C % cand == 0:
+            U = cand
+            break
+    Cs = C // U  # grid steps along the selection axis
+
+    def w_spec_u(u):
+        return pl.BlockSpec(
+            (1, G, E), lambda n, c, idx_ref, u=u: (idx_ref[n, c * U + u], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     x3 = x.reshape(N, 1, E)
-    gp3 = gp_sel.reshape(N * C, 1, G)
-    bu3 = bu.reshape(N * C, 1, G)
+    gp3 = gp_sel.reshape(N * Cs, U, G)
+    bu3 = bu.reshape(N * Cs, U, G)
     x_spec = pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
                           memory_space=pltpu.VMEM)
-    sel_spec = pl.BlockSpec((1, 1, G), lambda n, c, idx_ref: (n * C + c, 0, 0),
+    sel_spec = pl.BlockSpec((1, U, G), lambda n, c, idx_ref: (n * Cs + c, 0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [x_spec, sel_spec, sel_spec, w_spec]
-    inputs = [x3, gp3, bu3, w_up_rows]
+    in_specs = [x_spec, sel_spec, sel_spec]
+    inputs = [x3, gp3, bu3]
+    in_specs += [w_spec_u(u) for u in range(U)]
+    inputs += [w_up_rows] * U
     if gated:
-        in_specs.append(w_spec)
-        inputs.append(w_gate_rows)
-    in_specs.append(w_spec)
-    inputs.append(w_down_rows)
+        in_specs += [w_spec_u(u) for u in range(U)]
+        inputs += [w_gate_rows] * U
+    in_specs += [w_spec_u(u) for u in range(U)]
+    inputs += [w_down_rows] * U
 
     kern = functools.partial(
-        lambda *refs: _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs)
+        lambda *refs: _kernel(act, fatrelu_threshold, prob_threshold, gated,
+                              mask_mode, U, refs)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N, C),
+        grid=(N, Cs),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
                                memory_space=pltpu.VMEM),

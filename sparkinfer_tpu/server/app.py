@@ -123,8 +123,17 @@ class SparkServer:
 
     def chat_completion(self, body: dict):
         msgs = body.get("messages", [])
+        tools = body.get("tools")
+        if tools:
+            from .tools_api import inject_tools, tool_call_grammar
+
+            msgs = inject_tools(msgs, tools)
+            if body.get("tool_choice") == "required" and not body.get("grammar"):
+                body = dict(body)
+                body["grammar"] = tool_call_grammar(tools)
         prompt = apply_template(msgs, self.template)
         req = self._make_request(prompt, body)
+        req._has_tools = bool(tools)
         self.sched.submit(req)
         return req
 
@@ -352,12 +361,23 @@ def _make_handler(srv: SparkServer):
                 "total_tokens": req.n_prompt + len(toks),
             }
             if chat:
+                message = {"role": "assistant", "content": text}
+                finish = "stop"
+                if getattr(req, "_has_tools", False):
+                    from .tools_api import parse_tool_calls
+
+                    content, calls = parse_tool_calls(text)
+                    if calls:
+                        message = {"role": "assistant",
+                                   "content": content or None,
+                                   "tool_calls": calls}
+                        finish = "tool_calls"
                 self._json(200, {
                     "id": rid, "object": "chat.completion", "created": created,
                     "model": srv.cfg.model_name,
                     "choices": [{"index": 0,
-                                 "message": {"role": "assistant", "content": text},
-                                 "finish_reason": "stop"}],
+                                 "message": message,
+                                 "finish_reason": finish}],
                     "usage": usage,
                 })
             else:

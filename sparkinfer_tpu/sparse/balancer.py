@@ -114,6 +114,20 @@ class Balancer:
         self.total_swaps += len(swaps)
         self.rebalances += 1
         self.last_reload_s = time.perf_counter() - t0
+        import os
+
+        if os.environ.get("SPIF_DFR_DEBUG"):
+            # ref: SPIF_DFR_DEBUG levels print reload counts / trajectories
+            # (src/llama-sparkinfer.cpp:408-431)
+            print(
+                f"[spif-dfr] rebalance #{self.rebalances}: {len(swaps)} swaps "
+                f"window={self.window} t={self.last_reload_s*1e3:.2f}ms",
+                flush=True,
+            )
+            if os.environ.get("SPIF_DFR_DEBUG", "0") >= "2":
+                for l, slot, g in swaps[:8]:
+                    print(f"[spif-dfr]   layer {l}: slot {slot} <- group {g}",
+                          flush=True)
         return TieredParams(
             hot_up=new_up,
             hot_gate=new_gate,

@@ -40,6 +40,31 @@ class SparseConfig:
     # window of group copies per reload step (ref: SPIF_RELOAD_WINDOW_SIZE=4)
     reload_window: int = 4
 
+    @classmethod
+    def from_env(cls, **overrides) -> "SparseConfig":
+        """Env-var mirrors of the reference's SPIF_* knobs
+        (ggml-sparkinfer.hpp:20-30, canonical values run_demo.sh:3-10):
+        SPIF_GROUP_SIZE, SPIF_CAPACITY_GROUPS, SPIF_THRESHOLD,
+        SPIF_INIT_DFR_DECAY (percent, default 67), SPIF_DFR_EMA,
+        SPIF_HOT_GROUPS, SPIF_RELOAD_WINDOW_SIZE."""
+        import os
+
+        def get(name, cast, default):
+            v = os.environ.get(name)
+            return cast(v) if v is not None else default
+
+        kw = dict(
+            group_size=get("SPIF_GROUP_SIZE", int, 128),
+            capacity_groups=get("SPIF_CAPACITY_GROUPS", int, 0),
+            threshold=get("SPIF_THRESHOLD", float, 0.5),
+            dfr_decay=get("SPIF_INIT_DFR_DECAY", lambda v: float(v) / 100.0, 0.67),
+            dfr_ema=bool(int(get("SPIF_DFR_EMA", str, "1"))),
+            hot_groups=get("SPIF_HOT_GROUPS", int, 0),
+            reload_window=get("SPIF_RELOAD_WINDOW_SIZE", int, 4),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
     def n_groups(self, n_ff: int) -> int:
         assert n_ff % self.group_size == 0, (n_ff, self.group_size)
         return n_ff // self.group_size
