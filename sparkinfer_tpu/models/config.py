@@ -36,6 +36,7 @@ class ArchTraits:
     pos_embd: bool = False  # opt learned positions
     pos_embd_offset: int = 0  # opt: HF offset 2
     final_logit_softcap: float = 0.0
+    recurrent: bool = False  # state-space/linear-attention family (mamba)
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -109,6 +110,7 @@ _reg(ArchTraits("granite", ))
 _reg(ArchTraits("minicpm", ))
 _reg(ArchTraits("deepseek2", rope_mode="neox"))
 _reg(ArchTraits("cohere2", rope_mode="neox", norm="ln"))
+_reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
 
 
 @dataclasses.dataclass
@@ -136,6 +138,11 @@ class ModelConfig:
     n_expert_used: int = 0
     sliding_window: int = 0
     fatrelu_threshold: float = 0.0
+    # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
+    ssm_d_conv: int = 0
+    ssm_d_inner: int = 0
+    ssm_d_state: int = 0
+    ssm_dt_rank: int = 0
 
     @property
     def traits(self) -> ArchTraits:
@@ -159,7 +166,9 @@ class ModelConfig:
             return r.kv.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length"))
-        n_head = int(g("attention.head_count"))
+        n_head = int(g("attention.head_count", 0) or 0)
+        if n_head == 0:  # recurrent archs carry no attention heads
+            n_head = 1
         n_head_kv = int(g("attention.head_count_kv", n_head))
         head_dim = int(g("attention.key_length", n_embd // n_head))
         tokens = r.kv.get("tokenizer.ggml.tokens")
@@ -175,7 +184,7 @@ class ModelConfig:
             n_embd=n_embd,
             n_head=n_head,
             n_head_kv=n_head_kv,
-            n_ff=int(g("feed_forward_length")),
+            n_ff=int(g("feed_forward_length", 0) or 0),
             n_vocab=n_vocab,
             head_dim=head_dim,
             n_ctx_train=int(g("context_length", 4096)),
@@ -192,4 +201,8 @@ class ModelConfig:
             n_expert=int(g("expert_count", 0)),
             n_expert_used=int(g("expert_used_count", 0)),
             sliding_window=int(g("attention.sliding_window", 0)),
+            ssm_d_conv=int(g("ssm.conv_kernel", 0)),
+            ssm_d_inner=int(g("ssm.inner_size", 0)),
+            ssm_d_state=int(g("ssm.state_size", 0)),
+            ssm_dt_rank=int(g("ssm.time_step_rank", 0)),
         )

@@ -151,6 +151,29 @@ def load_model(
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r)
     tr = cfg.traits
+    if tr.recurrent:
+        from .mamba import load_mamba_layers
+
+        tok = _get(r, "token_embd.weight")
+        params: Params = {
+            "tok_embd": _as_jnp(tok, dtype),
+            "output_norm_w": _as_jnp(_get(r, "output_norm.weight"), jnp.float32),
+        }
+        out_w = _linear(r, "output.weight", cfg.n_embd, cfg.n_vocab)
+        params["output"] = _as_jnp(
+            out_w if out_w is not None else np.ascontiguousarray(tok.T), dtype
+        )
+        params["layers"] = load_mamba_layers(r, cfg)
+        model = LoadedModel(config=cfg, params=params)
+        try:
+            from ..tokenizer import Vocab
+
+            if "tokenizer.ggml.tokens" in r.kv:
+                model.vocab = Vocab.from_gguf(r)
+        except Exception:
+            pass
+        r.close()
+        return model
     E, H, Hkv, D, F, L = cfg.n_embd, cfg.n_head, cfg.n_head_kv, cfg.head_dim, cfg.n_ff, cfg.n_layer
     kq = keep_quantized and not tr.fused_qkv  # fused qkv must split -> dense
 

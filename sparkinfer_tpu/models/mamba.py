@@ -1,0 +1,151 @@
+"""Mamba (S6 selective state space) forward — the recurrent-memory model
+family (ref: src/models/mamba.cpp graph builder + llama-memory-recurrent.cpp
+state handling; arch KVs mamba.ssm.* read like src/llama-model.cpp).
+
+State per layer per sequence (the analogue of llama_memory_recurrent):
+  conv_state (d_conv-1, d_inner) — rolling window for the causal conv
+  ssm_state  (d_inner, d_state)  — the selective-scan recurrence
+
+Prefill runs the scan over time with lax.scan (associative-scan form is a
+future optimization); decode is the O(1) single-step recurrence. Both are
+pure functions of (params, tokens, state) -> (logits, state), so the same
+engine/scheduler machinery applies with MambaCache instead of KVCache.
+
+Math (Mamba-1):
+  x, z = split(in_proj(u))
+  x = silu(causal_conv1d(x))
+  dt, B, C = split(x_proj(x));  dt = softplus(dt_proj(dt))
+  A = -exp(A_log);  dA = exp(dt * A);  dB = dt * B
+  h' = dA * h + dB * x;  y = (h' @ C) + D * x
+  out = out_proj(y * silu(z))
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.norms import rms_norm
+
+
+class MambaCache(NamedTuple):
+    conv: jnp.ndarray  # (L, B, d_conv-1, d_inner)
+    ssm: jnp.ndarray  # (L, B, d_inner, d_state)
+
+
+def init_mamba_cache(cfg, batch: int, dtype=jnp.float32) -> MambaCache:
+    L = cfg.n_layer
+    return MambaCache(
+        conv=jnp.zeros((L, batch, cfg.ssm_d_conv - 1, cfg.ssm_d_inner), dtype),
+        ssm=jnp.zeros((L, batch, cfg.ssm_d_inner, cfg.ssm_d_state), dtype),
+    )
+
+
+def _layer_step(lp, u, conv_state, ssm_state, cfg):
+    """One token for one layer. u (B, E); states per shapes above."""
+    B = u.shape[0]
+    d_in = cfg.ssm_d_inner
+    d_state = cfg.ssm_d_state
+    dt_rank = cfg.ssm_dt_rank
+
+    xz = u @ lp["ssm_in"]  # (B, 2*d_in)
+    x, z = xz[:, :d_in], xz[:, d_in:]
+
+    # causal conv over the last d_conv inputs
+    window = jnp.concatenate([conv_state, x[:, None, :]], axis=1)  # (B, d_conv, d_in)
+    x = jnp.einsum("bcd,cd->bd", window, lp["conv_w"]) + lp["conv_b"]
+    new_conv = window[:, 1:, :]
+    x = jax.nn.silu(x.astype(jnp.float32))
+
+    dbc = x @ lp["ssm_x"]  # (B, dt_rank + 2*d_state)
+    dt = dbc[:, :dt_rank]
+    Bm = dbc[:, dt_rank : dt_rank + d_state]
+    Cm = dbc[:, dt_rank + d_state :]
+    dt = jax.nn.softplus(dt @ lp["ssm_dt"] + lp["ssm_dt_b"])  # (B, d_in)
+
+    A = -jnp.exp(lp["ssm_a"].astype(jnp.float32))  # (d_in, d_state)
+    dA = jnp.exp(dt[:, :, None] * A[None])  # (B, d_in, d_state)
+    dBx = (dt * x)[:, :, None] * Bm[:, None, :]  # (B, d_in, d_state)
+    h = dA * ssm_state + dBx
+    y = jnp.einsum("bds,bs->bd", h, Cm) + lp["ssm_d"] * x  # (B, d_in)
+    y = y * jax.nn.silu(z.astype(jnp.float32))
+    out = y.astype(u.dtype) @ lp["ssm_out"]  # (B, E)
+    return out, new_conv, h
+
+
+def make_mamba_forward(cfg):
+    """fwd(params, tokens (B,T), positions-ignored, cache) ->
+    (logits (B,T,V) f32, MambaCache). Same call shape as the transformer
+    forward so Engine-style drivers can reuse it."""
+    eps = cfg.norm_eps
+
+    def fwd(params, tokens, positions, cache: MambaCache):
+        # tokens < 0 are PADDING no-ops: state must pass through untouched
+        # (unlike attention, a recurrent state absorbs every consumed token,
+        # so bucket-padded prefill would otherwise corrupt it)
+        valid = (tokens >= 0)  # (B, T)
+        x = params["tok_embd"][jnp.maximum(tokens, 0)]  # (B, T, E)
+        B, T, E = x.shape
+        layers = params["layers"]
+
+        def layer_scan(x_seq, layer_in):
+            lp, conv0, ssm0 = layer_in
+
+            def time_step(carry, inp):
+                u_t, v_t = inp  # (B, E), (B,)
+                conv_s, ssm_s = carry
+                h = rms_norm(u_t, lp["attn_norm_w"], eps)
+                out, conv_n, ssm_n = _layer_step(lp, h, conv_s, ssm_s, cfg)
+                keep = v_t[:, None]
+                conv_n = jnp.where(keep[:, :, None], conv_n, conv_s)
+                ssm_n = jnp.where(keep[:, :, None], ssm_n, ssm_s)
+                out = jnp.where(keep, out, 0.0)
+                return (conv_n, ssm_n), u_t + out.astype(u_t.dtype)
+
+            (conv1, ssm1), y_seq = jax.lax.scan(
+                time_step, (conv0, ssm0),
+                (jnp.swapaxes(x_seq, 0, 1), jnp.swapaxes(valid, 0, 1)),
+            )
+            return jnp.swapaxes(y_seq, 0, 1), (conv1, ssm1)
+
+        def body(carry_x, t):
+            lp, conv0, ssm0 = t
+            y, (c1, s1) = layer_scan(carry_x, (lp, conv0, ssm0))
+            return y, (c1, s1)
+
+        x, (conv_new, ssm_new) = jax.lax.scan(body, x, (layers, cache.conv, cache.ssm))
+        x = rms_norm(x, params["output_norm_w"], eps)
+        logits = jnp.einsum("bte,ev->btv", x, params["output"],
+                            preferred_element_type=jnp.float32)
+        return logits, MambaCache(conv=conv_new, ssm=ssm_new)
+
+    return fwd
+
+
+def load_mamba_layers(r, cfg) -> dict:
+    """Per-layer tensors (stacked) from a mamba GGUF; canonical (in, out)
+    orientations for x @ w."""
+    L = cfg.n_layer
+    per = {}
+
+    def add(k, a):
+        per.setdefault(k, []).append(a)
+
+    for i in range(L):
+        p = f"blk.{i}."
+        g = lambda n: r.tensors[p + n].to_f32()
+        add("attn_norm_w", g("attn_norm.weight"))
+        add("ssm_in", np.ascontiguousarray(g("ssm_in.weight").T))
+        cw = g("ssm_conv1d.weight")  # (d_inner, d_conv) in gguf numpy order
+        add("conv_w", np.ascontiguousarray(cw.T))  # (d_conv, d_inner)
+        add("conv_b", g("ssm_conv1d.bias"))
+        add("ssm_x", np.ascontiguousarray(g("ssm_x.weight").T))
+        add("ssm_dt", np.ascontiguousarray(g("ssm_dt.weight").T))
+        add("ssm_dt_b", g("ssm_dt.bias"))
+        add("ssm_a", g("ssm_a"))
+        add("ssm_d", g("ssm_d"))
+        add("ssm_out", np.ascontiguousarray(g("ssm_out.weight").T))
+    return {k: jnp.asarray(np.stack(v), jnp.float32) for k, v in per.items()}

@@ -152,6 +152,12 @@ class Engine:
             else:
                 decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
+        elif self.cfg.traits.recurrent:
+            from ..models.mamba import make_mamba_forward
+
+            self.fwd = make_mamba_forward(self.cfg)
+            self.fwd_prefill = self.fwd
+            self.fwd_decode = self.fwd
         else:
             self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
             self.fwd_prefill = make_forward(self.cfg, ffn_fn=ffn_fn, fresh_prefill=True)
@@ -185,7 +191,11 @@ class Engine:
         return toks, cache, sstates, fstate
 
     # --- host-side API ------------------------------------------------------
-    def new_cache(self) -> KVCache:
+    def new_cache(self):
+        if self.cfg.traits.recurrent:
+            from ..models.mamba import init_mamba_cache
+
+            return init_mamba_cache(self.cfg, self.batch)
         return init_cache(
             self.cfg, self.batch, self.max_seq, self.kv_dtype, self.kv_quantized
         )
@@ -208,7 +218,9 @@ class Engine:
             raise ValueError(f"prompt of {n} tokens exceeds max_seq {self.max_seq}")
         t0 = time.perf_counter()
         Tpad = bucket_len(n)
-        toks = np.zeros((self.batch, Tpad), np.int32)
+        # recurrent models treat negative ids as state-passthrough padding
+        fill = -1 if self.cfg.traits.recurrent else 0
+        toks = np.full((self.batch, Tpad), fill, np.int32)
         toks[:, :n] = prompt_tokens
         pos = np.zeros((self.batch, Tpad), np.int32)
         # padding positions point past the real tokens but are masked out of
@@ -282,7 +294,7 @@ class Engine:
             if tok in stop_ids:
                 break
             yield tok
-            if n_past >= self.max_seq - 1:
+            if n_past >= self.max_seq - 1 and not self.cfg.traits.recurrent:
                 # context shift (ref: llama-cli context shift): keep the
                 # prompt, drop half of the generated region, slide + re-rope
                 from ..models.transformer import rope_params

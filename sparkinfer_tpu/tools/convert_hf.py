@@ -37,6 +37,7 @@ _ARCH_MAP = {
     "OPTForCausalLM": "opt",
     "FalconForCausalLM": "falcon",
     "RWForCausalLM": "falcon",
+    "MambaForCausalLM": "mamba",
 }
 
 # HF name template -> GGUF name template (llama-family layout;
@@ -141,6 +142,8 @@ def convert(
     if hf_arch not in _ARCH_MAP:
         raise NotImplementedError(f"HF arch {hf_arch} not supported")
     arch = _ARCH_MAP[hf_arch]
+    if arch == "mamba":
+        return _convert_mamba(model_dir, out_path, cfgj, out_type)
     if arch not in ("llama", "prosparse_llama", "bamboo", "qwen2"):
         raise NotImplementedError(
             f"{arch}: only llama-family layouts implemented in this converter"
@@ -224,6 +227,67 @@ def convert(
 
     w.write()
     return {"arch": arch, "n_tensors": n_written, "n_layer": L}
+
+
+_MAMBA_TENSORS = {
+    "backbone.embeddings.weight": "token_embd.weight",
+    "backbone.embedding.weight": "token_embd.weight",
+    "backbone.norm_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+    "backbone.layers.{i}.norm.weight": "blk.{i}.attn_norm.weight",
+    "backbone.layers.{i}.mixer.in_proj.weight": "blk.{i}.ssm_in.weight",
+    "backbone.layers.{i}.mixer.conv1d.weight": "blk.{i}.ssm_conv1d.weight",
+    "backbone.layers.{i}.mixer.conv1d.bias": "blk.{i}.ssm_conv1d.bias",
+    "backbone.layers.{i}.mixer.x_proj.weight": "blk.{i}.ssm_x.weight",
+    "backbone.layers.{i}.mixer.dt_proj.weight": "blk.{i}.ssm_dt.weight",
+    "backbone.layers.{i}.mixer.dt_proj.bias": "blk.{i}.ssm_dt.bias",
+    "backbone.layers.{i}.mixer.A_log": "blk.{i}.ssm_a",
+    "backbone.layers.{i}.mixer.D": "blk.{i}.ssm_d",
+    "backbone.layers.{i}.mixer.out_proj.weight": "blk.{i}.ssm_out.weight",
+}
+
+
+def _convert_mamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """Mamba-1 HF checkpoint -> GGUF (ref: convert_hf_to_gguf MambaModel)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    d_inner = cfgj.get("intermediate_size", 2 * E)
+    d_conv = cfgj.get("conv_kernel", 4)
+    d_state = cfgj.get("state_size", 16)
+    dt_rank = cfgj.get("time_step_rank", (E + 15) // 16)
+
+    w = GGUFWriter(out_path, "mamba")
+    w.add_kv("mamba.block_count", np.uint32(L))
+    w.add_kv("mamba.embedding_length", np.uint32(E))
+    w.add_kv("mamba.vocab_size", np.uint32(V))
+    w.add_kv("mamba.context_length", np.uint32(cfgj.get("max_position_embeddings", 2**20)))
+    w.add_kv("mamba.ssm.conv_kernel", np.uint32(d_conv))
+    w.add_kv("mamba.ssm.inner_size", np.uint32(d_inner))
+    w.add_kv("mamba.ssm.state_size", np.uint32(d_state))
+    w.add_kv("mamba.ssm.time_step_rank", np.uint32(dt_rank))
+    w.add_kv("mamba.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("layer_norm_epsilon", 1e-5)))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("backbone.layers."):
+            i = int(parts[2])
+            templ = ".".join(parts[:2] + ["{i}"] + parts[3:])
+        gname = _MAMBA_TENSORS.get(templ)
+        if gname is None:
+            continue
+        gname = gname.format(i=i) if i is not None else gname
+        if gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
+            data = data[:, 0, :]  # (d_inner, 1, d_conv) -> (d_inner, d_conv)
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "mamba", "n_tensors": n, "n_layer": L}
 
 
 def _write_tokenizer(w: GGUFWriter, model_dir: Path):
