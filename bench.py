@@ -28,6 +28,7 @@ def build_model(preset: str):
     shapes = {
         # name: (L, E, H, Hkv, F, V, pred_rank)
         "7b": (32, 4096, 32, 32, 11008, 32000, 1024),
+        "3b": (26, 3200, 32, 32, 8640, 32000, 768),
         "1b": (22, 2048, 32, 4, 5632, 32000, 512),
         "tiny": (2, 256, 8, 4, 512, 1024, 64),
     }

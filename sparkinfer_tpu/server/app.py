@@ -267,6 +267,8 @@ def _make_handler(srv: SparkServer):
                     self._completion(body, chat=True)
                 elif self.path in ("/embeddings", "/v1/embeddings"):
                     self._embeddings(body)
+                elif self.path == "/v1/messages":
+                    self._anthropic_messages(body)
                 elif self.path.startswith("/slots/"):
                     # /slots/<id>?action=save|restore  (ref: server slot save)
                     import urllib.parse
@@ -315,6 +317,47 @@ def _make_handler(srv: SparkServer):
                 ],
                 "usage": {"prompt_tokens": sum(len(t) for t in toks),
                           "total_tokens": sum(len(t) for t in toks)},
+            })
+
+        def _anthropic_messages(self, body: dict):
+            """Anthropic-compatible messages endpoint (parity:
+            tools/server test_compat_anthropic.py): system string + messages
+            with string-or-block content, max_tokens required."""
+            msgs = []
+            sys_prompt = body.get("system")
+            if isinstance(sys_prompt, list):
+                sys_prompt = "".join(
+                    blk.get("text", "") for blk in sys_prompt
+                )
+            if sys_prompt:
+                msgs.append({"role": "system", "content": sys_prompt})
+            for m in body.get("messages", []):
+                content = m.get("content", "")
+                if isinstance(content, list):
+                    content = "".join(
+                        blk.get("text", "") for blk in content
+                        if blk.get("type") == "text"
+                    )
+                msgs.append({"role": m.get("role", "user"), "content": content})
+            inner = {
+                "messages": msgs,
+                "max_tokens": int(body.get("max_tokens", 128)),
+                "temperature": body.get("temperature", 1.0),
+                "top_p": body.get("top_p", 0.95),
+                "top_k": body.get("top_k", 40),
+            }
+            req = srv.chat_completion(inner)
+            toks = req.tokens()
+            text = srv.detok(toks)
+            self._json(200, {
+                "id": f"msg_{req.id}",
+                "type": "message",
+                "role": "assistant",
+                "model": srv.cfg.model_name,
+                "content": [{"type": "text", "text": text}],
+                "stop_reason": "end_turn",
+                "usage": {"input_tokens": req.n_prompt,
+                          "output_tokens": len(toks)},
             })
 
         def _completion(self, body: dict, chat: bool):

@@ -145,3 +145,19 @@ def test_404_and_bad_request(server):
         assert False, "oversize prompt should 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_anthropic_messages_compat(server):
+    """Anthropic-style /v1/messages (parity: test_compat_anthropic.py)."""
+    # (no system block: the byte-fallback test vocab makes prompts long and
+    # the fixture server has max_seq 64)
+    code, body = _post(server, "/v1/messages", {
+        "model": "x", "max_tokens": 5,
+        "messages": [{"role": "user",
+                      "content": [{"type": "text", "text": "hi"}]}],
+    })
+    out = json.loads(body)
+    assert out["type"] == "message" and out["role"] == "assistant"
+    assert out["content"][0]["type"] == "text"
+    assert out["usage"]["output_tokens"] >= 1
+    assert out["stop_reason"] == "end_turn"
