@@ -137,9 +137,14 @@ def sparse_ffn_block(
     gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu", "gelu")
 
     # unroll factor: U groups per grid step (U weight streams per projection)
+    # amortizes per-step pipeline overhead, but each stream double-buffers a
+    # (G, E) block in VMEM — cap U so the streams fit (~10 MB of the ~16 MB)
+    n_proj = 3 if gated else 2
+    bytes_per_u = n_proj * G * E * w_up_rows.dtype.itemsize * 2  # double-buffered
+    u_max = max(1, min(4, (13 * 1024 * 1024) // bytes_per_u))
     U = 1
     for cand in (4, 2):
-        if C % cand == 0:
+        if cand <= u_max and C % cand == 0:
             U = cand
             break
     Cs = C // U  # grid steps along the selection axis

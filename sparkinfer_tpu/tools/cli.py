@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default="bf16")
     ap.add_argument("-nps", "--n-bench-prompts", type=int, default=0,
                     help="bench mode: run N prompts from --prompt-file, report t/s")
+    ap.add_argument("-i", "--interactive", action="store_true",
+                    help="chat REPL (ref: llama-cli interactive mode)")
+    ap.add_argument("--chat-template", default=None)
     ap.add_argument("--json", action="store_true", help="bench output as JSON")
     ap.add_argument("--verbose", action="store_true")
     return ap
@@ -146,6 +149,44 @@ def bench_main(args, model) -> int:
     return 0
 
 
+def chat_main(args, model) -> int:
+    """Interactive chat REPL (ref: tools/main interactive + tools/run)."""
+    from ..server.chat import apply_template, detect_template
+    from ..tokenizer import build_tokenizer
+
+    if model.vocab is None:
+        print("interactive mode needs a tokenizer", file=sys.stderr)
+        return 1
+    tk = build_tokenizer(model.vocab)
+    template = args.chat_template or detect_template(model.vocab.chat_template)
+    eng = make_engine(args, model)
+    stop = {i for i in range(model.vocab.n_tokens) if model.vocab.is_eog(i)}
+    history = []
+    print(f"(interactive; template={template}; /bye to exit)", file=sys.stderr)
+    while True:
+        try:
+            line = input("> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        if line.strip() in ("/bye", "/exit", "/quit"):
+            break
+        if not line.strip():
+            continue
+        history.append({"role": "user", "content": line})
+        prompt = apply_template(history, template)
+        ids = tk.encode(prompt, add_special=True)
+        out = []
+        for tok in eng.generate(ids, max_new_tokens=args.n_predict,
+                                stop_ids=stop, stream=True):
+            piece = tk.decode([tok])
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            out.append(tok)
+        sys.stdout.write("\n")
+        history.append({"role": "assistant", "content": tk.decode(out)})
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -159,6 +200,8 @@ def main(argv=None) -> int:
 
     if args.n_bench_prompts > 0:
         return bench_main(args, model)
+    if args.interactive:
+        return chat_main(args, model)
 
     prompt = args.prompt
     if prompt is None and args.prompt_file:
