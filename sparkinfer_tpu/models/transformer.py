@@ -171,6 +171,7 @@ def make_forward(
     stateful_ffn: bool = False,
     with_hidden: bool = False,
     fresh_prefill: bool = False,
+    ffn_carry_init: Callable | None = None,
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
@@ -182,7 +183,14 @@ def make_forward(
     where fstate is a pytree whose leaves have a leading n_layer axis; the
     per-layer slice is threaded through ffn_fn(lp, x, fs, layer_idx) ->
     (y, fs'). Used for DFR statistics (sparse/tiering.py) and firing-rate
-    calibration (sparse/split.py)."""
+    calibration (sparse/split.py).
+
+    ffn_carry_init(B, T) enables a CROSS-LAYER carry instead: ffn_fn is
+    called as ffn(lp, x, carry, layer_idx) -> (y, new_carry) with the carry
+    flowing DOWN the layer scan (ref: the one-layer-ahead predictor
+    pipelining of build_sparse_ffn, src/llama-graph.cpp:939-946 — layer il
+    consumes the selection computed at il-1, so its weight fetch has no
+    data dependence on this layer's activations)."""
     tr = cfg.traits
     rp = rope_params(cfg)
     if ffn_fn is None and cfg.n_expert > 0:
@@ -217,6 +225,8 @@ def make_forward(
             def run_ffn(h_in):
                 if stateful_ffn:
                     return ffn(lp, h_in, fs, il)
+                if ffn_carry_init is not None:
+                    return ffn(lp, h_in, fs, il)  # fs doubles as the carry
                 return ffn(lp, h_in), fs  # echo placeholder state
 
             if tr.parallel_blocks:
@@ -241,16 +251,32 @@ def make_forward(
         ks = cache.k_scale if quantized else None
         vs = cache.v_scale if quantized else None
 
-        def scan_body(carry, t):
-            lp, kc, vc, ks_, vs_, fs, il = t
-            return body(carry, lp, kc, vc, ks_, vs_, fs, il)
-
         # lax.scan can't carry None leaves in xs; substitute empty arrays
         def pack(a):
             return a if a is not None else jnp.zeros((L, 0))
 
-        xs = (layers, cache.k, cache.v, pack(ks), pack(vs), pack(fstate), layer_ids)
-        x, (k_new, v_new, ks_new, vs_new, fs_new) = jax.lax.scan(scan_body, x, xs)
+        if ffn_carry_init is not None:
+            # cross-layer ffn carry rides the scan CARRY (not xs)
+            B_, T_ = tokens.shape
+
+            def scan_body(carry, t):
+                x_c, fc = carry
+                lp, kc, vc, ks_, vs_, il = t
+                x2, (kc2, vc2, ks2, vs2, fc2) = body(x_c, lp, kc, vc, ks_, vs_, fc, il)
+                return (x2, fc2), (kc2, vc2, ks2, vs2)
+
+            xs = (layers, cache.k, cache.v, pack(ks), pack(vs), layer_ids)
+            (x, _), (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+                scan_body, (x, ffn_carry_init(B_, T_)), xs
+            )
+            fs_new = None
+        else:
+            def scan_body(carry, t):
+                lp, kc, vc, ks_, vs_, fs, il = t
+                return body(carry, lp, kc, vc, ks_, vs_, fs, il)
+
+            xs = (layers, cache.k, cache.v, pack(ks), pack(vs), pack(fstate), layer_ids)
+            x, (k_new, v_new, ks_new, vs_new, fs_new) = jax.lax.scan(scan_body, x, xs)
 
         if quantized:
             new_cache = KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)

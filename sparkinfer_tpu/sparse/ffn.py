@@ -227,3 +227,113 @@ def make_sparse_ffn(
 
     table = {"dense": dense_ffn, "gather": gather_ffn, "pallas": pallas_ffn}
     return table[mode]
+
+
+# ---------------------------------------------------------------------------
+# one-layer-ahead pipelined selection (ref: build_sparse_ffn pipelining,
+# src/llama-graph.cpp:939-946,951-953)
+
+
+def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
+                             drop_dense: bool = False) -> dict:
+    """prepare_sparse_params + predictor weights shifted one layer DOWN
+    (layer il's slice carries layer il+1's predictor, wrapping at the end),
+    so each scan iteration can compute the NEXT layer's selection — the
+    weight fetch for layer il then has no data dependence on layer il's own
+    activations and overlaps with attention."""
+    import jax.numpy as jnp
+
+    out = prepare_sparse_params(params, cfg, scfg, drop_dense=drop_dense)
+    layers = dict(out["layers"])
+    for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
+        if k in layers:
+            layers[k + "_nx"] = jnp.roll(layers[k], -1, axis=0)
+    out["layers"] = layers
+    return out
+
+
+def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
+                              mode: str = "gather"):
+    """Returns (ffn, carry_init) for make_forward(..., ffn_carry_init=...).
+
+    ffn(lp, x, carry, il): layer 0 selects from its own predictor; every
+    other layer consumes the selection computed at the previous layer with
+    ITS (pre-shifted) predictor weights. The layer's own compute also emits
+    the next layer's selection."""
+    import jax
+    import jax.numpy as jnp
+
+    act = _sparse_act(cfg.traits.sparse_act, cfg.fatrelu_threshold)
+    gated = cfg.traits.sparse_act in ("fatrelu", "drelu")
+    G = scfg.group_size
+    F = cfg.n_ff
+    ng = scfg.n_groups(F)
+    C = scfg.capacity(F)
+    thr = scfg.threshold
+
+    def _select(pu, pub, pd, pdb, xt):
+        xf = xt.astype(jnp.float32)
+        h = jnp.maximum(xf @ pu.astype(jnp.float32) + pub, 0.0)
+        probs = jax.nn.sigmoid(h @ pd.astype(jnp.float32) + pdb)
+        idx = select_groups(probs, scfg, F)
+        gp = probs.reshape(-1, ng, G)
+        gp_sel = jnp.take_along_axis(gp, idx[..., None], axis=1)
+        return idx, gp_sel
+
+    def carry_init(B: int, T: int):
+        N = B * T
+        return {
+            "idx": jnp.zeros((N, C), jnp.int32),
+            "gp_sel": jnp.zeros((N, C, G), jnp.float32),
+        }
+
+    def _compute(lp, xt, idx, gp_sel):
+        if mode == "pallas":
+            from ..ops.sparse_ffn_pallas import sparse_ffn_block
+
+            bu_sel = None
+            if "b_up" in lp:
+                bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32),
+                                  idx, axis=0)
+            return sparse_ffn_block(
+                xt, idx, gp_sel, lp["w_up_rows"], lp.get("w_gate_rows"),
+                lp["w_down_rows"], act=cfg.traits.sparse_act,
+                fatrelu_threshold=cfg.fatrelu_threshold, prob_threshold=thr,
+                bu_sel=bu_sel,
+            )
+        # gather: jnp take + dense dots — the take depends ONLY on idx, so
+        # XLA hoists the HBM reads to overlap with this layer's attention
+        wu = jnp.take(lp["w_up_rows"], idx, axis=0)  # (N, C, G, E)
+        up = jnp.einsum("ne,ncge->ncg", xt, wu.astype(xt.dtype))
+        if "b_up" in lp:
+            bu = jnp.take(lp["b_up"].reshape(ng, G), idx, axis=0)
+            up = up + bu.astype(up.dtype)
+        gate = None
+        if gated and "w_gate_rows" in lp:
+            wg = jnp.take(lp["w_gate_rows"], idx, axis=0)
+            gate = jnp.einsum("ne,ncge->ncg", xt, wg.astype(xt.dtype))
+        hidden = act(gate, up) if gate is not None else act(None, up)
+        hidden = hidden * (gp_sel >= thr).astype(hidden.dtype)
+        wd = jnp.take(lp["w_down_rows"], idx, axis=0)
+        return jnp.einsum("ncg,ncge->ne", hidden, wd.astype(hidden.dtype))
+
+    def ffn(lp, x, carry, il):
+        B, T, E = x.shape
+        xt = x.reshape(B * T, E)
+
+        own_idx, own_gp = _select(lp["pred_up"], lp["pred_up_b"],
+                                  lp["pred_down"], lp["pred_down_b"], xt)
+        use_own = (il == 0)
+        idx = jnp.where(use_own, own_idx, carry["idx"])
+        gp_sel = jnp.where(use_own, own_gp, carry["gp_sel"])
+
+        out = _compute(lp, xt, idx, gp_sel)
+        if "b_down" in lp:
+            out = out + lp["b_down"].astype(out.dtype)
+
+        # selection for the NEXT layer via the pre-shifted predictor
+        nx_idx, nx_gp = _select(lp["pred_up_nx"], lp["pred_up_b_nx"],
+                                lp["pred_down_nx"], lp["pred_down_b_nx"], xt)
+        return out.reshape(B, T, E).astype(x.dtype), {"idx": nx_idx, "gp_sel": nx_gp}
+
+    return ffn, carry_init

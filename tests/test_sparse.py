@@ -258,3 +258,58 @@ def test_engine_sparse_decode_matches_dense_masked(sparse_model):
     got = eng_sp.generate(prompt, max_new_tokens=6)
     model.params = params_backup
     assert got == ref
+
+
+def test_pipelined_selection_l1_equals_gather(tmp_path):
+    """With n_layer=1 the one-layer-ahead pipeline degenerates to same-layer
+    selection — outputs must match the gather path exactly."""
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    p = tmp_path / "l1.gguf"
+    make_tiny_llama(p, arch="prosparse_llama", pred_rank=8, n_ff=96, n_layer=1, seed=5)
+    model = load_model(str(p), dtype=jnp.float32)
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    params = prepare_pipelined_params(model.params, cfg, scfg)
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+
+    ffn_p, carry_init = make_pipelined_sparse_ffn(cfg, scfg, mode="gather")
+    fwd_p = jax.jit(make_forward(cfg, ffn_fn=ffn_p, ffn_carry_init=carry_init))
+    got, _ = fwd_p(params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+
+    fwd_g = jax.jit(make_forward(cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="gather")))
+    want, _ = fwd_g(params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_pipelined_multilayer_runs_deterministically(sparse_model):
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model, _, = sparse_model[0], sparse_model[1]
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    params = prepare_pipelined_params(
+        {"tok_embd": model.params["tok_embd"],
+         "output_norm_w": model.params["output_norm_w"],
+         "output": model.params["output"],
+         "layers": {k: v for k, v in model.params["layers"].items()
+                    if not k.endswith("_nx")}},
+        cfg, scfg)
+    ffn_p, carry_init = make_pipelined_sparse_ffn(cfg, scfg, mode="gather")
+    fwd = jax.jit(make_forward(cfg, ffn_fn=ffn_p, ffn_carry_init=carry_init))
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.n_vocab, 6).astype(np.int32)
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    a, _ = fwd(params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+    b, _ = fwd(params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
+    assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
