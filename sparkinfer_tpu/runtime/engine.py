@@ -89,6 +89,7 @@ class Engine:
         ffn_fn: Callable | None = None,
         sparse: "SparseConfig | None" = None,
         sparse_decode_mode: str = "pallas",
+        sparse_pipelined: bool = True,
         sparse_cold_mode: str = "host",
         split=None,  # ModelSplit | path — offline profile (reorder + pattern)
         rebalance_every: int = 1,
@@ -149,6 +150,20 @@ class Engine:
                 # decode params: hot caches instead of full row layouts
                 self._decode_params = dict(self.model.params)
                 self._decode_params["layers"] = tiered_layer_params(layers, self._tp)
+            elif sparse_pipelined:
+                # one-layer-ahead selection (ref predictor pipelining):
+                # decouples the weight fetch from this layer's activations
+                from ..sparse.ffn import make_pipelined_sparse_ffn, prepare_pipelined_params
+
+                self.model.params = prepare_pipelined_params(
+                    {k: v for k, v in self.model.params.items() if k != "layers"}
+                    | {"layers": {k: v for k, v in self.model.params["layers"].items()
+                                  if not k.endswith("_rows")}},
+                    self.cfg, sparse)
+                decode_ffn, carry_init = make_pipelined_sparse_ffn(
+                    self.cfg, sparse, mode=sparse_decode_mode)
+                self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn,
+                                               ffn_carry_init=carry_init)
             else:
                 decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)

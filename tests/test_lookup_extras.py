@@ -77,7 +77,7 @@ def test_scheduler_sparse_serving(tmp_path):
     scfg = SparseConfig(group_size=16, capacity_groups=4)
 
     eng = Engine(m, max_seq=64, sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32,
-                 sparse=scfg, sparse_decode_mode="gather")
+                 sparse=scfg, sparse_decode_mode="gather", sparse_pipelined=False)
     want = eng.generate([7, 30, 99], max_new_tokens=5)
 
     m2 = load_model(str(p), dtype=jnp.float32)

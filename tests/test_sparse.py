@@ -254,7 +254,8 @@ def test_engine_sparse_decode_matches_dense_masked(sparse_model):
     ref = eng_ref.generate(prompt, max_new_tokens=6)
 
     eng_sp = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0),
-                    kv_dtype=jnp.float32, sparse=scfg, sparse_decode_mode="gather")
+                    kv_dtype=jnp.float32, sparse=scfg, sparse_decode_mode="gather",
+                    sparse_pipelined=False)
     got = eng_sp.generate(prompt, max_new_tokens=6)
     model.params = params_backup
     assert got == ref
@@ -313,3 +314,19 @@ def test_pipelined_multilayer_runs_deterministically(sparse_model):
     b, _ = fwd(params, jnp.asarray(toks)[None], pos, init_cache(cfg, 1, 16, jnp.float32))
     assert np.isfinite(np.asarray(a)).all()
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_pipelined_sparse_generates(sparse_model):
+    """Engine default sparse decode = pipelined selection; generation is
+    deterministic and close to the same-layer path (approximation differs
+    only where the one-layer-stale selection differs)."""
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig as SC
+
+    model, _ = sparse_model
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    eng = Engine(model, max_seq=64, sampler=SC(temp=0.0), kv_dtype=jnp.float32,
+                 sparse=scfg, sparse_decode_mode="gather", sparse_pipelined=True)
+    out = eng.generate([7, 30, 99], max_new_tokens=6)
+    assert len(out) == 6
+    assert out == eng.generate([7, 30, 99], max_new_tokens=6)

@@ -241,7 +241,8 @@ def test_engine_tiered_host_mode_matches_untiered(sp):
     model, _, _ = sp
     scfg_flat = SparseConfig(group_size=G, capacity_groups=4)
     eng_ref = Engine(model, max_seq=64, sampler=SC(temp=0.0), kv_dtype=jnp.float32,
-                     sparse=scfg_flat, sparse_decode_mode="gather")
+                     sparse=scfg_flat, sparse_decode_mode="gather",
+                     sparse_pipelined=False)
     prompt = [11, 22, 33]
     want = eng_ref.generate(prompt, max_new_tokens=6)
 
