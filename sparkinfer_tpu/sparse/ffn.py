@@ -248,6 +248,12 @@ def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
     for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
         if k in layers:
             layers[k + "_nx"] = jnp.roll(layers[k], -1, axis=0)
+    # v2 single-stream store: [up; gate; down] concatenated on the row axis
+    parts = [layers["w_up_rows"]]
+    if "w_gate_rows" in layers:
+        parts.append(layers["w_gate_rows"])
+    parts.append(layers["w_down_rows"])
+    layers["w_all_rows"] = jnp.concatenate(parts, axis=-3)
     out["layers"] = layers
     return out
 
@@ -289,12 +295,20 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
 
     def _compute(lp, xt, idx, gp_sel):
         if mode == "pallas":
-            from ..ops.sparse_ffn_pallas import sparse_ffn_block
+            from ..ops.sparse_ffn_pallas import sparse_ffn_block, sparse_ffn_block_v2
 
             bu_sel = None
             if "b_up" in lp:
                 bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32),
                                   idx, axis=0)
+            if "w_all_rows" in lp:
+                # deep single-stream kernel (P*C uniform fetches per call)
+                return sparse_ffn_block_v2(
+                    xt, idx, gp_sel, lp["w_all_rows"],
+                    act=cfg.traits.sparse_act, gated=gated, R=ng,
+                    fatrelu_threshold=cfg.fatrelu_threshold,
+                    prob_threshold=thr, bu_sel=bu_sel,
+                )
             return sparse_ffn_block(
                 xt, idx, gp_sel, lp["w_up_rows"], lp.get("w_gate_rows"),
                 lp["w_down_rows"], act=cfg.traits.sparse_act,

@@ -330,3 +330,35 @@ def test_engine_pipelined_sparse_generates(sparse_model):
     out = eng.generate([7, 30, 99], max_new_tokens=6)
     assert len(out) == 6
     assert out == eng.generate([7, 30, 99], max_new_tokens=6)
+
+
+def test_pipelined_pallas_v2_matches_gather(sparse_model):
+    """The deep single-stream kernel (v2) must equal the gather math."""
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    base = {"tok_embd": model.params["tok_embd"],
+            "output_norm_w": model.params["output_norm_w"],
+            "output": model.params["output"],
+            "layers": {k: v for k, v in model.params["layers"].items()
+                       if not (k.endswith("_nx") or k.endswith("_rows") or k == "w_all_rows")}}
+    params = prepare_pipelined_params(base, cfg, scfg)
+    assert "w_all_rows" in params["layers"]
+
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+
+    outs = {}
+    for mode in ("gather", "pallas"):
+        ffn, ci = make_pipelined_sparse_ffn(cfg, scfg, mode=mode)
+        fwd = jax.jit(make_forward(cfg, ffn_fn=ffn, ffn_carry_init=ci))
+        lg, _ = fwd(params, jnp.asarray(toks)[None], pos,
+                    init_cache(cfg, 1, 16, jnp.float32))
+        outs[mode] = np.asarray(lg)
+    np.testing.assert_allclose(outs["pallas"], outs["gather"], rtol=1e-4, atol=1e-4)
