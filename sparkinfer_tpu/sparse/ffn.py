@@ -301,8 +301,12 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
             if "b_up" in lp:
                 bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32),
                                   idx, axis=0)
-            if "w_all_rows" in lp:
-                # deep single-stream kernel (P*C uniform fetches per call)
+            import os
+
+            if "w_all_rows" in lp and os.environ.get("SPIF_KERNEL_V2"):
+                # experimental deep single-stream kernel (measured SLOWER
+                # than v1 on v5e at decode shapes — 184 vs 199 t/s at 1B;
+                # kept for round-2 investigation, see BENCH_NOTES.md)
                 return sparse_ffn_block_v2(
                     xt, idx, gp_sel, lp["w_all_rows"],
                     act=cfg.traits.sparse_act, gated=gated, R=ng,

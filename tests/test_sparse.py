@@ -332,8 +332,9 @@ def test_engine_pipelined_sparse_generates(sparse_model):
     assert out == eng.generate([7, 30, 99], max_new_tokens=6)
 
 
-def test_pipelined_pallas_v2_matches_gather(sparse_model):
+def test_pipelined_pallas_v2_matches_gather(sparse_model, monkeypatch):
     """The deep single-stream kernel (v2) must equal the gather math."""
+    monkeypatch.setenv("SPIF_KERNEL_V2", "1")
     from sparkinfer_tpu.sparse.ffn import (
         make_pipelined_sparse_ffn,
         prepare_pipelined_params,
