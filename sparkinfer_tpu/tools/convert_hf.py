@@ -26,6 +26,7 @@ import numpy as np
 
 from ..gguf.constants import GGMLType
 from ..gguf.writer import GGUFWriter
+from ..models.config import ARCH_REGISTRY
 
 _ARCH_MAP = {
     "LlamaForCausalLM": "llama",
@@ -34,6 +35,8 @@ _ARCH_MAP = {
     "SparseLlamaForCausalLM": "prosparse_llama",
     "BambooForCausalLM": "bamboo",
     "Qwen2ForCausalLM": "qwen2",
+    "SparseQwen2ForCausalLM": "qwen2",
+    "SparsifiedQwen2ForCausalLM": "qwen2",
     "OPTForCausalLM": "opt",
     "FalconForCausalLM": "falcon",
     "RWForCausalLM": "falcon",
@@ -144,6 +147,12 @@ def convert(
     arch = _ARCH_MAP[hf_arch]
     if arch == "mamba":
         return _convert_mamba(model_dir, out_path, cfgj, out_type)
+    if arch == "opt":
+        return _convert_opt(model_dir, out_path, cfgj, out_type,
+                            pred_path, pred_bias)
+    if arch == "falcon":
+        return _convert_falcon(model_dir, out_path, cfgj, out_type,
+                               pred_path, pred_bias)
     if arch not in ("llama", "prosparse_llama", "bamboo", "qwen2"):
         raise NotImplementedError(
             f"{arch}: only llama-family layouts implemented in this converter"
@@ -193,13 +202,17 @@ def convert(
         if gname is None:
             continue
         gname = gname.format(i=i) if i is not None else gname
-        if gname.endswith("attn_q.weight") and arch != "qwen2_no_permute":
+        # 'norm'-rope archs store q/k in GGUF adjacent-pair layout (the
+        # Llama permute); neox-rope archs (qwen2) keep the HF layout
+        # (ref: only LlamaModel.permute in convert_hf_to_gguf.py)
+        needs_permute = ARCH_REGISTRY[arch].rope_mode == "norm"
+        if needs_permute and gname.endswith("attn_q.weight"):
             data = permute_rope(data, H)
-        if gname.endswith("attn_k.weight"):
+        if needs_permute and gname.endswith("attn_k.weight"):
             data = permute_rope(data, Hkv)
-        if gname.endswith("attn_q.bias"):
+        if needs_permute and gname.endswith("attn_q.bias"):
             data = permute_rope(data[:, None], H)[:, 0]
-        if gname.endswith("attn_k.bias"):
+        if needs_permute and gname.endswith("attn_k.bias"):
             data = permute_rope(data[:, None], Hkv)[:, 0]
         if preds is not None and gname.endswith("ffn_down.weight"):
             # transpose so neuron rows are contiguous (ref :2236-2238)
@@ -227,6 +240,185 @@ def convert(
 
     w.write()
     return {"arch": arch, "n_tensors": n_written, "n_layer": L}
+
+
+_OPT_TENSORS = {
+    "model.decoder.embed_tokens.weight": "token_embd.weight",
+    "model.decoder.embed_positions.weight": "position_embd.weight",
+    "model.decoder.final_layer_norm.weight": "output_norm.weight",
+    "model.decoder.final_layer_norm.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
+    "model.decoder.layers.{i}.self_attn_layer_norm.weight": "blk.{i}.attn_norm.weight",
+    "model.decoder.layers.{i}.self_attn_layer_norm.bias": "blk.{i}.attn_norm.bias",
+    "model.decoder.layers.{i}.self_attn.q_proj.weight": "blk.{i}.attn_q.weight",
+    "model.decoder.layers.{i}.self_attn.q_proj.bias": "blk.{i}.attn_q.bias",
+    "model.decoder.layers.{i}.self_attn.k_proj.weight": "blk.{i}.attn_k.weight",
+    "model.decoder.layers.{i}.self_attn.k_proj.bias": "blk.{i}.attn_k.bias",
+    "model.decoder.layers.{i}.self_attn.v_proj.weight": "blk.{i}.attn_v.weight",
+    "model.decoder.layers.{i}.self_attn.v_proj.bias": "blk.{i}.attn_v.bias",
+    "model.decoder.layers.{i}.self_attn.out_proj.weight": "blk.{i}.attn_output.weight",
+    "model.decoder.layers.{i}.self_attn.out_proj.bias": "blk.{i}.attn_output.bias",
+    "model.decoder.layers.{i}.final_layer_norm.weight": "blk.{i}.ffn_norm.weight",
+    "model.decoder.layers.{i}.final_layer_norm.bias": "blk.{i}.ffn_norm.bias",
+    "model.decoder.layers.{i}.fc1.weight": "blk.{i}.ffn_up.weight",
+    "model.decoder.layers.{i}.fc1.bias": "blk.{i}.ffn_up.bias",
+    "model.decoder.layers.{i}.fc2.weight": "blk.{i}.ffn_down.weight",
+    "model.decoder.layers.{i}.fc2.bias": "blk.{i}.ffn_down.bias",
+}
+
+
+def _convert_opt(model_dir: Path, out_path: str, cfgj: dict, out_type: str,
+                 pred_path: str | None, pred_bias: bool) -> dict:
+    """OPT (ReLU FFN, learned positions; a SparkInfer sparse arch —
+    ref convert_hf_to_gguf OPT sparse variant)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    H = cfgj["num_attention_heads"]
+    F = cfgj.get("ffn_dim", 4 * E)
+    V = cfgj["vocab_size"]
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    preds = None
+    if pred_path:
+        preds = _load_predictors(Path(pred_path), L, pred_bias)
+
+    w = GGUFWriter(out_path, "opt")
+    w.add_kv("opt.block_count", np.uint32(L))
+    w.add_kv("opt.embedding_length", np.uint32(E))
+    w.add_kv("opt.attention.head_count", np.uint32(H))
+    w.add_kv("opt.attention.head_count_kv", np.uint32(H))
+    w.add_kv("opt.feed_forward_length", np.uint32(F))
+    w.add_kv("opt.vocab_size", np.uint32(V))
+    w.add_kv("opt.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 2048)))
+    w.add_kv("opt.attention.layer_norm_epsilon", np.float32(1e-5))
+    if preds is not None:
+        ranks = [0 if p is None else p["up_w"].shape[0] for p in preds]
+        w.add_array("opt.pred_lora", np.asarray(ranks, np.uint32))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("model.decoder.layers."):
+            i = int(parts[3])
+            templ = ".".join(parts[:3] + ["{i}"] + parts[4:])
+        gname = _OPT_TENSORS.get(templ)
+        if gname is None:
+            continue
+        gname = gname.format(i=i) if i is not None else gname
+        if preds is not None and gname.endswith("ffn_down.weight"):
+            data = np.ascontiguousarray(data.T)  # transposed for sparse rows
+        tt = gtype if data.ndim == 2 and "norm" not in gname else GGMLType.F32
+        w.add_tensor(gname, np.ascontiguousarray(data), tt)
+        n += 1
+    if preds is not None:
+        for i, p in enumerate(preds):
+            if p is None:
+                continue
+            w.add_tensor(f"blk.{i}.ffn_pred_up.weight", p["up_w"], GGMLType.F32)
+            w.add_tensor(f"blk.{i}.ffn_pred_down.weight", p["down_w"], GGMLType.F32)
+            if p.get("up_b") is not None:
+                w.add_tensor(f"blk.{i}.ffn_pred_up.bias", p["up_b"], GGMLType.F32)
+            if p.get("down_b") is not None:
+                w.add_tensor(f"blk.{i}.ffn_pred_down.bias", p["down_b"], GGMLType.F32)
+            n += 2
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "opt", "n_tensors": n, "n_layer": L}
+
+
+_FALCON_TENSORS = {
+    "transformer.word_embeddings.weight": "token_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
+    "transformer.h.{i}.input_layernorm.weight": "blk.{i}.attn_norm.weight",
+    "transformer.h.{i}.input_layernorm.bias": "blk.{i}.attn_norm.bias",
+    "transformer.h.{i}.ln_attn.weight": "blk.{i}.attn_norm.weight",
+    "transformer.h.{i}.ln_attn.bias": "blk.{i}.attn_norm.bias",
+    "transformer.h.{i}.ln_mlp.weight": "blk.{i}.attn_norm_2.weight",
+    "transformer.h.{i}.ln_mlp.bias": "blk.{i}.attn_norm_2.bias",
+    "transformer.h.{i}.self_attention.query_key_value.weight": "blk.{i}.attn_qkv.weight",
+    "transformer.h.{i}.self_attention.query_key_value.bias": "blk.{i}.attn_qkv.bias",
+    "transformer.h.{i}.self_attention.dense.weight": "blk.{i}.attn_output.weight",
+    "transformer.h.{i}.mlp.dense_h_to_4h.weight": "blk.{i}.ffn_up.weight",
+    "transformer.h.{i}.mlp.dense_4h_to_h.weight": "blk.{i}.ffn_down.weight",
+}
+
+
+def _convert_falcon(model_dir: Path, out_path: str, cfgj: dict, out_type: str,
+                    pred_path: str | None, pred_bias: bool) -> dict:
+    """Falcon (parallel attn+FFN, fused grouped QKV, neox rope; the 4th
+    SparkInfer sparse arch — relufalcon-40b in the eval scripts)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    H = cfgj["num_attention_heads"]
+    if cfgj.get("new_decoder_architecture"):
+        Hkv = cfgj.get("num_kv_heads", H)
+    elif cfgj.get("multi_query", True):
+        Hkv = 1
+    else:
+        Hkv = H
+    F = cfgj.get("ffn_hidden_size", 4 * E)
+    V = cfgj["vocab_size"]
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    preds = None
+    if pred_path:
+        preds = _load_predictors(Path(pred_path), L, pred_bias)
+
+    w = GGUFWriter(out_path, "falcon")
+    w.add_kv("falcon.block_count", np.uint32(L))
+    w.add_kv("falcon.embedding_length", np.uint32(E))
+    w.add_kv("falcon.attention.head_count", np.uint32(H))
+    w.add_kv("falcon.attention.head_count_kv", np.uint32(Hkv))
+    w.add_kv("falcon.feed_forward_length", np.uint32(F))
+    w.add_kv("falcon.vocab_size", np.uint32(V))
+    w.add_kv("falcon.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 2048)))
+    w.add_kv("falcon.attention.layer_norm_epsilon",
+             np.float32(cfgj.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv("falcon.rope.freq_base", np.float32(cfgj.get("rope_theta", 10000.0)))
+    w.add_kv("falcon.rope.dimension_count", np.uint32(E // H))
+    if preds is not None:
+        ranks = [0 if p is None else p["up_w"].shape[0] for p in preds]
+        w.add_array("falcon.pred_lora", np.asarray(ranks, np.uint32))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("transformer.h."):
+            i = int(parts[2])
+            templ = ".".join(parts[:2] + ["{i}"] + parts[3:])
+        gname = _FALCON_TENSORS.get(templ)
+        if gname is None:
+            continue
+        gname = gname.format(i=i) if i is not None else gname
+        if preds is not None and gname.endswith("ffn_down.weight"):
+            data = np.ascontiguousarray(data.T)
+        tt = gtype if data.ndim == 2 and "norm" not in gname else GGMLType.F32
+        w.add_tensor(gname, np.ascontiguousarray(data), tt)
+        n += 1
+    if preds is not None:
+        for i, p in enumerate(preds):
+            if p is None:
+                continue
+            w.add_tensor(f"blk.{i}.ffn_pred_up.weight", p["up_w"], GGMLType.F32)
+            w.add_tensor(f"blk.{i}.ffn_pred_down.weight", p["down_w"], GGMLType.F32)
+            if p.get("up_b") is not None:
+                w.add_tensor(f"blk.{i}.ffn_pred_up.bias", p["up_b"], GGMLType.F32)
+            if p.get("down_b") is not None:
+                w.add_tensor(f"blk.{i}.ffn_pred_down.bias", p["down_b"], GGMLType.F32)
+            n += 2
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "falcon", "n_tensors": n, "n_layer": L}
 
 
 _MAMBA_TENSORS = {

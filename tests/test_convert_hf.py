@@ -111,3 +111,108 @@ def test_convert_with_predictors(hf_model_dir, tmp_path):
                  sparse_decode_mode="gather")
     toks = eng.generate([3, 5, 7], max_new_tokens=4)
     assert len(toks) == 4
+
+
+def test_qwen2_convert_logit_parity(tmp_path):
+    """Qwen2 (neox rope + qkv biases) — converter must NOT permute q/k."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Qwen2Config(
+        vocab_size=160, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    hf = Qwen2ForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path / "qwen2-hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+
+    out = tmp_path / "qwen2.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "qwen2"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    assert model.config.traits.rope_mode == "neox"
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 160, 6).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).logits[0].numpy()
+    fwd = jax.jit(make_forward(model.config))
+    lg, _ = fwd(model.params, jnp.asarray(toks, jnp.int32)[None],
+                jnp.arange(6, dtype=jnp.int32)[None],
+                init_cache(model.config, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lg)[0], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_opt_convert_logit_parity(tmp_path):
+    """OPT (LN norms, ReLU FFN, learned positions offset 2, biases) vs
+    transformers — the 3rd SparkInfer sparse arch."""
+    from transformers import OPTConfig, OPTForCausalLM
+
+    torch.manual_seed(0)
+    cfg = OPTConfig(
+        vocab_size=160, hidden_size=64, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        do_layer_norm_before=True, word_embed_proj_dim=64,
+    )
+    hf = OPTForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path / "opt-hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+
+    out = tmp_path / "opt.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "opt"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    tr = model.config.traits
+    assert tr.norm == "ln" and tr.act == "relu" and tr.pos_embd
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 160, 6).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).logits[0].numpy()
+    fwd = jax.jit(make_forward(model.config))
+    lg, _ = fwd(model.params, jnp.asarray(toks, jnp.int32)[None],
+                jnp.arange(6, dtype=jnp.int32)[None],
+                init_cache(model.config, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lg)[0], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_falcon_convert_logit_parity(tmp_path):
+    """Falcon (parallel blocks, fused multi-query QKV, neox rope) vs
+    transformers — the 4th SparkInfer sparse arch."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    torch.manual_seed(0)
+    cfg = FalconConfig(
+        vocab_size=160, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, multi_query=True,
+        new_decoder_architecture=False, parallel_attn=True, bias=False,
+        alibi=False, layer_norm_epsilon=1e-5,
+    )
+    hf = FalconForCausalLM(cfg)
+    hf.eval()
+    d = tmp_path / "falcon-hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+
+    out = tmp_path / "falcon.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "falcon"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    tr = model.config.traits
+    assert tr.parallel_blocks and tr.fused_qkv and model.config.n_head_kv == 1
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 160, 6).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).logits[0].numpy()
+    fwd = jax.jit(make_forward(model.config))
+    lg, _ = fwd(model.params, jnp.asarray(toks, jnp.int32)[None],
+                jnp.arange(6, dtype=jnp.int32)[None],
+                init_cache(model.config, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lg)[0], ref, rtol=2e-3, atol=2e-3)
