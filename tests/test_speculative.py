@@ -64,3 +64,26 @@ def test_stochastic_speculative_runs(target_model, draft_model):
     out = spec.generate([7, 30], max_new_tokens=8, seed=3)
     assert 1 <= len(out) <= 8
     assert all(0 <= x < target_model.config.n_vocab for x in out)
+
+
+def test_sparse_target_speculative(tmp_path):
+    """Sparse target + dense draft (ref: examples/speculative inits spif for
+    the target/draft pair) — greedy lossless still holds."""
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    p1 = tmp_path / "sp-target.gguf"
+    make_tiny_llama(p1, arch="prosparse_llama", pred_rank=8, n_ff=96, seed=5)
+    target = load_model(str(p1), dtype=jnp.float32)
+    p2 = tmp_path / "draft.gguf"
+    make_tiny_llama(p2, seed=9, n_layer=1)
+    draft = load_model(str(p2), dtype=jnp.float32)
+
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+    t = Engine(target, max_seq=64, sampler=SamplerConfig(temp=0.0),
+               kv_dtype=jnp.float32, donate_cache=False,
+               sparse=scfg, sparse_decode_mode="gather", sparse_pipelined=False)
+    d = _eng(draft)
+    spec = SpeculativeEngine(t, d, n_draft=3)
+    want = t.generate([7, 30, 99], max_new_tokens=8)
+    got = spec.generate([7, 30, 99], max_new_tokens=8)
+    assert got == want
