@@ -15,7 +15,7 @@ A rule is a list of alternates; an alternate is a tuple of elements.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class GrammarParseError(ValueError):

@@ -23,9 +23,8 @@ global mesh vs the single-chip figure.
 from __future__ import annotations
 
 import jax
-import numpy as np
 
-from .mesh import AX, make_mesh
+from .mesh import make_mesh
 
 
 def init_multihost(coordinator: str | None = None, num_processes: int | None = None,

@@ -15,9 +15,8 @@ step's dispatch thanks to JAX async dispatch).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
-from typing import Any, Callable, Iterator
+from dataclasses import dataclass
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp

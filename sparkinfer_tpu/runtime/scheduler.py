@@ -23,13 +23,13 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Any, Callable, Iterator
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import PREFILL_BUCKETS, bucket_len
+from .engine import bucket_len
 from .kv_cache import KVCache, init_cache
 from .sampling import SamplerConfig, init_state, make_sampler
 

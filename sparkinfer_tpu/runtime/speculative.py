@@ -20,15 +20,13 @@ static-shape trick the prefill padding uses).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .engine import Engine
-from .kv_cache import KVCache
-from .sampling import SamplerConfig
 
 
 @dataclass

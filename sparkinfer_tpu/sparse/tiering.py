@@ -44,7 +44,7 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from .config import SparseConfig
-from .ffn import _sparse_act, select_groups
+from .ffn import select_groups
 from .predictor import predict_activations
 
 

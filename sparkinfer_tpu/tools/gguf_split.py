@@ -9,7 +9,6 @@ shard-aware loading reads each shard's tensors independently.
 from __future__ import annotations
 
 import argparse
-import sys
 from pathlib import Path
 
 import numpy as np

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 import numpy as np
 
@@ -28,8 +27,6 @@ def collect_imatrix(model, token_batches, max_seq: int = 512) -> dict:
     E, F, L = cfg.n_embd, cfg.n_ff, cfg.n_layer
 
     def capture_ffn(lp, x, fs, il):
-        from ..models.transformer import dense_ffn
-
         xt = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
         up = xt @ lp["w_up"].astype(jnp.float32)
         if "b_up" in lp:

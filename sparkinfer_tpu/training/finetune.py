@@ -15,7 +15,7 @@ FFN or only attention weights) via a param filter.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
