@@ -128,10 +128,41 @@ def main():
     cap = max(4, (int(ng * 0.25) + 3) // 4 * 4)  # multiple of 4 -> kernel unroll
     scfg = SparseConfig(group_size=gs, capacity_groups=cap)
     tight_hbm = preset == "7b"  # 7B needs the rows-only layout to fit
-    sparams = prepare_pipelined_params(params, cfg, scfg, drop_dense=tight_hbm)
     if tight_hbm:
-        del params["layers"]["w_up"], params["layers"]["w_gate"], params["layers"]["w_down"]
-        import gc; gc.collect()
+        # avoid transient dense+rows duplication in HBM: pull the FFN weights
+        # to host, free the device copies, relayout on host, re-upload
+        import gc
+
+        import jax
+        import jax.numpy as jnp
+
+        host_ffn = {k: np.array(params["layers"][k])
+                    for k in ("w_up", "w_gate", "w_down")}
+        for k in host_ffn:
+            del params["layers"][k]
+        gc.collect()
+        L, E, F2 = cfg.n_layer, cfg.n_embd, cfg.n_ff
+        ngg = F2 // gs
+        rows = {
+            "w_up_rows": np.ascontiguousarray(
+                np.swapaxes(host_ffn["w_up"], -1, -2)).reshape(L, ngg, gs, E),
+            "w_gate_rows": np.ascontiguousarray(
+                np.swapaxes(host_ffn["w_gate"], -1, -2)).reshape(L, ngg, gs, E),
+            "w_down_rows": host_ffn["w_down"].reshape(L, ngg, gs, E),
+        }
+        del host_ffn
+        gc.collect()
+        sparams = dict(params)
+        slayers = dict(params["layers"])
+        for k, v in rows.items():
+            slayers[k] = jnp.asarray(v)
+        for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
+            slayers[k + "_nx"] = jnp.roll(slayers[k], -1, axis=0)
+        sparams["layers"] = slayers
+        del rows
+        gc.collect()
+    else:
+        sparams = prepare_pipelined_params(params, cfg, scfg, drop_dense=False)
     ffn, carry_init = make_pipelined_sparse_ffn(
         cfg, scfg, mode="pallas" if plat == "tpu" else "gather")
     sparse_fwd = make_forward(cfg, ffn_fn=ffn, ffn_carry_init=carry_init)

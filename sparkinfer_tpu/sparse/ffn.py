@@ -248,12 +248,17 @@ def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
     for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
         if k in layers:
             layers[k + "_nx"] = jnp.roll(layers[k], -1, axis=0)
-    # v2 single-stream store: [up; gate; down] concatenated on the row axis
-    parts = [layers["w_up_rows"]]
-    if "w_gate_rows" in layers:
-        parts.append(layers["w_gate_rows"])
-    parts.append(layers["w_down_rows"])
-    layers["w_all_rows"] = jnp.concatenate(parts, axis=-3)
+    import os
+
+    if os.environ.get("SPIF_KERNEL_V2"):
+        # v2 single-stream store: [up; gate; down] concatenated on rows
+        # (only built when the experimental kernel is enabled — it's an
+        # FFN-sized extra HBM allocation)
+        parts = [layers["w_up_rows"]]
+        if "w_gate_rows" in layers:
+            parts.append(layers["w_gate_rows"])
+        parts.append(layers["w_down_rows"])
+        layers["w_all_rows"] = jnp.concatenate(parts, axis=-3)
     out["layers"] = layers
     return out
 
