@@ -41,6 +41,7 @@ class Request:
     sampler: SamplerConfig | None = None
     seed: int | None = None
     stop_ids: set[int] = field(default_factory=set)
+    stop_strings: list[str] = field(default_factory=list)  # OpenAI `stop`
     grammar: str | None = None  # GBNF source (constrained decoding)
     _gsampler: object = None  # GrammarSampler, built at admit time
     # filled by the scheduler
@@ -265,13 +266,20 @@ class Scheduler:
         req = slot.req
         slot.n_gen += 1
         self.metrics["n_tokens_generated"] += 1
+        hit_stop_str = False
+        if req.stop_strings and self.tokenizer is not None:
+            # accumulate decoded text; finish when it ends with a stop string
+            piece = self.tokenizer.decode([tok])
+            req._text = getattr(req, "_text", "") + piece
+            hit_stop_str = any(req._text.endswith(ss) for ss in req.stop_strings)
         finished = (
             tok in req.stop_ids
+            or hit_stop_str
             or slot.n_gen >= req.max_new_tokens
             or slot.n_past + 1 >= self.max_seq
         )
-        if tok in req.stop_ids:
-            pass  # stop token not emitted
+        if tok in req.stop_ids or hit_stop_str:
+            pass  # stop token / stop string terminator not emitted
         else:
             req.out_queue.put(tok)
         if finished:

@@ -106,11 +106,15 @@ class SparkServer:
             from ..grammar import json_schema_to_gbnf
 
             grammar = json_schema_to_gbnf({})
+        stop = body.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
         return Request(
             prompt_tokens=ids,
             max_new_tokens=max_new,
             seed=body.get("seed"),
             stop_ids=self._stop_ids(),
+            stop_strings=[s for s in stop if s],
             grammar=grammar,
         )
 

@@ -160,3 +160,32 @@ def test_grammar_constrained_request(model, tmp_path):
     from sparkinfer_tpu.grammar import parse_gbnf
     g = parse_gbnf('root ::= ("hello" | "world")+')
     assert g.accept_text(g.start_stacks(), text), text
+
+
+def test_stop_strings(model, tmp_path):
+    """OpenAI-style stop strings terminate generation (server parity)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama as mk
+    from sparkinfer_tpu.models.loader import load_model as lm
+    from sparkinfer_tpu.tokenizer import build_tokenizer
+
+    p = tmp_path / "ss.gguf"
+    mk(p, n_vocab=300, with_vocab=True)
+    m = lm(str(p), dtype=jnp.float32)
+    tk = build_tokenizer(m.vocab)
+    sched = Scheduler(m, n_slots=1, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                      kv_dtype=jnp.float32, tokenizer=tk)
+    prompt = tk.encode("hello", add_special=True)
+    # no stop: get full output
+    r1 = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=8))
+    sched.run_until_idle()
+    full = tk.decode(r1.tokens())
+    assert len(full) > 1
+    # stop at the first generated char sequence
+    stop = full[:2]
+    r2 = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=8,
+                              stop_strings=[stop]))
+    sched.run_until_idle()
+    out2 = tk.decode(r2.tokens())
+    assert len(out2) < len(full)
