@@ -41,8 +41,9 @@ def bench_pp(model, n_tokens: int, n_rep: int, kv_dtype) -> float:
 
 
 def bench_tg(model, n_tokens: int, n_rep: int, kv_dtype, ctx: int = 1024,
-             batch: int = 1) -> float:
-    """Decode throughput t/s at a realistic cache depth."""
+             batch: int = 1, sparse=None) -> float:
+    """Decode throughput t/s at a realistic cache depth. sparse: a
+    SparseConfig to bench the pipelined sparse decode path instead."""
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +51,15 @@ def bench_tg(model, n_tokens: int, n_rep: int, kv_dtype, ctx: int = 1024,
     from ..runtime.kv_cache import init_cache
 
     cfg = model.config
-    fwd = jax.jit(make_forward(cfg), donate_argnums=(3,))
+    if sparse is not None:
+        from ..sparse.ffn import make_pipelined_sparse_ffn, prepare_pipelined_params
+
+        model.params = prepare_pipelined_params(model.params, cfg, sparse)
+        ffn, ci = make_pipelined_sparse_ffn(cfg, sparse, mode="pallas")
+        fwd = jax.jit(make_forward(cfg, ffn_fn=ffn, ffn_carry_init=ci),
+                      donate_argnums=(3,))
+    else:
+        fwd = jax.jit(make_forward(cfg), donate_argnums=(3,))
     cache = init_cache(cfg, batch, ctx, kv_dtype)
     # seed cache with ctx/2 tokens
     T0 = min(ctx // 2, 512)
@@ -89,6 +98,10 @@ def main(argv=None) -> int:
     ap.add_argument("-c", "--ctx", type=int, default=1024)
     ap.add_argument("-ctk", choices=["f32", "bf16", "q8"], default="bf16")
     ap.add_argument("--keep-quantized", action="store_true")
+    ap.add_argument("--sparse", action="store_true",
+                    help="bench the pipelined sparse decode (needs predictors)")
+    ap.add_argument("--capacity-groups", type=int, default=0)
+    ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("-o", "--output", choices=["md", "json"], default="md")
     args = ap.parse_args(argv)
 
@@ -104,10 +117,22 @@ def main(argv=None) -> int:
     for pp in [int(x) for x in args.pp.split(",") if int(x) > 0]:
         tps = bench_pp(model, pp, args.reps, kv_dtype)
         rows.append({"test": f"pp{pp}", "t/s": round(tps, 2)})
+    sparse = None
+    if args.sparse:
+        from ..sparse.config import SparseConfig
+
+        gs = args.group_size
+        while cfg.n_ff % gs:
+            gs //= 2
+        sparse = SparseConfig(group_size=gs,
+                              capacity_groups=args.capacity_groups)
     for b in [int(x) for x in args.batch.split(",")]:
         for tg in [int(x) for x in args.tg.split(",") if int(x) > 0]:
-            tps = bench_tg(model, tg, args.reps, kv_dtype, args.ctx, batch=b)
+            tps = bench_tg(model, tg, args.reps, kv_dtype, args.ctx, batch=b,
+                           sparse=sparse)
             name = f"tg{tg}" if b == 1 else f"tg{tg}@b{b}"
+            if sparse is not None:
+                name += "-sparse"
             rows.append({"test": name, "t/s": round(tps, 2)})
 
     meta = {"arch": cfg.arch, "n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
