@@ -106,15 +106,42 @@ class Scheduler:
         self.max_seq = max_seq
         self.sampler_cfg = sampler or SamplerConfig()
         self.sample = make_sampler(self.sampler_cfg)
+        self.tiered = sparse is not None and sparse.hot_groups > 0
+        self._fstate = None
         if sparse is not None:
-            # sparse serving: masked-dense prefill, gathered top-k decode
+            # sparse serving: masked-dense prefill, gathered top-k decode;
+            # with hot_groups>0, hot/cold tiering + between-tick balancing
             from ..sparse.ffn import make_sparse_ffn, prepare_sparse_params
 
             if not self.cfg.has_predictors:
                 raise ValueError("sparse serving needs predictor tensors")
             self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
             self.fwd = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="dense"))
-            self.fwd_decode = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="pallas"))
+            if self.tiered:
+                from ..sparse.balancer import Balancer
+                from ..sparse.tiering import (
+                    ColdStore,
+                    init_tiered,
+                    make_tiered_ffn,
+                    tiered_layer_params,
+                )
+
+                layers = self.model.params["layers"]
+                self._full_layers = layers
+                self._tp, self._fstate = init_tiered(
+                    self.cfg, sparse, layers, sparse.hot_groups
+                )
+                cold_np = {k: np.asarray(v) for k, v in layers.items()
+                           if k.endswith("_rows") or k == "b_up"}
+                self._cold = ColdStore(self.cfg, sparse, cold_np)
+                self.balancer = Balancer(cold=self._cold, scfg=sparse)
+                tiered_ffn = make_tiered_ffn(self.cfg, sparse, self._cold, mode="host")
+                self.fwd_decode = make_forward(self.cfg, ffn_fn=tiered_ffn,
+                                               stateful_ffn=True)
+                self._decode_params = dict(self.model.params)
+                self._decode_params["layers"] = tiered_layer_params(layers, self._tp)
+            else:
+                self.fwd_decode = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="pallas"))
         else:
             self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
             self.fwd_decode = self.fwd
@@ -154,10 +181,15 @@ class Scheduler:
         tok, sstate1 = jax.vmap(self.sample)(last, sstate1)
         return tok, cache1, sstate1, last
 
-    def _decode_impl(self, params, tokens, positions, cache, sstate, active):
+    def _decode_impl(self, params, tokens, positions, cache, sstate, active,
+                     fstate=None):
         """tokens/positions (B,1); active (B,) masks sampler-state updates
         for idle slots (their dummy writes are position-overwritten later)."""
-        logits, cache = self.fwd_decode(params, tokens, positions, cache)
+        if self.tiered:
+            logits, cache, fstate = self.fwd_decode(params, tokens, positions,
+                                                    cache, fstate)
+        else:
+            logits, cache = self.fwd_decode(params, tokens, positions, cache)
         last = logits[:, -1]
         tok, new_sstate = jax.vmap(self.sample)(last, sstate)
         # idle slots keep their old sampler state untouched
@@ -165,7 +197,7 @@ class Scheduler:
             active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
         )
         sstate = jax.tree.map(keep, new_sstate, sstate)
-        return tok, cache, sstate, last
+        return tok, cache, sstate, last, fstate
 
     # --- public API ---------------------------------------------------------
     def submit(self, req: Request) -> Request:
@@ -303,13 +335,15 @@ class Scheduler:
         pos = np.asarray(
             [[s.n_past if s.running else 0] for s in self.slots], np.int32
         )
-        tok, self.cache, self.sstate, last_logits = self._jit_decode(
-            self.model.params,
+        decode_params = self._decode_params if self.tiered else self.model.params
+        tok, self.cache, self.sstate, last_logits, self._fstate = self._jit_decode(
+            decode_params,
             jnp.asarray(toks),
             jnp.asarray(pos),
             self.cache,
             self.sstate,
             jnp.asarray(active),
+            self._fstate,
         )
         tok = np.array(tok)
         lg_host = None
@@ -328,6 +362,13 @@ class Scheduler:
             slot.cached_tokens.append(slot.last_token)
             slot.n_past += 1
             self._emit(s_i, int(tok[s_i]))
+        if self.tiered and self.metrics["n_decode_steps"] % 1 == 0:
+            from ..sparse.tiering import tiered_layer_params
+
+            self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
+            self._decode_params["layers"] = tiered_layer_params(
+                self._full_layers, self._tp
+            )
         return any(s.running for s in self.slots) or not self.pending.empty()
 
     # --- background loop ----------------------------------------------------

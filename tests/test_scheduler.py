@@ -189,3 +189,30 @@ def test_stop_strings(model, tmp_path):
     sched.run_until_idle()
     out2 = tk.decode(r2.tokens())
     assert len(out2) < len(full)
+
+
+def test_tiered_sparse_serving(tmp_path):
+    """Scheduler with hot/cold tiering (host complement, balancer between
+    ticks) must match the untiered sparse engine exactly."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama as mk
+    from sparkinfer_tpu.models.loader import load_model as lm
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    p = tmp_path / "tier.gguf"
+    mk(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+    m1 = lm(str(p), dtype=jnp.float32)
+    flat = SparseConfig(group_size=16, capacity_groups=4)
+    eng = Engine(m1, max_seq=64, sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32,
+                 sparse=flat, sparse_decode_mode="gather", sparse_pipelined=False)
+    want = eng.generate([7, 30, 99], max_new_tokens=5)
+
+    m2 = lm(str(p), dtype=jnp.float32)
+    tiered = SparseConfig(group_size=16, capacity_groups=4, hot_groups=2)
+    sched = Scheduler(m2, n_slots=2, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                      kv_dtype=jnp.float32, sparse=tiered)
+    r = sched.submit(Request(prompt_tokens=[7, 30, 99], max_new_tokens=5))
+    sched.run_until_idle()
+    assert r.tokens() == want
+    assert sched.balancer.rebalances > 0
