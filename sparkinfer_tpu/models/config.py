@@ -84,7 +84,7 @@ _reg(
 _reg(ArchTraits("gpt2", norm="ln", act="gelu", rope_mode="none", fused_qkv=True,
                 qkv_bias=True, attn_out_bias=True, ffn_bias=True, norm_bias=True,
                 pos_embd=True))
-_reg(ArchTraits("gemma2", rope_mode="neox", act="geglu"))
+_reg(ArchTraits("gemma2", rope_mode="neox", act="geglu", final_logit_softcap=30.0))
 _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # broader llama-family coverage: these archs are trait-compatible with the
 # generic forward (ref: per-arch builders in src/models/*.cpp that differ

@@ -292,6 +292,10 @@ def make_forward(
             logits = jnp.einsum(
                 "bte,ev->btv", x, out_w, preferred_element_type=jnp.float32
             )
+        if tr.final_logit_softcap > 0:
+            # gemma2-style soft capping: cap * tanh(logits / cap)
+            cap = tr.final_logit_softcap
+            logits = cap * jnp.tanh(logits / cap)
         if stateful_ffn and with_hidden:
             return logits, new_cache, fs_new, hidden
         if stateful_ffn:

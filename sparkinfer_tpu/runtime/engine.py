@@ -182,6 +182,10 @@ class Engine:
 
         donate = (3,) if donate_cache else ()
         self._prefill = jax.jit(self._prefill_impl, donate_argnums=donate)
+        self._prefill_cont = jax.jit(self._prefill_cont_impl, donate_argnums=donate)
+        self._chunk_fwd = jax.jit(self._chunk_fwd_impl, donate_argnums=donate,
+                                  static_argnums=(4,))
+        self.prefill_chunk = 1024  # ubatch size for long prompts (ref n_ubatch)
         self._decode = jax.jit(self._decode_impl, donate_argnums=donate)
         self.perf = PerfCounters()
 
@@ -194,6 +198,22 @@ class Engine:
         last = logits[jnp.arange(B), last_idx]  # (B, V)
         toks, sstates = jax.vmap(self.sample)(last, sstate)
         return toks, cache, sstates
+
+    def _prefill_cont_impl(self, params, tokens, positions, cache, last_idx, sstate):
+        """Continuation chunk of a long prompt: must READ the cache (earlier
+        chunks), so it uses the general forward, not the fresh-flash one."""
+        logits, cache = self.fwd(params, tokens, positions, cache)
+        B = tokens.shape[0]
+        last = logits[jnp.arange(B), last_idx]
+        toks, sstates = jax.vmap(self.sample)(last, sstate)
+        return toks, cache, sstates
+
+    def _chunk_fwd_impl(self, params, tokens, positions, cache, fresh):
+        """Middle chunk: forward only (no sampling). `fresh` is static via
+        two jit caches keyed by the python bool."""
+        fwd = self.fwd_prefill if fresh else self.fwd
+        _, cache = fwd(params, tokens, positions, cache)
+        return cache
 
     def _decode_impl(self, params, tokens, positions, cache, sstate, fstate=None):
         """tokens (B, 1); positions (B, 1)."""
@@ -230,6 +250,8 @@ class Engine:
             raise ValueError("empty prompt")
         if n > self.max_seq:
             raise ValueError(f"prompt of {n} tokens exceeds max_seq {self.max_seq}")
+        if n > self.prefill_chunk and not self.cfg.traits.recurrent:
+            return self._prefill_chunked(prompt_tokens, cache, sstate)
         t0 = time.perf_counter()
         Tpad = bucket_len(n)
         # recurrent models treat negative ids as state-passthrough padding
@@ -248,6 +270,42 @@ class Engine:
             jnp.asarray(pos),
             cache,
             jnp.asarray(last_idx),
+            sstate,
+        )
+        tok = int(np.asarray(tok)[0])
+        self.perf.t_prefill_s += time.perf_counter() - t0
+        self.perf.n_prefill += n
+        return tok, cache, sstate, n
+
+    def _prefill_chunked(self, prompt_tokens, cache, sstate):
+        """ubatch-style chunked prefill (ref: n_ubatch splitting) for long
+        prompts: fixed-size chunks bound compile count and VMEM."""
+        t0 = time.perf_counter()
+        n = len(prompt_tokens)
+        CH = self.prefill_chunk
+        off = 0
+        while n - off > CH:
+            toks = np.asarray(prompt_tokens[off : off + CH], np.int32)[None]
+            pos = (np.arange(CH, dtype=np.int32) + off)[None]
+            cache = self._chunk_fwd(
+                self.model.params, jnp.asarray(toks), jnp.asarray(pos), cache,
+                off == 0,
+            )
+            off += CH
+        # final chunk: cache-reading prefill + sampling
+        rem = n - off
+        Tpad = bucket_len(rem)
+        fill = -1 if self.cfg.traits.recurrent else 0
+        toks = np.full((self.batch, Tpad), fill, np.int32)
+        toks[:, :rem] = prompt_tokens[off:]
+        pos = (np.arange(Tpad, dtype=np.int32) + off)[None]
+        pos = np.broadcast_to(pos, (self.batch, Tpad))
+        tok, cache, sstate = self._prefill_cont(
+            self.model.params,
+            jnp.asarray(toks),
+            jnp.asarray(np.ascontiguousarray(pos)),
+            cache,
+            jnp.asarray([rem - 1] * self.batch, jnp.int32),
             sstate,
         )
         tok = int(np.asarray(tok)[0])

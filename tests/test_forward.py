@@ -240,3 +240,51 @@ def test_context_shift_rope_relabeling(tiny_model):
                  kv_dtype=jnp.float32, donate_cache=False)
     out = eng.generate([1, 2, 3], max_new_tokens=40)
     assert len(out) == 40
+
+
+def test_final_logit_softcap(tiny_model):
+    """gemma2-style soft capping bounds logits to ±cap (trait-driven)."""
+    import dataclasses
+
+    from sparkinfer_tpu.models.config import ARCH_REGISTRY, ArchTraits
+
+    model, _ = tiny_model
+    cfg = dataclasses.replace(model.config)
+    # register a capped clone of llama traits
+    base = ARCH_REGISTRY["llama"]
+    ARCH_REGISTRY["_capped_llama"] = dataclasses.replace(
+        base, name="_capped_llama", final_logit_softcap=2.0)
+    try:
+        cfg.arch = "_capped_llama"
+        fwd = jax.jit(make_forward(cfg))
+        toks = np.asarray([3, 14, 15], np.int32)
+        lg, _ = fwd(model.params, jnp.asarray(toks)[None],
+                    jnp.arange(3, dtype=jnp.int32)[None],
+                    init_cache(cfg, 1, 8, jnp.float32))
+        lg = np.asarray(lg)
+        assert np.abs(lg).max() <= 2.0 + 1e-5
+        # uncapped reference exceeds the cap somewhere (sanity)
+        fwd0 = jax.jit(make_forward(model.config))
+        lg0, _ = fwd0(model.params, jnp.asarray(toks)[None],
+                      jnp.arange(3, dtype=jnp.int32)[None],
+                      init_cache(model.config, 1, 8, jnp.float32))
+        assert np.abs(np.asarray(lg0)).max() > 2.0
+    finally:
+        del ARCH_REGISTRY["_capped_llama"]
+
+
+def test_chunked_prefill_matches_single_shot(tiny_model):
+    """Long prompts prefill in fixed chunks; continuation must equal the
+    single-shot path exactly."""
+    model, _ = tiny_model
+    eng = Engine(model, max_seq=128, sampler=SamplerConfig(temp=0.0),
+                 kv_dtype=jnp.float32, donate_cache=False)
+    rng = np.random.default_rng(41)
+    prompt = rng.integers(0, model.config.n_vocab, 50).astype(np.int32).tolist()
+    want = eng.generate(prompt, max_new_tokens=6)
+
+    eng2 = Engine(model, max_seq=128, sampler=SamplerConfig(temp=0.0),
+                  kv_dtype=jnp.float32, donate_cache=False)
+    eng2.prefill_chunk = 16  # force chunking (4 chunks)
+    got = eng2.generate(prompt, max_new_tokens=6)
+    assert got == want
