@@ -41,6 +41,7 @@ _ARCH_MAP = {
     "FalconForCausalLM": "falcon",
     "RWForCausalLM": "falcon",
     "MambaForCausalLM": "mamba",
+    "GPT2LMHeadModel": "gpt2",
 }
 
 # HF name template -> GGUF name template (llama-family layout;
@@ -153,6 +154,8 @@ def convert(
     if arch == "falcon":
         return _convert_falcon(model_dir, out_path, cfgj, out_type,
                                pred_path, pred_bias)
+    if arch == "gpt2":
+        return _convert_gpt2(model_dir, out_path, cfgj, out_type)
     if arch not in ("llama", "prosparse_llama", "bamboo", "qwen2"):
         raise NotImplementedError(
             f"{arch}: only llama-family layouts implemented in this converter"
@@ -328,6 +331,74 @@ def _convert_opt(model_dir: Path, out_path: str, cfgj: dict, out_type: str,
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "opt", "n_tensors": n, "n_layer": L}
+
+
+_GPT2_TENSORS = {
+    "wte.weight": "token_embd.weight",
+    "wpe.weight": "position_embd.weight",
+    "ln_f.weight": "output_norm.weight",
+    "ln_f.bias": "output_norm.bias",
+    "h.{i}.ln_1.weight": "blk.{i}.attn_norm.weight",
+    "h.{i}.ln_1.bias": "blk.{i}.attn_norm.bias",
+    "h.{i}.attn.c_attn.weight": "blk.{i}.attn_qkv.weight",
+    "h.{i}.attn.c_attn.bias": "blk.{i}.attn_qkv.bias",
+    "h.{i}.attn.c_proj.weight": "blk.{i}.attn_output.weight",
+    "h.{i}.attn.c_proj.bias": "blk.{i}.attn_output.bias",
+    "h.{i}.ln_2.weight": "blk.{i}.ffn_norm.weight",
+    "h.{i}.ln_2.bias": "blk.{i}.ffn_norm.bias",
+    "h.{i}.mlp.c_fc.weight": "blk.{i}.ffn_up.weight",
+    "h.{i}.mlp.c_fc.bias": "blk.{i}.ffn_up.bias",
+    "h.{i}.mlp.c_proj.weight": "blk.{i}.ffn_down.weight",
+    "h.{i}.mlp.c_proj.bias": "blk.{i}.ffn_down.bias",
+}
+
+
+def _convert_gpt2(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """GPT-2: HF Conv1D stores weights TRANSPOSED (in, out) — the converter
+    transposes back to the GGUF (out, in) convention (ref: GPT2Model in
+    convert_hf_to_gguf)."""
+    L = cfgj["n_layer"]
+    E = cfgj["n_embd"]
+    H = cfgj["n_head"]
+    F = cfgj.get("n_inner") or 4 * E
+    V = cfgj["vocab_size"]
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    w = GGUFWriter(out_path, "gpt2")
+    w.add_kv("gpt2.block_count", np.uint32(L))
+    w.add_kv("gpt2.embedding_length", np.uint32(E))
+    w.add_kv("gpt2.attention.head_count", np.uint32(H))
+    w.add_kv("gpt2.attention.head_count_kv", np.uint32(H))
+    w.add_kv("gpt2.feed_forward_length", np.uint32(F))
+    w.add_kv("gpt2.vocab_size", np.uint32(V))
+    w.add_kv("gpt2.context_length", np.uint32(cfgj.get("n_positions", 1024)))
+    w.add_kv("gpt2.attention.layer_norm_epsilon",
+             np.float32(cfgj.get("layer_norm_epsilon", 1e-5)))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("h."):
+            i = int(parts[1])
+            templ = ".".join(parts[:1] + ["{i}"] + parts[2:])
+        gname = _GPT2_TENSORS.get(templ)
+        if gname is None:
+            continue
+        gname = gname.format(i=i) if i is not None else gname
+        # Conv1D weights are (in, out); GGUF wants (out, in)
+        if data.ndim == 2 and (".attn.c_" in templ or ".mlp.c_" in templ):
+            data = np.ascontiguousarray(data.T)
+        tt = gtype if data.ndim == 2 and "norm" not in gname and "wpe" not in name             else GGMLType.F32
+        w.add_tensor(gname, np.ascontiguousarray(data), tt)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "gpt2", "n_tensors": n, "n_layer": L}
 
 
 _FALCON_TENSORS = {

@@ -216,3 +216,37 @@ def test_falcon_convert_logit_parity(tmp_path):
                 jnp.arange(6, dtype=jnp.int32)[None],
                 init_cache(model.config, 1, 16, jnp.float32))
     np.testing.assert_allclose(np.asarray(lg)[0], ref, rtol=2e-3, atol=2e-3)
+
+
+def test_gpt2_convert_logit_parity(tmp_path):
+    """GPT-2 (Conv1D transposed weights, fused QKV, LN, learned positions)
+    vs transformers."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    cfg = GPT2Config(
+        vocab_size=160, n_embd=64, n_layer=2, n_head=4, n_positions=64,
+        n_inner=96,
+    )
+    hf = GPT2LMHeadModel(cfg)
+    hf.eval()
+    d = tmp_path / "gpt2-hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+
+    out = tmp_path / "gpt2.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "gpt2"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    tr = model.config.traits
+    assert tr.fused_qkv and tr.pos_embd and tr.norm == "ln"
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 160, 6).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).logits[0].numpy()
+    fwd = jax.jit(make_forward(model.config))
+    lg, _ = fwd(model.params, jnp.asarray(toks, jnp.int32)[None],
+                jnp.arange(6, dtype=jnp.int32)[None],
+                init_cache(model.config, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lg)[0], ref, rtol=2e-3, atol=2e-3)
