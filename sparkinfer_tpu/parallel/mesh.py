@@ -12,6 +12,12 @@ Axes:
        column-parallel wq/wk/wv/w_up/w_gate, row-parallel wo/w_down, so each
        transformer block needs exactly two all-reduces (attn out + ffn out),
        both inserted by GSPMD from the shardings alone.
+  ep — expert parallel: the expert dim of MoE tensors (w_*_exps and the
+       grouped moe_*_rows). Each device holds n_expert/ep experts; GSPMD
+       turns the routed expert gathers into ICI collectives. This is the
+       capacity-scaling analogue of the reference's per-GPU expert split
+       (it has none — MoE rides the generic row split), so EP here is a
+       TPU-first extension rather than a translation.
 
 The sparse path shards the SAME neuron axis (hot-neuron caches are sharded
 by tp like w_up rows), so sparse and dense paths scale identically.
@@ -33,17 +39,18 @@ from ..runtime.kv_cache import KVCache
 class MeshAxes:
     dp: str = "dp"
     tp: str = "tp"
+    ep: str = "ep"
 
 
 AX = MeshAxes()
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, ep: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp
+    n = dp * tp * ep
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-    dev = np.asarray(devices[:n]).reshape(dp, tp)
-    return Mesh(dev, (AX.dp, AX.tp))
+    dev = np.asarray(devices[:n]).reshape(dp, tp, ep)
+    return Mesh(dev, (AX.dp, AX.tp, AX.ep))
 
 
 # sharding rule tables: param name -> PartitionSpec (None = replicate dim)
@@ -67,6 +74,16 @@ _LAYER_RULES: dict[str, P] = {
     "pred_up_b": P(None, None),
     "pred_down": P(None, None, AX.tp),
     "pred_down_b": P(None, AX.tp),
+    # expert parallel: shard the expert dim; the router stays replicated so
+    # every device computes the same top-k and GSPMD only moves the gathered
+    # expert weights/partials over ICI
+    "w_up_exps": P(None, AX.ep, None, None),
+    "w_gate_exps": P(None, AX.ep, None, None),
+    "w_down_exps": P(None, AX.ep, None, None),
+    "moe_up_rows": P(None, AX.ep, None, None),
+    "moe_gate_rows": P(None, AX.ep, None, None),
+    "moe_down_rows": P(None, AX.ep, None, None),
+    "w_router": P(None, None),
 }
 
 _TOP_RULES: dict[str, P] = {

@@ -75,3 +75,20 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.fixture(scope="module")
+def tiny_moe(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny_moe.gguf"
+    # 4 experts so ep=2/4 divides the expert dim
+    make_tiny_llama(path, n_ff=64, n_head=4, n_head_kv=2, n_expert=4,
+                    n_expert_used=2)
+    return load_model(str(path), dtype=jnp.float32)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("dp,tp,ep", [(1, 1, 4), (2, 1, 2), (1, 2, 2)])
+def test_expert_parallel_matches_single_device(tiny_moe, dp, tp, ep):
+    ref = _run(tiny_moe)
+    got = _run(tiny_moe, make_mesh(dp=dp, tp=tp, ep=ep))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
