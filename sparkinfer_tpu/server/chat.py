@@ -21,8 +21,18 @@ def detect_template(tmpl: str | None) -> str:
         return "llama3"
     if "<start_of_turn>" in t:
         return "gemma"
+    if "<|START_OF_TURN_TOKEN|>" in t:
+        return "command-r"
+    if "<|start_of_role|>" in t:
+        return "granite"
+    if "<\uff5cUser\uff5c>" in t:
+        return "deepseek3"
+    if "<|end|>" in t and "<|user|>" in t:
+        return "phi3"
     if "<|assistant|>" in t or "<|user|>" in t:
         return "zephyr"
+    if "USER:" in t and "ASSISTANT:" in t:
+        return "vicuna"
     return "chatml"
 
 
@@ -75,5 +85,58 @@ def apply_template(
             out.append(f"<|{m['role']}|>\n{m['content']}<|endoftext|>\n")
         if add_assistant:
             out.append("<|assistant|>\n")
+        return "".join(out)
+    if template == "phi3":
+        out = []
+        for m in messages:
+            out.append(f"<|{m['role']}|>\n{m['content']}<|end|>\n")
+        if add_assistant:
+            out.append("<|assistant|>\n")
+        return "".join(out)
+    if template == "vicuna":
+        out = []
+        for m in messages:
+            if m["role"] == "system":
+                out.append(f"{m['content']}\n\n")
+            elif m["role"] == "user":
+                out.append(f"USER: {m['content']}\n")
+            else:
+                out.append(f"ASSISTANT: {m['content']}</s>\n")
+        if add_assistant:
+            out.append("ASSISTANT:")
+        return "".join(out)
+    if template == "deepseek3":
+        out = []
+        for m in messages:
+            if m["role"] == "system":
+                out.append(m["content"])
+            elif m["role"] == "user":
+                out.append(f"<\uff5cUser\uff5c>{m['content']}")
+            else:
+                out.append(
+                    f"<\uff5cAssistant\uff5c>{m['content']}<\uff5cend\u2581of\u2581sentence\uff5c>"
+                )
+        if add_assistant:
+            out.append("<\uff5cAssistant\uff5c>")
+        return "".join(out)
+    if template == "command-r":
+        role_tok = {"system": "SYSTEM", "user": "USER", "assistant": "CHATBOT"}
+        out = []
+        for m in messages:
+            r = role_tok.get(m["role"], "USER")
+            out.append(
+                f"<|START_OF_TURN_TOKEN|><|{r}_TOKEN|>{m['content']}<|END_OF_TURN_TOKEN|>"
+            )
+        if add_assistant:
+            out.append("<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>")
+        return "".join(out)
+    if template == "granite":
+        out = []
+        for m in messages:
+            out.append(
+                f"<|start_of_role|>{m['role']}<|end_of_role|>{m['content']}<|end_of_text|>\n"
+            )
+        if add_assistant:
+            out.append("<|start_of_role|>assistant<|end_of_role|>")
         return "".join(out)
     raise ValueError(f"unknown template {template}")

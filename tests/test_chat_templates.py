@@ -58,3 +58,52 @@ def test_zephyr_render():
 def test_unknown_template_raises():
     with pytest.raises(ValueError):
         apply_template(MSGS, "nope")
+
+
+@pytest.mark.parametrize("marker,family", [
+    ("<|START_OF_TURN_TOKEN|><|USER_TOKEN|>", "command-r"),
+    ("<|start_of_role|>user<|end_of_role|>", "granite"),
+    ("<｜User｜>", "deepseek3"),
+    ("{{'<|user|>' + m + '<|end|>'}}", "phi3"),
+    ("USER: {{x}} ASSISTANT:", "vicuna"),
+])
+def test_detect_new_families(marker, family):
+    assert detect_template(marker) == family
+
+
+MSGS4 = [
+    {"role": "system", "content": "be brief"},
+    {"role": "user", "content": "hi"},
+    {"role": "assistant", "content": "hello"},
+    {"role": "user", "content": "bye"},
+]
+
+
+def test_phi3_render():
+    s = apply_template(MSGS4, "phi3")
+    assert s == ("<|system|>\nbe brief<|end|>\n<|user|>\nhi<|end|>\n"
+                 "<|assistant|>\nhello<|end|>\n<|user|>\nbye<|end|>\n<|assistant|>\n")
+
+
+def test_vicuna_render():
+    s = apply_template(MSGS4, "vicuna")
+    assert s == "be brief\n\nUSER: hi\nASSISTANT: hello</s>\nUSER: bye\nASSISTANT:"
+
+
+def test_deepseek3_render():
+    s = apply_template(MSGS4, "deepseek3")
+    assert s == ("be brief<｜User｜>hi<｜Assistant｜>hello"
+                 "<｜end▁of▁sentence｜><｜User｜>bye"
+                 "<｜Assistant｜>")
+
+
+def test_command_r_render():
+    s = apply_template(MSGS4, "command-r")
+    assert s.startswith("<|START_OF_TURN_TOKEN|><|SYSTEM_TOKEN|>be brief<|END_OF_TURN_TOKEN|>")
+    assert s.endswith("<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>")
+
+
+def test_granite_render():
+    s = apply_template(MSGS4, "granite")
+    assert "<|start_of_role|>user<|end_of_role|>hi<|end_of_text|>" in s
+    assert s.endswith("<|start_of_role|>assistant<|end_of_role|>")
