@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-i", "--interactive", action="store_true",
                     help="chat REPL (ref: llama-cli interactive mode)")
     ap.add_argument("--chat-template", default=None)
+    ap.add_argument("--draft-mode", choices=["none", "lookup", "lookahead"],
+                    default="none", help="draft-free speculative decoding "
+                    "(greedy only; ref examples/lookup, examples/lookahead)")
+    ap.add_argument("--draft", type=int, default=5,
+                    help="draft length for --draft-mode")
     ap.add_argument("--json", action="store_true", help="bench output as JSON")
     ap.add_argument("--verbose", action="store_true")
     return ap
@@ -211,6 +216,19 @@ def main(argv=None) -> int:
         return 1
 
     eng = make_engine(args, model)
+    drafter = None
+    if args.draft_mode != "none":
+        if args.temp > 0:
+            print("--draft-mode requires --temp 0 (greedy)", file=sys.stderr)
+            return 1
+        if args.draft_mode == "lookup":
+            from ..runtime.lookup import LookupEngine
+
+            drafter = LookupEngine(eng, n_draft=args.draft)
+        else:
+            from ..runtime.lookahead import LookaheadEngine
+
+            drafter = LookaheadEngine(eng, n_draft=args.draft)
     if model.vocab is not None:
         from ..tokenizer import build_tokenizer
 
@@ -221,15 +239,31 @@ def main(argv=None) -> int:
             stop.add(model.vocab.eos_id)
         sys.stdout.write(prompt)
         sys.stdout.flush()
-        for tok in eng.generate(ids, max_new_tokens=args.n_predict,
-                                stop_ids=stop, stream=True):
-            sys.stdout.write(tk.decode([tok]))
+        if drafter is not None:
+            for tok in drafter.generate(ids, max_new_tokens=args.n_predict,
+                                        stop_ids=stop):
+                sys.stdout.write(tk.decode([tok]))
             sys.stdout.flush()
+        else:
+            for tok in eng.generate(ids, max_new_tokens=args.n_predict,
+                                    stop_ids=stop, stream=True):
+                sys.stdout.write(tk.decode([tok]))
+                sys.stdout.flush()
         sys.stdout.write("\n")
     else:
         ids = [int(x) for x in prompt.split()]
-        out = eng.generate(ids, max_new_tokens=args.n_predict)
+        if drafter is not None:
+            out = drafter.generate(ids, max_new_tokens=args.n_predict)
+        else:
+            out = eng.generate(ids, max_new_tokens=args.n_predict)
         print(" ".join(map(str, out)))
+    if drafter is not None and args.verbose:
+        st = drafter.stats
+        print(json.dumps({"draft_mode": args.draft_mode,
+                          "rounds": st.n_rounds, "drafted": st.n_drafted,
+                          "accepted": st.n_accepted,
+                          "accept_rate": round(st.accept_rate, 3)}),
+              file=sys.stderr)
     if args.verbose:
         print(json.dumps(eng.perf.summary()), file=sys.stderr)
     return 0
