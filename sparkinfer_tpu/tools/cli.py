@@ -29,7 +29,10 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="sparkinfer-cli", description=__doc__)
-    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("-m", "--model", default=None)
+    ap.add_argument("-hf", "--hf-repo", default=None,
+                    help="resolve model from the LOCAL HF hub cache: "
+                    "user/repo[:quant] (offline; ref common/arg.cpp -hf)")
     ap.add_argument("-p", "--prompt", default=None)
     ap.add_argument("-f", "--prompt-file", default=None)
     ap.add_argument("-n", "--n-predict", type=int, default=64)
@@ -196,6 +199,20 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from ..models.loader import load_model
+
+    if args.model is None and args.hf_repo:
+        from .hf import resolve_hf_gguf
+
+        try:
+            args.model = resolve_hf_gguf(args.hf_repo)
+        except FileNotFoundError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        if args.verbose:
+            print(f"-hf resolved to {args.model}", file=sys.stderr)
+    if args.model is None:
+        print("need -m/--model or -hf/--hf-repo", file=sys.stderr)
+        return 1
 
     t0 = time.time()
     model = load_model(args.model)

@@ -288,3 +288,28 @@ def test_chunked_prefill_matches_single_shot(tiny_model):
     eng2.prefill_chunk = 16  # force chunking (4 chunks)
     got = eng2.generate(prompt, max_new_tokens=6)
     assert got == want
+
+
+def test_generate_past_max_seq_via_context_shift(tiny_model):
+    """Passkey-style E2E (ref examples/passkey): generation must continue
+    past max_seq by discarding the middle and keeping the prompt (n_keep),
+    and tokens emitted BEFORE the first shift must be identical to an
+    unshifted run with a roomy cache."""
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    tiny_model, _ = tiny_model
+    prompt = [5, 9, 42, 7, 11, 3, 8, 2]
+    big = Engine(tiny_model, max_seq=128, sampler=SamplerConfig(temp=0.0),
+                 kv_dtype=jnp.float32, donate_cache=False)
+    want = big.generate(prompt, max_new_tokens=40)
+
+    small = Engine(tiny_model, max_seq=24, sampler=SamplerConfig(temp=0.0),
+                  kv_dtype=jnp.float32, donate_cache=False)
+    got = small.generate(prompt, max_new_tokens=40)
+    assert len(got) == 40  # survived ≥2 shifts
+    # before the cache filled (24 - 8 = 16 decodes) the runs agree exactly
+    n_pre = 24 - len(prompt) - 1
+    assert got[:n_pre] == want[:n_pre]
+    # deterministic across repeats (shift path included)
+    assert small.generate(prompt, max_new_tokens=40) == got

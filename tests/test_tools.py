@@ -141,3 +141,23 @@ def test_tokenize_tool(model_path, capsys):
     assert rc == 0
     ids = json.loads(capsys.readouterr().out)
     assert isinstance(ids, list) and len(ids) >= 2
+
+
+def test_hf_repo_resolution(tmp_path, monkeypatch):
+    """-hf user/repo[:quant] resolves GGUFs from the local hub cache layout
+    (offline analogue of the reference downloader)."""
+    from sparkinfer_tpu.tools.hf import resolve_hf_gguf
+
+    snap = tmp_path / "hub" / "models--acme--tiny" / "snapshots" / "abc123"
+    snap.mkdir(parents=True)
+    (snap / "tiny-Q4_0.gguf").write_bytes(b"x")
+    (snap / "tiny-F16.gguf").write_bytes(b"x")
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "hub"))
+
+    assert resolve_hf_gguf("acme/tiny:Q4_0").endswith("tiny-Q4_0.gguf")
+    assert resolve_hf_gguf("acme/tiny:f16").endswith("tiny-F16.gguf")
+    assert resolve_hf_gguf("acme/tiny").endswith(".gguf")
+    with pytest.raises(FileNotFoundError, match="offline-only"):
+        resolve_hf_gguf("acme/tiny:Q8_0")  # quant not cached
+    with pytest.raises(FileNotFoundError, match="offline-only"):
+        resolve_hf_gguf("nobody/nothing")
