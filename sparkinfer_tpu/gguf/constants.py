@@ -163,6 +163,7 @@ class Keys:
         BOS_ID = "tokenizer.ggml.bos_token_id"
         EOS_ID = "tokenizer.ggml.eos_token_id"
         UNK_ID = "tokenizer.ggml.unknown_token_id"
+        MASK_ID = "tokenizer.ggml.mask_token_id"
         PAD_ID = "tokenizer.ggml.padding_token_id"
         ADD_BOS = "tokenizer.ggml.add_bos_token"
         ADD_EOS = "tokenizer.ggml.add_eos_token"

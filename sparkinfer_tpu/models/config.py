@@ -54,6 +54,10 @@ _reg(ArchTraits("bamboo", act="drelu", sparse_act="drelu"))
 _reg(ArchTraits("mistral"))
 _reg(ArchTraits("qwen2", rope_mode="neox", qkv_bias=True, sparse_act="drelu"))
 _reg(ArchTraits("qwen3", rope_mode="neox"))
+# diffusion LMs (examples/diffusion): denoised via runtime/diffusion.py
+# with non-causal attention; dream is qwen2-flavoured, llada llama-flavoured
+_reg(ArchTraits("dream", rope_mode="neox", qkv_bias=True))
+_reg(ArchTraits("llada"))
 _reg(
     ArchTraits(
         "falcon",

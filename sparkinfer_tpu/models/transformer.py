@@ -82,6 +82,7 @@ def attention(
     vs: jnp.ndarray | None,
     rp: RopeParams,
     fresh_prefill: bool = False,
+    causal: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     B, T, _ = x.shape
     H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
@@ -99,12 +100,13 @@ def attention(
     kc, ks = write_layer(kc, ks, k, positions)
     vc, vs = write_layer(vc, vs, v, positions)
 
-    if fresh_prefill and cfg.sliding_window <= 0:
+    if (fresh_prefill or not causal) and cfg.sliding_window <= 0:
         # prompt-from-scratch: every relevant key IS in this chunk
         # (positions are 0..T-1), so attend over the chunk directly instead
         # of the S-sized cache — O(T^2) not O(T*S), and on TPU the fused
-        # flash kernel (GGML_OP_FLASH_ATTN_EXT analogue) applies.
-        out = _chunk_causal_attention(q, k, v, H, Hkv, D)
+        # flash kernel (GGML_OP_FLASH_ATTN_EXT analogue) applies. causal=False
+        # (diffusion LMs: Dream/LLaDA full-window denoising) drops the mask.
+        out = _chunk_causal_attention(q, k, v, H, Hkv, D, causal=causal)
         out = out.reshape(B, T, H * D)
         out = mm(out, lp["wo"])
         if "bo" in lp:
@@ -132,9 +134,10 @@ def attention(
     return out, kc, vc, ks, vs
 
 
-def _chunk_causal_attention(q, k, v, H, Hkv, D):
-    """q (B,T,H,D), k/v (B,T,Hkv,D) -> (B,T,H,D); causal within chunk.
-    Uses the Pallas TPU flash kernel when on TPU and shapes permit."""
+def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True):
+    """q (B,T,H,D), k/v (B,T,Hkv,D) -> (B,T,H,D); causal within chunk
+    (bidirectional when causal=False). Uses the Pallas TPU flash kernel
+    when on TPU and shapes permit."""
     B, T = q.shape[0], q.shape[1]
     g = H // Hkv
     try:
@@ -150,16 +153,17 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D):
             q.transpose(0, 2, 1, 3),  # (B,H,T,D)
             kk.transpose(0, 2, 1, 3),
             vv.transpose(0, 2, 1, 3),
-            causal=True,
+            causal=causal,
             sm_scale=D ** -0.5,
         )
         return out.transpose(0, 2, 1, 3)
     qg = q.reshape(B, T, Hkv, g, D)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
     scores = scores * (D ** -0.5)
-    t_idx = jnp.arange(T, dtype=jnp.int32)
-    mask = t_idx[:, None] >= t_idx[None, :]  # (t, s): query t sees key s<=t
-    scores = jnp.where(mask[None, None, None, :, :], scores, NEG_INF)
+    if causal:
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        mask = t_idx[:, None] >= t_idx[None, :]  # (t, s): query t sees key s<=t
+        scores = jnp.where(mask[None, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v)
     return out.reshape(B, T, H, D)
@@ -172,6 +176,7 @@ def make_forward(
     with_hidden: bool = False,
     fresh_prefill: bool = False,
     ffn_carry_init: Callable | None = None,
+    causal: bool = True,
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
@@ -218,7 +223,8 @@ def make_forward(
                 ks = vs = None
             h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
             attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp,
-                                                 fresh_prefill=fresh_prefill)
+                                                 fresh_prefill=fresh_prefill,
+                                                 causal=causal)
             if ks is None:
                 ks, vs = empty_ks, empty_vs
 

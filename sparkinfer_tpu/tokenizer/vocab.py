@@ -30,6 +30,7 @@ class Vocab:
     eos_id: int = 2
     unk_id: int = 0
     pad_id: int = -1
+    mask_id: int = -1  # diffusion LMs (Dream/LLaDA): the [MASK] token
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
@@ -84,6 +85,7 @@ class Vocab:
             eos_id=int(kv.get(Keys.Tokenizer.EOS_ID, 2 if model == "llama" else -1)),
             unk_id=int(kv.get(Keys.Tokenizer.UNK_ID, 0 if model == "llama" else -1)),
             pad_id=int(kv.get(Keys.Tokenizer.PAD_ID, -1)),
+            mask_id=int(kv.get(Keys.Tokenizer.MASK_ID, -1)),
             add_bos=bool(kv.get(Keys.Tokenizer.ADD_BOS, model == "llama")),
             add_eos=bool(kv.get(Keys.Tokenizer.ADD_EOS, False)),
             add_space_prefix=bool(kv.get(Keys.Tokenizer.ADD_SPACE_PREFIX, model == "llama")),
