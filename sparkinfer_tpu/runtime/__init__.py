@@ -4,6 +4,11 @@ from .sampling import SamplerConfig, SamplerState, init_state, make_sampler
 __all__ = [
     "Engine",
     "PerfCounters",
+    "SpeculativeEngine",
+    "LookupEngine",
+    "LookaheadEngine",
+    "DiffusionEngine",
+    "DiffusionConfig",
     "KVCache",
     "init_cache",
     "SamplerConfig",
@@ -20,4 +25,20 @@ def __getattr__(name):
         from . import engine
 
         return getattr(engine, name)
+    if name == "SpeculativeEngine":
+        from .speculative import SpeculativeEngine
+
+        return SpeculativeEngine
+    if name == "LookupEngine":
+        from .lookup import LookupEngine
+
+        return LookupEngine
+    if name == "LookaheadEngine":
+        from .lookahead import LookaheadEngine
+
+        return LookaheadEngine
+    if name in ("DiffusionEngine", "DiffusionConfig"):
+        from . import diffusion
+
+        return getattr(diffusion, name)
     raise AttributeError(name)

@@ -30,6 +30,7 @@ def make_tiny_llama(
     with_vocab: bool = False,
     chat_template: str | None = None,
     quant_type: str | None = None,  # "q4_0" | "q8_0": store matmul weights quantized
+    extra_kv: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
     orientation: weights are (out_dim, in_dim) in numpy order)."""
@@ -101,6 +102,8 @@ def make_tiny_llama(
         wr.add_kv("tokenizer.ggml.bos_token_id", np.uint32(1))
         wr.add_kv("tokenizer.ggml.eos_token_id", np.uint32(2))
         wr.add_kv("tokenizer.ggml.unknown_token_id", np.uint32(0))
+        for k, v in (extra_kv or {}).items():
+            wr.add_kv(k, np.uint32(v) if isinstance(v, int) else v)
         if chat_template:
             wr.add_kv("tokenizer.chat_template", chat_template)
     wr.add_kv(f"{arch}.block_count", np.uint32(n_layer))

