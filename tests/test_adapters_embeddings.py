@@ -114,3 +114,27 @@ def test_bench_matrix_tool(model_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert len(out["results"]) == 2
     assert all(r["t/s"] > 0 for r in out["results"])
+
+
+def test_retrieval_chunking_and_topk(model_path, tmp_path):
+    """examples/retrieval analogue: chunking semantics + self-retrieval
+    (a chunk's own text must be its best cosine match)."""
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.tools.retrieval import Retriever, chunk_text
+
+    chunks = chunk_text("aa bb. cc dd. ee ff. gg hh.", chunk_size=10, separator=".")
+    assert len(chunks) >= 2
+    assert all(len(c) > 0 for c in chunks)
+    assert "".join(c.replace(" ", "") for c in chunks).replace(".", "") == \
+        "aabbccddeeffgghh"
+
+    vp = tmp_path / "tv.gguf"
+    make_tiny_llama(vp, n_vocab=300, with_vocab=True)
+    model = load_model(str(vp), dtype=jnp.float32)
+    r = Retriever(model)
+    docs = ["the cat sat on the mat", "stock markets fell today",
+            "jax compiles to XLA"]
+    r.add(docs)
+    for d in docs:
+        hits = r.query(d, top_k=1)
+        assert hits[0][1] == d and hits[0][0] > 0.99  # self-match, cos≈1
