@@ -195,7 +195,10 @@ class ModelConfig:
             ),
             rope_dim=int(g("rope.dimension_count", head_dim)),
             rope_freq_base=float(g("rope.freq_base", 10000.0)),
-            rope_scale=1.0 / factor if scaling_type == "linear" and factor != 0 else 1.0,
+            # freq_scale = 1/factor for ANY scaling type (the reference sets
+            # rope_freq_scale_train from rope.scaling.factor unconditionally,
+            # llama-model.cpp:577-582 — YaRN needs it for interpolation+mscale)
+            rope_scale=1.0 / factor if factor not in (0.0, 1.0) else 1.0,
             rope_scaling_type=scaling_type,
             rope_orig_ctx=int(g("rope.scaling.original_context_length", 0)),
             tie_embeddings=not has_output,

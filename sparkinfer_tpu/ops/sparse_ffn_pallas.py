@@ -199,6 +199,167 @@ def sparse_ffn_block(
 
 
 # ---------------------------------------------------------------------------
+# v3: manual-DMA windowed streaming kernel
+#
+# The auto-pipelined v1 grid issues block fetches through Pallas's implicit
+# double-buffering: at decode capacities that is a 2-4 step grid whose
+# prologue bubble dominates (measured ~27% streaming efficiency, round 1).
+# Here the kernel owns the DMA queue: all three projections' selected
+# (G, E) blocks are fetched with an explicit W-deep rotating window of
+# async copies (3*W transfers in flight at all times), and the tiny
+# matvec compute rides in the shadow of the stream. One grid step per
+# token; C is static so the loop fully unrolls.
+
+
+def _kernel_v3(act, fatrelu_threshold, prob_threshold, gated, mask_mode, C, W,
+               refs):
+    idx_ref = refs[0]  # (N, C) SMEM scalar-prefetch
+    x_ref, gp_ref, bu_ref = refs[1:4]
+    if gated:
+        up_hbm, gate_hbm, down_hbm = refs[4:7]
+        out_ref = refs[7]
+        su, sg, sd = refs[8:11]
+        sem_u, sem_g, sem_d = refs[11:14]
+    else:
+        up_hbm, down_hbm = refs[4:6]
+        gate_hbm, sg, sem_g = None, None, None
+        out_ref = refs[6]
+        su, sd = refs[7:9]
+        sem_u, sem_d = refs[9:11]
+
+    n = pl.program_id(0)
+    x = x_ref[0]  # (1, E)
+
+    def start(c, slot):
+        i = idx_ref[n, c]
+        pltpu.make_async_copy(up_hbm.at[i], su.at[slot], sem_u.at[slot]).start()
+        if gated:
+            pltpu.make_async_copy(gate_hbm.at[i], sg.at[slot],
+                                  sem_g.at[slot]).start()
+        pltpu.make_async_copy(down_hbm.at[i], sd.at[slot], sem_d.at[slot]).start()
+
+    for c in range(min(W, C)):
+        start(c, c)
+
+    acc = jnp.zeros((1, out_ref.shape[-1]), jnp.float32)
+    for c in range(C):
+        slot = c % W
+        pltpu.make_async_copy(up_hbm.at[idx_ref[n, c]], su.at[slot],
+                              sem_u.at[slot]).wait()
+        if gated:
+            pltpu.make_async_copy(gate_hbm.at[idx_ref[n, c]], sg.at[slot],
+                                  sem_g.at[slot]).wait()
+        pltpu.make_async_copy(down_hbm.at[idx_ref[n, c]], sd.at[slot],
+                              sem_d.at[slot]).wait()
+        up = jax.lax.dot_general(
+            x, su[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, G)
+        up = up + bu_ref[0, pl.ds(c, 1), :][0]
+        gate = None
+        if gated:
+            gate = jax.lax.dot_general(
+                x, sg[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        hidden = _combine(act, fatrelu_threshold, gate, up)
+        gp = gp_ref[0, pl.ds(c, 1), :][0]
+        if mask_mode == "threshold":
+            mask = (gp >= prob_threshold).astype(jnp.float32)
+        else:
+            mask = gp
+        hidden = (hidden * mask).astype(sd.dtype)
+        partial = jax.lax.dot_general(
+            hidden, sd[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, E)
+        # scratch slot is free once the dots above have read it; refill
+        if c + W < C:
+            start(c + W, slot)
+        acc = acc + partial
+    out_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret",
+                     "mask_mode", "window"),
+)
+def sparse_ffn_block_v3(
+    x: jnp.ndarray,  # (N, E)
+    idx: jnp.ndarray,  # (N, C) int32 row index into the weight stores
+    gp_sel: jnp.ndarray,  # (N, C, G)
+    w_up_rows: jnp.ndarray,  # (R, G, E)
+    w_gate_rows: jnp.ndarray | None,
+    w_down_rows: jnp.ndarray,  # (R, G, E)
+    *,
+    act: str,
+    fatrelu_threshold: float = 0.0,
+    prob_threshold: float = 0.5,
+    bu_sel: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    mask_mode: str = "threshold",
+    window: int = 0,  # 0 = auto from VMEM budget
+) -> jnp.ndarray:
+    N, E = x.shape
+    C = idx.shape[1]
+    R, G, _ = w_up_rows.shape
+    if interpret is None:
+        interpret = not _on_tpu()
+    bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
+    gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu", "gelu")
+    n_proj = 3 if gated else 2
+    blk_bytes = G * E * w_up_rows.dtype.itemsize
+    W = window or max(2, min(C, (11 * 1024 * 1024) // (n_proj * blk_bytes)))
+
+    x3 = x.reshape(N, 1, E)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec_spec = lambda shape: pl.BlockSpec(
+        shape, lambda n, idx_ref: (n,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [vec_spec((1, 1, E)), vec_spec((1, C, G)), vec_spec((1, C, G)),
+                hbm_spec]
+    inputs = [x3, gp_sel, bu, w_up_rows]
+    if gated:
+        in_specs.append(hbm_spec)
+        inputs.append(w_gate_rows)
+    in_specs.append(hbm_spec)
+    inputs.append(w_down_rows)
+
+    wdt = w_up_rows.dtype
+    scratch = [pltpu.VMEM((W, G, E), wdt)]
+    if gated:
+        scratch.append(pltpu.VMEM((W, G, E), wdt))
+    scratch.append(pltpu.VMEM((W, G, E), wdt))
+    scratch += [pltpu.SemaphoreType.DMA((W,))] * n_proj
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, E), lambda n, idx_ref: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kern = functools.partial(
+        lambda *refs: _kernel_v3(act, fatrelu_threshold, prob_threshold, gated,
+                                 mask_mode, C, W, refs)
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, E), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * C * G * E * n_proj,
+            bytes_accessed=n_proj * N * C * G * E * wdt.itemsize + N * E * 4,
+            transcendentals=0,
+        ),
+    )(idx, *inputs)
+    return out.reshape(N, E)
+
+
+# ---------------------------------------------------------------------------
 # v2: single deep weight stream
 #
 # The v1 grid runs only C/U steps per call, which barely covers the DMA

@@ -222,3 +222,131 @@ def make_sampler(cfg: SamplerConfig):
         return tok, update_recent(st2, tok)
 
     return sample
+
+
+# ---------------------------------------------------------------------------
+# Dynamic per-slot sampler: every chain knob rides as DATA so one compiled
+# decode step serves requests with different temperature/top-k/top-p/... —
+# the analogue of the reference server building a fresh sampler chain per
+# slot (launch_slot_with_task -> common_sampler_init). A neutral value for
+# any stage makes that stage an exact identity, so requests that leave a
+# knob at its "off" value sample identically to the static chain.
+
+
+class DynamicParams(NamedTuple):
+    """Per-slot sampler knobs, carried as a (B,)-stacked pytree."""
+
+    temp: jnp.ndarray  # () f32; <= 0 -> greedy
+    top_k: jnp.ndarray  # () i32; <= 0 -> off
+    top_p: jnp.ndarray  # () f32; >= 1 -> off
+    min_p: jnp.ndarray  # () f32; <= 0 -> off
+    typical_p: jnp.ndarray  # () f32; >= 1 -> off
+    penalty_repeat: jnp.ndarray  # () f32; 1.0 -> off
+    penalty_freq: jnp.ndarray  # () f32; 0 -> off
+    penalty_present: jnp.ndarray  # () f32; 0 -> off
+    xtc_probability: jnp.ndarray  # () f32; 0 -> off
+
+
+def dynamic_params(cfg: SamplerConfig) -> DynamicParams:
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    return DynamicParams(
+        temp=f(cfg.temp),
+        top_k=jnp.asarray(cfg.top_k, jnp.int32),
+        top_p=f(cfg.top_p),
+        min_p=f(cfg.min_p),
+        typical_p=f(cfg.typical_p),
+        penalty_repeat=f(cfg.penalty_repeat),
+        penalty_freq=f(cfg.penalty_freq),
+        penalty_present=f(cfg.penalty_present),
+        xtc_probability=f(cfg.xtc_probability),
+    )
+
+
+def make_dynamic_sampler(cfg: SamplerConfig):
+    """Build sample(logits_f32[V], state, dp: DynamicParams) -> (tok, state).
+
+    `cfg` supplies only the STATIC structure: the penalty ring size and the
+    mirostat mode (mirostat stays a server-level setting; its chain shape
+    differs structurally). All truncation/penalty/temperature knobs come
+    from `dp` at run time. vmap over (logits, state, dp) for serving.
+    """
+    if cfg.mirostat:
+        base = make_sampler(cfg)
+        return lambda logits, st, dp: base(logits, st)
+
+    def update_recent(st: SamplerState, tok: jnp.ndarray) -> SamplerState:
+        n = st.recent.shape[0]
+        return st._replace(
+            recent=st.recent.at[st.recent_pos % n].set(tok),
+            recent_pos=st.recent_pos + 1,
+        )
+
+    def sample(logits: jnp.ndarray, st: SamplerState, dp: DynamicParams):
+        lf = logits.astype(jnp.float32)
+        V = lf.shape[-1]
+
+        # penalties — identity when repeat==1 and freq==present==0
+        if cfg.penalty_last_n > 0:
+            valid = st.recent >= 0
+            count = jnp.zeros((V,), jnp.float32).at[
+                jnp.where(valid, st.recent, 0)
+            ].add(valid.astype(jnp.float32))
+            present = (count > 0).astype(jnp.float32)
+            lf = jnp.where(
+                present > 0,
+                jnp.where(lf > 0, lf / dp.penalty_repeat, lf * dp.penalty_repeat),
+                lf,
+            )
+            lf = lf - count * dp.penalty_freq - present * dp.penalty_present
+
+        greedy_tok = jnp.argmax(lf).astype(jnp.int32)
+
+        key, k_dist, k_xtc = jax.random.split(st.key, 3)
+
+        # top-k (dynamic k): kth-largest as cutoff
+        sorted_desc = jnp.sort(lf)[::-1]
+        k_idx = jnp.clip(dp.top_k - 1, 0, V - 1)
+        kth = sorted_desc[k_idx]
+        apply_k = (dp.top_k > 0) & (dp.top_k < V)
+        lf = jnp.where(apply_k & (lf < kth), NEG_INF, lf)
+
+        # typical — identity when p >= 1 (keep_n covers everything)
+        probs = jax.nn.softmax(lf)
+        ent = -jnp.sum(jnp.where(probs > 0, probs * jnp.log(probs + 1e-20), 0.0))
+        shifted = jnp.abs(-jnp.log(probs + 1e-20) - ent)
+        order = jnp.argsort(shifted)
+        probs_sorted = probs[order]
+        cum = jnp.cumsum(probs_sorted)
+        keep_n = jnp.maximum(jnp.sum((cum - probs_sorted) < dp.typical_p), 1)
+        rank = jnp.argsort(order)
+        lf = jnp.where((dp.typical_p < 1.0) & (rank >= keep_n), NEG_INF, lf)
+
+        # top-p
+        sorted_desc = jnp.sort(lf)[::-1]
+        probs = jax.nn.softmax(sorted_desc)
+        cum = jnp.cumsum(probs)
+        n_keep = jnp.maximum(jnp.sum(cum - probs < dp.top_p), 1)
+        cutoff = sorted_desc[n_keep - 1]
+        lf = jnp.where((dp.top_p < 1.0) & (lf < cutoff), NEG_INF, lf)
+
+        # min-p
+        max_l = jnp.max(lf)
+        min_cut = max_l + jnp.log(jnp.maximum(dp.min_p, 1e-30))
+        lf = jnp.where((dp.min_p > 0.0) & (lf < min_cut), NEG_INF, lf)
+
+        # xtc — identity at probability 0
+        probs = jax.nn.softmax(lf)
+        above = probs >= cfg.xtc_threshold
+        n_above = jnp.sum(above)
+        min_above = jnp.min(jnp.where(above, probs, jnp.inf))
+        u = jax.random.uniform(k_xtc)
+        do_xtc = (u < dp.xtc_probability) & (n_above >= 2)
+        lf = jnp.where(do_xtc & above & (probs > min_above), NEG_INF, lf)
+
+        lf = lf / jnp.maximum(dp.temp, 1e-6)
+        dist_tok = jax.random.categorical(k_dist, lf).astype(jnp.int32)
+        tok = jnp.where(dp.temp <= 0.0, greedy_tok, dist_tok)
+        st2 = st._replace(key=key)
+        return tok, update_recent(st2, tok)
+
+    return sample

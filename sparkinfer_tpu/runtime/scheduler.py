@@ -31,7 +31,12 @@ import numpy as np
 
 from .engine import bucket_len
 from .kv_cache import KVCache, init_cache
-from .sampling import SamplerConfig, init_state, make_sampler
+from .sampling import (
+    SamplerConfig,
+    dynamic_params,
+    init_state,
+    make_dynamic_sampler,
+)
 
 
 @dataclass
@@ -105,7 +110,10 @@ class Scheduler:
         self.n_slots = n_slots
         self.max_seq = max_seq
         self.sampler_cfg = sampler or SamplerConfig()
-        self.sample = make_sampler(self.sampler_cfg)
+        # per-slot DYNAMIC sampler: every request's temp/top_k/top_p/...
+        # rides as data, so one compiled step serves mixed sampler configs
+        # (the reference builds a sampler chain per slot at launch time)
+        self.sample = make_dynamic_sampler(self.sampler_cfg)
         self.tiered = sparse is not None and sparse.hot_groups > 0
         self._fstate = None
         if sparse is not None:
@@ -154,6 +162,10 @@ class Scheduler:
             lambda *xs: jnp.stack(xs),
             *[init_state(self.sampler_cfg, i) for i in range(n_slots)],
         )
+        self.dparams = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[dynamic_params(self.sampler_cfg) for _ in range(n_slots)],
+        )
         self.pending: "queue.Queue[Request]" = queue.Queue()
         self._req_ids = itertools.count()
         self._lock = threading.Lock()
@@ -175,13 +187,14 @@ class Scheduler:
         }
 
     # --- jitted bodies ------------------------------------------------------
-    def _prefill_impl(self, params, tokens, positions, cache1, last_idx, sstate1):
+    def _prefill_impl(self, params, tokens, positions, cache1, last_idx, sstate1,
+                      dp1):
         logits, cache1 = self.fwd(params, tokens, positions, cache1)
         last = logits[jnp.arange(tokens.shape[0]), last_idx]
-        tok, sstate1 = jax.vmap(self.sample)(last, sstate1)
+        tok, sstate1 = jax.vmap(self.sample)(last, sstate1, dp1)
         return tok, cache1, sstate1, last
 
-    def _decode_impl(self, params, tokens, positions, cache, sstate, active,
+    def _decode_impl(self, params, tokens, positions, cache, sstate, active, dp,
                      fstate=None):
         """tokens/positions (B,1); active (B,) masks sampler-state updates
         for idle slots (their dummy writes are position-overwritten later)."""
@@ -191,7 +204,7 @@ class Scheduler:
         else:
             logits, cache = self.fwd_decode(params, tokens, positions, cache)
         last = logits[:, -1]
-        tok, new_sstate = jax.vmap(self.sample)(last, sstate)
+        tok, new_sstate = jax.vmap(self.sample)(last, sstate, dp)
         # idle slots keep their old sampler state untouched
         keep = lambda new, old: jnp.where(
             active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
@@ -259,6 +272,11 @@ class Scheduler:
         st1 = jax.tree.map(
             lambda a, b: b[None], st1, init_state(self.sampler_cfg, seed)
         )
+        # per-request sampler knobs ride as data (one compiled step serves
+        # mixed configs); fall back to the server defaults when unset
+        dp1 = jax.tree.map(
+            lambda a: a[None], dynamic_params(req.sampler or self.sampler_cfg)
+        )
         tok, cache1, st1, last_logits = self._jit_prefill(
             self.model.params,
             jnp.asarray(toks),
@@ -266,11 +284,15 @@ class Scheduler:
             cache1,
             jnp.asarray([n - 1], jnp.int32),
             st1,
+            dp1,
         )
         # scatter into the shared slot cache / sampler state
         self.cache = scatter_slot(self.cache, cache1, s_i)
         self.sstate = jax.tree.map(
             lambda big, small: big.at[s_i].set(small[0]), self.sstate, st1
+        )
+        self.dparams = jax.tree.map(
+            lambda big, small: big.at[s_i].set(small[0]), self.dparams, dp1
         )
         first = int(np.asarray(tok)[0])
         if req.grammar is not None and self.tokenizer is not None:
@@ -294,27 +316,58 @@ class Scheduler:
         self._emit(s_i, first)
 
     def _emit(self, s_i: int, tok: int):
+        """Emit one generated token to the request's stream.
+
+        Stop-string handling holds back any trailing tokens whose text
+        could still extend into a stop string, so a multi-token stop is
+        never partially streamed (the reference buffers a partial match;
+        round-1 leaked the pieces). Granularity is whole tokens: a token
+        whose piece straddles the stop-string start is dropped with it.
+        """
         slot = self.slots[s_i]
         req = slot.req
         slot.n_gen += 1
         self.metrics["n_tokens_generated"] += 1
         hit_stop_str = False
+        held = getattr(req, "_held", None)
         if req.stop_strings and self.tokenizer is not None:
-            # accumulate decoded text; finish when it ends with a stop string
+            if held is None:
+                held = req._held = []
             piece = self.tokenizer.decode([tok])
             req._text = getattr(req, "_text", "") + piece
             hit_stop_str = any(req._text.endswith(ss) for ss in req.stop_strings)
+            if not (tok in req.stop_ids or hit_stop_str):
+                held.append((tok, len(piece)))
+                # longest proper stop-string prefix that suffixes the text
+                hold = 0
+                for ss in req.stop_strings:
+                    for k in range(min(len(ss) - 1, len(req._text)), hold, -1):
+                        if req._text.endswith(ss[:k]):
+                            hold = k
+                            break
+                # release from the front while the remaining held text
+                # still covers the possibly-matching suffix
+                pend = sum(n for _, n in held)
+                while held and pend - held[0][1] >= hold:
+                    t0, n0 = held.pop(0)
+                    pend -= n0
+                    req.out_queue.put(t0)
+        elif tok not in req.stop_ids:
+            req.out_queue.put(tok)
         finished = (
             tok in req.stop_ids
             or hit_stop_str
             or slot.n_gen >= req.max_new_tokens
             or slot.n_past + 1 >= self.max_seq
         )
-        if tok in req.stop_ids or hit_stop_str:
-            pass  # stop token / stop string terminator not emitted
-        else:
-            req.out_queue.put(tok)
         if finished:
+            if held:
+                if hit_stop_str:
+                    held.clear()  # tokens belonging to the matched stop
+                else:
+                    for t0, _ in held:  # partial match never completed
+                        req.out_queue.put(t0)
+                    held.clear()
             req.done_s = time.time()
             req.out_queue.put(None)
             slot.req = None
@@ -343,6 +396,7 @@ class Scheduler:
             self.cache,
             self.sstate,
             jnp.asarray(active),
+            self.dparams,
             self._fstate,
         )
         tok = np.array(tok)

@@ -112,6 +112,7 @@ class SparkServer:
         return Request(
             prompt_tokens=ids,
             max_new_tokens=max_new,
+            sampler=self._sampler_from(body),
             seed=body.get("seed"),
             stop_ids=self._stop_ids(),
             stop_strings=[s for s in stop if s],
@@ -143,6 +144,9 @@ class SparkServer:
 
     def detok(self, toks: list[int]) -> str:
         return self.tokenizer.decode(toks)
+
+    def utf8_stream(self) -> "_Utf8Stream":
+        return _Utf8Stream(self.tokenizer)
 
     # --- metrics ------------------------------------------------------------
     def prometheus(self) -> str:
@@ -192,6 +196,44 @@ class SparkServer:
             self._httpd.shutdown()
             self._httpd = None
         self.sched.stop()
+
+
+class _Utf8Stream:
+    """Incremental token→text decoder that never splits a UTF-8 sequence
+    across SSE chunks: trailing incomplete bytes are held back until the
+    next token completes them (ref: llama-server buffers incomplete UTF-8;
+    round-1 behavior streamed U+FFFD for CJK/emoji split across tokens)."""
+
+    def __init__(self, tokenizer):
+        self.tok = tokenizer
+        self.buf = b""
+
+    @staticmethod
+    def _incomplete_tail(b: bytes) -> int:
+        """Bytes at the end of `b` that start (but do not finish) a UTF-8
+        multi-byte sequence; 0 when the buffer ends on a boundary."""
+        for k in range(1, min(4, len(b)) + 1):
+            c = b[-k]
+            if c < 0x80:
+                return 0  # ASCII terminates any scan-back
+            if c >= 0xC0:  # lead byte k bytes from the end
+                need = 2 if c < 0xE0 else 3 if c < 0xF0 else 4
+                return k if need > k else 0
+            # else continuation byte: keep scanning back
+        return 0
+
+    def push(self, toks: list[int]) -> str:
+        if hasattr(self.tok, "decode_bytes"):
+            self.buf += self.tok.decode_bytes(toks)
+        else:
+            self.buf += self.tok.decode(toks).encode("utf-8")
+        keep = self._incomplete_tail(self.buf)
+        out, self.buf = (self.buf[: len(self.buf) - keep], self.buf[len(self.buf) - keep :])
+        return out.decode("utf-8", errors="replace")
+
+    def flush(self) -> str:
+        out, self.buf = self.buf, b""
+        return out.decode("utf-8", errors="replace")
 
 
 def _make_handler(srv: SparkServer):
@@ -379,8 +421,11 @@ def _make_handler(srv: SparkServer):
                     data = f"data: {json.dumps(obj)}\n\n".encode()
                     self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
+                dec = srv.utf8_stream()
                 for tok in req.stream():
-                    text = srv.detok([tok])
+                    text = dec.push([tok])
+                    if not text:
+                        continue  # held-back incomplete UTF-8 tail
                     if chat:
                         payload = {
                             "id": rid, "object": "chat.completion.chunk",
@@ -396,6 +441,18 @@ def _make_handler(srv: SparkServer):
                                          "finish_reason": None}],
                         }
                     chunk(payload)
+                tail = dec.flush()
+                if tail:
+                    delta = ({"delta": {"content": tail}} if chat
+                             else {"text": tail})
+                    chunk({
+                        "id": rid,
+                        "object": ("chat.completion.chunk" if chat
+                                   else "text_completion"),
+                        "created": created, "model": srv.cfg.model_name,
+                        "choices": [{"index": 0, **delta,
+                                     "finish_reason": None}],
+                    })
                 data = b"data: [DONE]\n\n"
                 self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
                 self.wfile.write(b"0\r\n\r\n")

@@ -189,7 +189,11 @@ class BPETokenizer:
             out.append(v.eos_id)
         return out
 
-    def decode(self, ids: list[int], skip_special: bool = False) -> str:
+    def decode_bytes(self, ids: list[int], skip_special: bool = False) -> bytes:
+        """Raw token bytes — the streaming-safe primitive (a multi-byte
+        UTF-8 character split across tokens stays intact until the caller
+        has a complete sequence; ref: the server's incomplete-UTF-8
+        holdback)."""
         v = self.vocab
         buf = bytearray()
         for t in ids:
@@ -209,4 +213,7 @@ class BPETokenizer:
                     buf.extend(ch.encode("utf-8"))
                 else:
                     buf.append(b)
-        return buf.decode("utf-8", errors="replace")
+        return bytes(buf)
+
+    def decode(self, ids: list[int], skip_special: bool = False) -> str:
+        return self.decode_bytes(ids, skip_special).decode("utf-8", errors="replace")

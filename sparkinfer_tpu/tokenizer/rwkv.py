@@ -43,9 +43,11 @@ class RWKVTokenizer:
                 i = last_j
         return out
 
-    def decode(self, ids: list[int], skip_special: bool = False) -> str:
-        data = b"".join(
+    def decode_bytes(self, ids: list[int], skip_special: bool = False) -> bytes:
+        return b"".join(
             self.vocab.tokens[t].encode("utf-8", errors="surrogateescape")
             for t in ids
         )
-        return data.decode("utf-8", errors="replace")
+
+    def decode(self, ids: list[int], skip_special: bool = False) -> str:
+        return self.decode_bytes(ids, skip_special).decode("utf-8", errors="replace")

@@ -110,7 +110,9 @@ class SPMTokenizer:
             out.extend(self._tokenize_fragment(raw))
         return out
 
-    def decode(self, ids: list[int], skip_special: bool = False) -> str:
+    def decode_bytes(self, ids: list[int], skip_special: bool = False) -> bytes:
+        """Raw token bytes (streaming-safe; <0xXX> byte tokens may split
+        UTF-8 sequences across tokens)."""
         v = self.vocab
         parts: list[bytes] = []
         for t in ids:
@@ -126,5 +128,9 @@ class SPMTokenizer:
                 except ValueError:
                     pass
             parts.append(s.replace(SPIECE_UNDERLINE, " ").encode("utf-8"))
-        text = b"".join(parts).decode("utf-8", errors="replace")
+        return b"".join(parts)
+
+    def decode(self, ids: list[int], skip_special: bool = False) -> str:
+        v = self.vocab
+        text = self.decode_bytes(ids, skip_special).decode("utf-8", errors="replace")
         return text.removeprefix(" ") if v.add_space_prefix else text

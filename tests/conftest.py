@@ -19,6 +19,25 @@ import pytest
 
 REFERENCE_MODELS = pathlib.Path("/root/reference/models")
 
+# Inner-loop test tier: the modules below carry the end-to-end / sweep
+# tests that dominate wall time; `make quick` (pytest -m "not slow")
+# skips them and finishes in ~2 min. `make test` runs everything.
+SLOW_MODULES = {
+    "test_speculative",
+    "test_tokenizer",
+    "test_convert_hf",
+    "test_training",
+    "test_state_io",
+    "test_tiering",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = getattr(item, "module", None)
+        if mod is not None and mod.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def vocab_gguf_spm():

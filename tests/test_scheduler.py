@@ -216,3 +216,65 @@ def test_tiered_sparse_serving(tmp_path):
     sched.run_until_idle()
     assert r.tokens() == want
     assert sched.balancer.rebalances > 0
+
+
+class _FakeTok:
+    """Token -> '<id>' pieces; enough for stop-string logic."""
+
+    def decode(self, ids, skip_special=False):
+        return "".join(f"<{t}>" for t in ids)
+
+
+def test_stop_string_holdback_no_partial_leak(model):
+    """A multi-token stop string must never be partially streamed: the
+    scheduler holds back tokens whose text could still extend into a stop
+    match (ref: llama-server partial stop buffering)."""
+    cfg = SamplerConfig(temp=0.0)
+    eng = Engine(model, max_seq=64, sampler=cfg, kv_dtype=jnp.float32)
+    full = eng.generate([3, 14, 15], max_new_tokens=6)
+    stop = f"<{full[2]}><{full[3]}>"  # spans generated tokens 3 and 4
+
+    sched = Scheduler(model, n_slots=1, max_seq=64, sampler=cfg,
+                      kv_dtype=jnp.float32, tokenizer=_FakeTok())
+    req = sched.submit(Request(prompt_tokens=[3, 14, 15], max_new_tokens=6,
+                               stop_strings=[stop]))
+    sched.run_until_idle()
+    # only the tokens BEFORE the stop string come out; neither stop piece
+    # is ever emitted (the round-1 bug streamed full[2] before matching)
+    assert req.tokens() == full[:2]
+
+
+def test_stop_string_partial_match_flushes(model):
+    """Held tokens from a partial match that never completes must flush."""
+    cfg = SamplerConfig(temp=0.0)
+    eng = Engine(model, max_seq=64, sampler=cfg, kv_dtype=jnp.float32)
+    full = eng.generate([3, 14, 15], max_new_tokens=5)
+    never = f"<{full[2]}>NOPE"  # prefix matches at token 3, then diverges
+
+    sched = Scheduler(model, n_slots=1, max_seq=64, sampler=cfg,
+                      kv_dtype=jnp.float32, tokenizer=_FakeTok())
+    req = sched.submit(Request(prompt_tokens=[3, 14, 15], max_new_tokens=5,
+                               stop_strings=[never]))
+    sched.run_until_idle()
+    assert req.tokens() == full
+
+
+def test_per_request_sampler_configs(model):
+    """Mixed sampler configs in one batch: a greedy request must decode
+    exactly as the greedy Engine even when the scheduler default (and the
+    neighbouring slot) sample at high temperature (round-1 bug: per-request
+    sampler params were silently ignored)."""
+    greedy = SamplerConfig(temp=0.0)
+    hot = SamplerConfig(temp=1.5, top_k=0, seed=7)
+    eng = Engine(model, max_seq=64, sampler=greedy, kv_dtype=jnp.float32)
+    want = eng.generate([3, 14, 15], max_new_tokens=8)
+
+    # server default is the HOT config; the greedy request must override it
+    sched = Scheduler(model, n_slots=2, max_seq=64, sampler=hot,
+                      kv_dtype=jnp.float32)
+    r_hot = sched.submit(Request(prompt_tokens=[9, 26, 53], max_new_tokens=8,
+                                 sampler=hot))
+    r_greedy = sched.submit(Request(prompt_tokens=[3, 14, 15], max_new_tokens=8,
+                                    sampler=greedy))
+    sched.run_until_idle()
+    assert r_greedy.tokens() == want

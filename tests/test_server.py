@@ -161,3 +161,26 @@ def test_anthropic_messages_compat(server):
     assert out["content"][0]["type"] == "text"
     assert out["usage"]["output_tokens"] >= 1
     assert out["stop_reason"] == "end_turn"
+
+
+def test_utf8_stream_holds_split_sequences():
+    """A multi-byte UTF-8 char split across tokens must stream intact, not
+    as U+FFFD (ref: llama-server buffers incomplete UTF-8)."""
+    from sparkinfer_tpu.server.app import _Utf8Stream
+
+    class ByteTok:
+        def decode_bytes(self, ids, skip_special=False):
+            return bytes(ids)
+
+    emoji = "🎉".encode("utf-8")  # 4 bytes
+    s = _Utf8Stream(ByteTok())
+    assert s.push(list(b"hi ")) == "hi "
+    assert s.push(list(emoji[:2])) == ""  # incomplete -> held
+    assert s.push(list(emoji[2:])) == "🎉"
+    # CJK split 2+1
+    han = "汉".encode("utf-8")
+    assert s.push(list(han[:1])) == ""
+    assert s.push(list(han[1:])) == "汉"
+    # flush releases whatever is left, replacing genuinely bad bytes
+    assert s.push([0xE4]) == ""
+    assert s.flush() == "�"
