@@ -23,10 +23,21 @@ class GrammarSampler:
         self.vocab = vocab
         self.tokenizer = tokenizer
         self.stacks = self.grammar.start_stacks()
-        # token id -> decoded piece text (cached once)
-        self._pieces: list[str] = [
-            self._piece(i) for i in range(vocab.n_tokens)
-        ]
+        # token id -> decoded piece text (cached once). Decoding goes through
+        # the tokenizer's byte decoder when available so byte-level BPE
+        # vocabs ("gpt2" model: llama3/qwen2 families) yield real text
+        # (" hello"), not byte-encoder glyphs ("Ġhello") the grammar
+        # can never match (round-1 bug). Control/special tokens decode to ""
+        # and are treated as always-allowed, like llama_token_to_piece with
+        # special=false.
+        if tokenizer is not None and hasattr(tokenizer, "decode_bytes"):
+            self._pieces = [
+                tokenizer.decode_bytes([i], skip_special=True).decode(
+                    "utf-8", errors="replace")
+                for i in range(vocab.n_tokens)
+            ]
+        else:
+            self._pieces = [self._piece(i) for i in range(vocab.n_tokens)]
 
     def _piece(self, tok: int) -> str:
         """Raw piece text as the sequence contributes it — llama_token_to_piece

@@ -360,6 +360,310 @@ def sparse_ffn_block_v3(
 
 
 # ---------------------------------------------------------------------------
+# v4: interleaved-store manual-DMA streaming kernel (the production path)
+#
+# Probe data (eval_scripts/probe_kernels3.py, v5e): the selected-block
+# stream is limited by per-DMA issue/latency overhead, not queue depth —
+# 36 separate (G, E) fetches per layer run at ~141-184 GB/s while the
+# dense path streams 371 GB/s. Interleaving the three projections into
+# ONE (R, P, G, E) store makes each selected group a single contiguous
+# P*G*E-byte DMA (3x fewer, 3x larger transfers), with a W-deep rotating
+# window keeping several in flight.
+
+
+def _kernel_v4(act, fatrelu_threshold, prob_threshold, gated, mask_mode, C, W,
+               refs):
+    idx_ref = refs[0]  # (N, C) SMEM scalar-prefetch
+    x_ref, gp_ref, bu_ref, w_hbm, out_ref, sw, sem = refs[1:8]
+    P = 3 if gated else 2
+
+    n = pl.program_id(0)
+    x = x_ref[0]  # (1, E)
+
+    def start(c, slot):
+        pltpu.make_async_copy(w_hbm.at[idx_ref[n, c]], sw.at[slot],
+                              sem.at[slot]).start()
+
+    for c in range(min(W, C)):
+        start(c, c)
+
+    acc = jnp.zeros((1, out_ref.shape[-1]), jnp.float32)
+    for c in range(C):
+        slot = c % W
+        pltpu.make_async_copy(w_hbm.at[idx_ref[n, c]], sw.at[slot],
+                              sem.at[slot]).wait()
+        up = jax.lax.dot_general(
+            x, sw[slot, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, G)
+        up = up + bu_ref[0, pl.ds(c, 1), :][0]
+        gate = None
+        if gated:
+            gate = jax.lax.dot_general(
+                x, sw[slot, 1], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        hidden = _combine(act, fatrelu_threshold, gate, up)
+        gp = gp_ref[0, pl.ds(c, 1), :][0]
+        if mask_mode == "threshold":
+            mask = (gp >= prob_threshold).astype(jnp.float32)
+        else:
+            mask = gp
+        hidden = (hidden * mask).astype(sw.dtype)
+        partial = jax.lax.dot_general(
+            hidden, sw[slot, P - 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, E)
+        if c + W < C:
+            start(c + W, slot)
+        acc = acc + partial
+    out_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret",
+                     "mask_mode", "window", "gated"),
+)
+def sparse_ffn_block_v4(
+    x: jnp.ndarray,  # (N, E)
+    idx: jnp.ndarray,  # (N, C) int32 row index into the interleaved store
+    gp_sel: jnp.ndarray,  # (N, C, G)
+    w_rows_il: jnp.ndarray,  # (R, P, G, E): P = [up, gate, down] or [up, down]
+    *,
+    act: str,
+    gated: bool,
+    fatrelu_threshold: float = 0.0,
+    prob_threshold: float = 0.5,
+    bu_sel: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    mask_mode: str = "threshold",
+    window: int = 0,  # 0 = auto from VMEM budget
+) -> jnp.ndarray:
+    N, E = x.shape
+    C = idx.shape[1]
+    R, P, G, _ = w_rows_il.shape
+    assert P == (3 if gated else 2)
+    if interpret is None:
+        interpret = not _on_tpu()
+    bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
+    blk_bytes = P * G * E * w_rows_il.dtype.itemsize
+    W = window or max(2, min(C, (12 * 1024 * 1024) // blk_bytes))
+
+    x3 = x.reshape(N, 1, E)
+    vec_spec = lambda shape: pl.BlockSpec(
+        shape, lambda n, idx_ref: (n,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[vec_spec((1, 1, E)), vec_spec((1, C, G)), vec_spec((1, C, G)),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 1, E), lambda n, idx_ref: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((W, P, G, E), w_rows_il.dtype),
+            pltpu.SemaphoreType.DMA((W,)),
+        ],
+    )
+    kern = functools.partial(
+        lambda *refs: _kernel_v4(act, fatrelu_threshold, prob_threshold, gated,
+                                 mask_mode, C, W, refs)
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, E), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * C * G * E * P,
+            bytes_accessed=N * C * blk_bytes + N * E * 4,
+            transcendentals=0,
+        ),
+    )(idx, x3, gp_sel, bu, w_rows_il)
+    return out.reshape(N, E)
+
+
+# ---------------------------------------------------------------------------
+# v5: wave-batched manual-DMA kernel (the production decode path)
+#
+# Probe #4: v4's interleaved fetches plateau at ~190 GB/s regardless of
+# DMA size — the limiter is the SERIAL chain of per-block matvecs (3
+# MXU-latency-bound (1,E)x(E,G) dots per block; ~100us/layer at 1B
+# shapes), not the stream. v5 batches compute into WAVES: double-buffered
+# groups of Wv blocks stream per projection while ONE (1,E)x(E,Wv*G) dot
+# per projection covers the whole wave — C/Wv big dots instead of C tiny
+# ones, with the next wave's DMAs in flight underneath.
+
+
+def _kernel_v5(act, fatrelu_threshold, prob_threshold, gated, mask_mode, C, Wv,
+               refs):
+    idx_ref = refs[0]  # (N, C) SMEM scalar-prefetch
+    x_ref, gp_ref, bu_ref = refs[1:4]
+    if gated:
+        up_hbm, gate_hbm, down_hbm = refs[4:7]
+        out_ref = refs[7]
+        su, sg, sd = refs[8:11]
+        sem_u, sem_g, sem_d = refs[11:14]
+    else:
+        up_hbm, down_hbm = refs[4:6]
+        gate_hbm, sg, sem_g = None, None, None
+        out_ref = refs[6]
+        su, sd = refs[7:9]
+        sem_u, sem_d = refs[9:11]
+
+    n = pl.program_id(0)
+    x = x_ref[0]  # (1, E)
+    E = x.shape[-1]
+    G = su.shape[-2]
+    n_waves = C // Wv
+
+    def dma(hbm, scr, sem, c, buf, k):
+        return pltpu.make_async_copy(hbm.at[idx_ref[n, c]], scr.at[buf, k],
+                                     sem.at[buf, k])
+
+    def start_wave(j, buf):
+        for k in range(Wv):
+            c = j * Wv + k
+            dma(up_hbm, su, sem_u, c, buf, k).start()
+            if gated:
+                dma(gate_hbm, sg, sem_g, c, buf, k).start()
+            dma(down_hbm, sd, sem_d, c, buf, k).start()
+
+    start_wave(0, 0)
+    acc = jnp.zeros((1, E), jnp.float32)
+    for j in range(n_waves):
+        buf = j % 2
+        if j + 1 < n_waves:
+            start_wave(j + 1, buf ^ 1)
+        for k in range(Wv):
+            c = j * Wv + k
+            dma(up_hbm, su, sem_u, c, buf, k).wait()
+            if gated:
+                dma(gate_hbm, sg, sem_g, c, buf, k).wait()
+            dma(down_hbm, sd, sem_d, c, buf, k).wait()
+        wu = su[buf].reshape(Wv * G, E)
+        up = jax.lax.dot_general(
+            x, wu, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, Wv*G)
+        up = up + bu_ref[0, pl.ds(j * Wv, Wv), :].reshape(1, Wv * G)
+        gate = None
+        if gated:
+            wg = sg[buf].reshape(Wv * G, E)
+            gate = jax.lax.dot_general(
+                x, wg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        hidden = _combine(act, fatrelu_threshold, gate, up)
+        gp = gp_ref[0, pl.ds(j * Wv, Wv), :].reshape(1, Wv * G)
+        if mask_mode == "threshold":
+            mask = (gp >= prob_threshold).astype(jnp.float32)
+        else:
+            mask = gp
+        hidden = (hidden * mask).astype(sd.dtype)
+        wd = sd[buf].reshape(Wv * G, E)
+        acc = acc + jax.lax.dot_general(
+            hidden, wd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret",
+                     "mask_mode", "wave"),
+)
+def sparse_ffn_block_v5(
+    x: jnp.ndarray,  # (N, E)
+    idx: jnp.ndarray,  # (N, C) int32 row index into the weight stores
+    gp_sel: jnp.ndarray,  # (N, C, G)
+    w_up_rows: jnp.ndarray,  # (R, G, E)
+    w_gate_rows: jnp.ndarray | None,
+    w_down_rows: jnp.ndarray,  # (R, G, E)
+    *,
+    act: str,
+    fatrelu_threshold: float = 0.0,
+    prob_threshold: float = 0.5,
+    bu_sel: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    mask_mode: str = "threshold",
+    wave: int = 0,  # blocks per compute wave; 0 = auto from VMEM budget
+) -> jnp.ndarray:
+    N, E = x.shape
+    C = idx.shape[1]
+    R, G, _ = w_up_rows.shape
+    if interpret is None:
+        interpret = not _on_tpu()
+    bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
+    gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu", "gelu")
+    n_proj = 3 if gated else 2
+    blk = G * E * w_up_rows.dtype.itemsize
+    if wave:
+        Wv = wave
+    else:
+        Wv = 1
+        for cand in (8, 4, 2):
+            if C % cand == 0 and 2 * cand * n_proj * blk <= 12 * 1024 * 1024:
+                Wv = cand
+                break
+    assert C % Wv == 0, (C, Wv)
+
+    x3 = x.reshape(N, 1, E)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vec_spec = lambda shape: pl.BlockSpec(
+        shape, lambda n, idx_ref: (n,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [vec_spec((1, 1, E)), vec_spec((1, C, G)), vec_spec((1, C, G)),
+                hbm_spec]
+    inputs = [x3, gp_sel, bu, w_up_rows]
+    if gated:
+        in_specs.append(hbm_spec)
+        inputs.append(w_gate_rows)
+    in_specs.append(hbm_spec)
+    inputs.append(w_down_rows)
+
+    wdt = w_up_rows.dtype
+    scratch = [pltpu.VMEM((2, Wv, G, E), wdt) for _ in range(n_proj)]
+    scratch += [pltpu.SemaphoreType.DMA((2, Wv))] * n_proj
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, E), lambda n, idx_ref: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    kern = functools.partial(
+        lambda *refs: _kernel_v5(act, fatrelu_threshold, prob_threshold, gated,
+                                 mask_mode, C, Wv, refs)
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, E), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * C * G * E * n_proj,
+            bytes_accessed=n_proj * N * C * blk + N * E * 4,
+            transcendentals=0,
+        ),
+    )(idx, *inputs)
+    return out.reshape(N, E)
+
+
+def interleave_rows(w_up_rows, w_gate_rows, w_down_rows):
+    """(ng, G, E) x P -> (ng, P, G, E) contiguous interleaved store."""
+    parts = [w_up_rows]
+    if w_gate_rows is not None:
+        parts.append(w_gate_rows)
+    parts.append(w_down_rows)
+    return jnp.stack(parts, axis=-3)
+
+
+# ---------------------------------------------------------------------------
 # v2: single deep weight stream
 #
 # The v1 grid runs only C/U steps per call, which barely covers the DMA

@@ -101,6 +101,8 @@ class Scheduler:
         ffn_fn: Callable | None = None,
         tokenizer=None,  # needed for grammar-constrained requests
         sparse=None,  # SparseConfig: predictor-gated sparse serving
+        split=None,  # ModelSplit | path — offline profile (reorder + pattern)
+        rebalance_every: int = 1,
     ):
         from ..models.transformer import make_forward
 
@@ -115,6 +117,7 @@ class Scheduler:
         # (the reference builds a sampler chain per slot at launch time)
         self.sample = make_dynamic_sampler(self.sampler_cfg)
         self.tiered = sparse is not None and sparse.hot_groups > 0
+        self.rebalance_every = max(rebalance_every, 1)
         self._fstate = None
         if sparse is not None:
             # sparse serving: masked-dense prefill, gathered top-k decode;
@@ -123,6 +126,17 @@ class Scheduler:
 
             if not self.cfg.has_predictors:
                 raise ValueError("sparse serving needs predictor tensors")
+            if split is not None:
+                # offline profile: hot-first reorder so the default first-H
+                # hot set IS the profiled hot set (ref: SPIF_REORDER,
+                # src/llama-sparkinfer.cpp:286-352; round-1 served unprofiled)
+                from ..sparse.split import ModelSplit, apply_reorder, read_split
+
+                if not isinstance(split, ModelSplit):
+                    split = read_split(split)
+                self.model.params = apply_reorder(
+                    self.model.params, self.cfg, split.perms
+                )
             self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
             self.fwd = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="dense"))
             if self.tiered:
@@ -416,7 +430,7 @@ class Scheduler:
             slot.cached_tokens.append(slot.last_token)
             slot.n_past += 1
             self._emit(s_i, int(tok[s_i]))
-        if self.tiered and self.metrics["n_decode_steps"] % 1 == 0:
+        if self.tiered and self.metrics["n_decode_steps"] % self.rebalance_every == 0:
             from ..sparse.tiering import tiered_layer_params
 
             self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))

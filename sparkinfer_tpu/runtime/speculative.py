@@ -50,6 +50,7 @@ class SpeculativeEngine:
         self.n_draft = n_draft
         self.stats = SpecStats()
         self._verify = jax.jit(self._verify_impl)
+        self._draft_step = jax.jit(draft.fwd_decode, donate_argnums=(3,))
 
     def _verify_impl(self, params, tokens, positions, cache):
         logits, cache = self.target.fwd_decode(params, tokens, positions, cache)
@@ -84,21 +85,29 @@ class SpeculativeEngine:
             if len(out) >= max_new_tokens:
                 break
 
-            # --- draft K tokens (greedy draft; cheap) -----------------------
+            # --- draft K tokens --------------------------------------------
+            # greedy target: greedy draft (acceptance is an argmax match).
+            # stochastic target: the draft must be SAMPLED from the draft
+            # distribution — min(1, p_t/p_d) acceptance is only lossless
+            # for drafts drawn from p_d (the round-1 greedy draft biased
+            # the emitted distribution).
             drafts: list[int] = []
             d_tok = tok
             d_pos = n_past
             d_probs = []
             for _ in range(K):
-                lg, d_cache = d.fwd_decode(
+                lg, d_cache = self._draft_step(
                     d.model.params,
                     jnp.full((1, 1), d_tok, jnp.int32),
                     jnp.full((1, 1), d_pos, jnp.int32),
                     d_cache,
                 )
                 lgv = lg[0, -1]
-                d_tok = int(jnp.argmax(lgv))
-                if not greedy:
+                if greedy:
+                    d_tok = int(jnp.argmax(lgv))
+                else:
+                    key, kd = jax.random.split(key)
+                    d_tok = int(jax.random.categorical(kd, lgv))
                     d_probs.append(np.asarray(jax.nn.softmax(lgv)))
                 drafts.append(d_tok)
                 d_pos += 1
@@ -163,7 +172,7 @@ class SpeculativeEngine:
                 # partial-accept case needs nothing: every accepted token was
                 # consumed during drafting, and rejected rows are masked
                 # until overwritten).
-                _, d_cache = d.fwd_decode(
+                _, d_cache = self._draft_step(
                     d.model.params,
                     jnp.full((1, 1), drafts[-1], jnp.int32),
                     jnp.full((1, 1), n_past + K, jnp.int32),

@@ -187,3 +187,28 @@ def test_grammar_constrained_generation_end_to_end(tmp_path):
     # every prefix must be viable under the grammar
     g = gs.grammar
     assert g.accept_text(g.start_stacks(), text), text
+
+
+def test_grammar_bpe_byte_level_pieces(vocab_gguf_bpe):
+    """Byte-level BPE vocabs (tokenizer model 'gpt2') must have their
+    pieces decoded through the byte decoder: a grammar over plain text
+    (' hello') must accept the 'Ġhello'-encoded token (round-1 bug:
+    constrained decoding rejected every leading-space token)."""
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+    from sparkinfer_tpu.grammar.sampler import GrammarSampler
+    from sparkinfer_tpu.tokenizer import build_tokenizer
+    from sparkinfer_tpu.tokenizer.vocab import Vocab
+
+    vocab = Vocab.from_gguf(GGUFReader(str(vocab_gguf_bpe)))
+    tk = build_tokenizer(vocab)
+    ids = tk.encode(" hello world", add_special=False)
+    assert len(ids) >= 2
+    gs = GrammarSampler('root ::= " hello world"', vocab, tk)
+    for t in ids:
+        assert gs.allows(t), (t, vocab.tokens[t])
+        gs.accept(t)
+    assert gs.grammar.is_complete(gs.stacks)
+    # and the mask path agrees: the first token of the encoding is allowed
+    gs2 = GrammarSampler('root ::= " hello world"', vocab, tk)
+    m = gs2.mask()
+    assert m[ids[0]]

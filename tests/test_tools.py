@@ -161,3 +161,77 @@ def test_hf_repo_resolution(tmp_path, monkeypatch):
         resolve_hf_gguf("acme/tiny:Q8_0")  # quant not cached
     with pytest.raises(FileNotFoundError, match="offline-only"):
         resolve_hf_gguf("nobody/nothing")
+
+
+def test_kl_divergence_self_is_zero(model_path, tmp_path):
+    """KL of a model against its own saved base must be ~0 with full
+    top-1 agreement (validates the save/load + alignment machinery)."""
+    from sparkinfer_tpu.tools.perplexity import compute_kl
+
+    model = load_model(model_path, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, model.config.n_vocab, 80).astype(np.int32)
+    base = tmp_path / "base.npz"
+    ref = compute_ppl(model, ids, ctx=32, save_logits=str(base))
+    out = compute_kl(model, ids, str(base))
+    assert out["n_tokens"] == ref["n_tokens"]
+    # base logits are stored f16 -> tiny but nonzero KL
+    assert 0.0 <= out["kl_mean"] < 1e-2
+    assert out["top1_agreement"] == 1.0
+    assert abs(out["ppl"] - ref["ppl"]) / ref["ppl"] < 0.05
+
+    # a DIFFERENT token stream must be rejected
+    with pytest.raises(ValueError):
+        compute_kl(model, ids[:-1], str(base))
+
+
+def test_hellaswag_winogrande_scoring(model_path):
+    """Multiple-choice harness runs end-to-end; a duplicate-ending task
+    where one choice IS the argmax continuation sanity-checks scoring."""
+    from sparkinfer_tpu.tokenizer import build_tokenizer
+    from sparkinfer_tpu.tools.perplexity import (
+        hellaswag_score,
+        winogrande_score,
+    )
+
+    model = load_model(model_path, dtype=jnp.float32)
+    tk = build_tokenizer(model.vocab)
+    tasks = [
+        {"context": "hello world", "endings": ["the hello", "world the",
+                                               "hello", "world world"],
+         "label": 1},
+        {"context": "the world", "endings": ["hello", "world"], "label": 0},
+    ]
+    out = hellaswag_score(model, tk, tasks)
+    assert out["n_tasks"] == 2
+    assert 0.0 <= out["accuracy"] <= 1.0
+
+    wtasks = [
+        {"sentence": "the _ said hello", "option1": "world",
+         "option2": "hello", "answer": "1"},
+    ]
+    wout = winogrande_score(model, tk, wtasks)
+    assert wout["n_tasks"] == 1
+    assert wout["accuracy"] in (0.0, 1.0)
+
+
+def test_perplexity_cli_quality_modes(model_path, tmp_path, capsys):
+    """CLI: --save-logits then --kl-divergence, plus --hellaswag."""
+    from sparkinfer_tpu.tools.perplexity import main as ppl_main
+
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("hello world the hello world hello the world " * 20)
+    base = tmp_path / "base.npz"
+    rc = ppl_main(["-m", model_path, "-f", str(corpus), "-c", "32",
+                   "--save-logits", str(base)])
+    assert rc == 0
+    capsys.readouterr()
+    tasks = tmp_path / "hs.json"
+    tasks.write_text(json.dumps([
+        {"context": "hello", "endings": ["world", "the"], "label": 0}]))
+    rc = ppl_main(["-m", model_path, "-f", str(corpus), "-c", "32",
+                   "--kl-divergence", str(base), "--hellaswag", str(tasks)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["kl"]["top1_agreement"] == 1.0
+    assert "hellaswag" in out
