@@ -40,7 +40,7 @@ def drain(a):
     return float(jnp.asarray(a).reshape(-1)[0])
 
 
-def pure_dma_kernel(C, W, refs):
+def pure_dma_kernel(C, W, *refs):
     (idx_ref, up_hbm, gate_hbm, down_hbm, out_ref, su, sg, sd,
      sem_u, sem_g, sem_d) = refs
     n = pl.program_id(0)
@@ -84,7 +84,7 @@ def pure_dma(idx, wu, wg, wd):
     )(idx, wu, wg, wd)
 
 
-def dense_stream_kernel(refs):
+def dense_stream_kernel(*refs):
     up_ref, gate_ref, down_ref, out_ref = refs
     i = pl.program_id(0)
     part = (up_ref[0, 0, :] + gate_ref[0, 0, :] + down_ref[0, 0, :])

@@ -110,7 +110,8 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, U, refs):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret", "mask_mode"),
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret",
+                     "mask_mode", "unroll"),
 )
 def sparse_ffn_block(
     x: jnp.ndarray,  # (N, E) tokens
@@ -126,6 +127,7 @@ def sparse_ffn_block(
     bu_sel: jnp.ndarray | None = None,  # (N, C, G) pre-gathered up-bias
     interpret: bool | None = None,
     mask_mode: str = "threshold",  # "threshold" | "scale"
+    unroll: int | None = None,  # grid-step unroll override (1 = deepest grid)
 ) -> jnp.ndarray:  # (N, E) f32
     N, E = x.shape
     C = idx.shape[1]
@@ -140,13 +142,17 @@ def sparse_ffn_block(
     # amortizes per-step pipeline overhead, but each stream double-buffers a
     # (G, E) block in VMEM — cap U so the streams fit (~10 MB of the ~16 MB)
     n_proj = 3 if gated else 2
-    bytes_per_u = n_proj * G * E * w_up_rows.dtype.itemsize * 2  # double-buffered
-    u_max = max(1, min(4, (13 * 1024 * 1024) // bytes_per_u))
-    U = 1
-    for cand in (4, 2):
-        if cand <= u_max and C % cand == 0:
-            U = cand
-            break
+    if unroll is not None:
+        U = unroll
+        assert C % U == 0, (C, U)
+    else:
+        bytes_per_u = n_proj * G * E * w_up_rows.dtype.itemsize * 2
+        u_max = max(1, min(4, (13 * 1024 * 1024) // bytes_per_u))
+        U = 1
+        for cand in (4, 2):
+            if cand <= u_max and C % cand == 0:
+                U = cand
+                break
     Cs = C // U  # grid steps along the selection axis
 
     def w_spec_u(u):
@@ -485,7 +491,138 @@ def sparse_ffn_block_v4(
 
 
 # ---------------------------------------------------------------------------
-# v5: wave-batched manual-DMA kernel (the production decode path)
+# v6: auto-pipelined VPU-matvec kernel (the production decode path)
+#
+# Probe findings (eval_scripts/probe_kernels{3..7}.py, v5e):
+#   - Pallas's implicit pipeline streams dynamically-indexed (G, E) blocks
+#     at ~400 GB/s once the grid is deep (static indexing: ~780);
+#     manual make_async_copy windows cap at ~170 GB/s regardless of depth.
+#   - jax.lax.dot_general lowers 1-row matvecs onto the MXU, whose weight
+#     LOAD rate (~one 128x128 tile per 128 cycles = ~240 GB/s) caps every
+#     MXU-based decode kernel — that was v1/v3/v4/v5's real wall.
+# v6 therefore uses the auto-pipeline (grid (N, C), scalar-prefetched
+# dynamic index_map) and computes the matvecs on the VPU as
+# multiply+reduce, with up/gate stored TRANSPOSED (R, E, G) so their
+# reductions run over sublanes and land lane-major, matching gp/bias; the
+# down block stays (R, G, E) so its sublane reduction lands as (1, E).
+
+
+def _kernel_v6(act, fatrelu_threshold, prob_threshold, gated, mask_mode, refs):
+    idx_ref = refs[0]
+    xT_ref, gp_ref, bu_ref = refs[1:4]
+    if gated:
+        wuT_ref, wgT_ref, wd_ref, out_ref = refs[4:8]
+    else:
+        wuT_ref, wd_ref, out_ref = refs[4:7]
+        wgT_ref = None
+
+    c = pl.program_id(1)
+    xT = xT_ref[0].astype(jnp.float32)  # (E, 1)
+    up = jnp.sum(xT * wuT_ref[0].astype(jnp.float32), axis=0, keepdims=True)
+    up = up + bu_ref[0, pl.ds(c, 1), :][0]  # (1, G)
+    gate = None
+    if gated:
+        gate = jnp.sum(xT * wgT_ref[0].astype(jnp.float32), axis=0,
+                       keepdims=True)
+    hidden = _combine(act, fatrelu_threshold, gate, up)  # (1, G)
+    gp = gp_ref[0, pl.ds(c, 1), :][0]
+    if mask_mode == "threshold":
+        mask = (gp >= prob_threshold).astype(jnp.float32)
+    else:
+        mask = gp
+    hidden = hidden * mask
+    hid_T = hidden.reshape(hidden.shape[-1], 1)  # (G, 1)
+    partial = jnp.sum(hid_T * wd_ref[0].astype(jnp.float32), axis=0,
+                      keepdims=True)  # (1, E)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = partial
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[0] = out_ref[0] + partial
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret",
+                     "mask_mode"),
+)
+def sparse_ffn_block_v6(
+    x: jnp.ndarray,  # (N, E)
+    idx: jnp.ndarray,  # (N, C) int32 row index into the weight stores
+    gp_sel: jnp.ndarray,  # (N, C, G)
+    w_upT_rows: jnp.ndarray,  # (R, E, G) — TRANSPOSED layout
+    w_gateT_rows: jnp.ndarray | None,  # (R, E, G)
+    w_down_rows: jnp.ndarray,  # (R, G, E)
+    *,
+    act: str,
+    fatrelu_threshold: float = 0.0,
+    prob_threshold: float = 0.5,
+    bu_sel: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    mask_mode: str = "threshold",
+) -> jnp.ndarray:  # (N, E) f32
+    N, E = x.shape
+    C = idx.shape[1]
+    R, _, G = w_upT_rows.shape
+    if interpret is None:
+        interpret = not _on_tpu()
+    bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
+    gated = w_gateT_rows is not None and act in ("fatrelu", "drelu", "silu",
+                                                 "gelu")
+
+    xT = x.reshape(N, E, 1)
+    w_spec = lambda shape: pl.BlockSpec(
+        shape, lambda n, c, idx_ref: (idx_ref[n, c], 0, 0),
+        memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, E, 1), lambda n, c, idx_ref: (n, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec((1, C, G), lambda n, c, idx_ref: (n, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [x_spec, sel_spec, sel_spec, w_spec((1, E, G))]
+    inputs = [xT, gp_sel, bu, w_upT_rows]
+    if gated:
+        in_specs.append(w_spec((1, E, G)))
+        inputs.append(w_gateT_rows)
+    in_specs.append(w_spec((1, G, E)))
+    inputs.append(w_down_rows)
+
+    n_proj = 3 if gated else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, C),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        lambda *refs: _kernel_v6(act, fatrelu_threshold, prob_threshold, gated,
+                                 mask_mode, refs)
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, E), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * C * G * E * n_proj,
+            bytes_accessed=n_proj * N * C * G * E
+            * w_upT_rows.dtype.itemsize + N * E * 4,
+            transcendentals=0,
+        ),
+    )(idx, *inputs)
+    return out.reshape(N, E)
+
+
+def transpose_up_rows(w_rows: jnp.ndarray) -> jnp.ndarray:
+    """(ng, G, E) -> (ng, E, G) contiguous (v6 up/gate layout)."""
+    return jnp.swapaxes(w_rows, -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# v5: wave-batched manual-DMA kernel
 #
 # Probe #4: v4's interleaved fetches plateau at ~190 GB/s regardless of
 # DMA size — the limiter is the SERIAL chain of per-block matvecs (3

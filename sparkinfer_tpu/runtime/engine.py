@@ -93,6 +93,7 @@ class Engine:
         split=None,  # ModelSplit | path — offline profile (reorder + pattern)
         rebalance_every: int = 1,
         donate_cache: bool = True,
+        fused_chunk: int = 16,
     ):
         self.model = model
         self.cfg: ModelConfig = model.config
@@ -187,6 +188,14 @@ class Engine:
                                   static_argnums=(4,))
         self.prefill_chunk = 1024  # ubatch size for long prompts (ref n_ubatch)
         self._decode = jax.jit(self._decode_impl, donate_argnums=donate)
+        # fused decode: N steps inside ONE executable (lax.scan over steps,
+        # sampling on-device, sampled token fed back as the next input).
+        # Kills the per-step dispatch cost entirely — the TPU-native
+        # replacement for the reference's per-token llama_decode loop.
+        # Disabled for the tiered path (host rebalance runs between steps).
+        self.fused_chunk = 0 if self.tiered else max(int(fused_chunk), 0)
+        self._fused = jax.jit(self._fused_impl, donate_argnums=(3,),
+                              static_argnums=(5,))
         self.perf = PerfCounters()
 
     # --- jitted step bodies -------------------------------------------------
@@ -223,6 +232,39 @@ class Engine:
             logits, cache = self.fwd_decode(params, tokens, positions, cache)
         toks, sstates = jax.vmap(self.sample)(logits[:, -1], sstate)
         return toks, cache, sstates, fstate
+
+    def _fused_impl(self, params, tok0, pos0, cache, sstate, n_steps):
+        """tok0/pos0 (B, 1); runs n_steps decode steps on-device and
+        returns all sampled tokens (n_steps, B)."""
+
+        def body(carry, _):
+            tok, pos, cache, sstate = carry
+            logits, cache = self.fwd_decode(params, tok, pos, cache)
+            nxt, sstate = jax.vmap(self.sample)(logits[:, -1], sstate)
+            nxt = nxt[:, None]
+            return (nxt, pos + 1, cache, sstate), nxt[:, 0]
+
+        (tok, pos, cache, sstate), toks = jax.lax.scan(
+            body, (tok0, pos0, cache, sstate), None, length=n_steps
+        )
+        return toks, cache, sstate
+
+    def decode_chunk(
+        self, token: int, n_past: int, cache: KVCache, sstate: SamplerState,
+        n_steps: int,
+    ) -> tuple[np.ndarray, KVCache, SamplerState]:
+        """Fused multi-step decode: returns the n_steps tokens sampled AFTER
+        feeding `token` (the caller has already emitted `token`)."""
+        t0 = time.perf_counter()
+        tok0 = jnp.full((self.batch, 1), token, jnp.int32)
+        pos0 = jnp.full((self.batch, 1), n_past, jnp.int32)
+        toks, cache, sstate = self._fused(
+            self.model.params, tok0, pos0, cache, sstate, n_steps
+        )
+        toks = np.asarray(toks)[:, 0]
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += n_steps
+        return toks, cache, sstate
 
     # --- host-side API ------------------------------------------------------
     def new_cache(self):
@@ -362,6 +404,10 @@ class Engine:
         sstate = self.new_sampler_state(seed)
         tok, cache, sstate, n_past = self.prefill(prompt_tokens, cache, sstate)
         n_keep = len(prompt_tokens)
+        if self.fused_chunk > 1:
+            yield from self._generate_fused(tok, n_past, cache, sstate,
+                                            max_new_tokens, stop_ids, n_keep)
+            return
         for _ in range(max_new_tokens):
             if tok in stop_ids:
                 break
@@ -378,6 +424,54 @@ class Engine:
                 n_past -= discard
             tok, cache, sstate = self.decode_step(tok, n_past, cache, sstate)
             n_past += 1
+
+    def _generate_fused(self, tok, n_past, cache, sstate, max_new_tokens,
+                        stop_ids, n_keep):
+        """Chunked fused decode: emits the same token stream as the
+        per-step loop (same on-device sampler chain), but runs
+        `fused_chunk` steps per dispatch. Tokens generated past a stop id
+        inside a chunk are discarded (their KV writes are beyond the end
+        of the returned sequence and this cache is generation-local)."""
+        emitted = 0
+        while True:
+            if tok in stop_ids or emitted >= max_new_tokens:
+                return
+            yield tok
+            emitted += 1
+            if emitted >= max_new_tokens:
+                return
+            if not self.cfg.traits.recurrent:
+                room = (self.max_seq - 1) - n_past
+                if room <= 0:
+                    # context shift at EXACTLY the step the per-step loop
+                    # would shift (keeps fused == per-step token streams)
+                    from ..models.transformer import rope_params
+                    from .kv_cache import shift_cache
+
+                    discard = max((self.max_seq - n_keep) // 2, 1)
+                    cache = shift_cache(cache, rope_params(self.cfg), n_keep,
+                                        discard, n_past)
+                    n_past -= discard
+                    room = (self.max_seq - 1) - n_past
+                if room < self.fused_chunk:
+                    # single-step up to the shift boundary
+                    tok, cache, sstate = self.decode_step(tok, n_past, cache,
+                                                          sstate)
+                    n_past += 1
+                    continue
+            # always a FULL chunk (one compiled shape); surplus tokens past
+            # max_new_tokens are discarded by the emit bound below
+            n = self.fused_chunk
+            toks, cache, sstate = self.decode_chunk(tok, n_past, cache,
+                                                    sstate, n)
+            n_past += n
+            for t in toks[:-1]:
+                t = int(t)
+                if t in stop_ids or emitted >= max_new_tokens:
+                    return
+                yield t
+                emitted += 1
+            tok = int(toks[-1])
 
     def save_session(self, path: str, cache: KVCache, n_past: int,
                      sstate: SamplerState | None = None,

@@ -313,3 +313,33 @@ def test_generate_past_max_seq_via_context_shift(tiny_model):
     assert got[:n_pre] == want[:n_pre]
     # deterministic across repeats (shift path included)
     assert small.generate(prompt, max_new_tokens=40) == got
+
+
+def test_fused_decode_matches_per_step(tiny_model):
+    """The fused multi-step decode loop (lax.scan over steps, on-device
+    sampling) must emit exactly the per-step loop's tokens — greedy and
+    sampled, across chunk boundaries and stop ids."""
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    model, _ = tiny_model
+    for cfg in (SamplerConfig(temp=0.0), SamplerConfig(temp=1.2, seed=3)):
+        e_step = Engine(model, max_seq=64, sampler=cfg, kv_dtype=jnp.float32,
+                        fused_chunk=0)
+        e_fused = Engine(model, max_seq=64, sampler=cfg, kv_dtype=jnp.float32,
+                         fused_chunk=5)
+        for p, n in (([3, 14, 15], 13), ([5, 9], 4), ([7], 17)):
+            want = e_step.generate(p, max_new_tokens=n, seed=11)
+            got = e_fused.generate(p, max_new_tokens=n, seed=11)
+            assert got == want, (cfg.temp, p, n)
+        # stop id mid-chunk
+        want = e_step.generate([3, 14, 15], max_new_tokens=12, seed=11)
+        if len(want) > 3:
+            stop = want[3]
+            w2 = e_step.generate([3, 14, 15], max_new_tokens=12, seed=11,
+                                 stop_ids={stop})
+            g2 = e_fused.generate([3, 14, 15], max_new_tokens=12, seed=11,
+                                  stop_ids={stop})
+            assert g2 == w2
