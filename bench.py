@@ -2,11 +2,17 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
 Headline: single-chip decode tokens/s on the SPARSE predictor-gated path
-for a 7B-shaped ProSparse-style model at realistic firing rates, with
-vs_baseline = speedup over this framework's own dense decode of the same
-model — the same ratio family as the reference's headline claim (up to
-5.05x over dense llama.cpp, README.md:11; north star >=2x,
-BASELINE.json).
+for a ProSparse-style model at realistic firing rates, with vs_baseline =
+speedup over this framework's own dense decode of the same model — the
+same ratio family as the reference's headline claim (up to 5.05x over
+dense llama.cpp, README.md:11; north star >=2x, BASELINE.json).
+
+Protocol (round 2): both paths decode through a FUSED multi-step loop
+(lax.scan over steps, greedy sampling on-device — one dispatch per CHUNK
+steps, eliminating the per-step relay dispatch that compressed round-1
+ratios), and the two modes are INTERLEAVED trial-by-trial inside one
+process with the ratio taken per pair (median of paired ratios cancels
+the relay session drift; see BENCH_NOTES.md).
 
 On CPU (no TPU attached) runs a tiny preset as a smoke test.
 """
@@ -14,10 +20,13 @@ On CPU (no TPU attached) runs a tiny preset as a smoke test.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
+
+CHUNK = 64  # decode steps fused into one dispatch
 
 
 def build_model(preset: str):
@@ -68,56 +77,69 @@ def build_model(preset: str):
     return cfg, params
 
 
-def bench_decode(fwd, params, cfg, n_steps: int, S: int = 1024, prefill_fwd=None):
+def _drain(a):
+    # block_until_ready is not a reliable fence on every backend (the
+    # axon relay acks early); a scalar host readback is.
+    return float(np.asarray(a).reshape(-1)[0])
+
+
+def make_fused_loop(fwd):
     import jax
     import jax.numpy as jnp
 
-    from sparkinfer_tpu.runtime.kv_cache import init_cache
+    def loop(params, tok, pos, cache):
+        def body(carry, _):
+            tok, pos, cache = carry
+            logits, cache = fwd(params, tok, pos, cache)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (nxt, pos + 1, cache), ()
 
-    step = jax.jit(fwd, donate_argnums=(3,))
-    pstep = jax.jit(prefill_fwd, donate_argnums=(3,)) if prefill_fwd is not None else step
-    cache = init_cache(cfg, 1, S, jnp.bfloat16)
-    T0 = S // 2
-    tokens = jnp.zeros((1, T0), jnp.int32)
-    pos = jnp.arange(T0, dtype=jnp.int32)[None]
-    def drain(a):
-        # block_until_ready is not a reliable fence on every backend (the
-        # axon relay acks early); a scalar host readback is.
-        return float(a.reshape(-1)[0])
+        (tok, pos, cache), _ = jax.lax.scan(body, (tok, pos, cache), None,
+                                            length=CHUNK)
+        return tok, pos, cache
 
-    lg, cache = pstep(params, tokens, pos, cache)
-    drain(lg)
-    tok = jnp.zeros((1, 1), jnp.int32)
-    lg, cache = step(params, tok, jnp.full((1, 1), T0, jnp.int32), cache)
-    drain(lg)
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        lg, cache = step(params, tok, jnp.full((1, 1), T0 + 1 + i, jnp.int32), cache)
-    drain(lg)
-    return n_steps / (time.perf_counter() - t0)
+    return jax.jit(loop, donate_argnums=(3,))
 
 
-def main():
-    import jax
+class Path:
+    """One decode path (dense or sparse) with its own cache + position."""
+
+    def __init__(self, name, fwd, params, cfg, S, prefill_fwd=None):
+        import jax
+        import jax.numpy as jnp
+
+        from sparkinfer_tpu.runtime.kv_cache import init_cache
+
+        self.name = name
+        self.params = params
+        self.loop = make_fused_loop(fwd)
+        T0 = 64
+        cache = init_cache(cfg, 1, S, jnp.bfloat16)
+        pstep = jax.jit(prefill_fwd if prefill_fwd is not None else fwd,
+                        donate_argnums=(3,))
+        lg, cache = pstep(params, jnp.zeros((1, T0), jnp.int32),
+                          jnp.arange(T0, dtype=jnp.int32)[None], cache)
+        _drain(lg)
+        self.cache = cache
+        self.tok = jnp.zeros((1, 1), jnp.int32)
+        self.pos = jnp.full((1, 1), T0, jnp.int32)
+
+    def run_chunk(self) -> float:
+        t0 = time.perf_counter()
+        self.tok, self.pos, self.cache = self.loop(
+            self.params, self.tok, self.pos, self.cache)
+        _drain(self.tok)
+        return time.perf_counter() - t0
+
+
+def build_sparse(cfg, params, preset, plat):
+    """Returns (sparse_fwd, sparse_params, dense_prefill_fwd)."""
+    import gc
+
+    import jax.numpy as jnp
 
     from sparkinfer_tpu.models.transformer import make_forward
-    from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn, prepare_sparse_params
-
-    plat = jax.devices()[0].platform
-    # 1b completes reliably within the driver's window through the remote
-    # tunnel (7b works but model build + remote compiles can exceed it)
-    preset = "1b" if plat == "tpu" else "tiny"
-    if len(sys.argv) > 1:
-        preset = sys.argv[1]
-    cfg, params = build_model(preset)
-
-    n_steps = 32 if preset != "tiny" else 16
-    dense_fwd = make_forward(cfg)
-    dense_tps = bench_decode(dense_fwd, params, cfg, n_steps)
-
-    # sparse path: one-layer-ahead pipelined selection (the reference's
-    # predictor pipelining — decouples the weight fetch from the current
-    # layer's activations); capacity sized to typical firing + head-room
+    from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn
     from sparkinfer_tpu.sparse.ffn import (
         make_pipelined_sparse_ffn,
         prepare_pipelined_params,
@@ -125,69 +147,112 @@ def main():
 
     ng = cfg.n_ff // 128 if cfg.n_ff % 128 == 0 else cfg.n_ff // 64
     gs = 128 if cfg.n_ff % 128 == 0 else 64
-    cap = max(4, (int(ng * 0.25) + 3) // 4 * 4)  # multiple of 4 -> kernel unroll
+    cap = max(4, (int(ng * 0.25) + 3) // 4 * 4)  # multiple of 4
     scfg = SparseConfig(group_size=gs, capacity_groups=cap)
     tight_hbm = preset == "7b"  # 7B needs the rows-only layout to fit
     if tight_hbm:
-        # avoid transient dense+rows duplication in HBM: pull the FFN weights
-        # to host, free the device copies, relayout on host, re-upload
-        import gc
-
-        import jax
-        import jax.numpy as jnp
-
+        # avoid transient dense+rows duplication in HBM: pull the FFN
+        # weights to host, free the device copies, relayout on host
+        # (v6 transposed stores for up/gate), re-upload
         host_ffn = {k: np.array(params["layers"][k])
                     for k in ("w_up", "w_gate", "w_down")}
-        for k in host_ffn:
+        for k in ("w_up", "w_gate", "w_down"):
             del params["layers"][k]
         gc.collect()
         L, E, F2 = cfg.n_layer, cfg.n_embd, cfg.n_ff
         ngg = F2 // gs
         rows = {
-            "w_up_rows": np.ascontiguousarray(
-                np.swapaxes(host_ffn["w_up"], -1, -2)).reshape(L, ngg, gs, E),
-            "w_gate_rows": np.ascontiguousarray(
-                np.swapaxes(host_ffn["w_gate"], -1, -2)).reshape(L, ngg, gs, E),
+            # (L, ng, E, G) transposed stores straight from the (E, F) cols
+            "w_upT_rows": host_ffn["w_up"].reshape(L, E, ngg, gs)
+            .transpose(0, 2, 1, 3).copy(),
+            "w_gateT_rows": host_ffn["w_gate"].reshape(L, E, ngg, gs)
+            .transpose(0, 2, 1, 3).copy(),
             "w_down_rows": host_ffn["w_down"].reshape(L, ngg, gs, E),
         }
         del host_ffn
         gc.collect()
         sparams = dict(params)
         slayers = dict(params["layers"])
-        for k, v in rows.items():
-            slayers[k] = jnp.asarray(v)
+        for k in list(rows):
+            slayers[k] = jnp.asarray(rows.pop(k))
+            gc.collect()
         for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
             slayers[k + "_nx"] = jnp.roll(slayers[k], -1, axis=0)
         sparams["layers"] = slayers
-        del rows
-        gc.collect()
     else:
-        sparams = prepare_pipelined_params(params, cfg, scfg, drop_dense=False)
-    ffn, carry_init = make_pipelined_sparse_ffn(
-        cfg, scfg, mode="pallas" if plat == "tpu" else "gather")
+        sparams = prepare_pipelined_params(
+            params, cfg, scfg, drop_dense=False,
+            layout="v6" if plat == "tpu" else "v1")
+    mode = "pallas" if plat == "tpu" else "gather"
+    ffn, carry_init = make_pipelined_sparse_ffn(cfg, scfg, mode=mode)
     sparse_fwd = make_forward(cfg, ffn_fn=ffn, ffn_carry_init=carry_init)
     dense_prefill = make_forward(cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="dense"))
-    sparse_tps = bench_decode(sparse_fwd, sparams, cfg, n_steps,
-                              prefill_fwd=dense_prefill)
-    # interleave a second pair to cancel session-level throughput drift
-    # (the remote-execution relay shows ±40% run-to-run swings; compiles
-    # are cached so these re-measures are cheap)
-    if not tight_hbm:
-        dense_tps = max(dense_tps, bench_decode(dense_fwd, params, cfg, n_steps))
-    sparse_tps = max(sparse_tps,
-                     bench_decode(sparse_fwd, sparams, cfg, n_steps,
-                                  prefill_fwd=dense_prefill))
+    return sparse_fwd, sparams, dense_prefill
 
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from sparkinfer_tpu.models.transformer import make_forward
+
+    plat = jax.devices()[0].platform
+    preset = "1b" if plat == "tpu" else "tiny"
+    if len(sys.argv) > 1:
+        preset = sys.argv[1]
+    cfg, params = build_model(preset)
+    tight_hbm = preset == "7b"
+    S = 1024
+    n_trials = 3 if preset == "tiny" else 6
+
+    dense_fwd = make_forward(cfg)
+
+    if tight_hbm:
+        # HBM cannot hold both layouts at 7B: measure dense fully first,
+        # free it, then sparse (same process; drift within a process is
+        # far below the cross-process band — BENCH_NOTES.md)
+        dense = Path("dense", dense_fwd, params, cfg, S)
+        dense.run_chunk()  # warm
+        d_times = [dense.run_chunk() for _ in range(n_trials)]
+        del dense
+        sparse_fwd, sparams, dense_prefill = build_sparse(cfg, params, preset, plat)
+        sparse = Path("sparse", sparse_fwd, sparams, cfg, S,
+                      prefill_fwd=dense_prefill)
+        sparse.run_chunk()
+        s_times = [sparse.run_chunk() for _ in range(n_trials)]
+        ratios = [dt / st for dt, st in zip(sorted(d_times), sorted(s_times))]
+    else:
+        sparse_fwd, sparams, dense_prefill = build_sparse(cfg, params, preset, plat)
+        dense = Path("dense", dense_fwd, params, cfg, S)
+        sparse = Path("sparse", sparse_fwd, sparams, cfg, S,
+                      prefill_fwd=dense_prefill)
+        dense.run_chunk()  # warm/compile
+        sparse.run_chunk()
+        d_times, s_times, ratios = [], [], []
+        for _ in range(n_trials):
+            dt = dense.run_chunk()
+            st = sparse.run_chunk()
+            d_times.append(dt)
+            s_times.append(st)
+            ratios.append(dt / st)
+
+    sparse_tps = CHUNK / min(s_times)
+    dense_tps = CHUNK / min(d_times)
+    ratio = statistics.median(ratios)
     print(json.dumps({
         "metric": f"decode_tps_sparse_{preset}_b1",
         "value": round(sparse_tps, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(sparse_tps / max(dense_tps, 1e-9), 3),
+        "vs_baseline": round(ratio, 3),
     }))
     print(json.dumps({
         "metric": f"decode_tps_dense_{preset}_b1",
         "value": round(dense_tps, 2),
         "unit": "tokens/s",
+        "ratio_spread": [round(min(ratios), 3), round(max(ratios), 3)],
         "vs_baseline": 1.0,
     }), file=sys.stderr)
 

@@ -622,6 +622,167 @@ def transpose_up_rows(w_rows: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# v6q: the v6 auto-pipelined VPU kernel over Q8_0-PACKED stores.
+#
+# The TPU analogue of the reference's quantized sparse kernels
+# (ggml/src/ggml-cuda/mmq-sparse.cu, axpyq-sparse.cu; weight types gated at
+# src/llama-sparkinfer.cpp:178): weights stay int8 in HBM with one f32
+# scale per 32-weight ggml block and are dequantized on the VPU inside the
+# kernel — HBM traffic per token halves vs bf16, which multiplies with the
+# sparse selection saving.
+#
+# Store layouts (QK=32 ggml block size along the original input dim):
+#   up/gate: qw (R, E, G) int8, scales (R, E//32, G) f32 — the transposed
+#            v6 store; scale s[n, e//32, g] covers elements e..e+31 of
+#            column g (ggml blocks run along E for up/gate).
+#   down:    qw (R, G, E) int8, scales (R, G//32, E) f32 (blocks along F).
+
+
+def _dequant_sub(q, s):
+    """q (B, L) int8, s (B//32, L) f32 -> f32, scale repeated over 32
+    sublanes (reshape-broadcast; no gather)."""
+    B, L = q.shape
+    qf = q.astype(jnp.float32).reshape(B // 32, 32, L)
+    return (qf * s.reshape(B // 32, 1, L)).reshape(B, L)
+
+
+def _kernel_v6q(act, fatrelu_threshold, prob_threshold, gated, mask_mode,
+                refs):
+    idx_ref = refs[0]
+    xT_ref, gp_ref, bu_ref = refs[1:4]
+    if gated:
+        (qu_ref, su_ref, qg_ref, sg_ref, qd_ref, sd_ref,
+         out_ref) = refs[4:11]
+    else:
+        qu_ref, su_ref, qd_ref, sd_ref, out_ref = refs[4:9]
+        qg_ref = sg_ref = None
+
+    c = pl.program_id(1)
+    xT = xT_ref[0].astype(jnp.float32)  # (E, 1)
+    wu = _dequant_sub(qu_ref[0], su_ref[0])  # (E, G) f32
+    up = jnp.sum(xT * wu, axis=0, keepdims=True)
+    up = up + bu_ref[0, pl.ds(c, 1), :][0]  # (1, G)
+    gate = None
+    if gated:
+        wg = _dequant_sub(qg_ref[0], sg_ref[0])
+        gate = jnp.sum(xT * wg, axis=0, keepdims=True)
+    hidden = _combine(act, fatrelu_threshold, gate, up)  # (1, G)
+    gp = gp_ref[0, pl.ds(c, 1), :][0]
+    if mask_mode == "threshold":
+        mask = (gp >= prob_threshold).astype(jnp.float32)
+    else:
+        mask = gp
+    hidden = hidden * mask
+    hid_T = hidden.reshape(hidden.shape[-1], 1)  # (G, 1)
+    wd = _dequant_sub(qd_ref[0], sd_ref[0])  # (G, E) f32
+    partial = jnp.sum(hid_T * wd, axis=0, keepdims=True)  # (1, E)
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = partial
+
+    @pl.when(c > 0)
+    def _():
+        out_ref[0] = out_ref[0] + partial
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "fatrelu_threshold", "prob_threshold", "interpret",
+                     "mask_mode"),
+)
+def sparse_ffn_block_v6q(
+    x: jnp.ndarray,  # (N, E)
+    idx: jnp.ndarray,  # (N, C) int32 row index into the weight stores
+    gp_sel: jnp.ndarray,  # (N, C, G)
+    qw_upT: jnp.ndarray,  # (R, E, G) int8
+    s_upT: jnp.ndarray,  # (R, E//32, G) f32
+    qw_gateT: jnp.ndarray | None,  # (R, E, G) int8
+    s_gateT: jnp.ndarray | None,
+    qw_down: jnp.ndarray,  # (R, G, E) int8
+    s_down: jnp.ndarray,  # (R, G//32, E) f32
+    *,
+    act: str,
+    fatrelu_threshold: float = 0.0,
+    prob_threshold: float = 0.5,
+    bu_sel: jnp.ndarray | None = None,
+    interpret: bool | None = None,
+    mask_mode: str = "threshold",
+) -> jnp.ndarray:  # (N, E) f32
+    N, E = x.shape
+    C = idx.shape[1]
+    R, _, G = qw_upT.shape
+    if interpret is None:
+        interpret = not _on_tpu()
+    bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
+    gated = qw_gateT is not None and act in ("fatrelu", "drelu", "silu",
+                                             "gelu")
+
+    xT = x.reshape(N, E, 1)
+    w_spec = lambda shape: pl.BlockSpec(
+        shape, lambda n, c, idx_ref: (idx_ref[n, c], 0, 0),
+        memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, E, 1), lambda n, c, idx_ref: (n, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec((1, C, G), lambda n, c, idx_ref: (n, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [x_spec, sel_spec, sel_spec,
+                w_spec((1, E, G)), w_spec((1, E // 32, G))]
+    inputs = [xT, gp_sel, bu, qw_upT, s_upT]
+    if gated:
+        in_specs += [w_spec((1, E, G)), w_spec((1, E // 32, G))]
+        inputs += [qw_gateT, s_gateT]
+    in_specs += [w_spec((1, G, E)), w_spec((1, G // 32, E))]
+    inputs += [qw_down, s_down]
+
+    n_proj = 3 if gated else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, C),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kern = functools.partial(
+        lambda *refs: _kernel_v6q(act, fatrelu_threshold, prob_threshold,
+                                  gated, mask_mode, refs)
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, 1, E), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * N * C * G * E * n_proj,
+            bytes_accessed=n_proj * N * C * G * E
+            + n_proj * N * C * G * E * 4 // 32 + N * E * 4,
+            transcendentals=0,
+        ),
+    )(idx, *inputs)
+    return out.reshape(N, E)
+
+
+def quantize_rows_q8_0(w_rows: jnp.ndarray, transposed: bool):
+    """Quantize a v6 weight store to the v6q packed layout (numpy, host).
+
+    transposed=True: w (…, E, G), ggml blocks along E (axis -2) ->
+      (qw int8 (…, E, G), scales f32 (…, E//32, G)).
+    transposed=False: w (…, G, E), blocks along G (axis -2) ->
+      (qw int8 (…, G, E), scales f32 (…, G//32, E)).
+    Matches ggml quantize_row_q8_0 math (scale = amax/127, symmetric)."""
+    import numpy as np
+
+    w = np.asarray(w_rows, np.float32)
+    B = w.shape[-2]
+    blk = w.reshape(w.shape[:-2] + (B // 32, 32, w.shape[-1]))
+    amax = np.abs(blk).max(axis=-2)  # (…, B//32, L)
+    scales = (amax / 127.0).astype(np.float32)
+    inv = np.where(scales > 0, 1.0 / np.maximum(scales, 1e-30), 0.0)
+    q = np.rint(blk * inv[..., None, :]).clip(-127, 127).astype(np.int8)
+    return q.reshape(w.shape), scales
+
+
+# ---------------------------------------------------------------------------
 # v5: wave-batched manual-DMA kernel
 #
 # Probe #4: v4's interleaved fetches plateau at ~190 GB/s regardless of

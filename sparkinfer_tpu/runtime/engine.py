@@ -159,7 +159,8 @@ class Engine:
                     {k: v for k, v in self.model.params.items() if k != "layers"}
                     | {"layers": {k: v for k, v in self.model.params["layers"].items()
                                   if not k.endswith("_rows")}},
-                    self.cfg, sparse)
+                    self.cfg, sparse,
+                    layout="v6" if sparse_decode_mode == "pallas" else "v1")
                 decode_ffn, carry_init = make_pipelined_sparse_ffn(
                     self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn,

@@ -57,6 +57,14 @@ def _sparse_act(name: str, threshold: float = 0.0):
     raise ValueError(name)
 
 
+def _dequant_sub_nd(q, s):
+    """Dequantize a v6q packed store: q (..., B, L) int8 with scales
+    (..., B//32, L) f32 repeated over each 32-sublane ggml block."""
+    B, L = q.shape[-2:]
+    qf = q.astype(jnp.float32).reshape(q.shape[:-2] + (B // 32, 32, L))
+    return (qf * s[..., :, None, :]).reshape(q.shape)
+
+
 def sparse_layout(lp: dict, cfg: ModelConfig, scfg: SparseConfig) -> dict:
     """Augment a layer-param dict (possibly L-stacked) with neuron-major
     grouped weight blocks: w_up_rows/w_gate_rows/w_down_rows (…, n_g, G, E)."""
@@ -143,6 +151,19 @@ def make_sparse_ffn(
         def col_mm(key_dense, key_rows):
             if key_dense in lp:
                 return x @ lp[key_dense]
+            if key_dense + "T_rows" in lp:
+                # v6 transposed store (ng, E, G)
+                w = lp[key_dense + "T_rows"]
+                y = jnp.einsum("...e,neg->...ng", x, w.astype(x.dtype))
+                return y.reshape(y.shape[:-2] + (F,))
+            if "qw_" + key_dense.replace("w_", "") + "T_rows" in lp:
+                # q8_0 packed transposed store: dequant then contract
+                base = key_dense.replace("w_", "")
+                q = lp["qw_" + base + "T_rows"]  # (ng, E, G) int8
+                s = lp["s_" + base + "T_rows"]  # (ng, E//32, G)
+                w = _dequant_sub_nd(q, s).astype(x.dtype)
+                y = jnp.einsum("...e,neg->...ng", x, w)
+                return y.reshape(y.shape[:-2] + (F,))
             # row layout (ng, G, E): contract E, flatten groups back to F
             w = lp[key_rows]
             y = jnp.einsum("...e,nge->...ng", x, w.astype(x.dtype))
@@ -152,7 +173,8 @@ def make_sparse_ffn(
         if "b_up" in lp:
             up = up + lp["b_up"].astype(up.dtype)
         gate = None
-        if gated and ("w_gate" in lp or "w_gate_rows" in lp):
+        if gated and ("w_gate" in lp or "w_gate_rows" in lp
+                      or "w_gateT_rows" in lp or "qw_gateT_rows" in lp):
             gate = col_mm("w_gate", "w_gate_rows")
         hidden = act(gate, up) if gate is not None else act(None, up)
         hidden = hidden * mask
@@ -160,8 +182,12 @@ def make_sparse_ffn(
             out = hidden @ lp["w_down"]
         else:
             h3 = hidden.reshape(hidden.shape[:-1] + (ng, G))
-            out = jnp.einsum("...ng,nge->...e", h3,
-                             lp["w_down_rows"].astype(hidden.dtype))
+            if "w_down_rows" in lp:
+                wd = lp["w_down_rows"].astype(hidden.dtype)
+            else:
+                wd = _dequant_sub_nd(lp["qw_down_rows"],
+                                     lp["s_down_rows"]).astype(hidden.dtype)
+            out = jnp.einsum("...ng,nge->...e", h3, wd)
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)
         return out
@@ -235,12 +261,19 @@ def make_sparse_ffn(
 
 
 def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
-                             drop_dense: bool = False) -> dict:
+                             drop_dense: bool = False,
+                             layout: str = "v1",
+                             quant: str | None = None) -> dict:
     """prepare_sparse_params + predictor weights shifted one layer DOWN
     (layer il's slice carries layer il+1's predictor, wrapping at the end),
     so each scan iteration can compute the NEXT layer's selection — the
     weight fetch for layer il then has no data dependence on layer il's own
-    activations and overlaps with attention."""
+    activations and overlaps with attention.
+
+    layout="v6" additionally stores up/gate TRANSPOSED, (L, ng, E, G), for
+    the v6 VPU-matvec kernel (ops/sparse_ffn_pallas.py) and DROPS the
+    untransposed up/gate row stores (down stays (L, ng, G, E) — v6 reads it
+    as-is). Same total HBM as v1."""
     import jax.numpy as jnp
 
     out = prepare_sparse_params(params, cfg, scfg, drop_dense=drop_dense)
@@ -248,6 +281,28 @@ def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
     for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
         if k in layers:
             layers[k + "_nx"] = jnp.roll(layers[k], -1, axis=0)
+    if layout == "v6":
+        layers["w_upT_rows"] = jnp.swapaxes(layers.pop("w_up_rows"), -1, -2)
+        if "w_gate_rows" in layers:
+            layers["w_gateT_rows"] = jnp.swapaxes(
+                layers.pop("w_gate_rows"), -1, -2)
+        if quant == "q8_0":
+            # Q8_0-packed stores (ref sparse weight types incl. Q8_0,
+            # src/llama-sparkinfer.cpp:178): int8 + per-32-block f32 scale;
+            # halves sparse HBM bytes/token vs bf16
+            from ..ops.sparse_ffn_pallas import quantize_rows_q8_0
+
+            for src, dst, tr in (("w_upT_rows", "qw_upT_rows", True),
+                                 ("w_gateT_rows", "qw_gateT_rows", True),
+                                 ("w_down_rows", "qw_down_rows", False)):
+                if src not in layers:
+                    continue
+                q, s = quantize_rows_q8_0(layers[src], transposed=tr)
+                layers[dst] = jnp.asarray(q)
+                layers[dst.replace("qw_", "s_")] = jnp.asarray(s)
+                del layers[src]
+    elif quant is not None:
+        raise ValueError("quantized sparse stores require layout='v6'")
     import os
 
     if os.environ.get("SPIF_KERNEL_V2"):
@@ -300,12 +355,36 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
 
     def _compute(lp, xt, idx, gp_sel):
         if mode == "pallas":
-            from ..ops.sparse_ffn_pallas import sparse_ffn_block, sparse_ffn_block_v2
+            from ..ops.sparse_ffn_pallas import (
+                sparse_ffn_block,
+                sparse_ffn_block_v2,
+                sparse_ffn_block_v6,
+            )
 
             bu_sel = None
             if "b_up" in lp:
                 bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32),
                                   idx, axis=0)
+            if "qw_upT_rows" in lp:
+                # q8_0 packed stores -> fused dequant VPU kernel
+                from ..ops.sparse_ffn_pallas import sparse_ffn_block_v6q
+
+                return sparse_ffn_block_v6q(
+                    xt, idx, gp_sel, lp["qw_upT_rows"], lp["s_upT_rows"],
+                    lp.get("qw_gateT_rows"), lp.get("s_gateT_rows"),
+                    lp["qw_down_rows"], lp["s_down_rows"],
+                    act=cfg.traits.sparse_act,
+                    fatrelu_threshold=cfg.fatrelu_threshold,
+                    prob_threshold=thr, bu_sel=bu_sel,
+                )
+            if "w_upT_rows" in lp:
+                # v6 transposed layout -> auto-pipelined VPU-matvec kernel
+                return sparse_ffn_block_v6(
+                    xt, idx, gp_sel, lp["w_upT_rows"], lp.get("w_gateT_rows"),
+                    lp["w_down_rows"], act=cfg.traits.sparse_act,
+                    fatrelu_threshold=cfg.fatrelu_threshold,
+                    prob_threshold=thr, bu_sel=bu_sel,
+                )
             import os
 
             if "w_all_rows" in lp and os.environ.get("SPIF_KERNEL_V2"):
@@ -344,11 +423,15 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
         B, T, E = x.shape
         xt = x.reshape(B * T, E)
 
-        own_idx, own_gp = _select(lp["pred_up"], lp["pred_up_b"],
-                                  lp["pred_down"], lp["pred_down_b"], xt)
-        use_own = (il == 0)
-        idx = jnp.where(use_own, own_idx, carry["idx"])
-        gp_sel = jnp.where(use_own, own_gp, carry["gp_sel"])
+        # Layer 0 selects from its own predictor; lax.cond (not where) so
+        # the own-predictor matmuls only RUN at layer 0 — under a where,
+        # every layer would pay the predictor weight read twice per step.
+        idx, gp_sel = jax.lax.cond(
+            il == 0,
+            lambda: _select(lp["pred_up"], lp["pred_up_b"],
+                            lp["pred_down"], lp["pred_down_b"], xt),
+            lambda: (carry["idx"], carry["gp_sel"]),
+        )
 
         out = _compute(lp, xt, idx, gp_sel)
         if "b_down" in lp:

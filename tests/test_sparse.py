@@ -363,3 +363,138 @@ def test_pipelined_pallas_v2_matches_gather(sparse_model, monkeypatch):
                     init_cache(cfg, 1, 16, jnp.float32))
         outs[mode] = np.asarray(lg)
     np.testing.assert_allclose(outs["pallas"], outs["gather"], rtol=1e-4, atol=1e-4)
+
+
+def test_pipelined_pallas_v6_matches_gather(sparse_model):
+    """v6 (transposed-store VPU-matvec kernel, interpret mode on CPU) must
+    equal the gather math; also checks the transposed stores replaced the
+    untransposed up/gate rows (same-HBM guarantee)."""
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    base = {"tok_embd": model.params["tok_embd"],
+            "output_norm_w": model.params["output_norm_w"],
+            "output": model.params["output"],
+            "layers": {k: v for k, v in model.params["layers"].items()
+                       if not (k.endswith("_nx") or k.endswith("_rows") or k == "w_all_rows")}}
+    params_v1 = prepare_pipelined_params(base, cfg, scfg)
+    params_v6 = prepare_pipelined_params(base, cfg, scfg, layout="v6")
+    l6 = params_v6["layers"]
+    assert "w_upT_rows" in l6 and "w_up_rows" not in l6
+    assert l6["w_upT_rows"].shape[-2:] == (cfg.n_embd, G)
+
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+
+    ffn_g, ci = make_pipelined_sparse_ffn(cfg, scfg, mode="gather")
+    fwd_g = jax.jit(make_forward(cfg, ffn_fn=ffn_g, ffn_carry_init=ci))
+    ref, _ = fwd_g(params_v1, jnp.asarray(toks)[None], pos,
+                   init_cache(cfg, 1, 16, jnp.float32))
+
+    ffn_6, ci6 = make_pipelined_sparse_ffn(cfg, scfg, mode="pallas")
+    fwd_6 = jax.jit(make_forward(cfg, ffn_fn=ffn_6, ffn_carry_init=ci6))
+    got, _ = fwd_6(params_v6, jnp.asarray(toks)[None], pos,
+                   init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pipelined_pallas_v6q_matches_dequant_gather(sparse_model):
+    """Q8_0 sparse path (fused dequant kernel, interpret on CPU) must equal
+    the gather math run on the DEQUANTIZED weights — the dequant oracle the
+    reference uses for its quantized sparse kernels (mmq-sparse.cu vs the
+    f32 path)."""
+    from sparkinfer_tpu.ops.sparse_ffn_pallas import quantize_rows_q8_0
+    from sparkinfer_tpu.sparse.ffn import (
+        _dequant_sub_nd,
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model, _ = sparse_model
+    cfg = model.config
+    # ggml q8_0 blocks are 32 wide: group_size must be a multiple of 32
+    scfg = SparseConfig(group_size=32, capacity_groups=2)
+    base = {"tok_embd": model.params["tok_embd"],
+            "output_norm_w": model.params["output_norm_w"],
+            "output": model.params["output"],
+            "layers": {k: v for k, v in model.params["layers"].items()
+                       if not (k.endswith("_nx") or k.endswith("_rows") or k == "w_all_rows")}}
+    params_q = prepare_pipelined_params(base, cfg, scfg, layout="v6",
+                                        quant="q8_0")
+    lq = params_q["layers"]
+    assert "qw_upT_rows" in lq and lq["qw_upT_rows"].dtype == jnp.int8
+    assert "w_upT_rows" not in lq and "w_down_rows" not in lq
+
+    # round-trip check on the quantizer itself
+    w = np.asarray(jnp.swapaxes(
+        prepare_pipelined_params(base, cfg, scfg, layout="v6")["layers"]["w_upT_rows"],
+        -1, -2), np.float32)
+    q, s = quantize_rows_q8_0(np.swapaxes(w, -1, -2), transposed=True)
+    deq = np.asarray(_dequant_sub_nd(jnp.asarray(q), jnp.asarray(s)))
+    amax = np.abs(np.swapaxes(w, -1, -2)).max()
+    assert np.abs(deq - np.swapaxes(w, -1, -2)).max() <= amax / 127 * 0.51 + 1e-7
+
+    # reference: gather math on dequantized row stores
+    params_ref = prepare_pipelined_params(base, cfg, scfg)
+    lr = dict(params_ref["layers"])
+    lr["w_up_rows"] = jnp.swapaxes(
+        _dequant_sub_nd(lq["qw_upT_rows"], lq["s_upT_rows"]), -1, -2)
+    if "qw_gateT_rows" in lq:
+        lr["w_gate_rows"] = jnp.swapaxes(
+            _dequant_sub_nd(lq["qw_gateT_rows"], lq["s_gateT_rows"]), -1, -2)
+    lr["w_down_rows"] = _dequant_sub_nd(lq["qw_down_rows"], lq["s_down_rows"])
+    params_ref = dict(params_ref)
+    params_ref["layers"] = lr
+
+    rng = np.random.default_rng(13)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+
+    ffn_g, ci = make_pipelined_sparse_ffn(cfg, scfg, mode="gather")
+    fwd_g = jax.jit(make_forward(cfg, ffn_fn=ffn_g, ffn_carry_init=ci))
+    ref, _ = fwd_g(params_ref, jnp.asarray(toks)[None], pos,
+                   init_cache(cfg, 1, 16, jnp.float32))
+
+    ffn_q, ciq = make_pipelined_sparse_ffn(cfg, scfg, mode="pallas")
+    fwd_q = jax.jit(make_forward(cfg, ffn_fn=ffn_q, ffn_carry_init=ciq))
+    got, _ = fwd_q(params_q, jnp.asarray(toks)[None], pos,
+                   init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dense_prefill_from_v6_transposed_rows(sparse_model):
+    """drop_dense v6 layout: masked-dense prefill computes from the
+    TRANSPOSED stores and must match the dense-weight path."""
+    from sparkinfer_tpu.sparse.ffn import make_sparse_ffn, prepare_pipelined_params
+
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    base = {"tok_embd": model.params["tok_embd"],
+            "output_norm_w": model.params["output_norm_w"],
+            "output": model.params["output"],
+            "layers": {k: v for k, v in model.params["layers"].items()
+                       if not (k.endswith("_nx") or k.endswith("_rows") or k == "w_all_rows")}}
+    dense_ffn = make_sparse_ffn(cfg, scfg, mode="dense")
+    fwd = jax.jit(make_forward(cfg, ffn_fn=dense_ffn))
+    rng = np.random.default_rng(12)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+    ref, _ = fwd(base, jnp.asarray(toks)[None], pos,
+                 init_cache(cfg, 1, 16, jnp.float32))
+
+    tight = prepare_pipelined_params(base, cfg, scfg, drop_dense=True,
+                                     layout="v6")
+    assert "w_up" not in tight["layers"] and "w_up_rows" not in tight["layers"]
+    got, _ = fwd(tight, jnp.asarray(toks)[None], pos,
+                 init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
