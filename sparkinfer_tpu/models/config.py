@@ -35,6 +35,7 @@ class ArchTraits:
     pos_embd_offset: int = 0  # opt: HF offset 2
     final_logit_softcap: float = 0.0
     recurrent: bool = False  # state-space/linear-attention family (mamba)
+    wkv_version: int = 0  # RWKV family: 6 | 7 (0 = not RWKV)
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -113,6 +114,10 @@ _reg(ArchTraits("minicpm", ))
 _reg(ArchTraits("deepseek2", rope_mode="neox"))
 _reg(ArchTraits("cohere2", rope_mode="neox", norm="ln"))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
+_reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
+                norm_bias=True, wkv_version=6))
+_reg(ArchTraits("rwkv7", norm="ln", rope_mode="none", recurrent=True,
+                norm_bias=True, wkv_version=7))
 
 
 @dataclasses.dataclass
@@ -145,6 +150,14 @@ class ModelConfig:
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
     ssm_dt_rank: int = 0
+    # RWKV geometry (ref GGUF keys {arch}.wkv.head_size,
+    # {arch}.time_mix_extra_dim, {arch}.time_decay_extra_dim,
+    # {arch}.rescale_every_n_layers, {arch}.token_shift_count)
+    wkv_head_size: int = 0
+    time_mix_extra_dim: int = 0
+    time_decay_extra_dim: int = 0
+    rescale_every_n_layers: int = 0
+    token_shift_count: int = 2
 
     @property
     def traits(self) -> ArchTraits:
@@ -210,4 +223,9 @@ class ModelConfig:
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),
             ssm_dt_rank=int(g("ssm.time_step_rank", 0)),
+            wkv_head_size=int(g("wkv.head_size", 0)),
+            time_mix_extra_dim=int(g("time_mix_extra_dim", 0)),
+            time_decay_extra_dim=int(g("time_decay_extra_dim", 0)),
+            rescale_every_n_layers=int(g("rescale_every_n_layers", 0)),
+            token_shift_count=int(g("token_shift_count", 2)),
         )

@@ -152,18 +152,28 @@ def load_model(
     cfg = ModelConfig.from_gguf(r)
     tr = cfg.traits
     if tr.recurrent:
-        from .mamba import load_mamba_layers
-
         tok = _get(r, "token_embd.weight")
         params: Params = {
             "tok_embd": _as_jnp(tok, dtype),
             "output_norm_w": _as_jnp(_get(r, "output_norm.weight"), jnp.float32),
         }
+        onb = _get(r, "output_norm.bias")
+        if onb is not None:
+            params["output_norm_b"] = _as_jnp(onb, jnp.float32)
         out_w = _linear(r, "output.weight", cfg.n_embd, cfg.n_vocab)
         params["output"] = _as_jnp(
             out_w if out_w is not None else np.ascontiguousarray(tok.T), dtype
         )
-        params["layers"] = load_mamba_layers(r, cfg)
+        if tr.wkv_version == 6:
+            from .rwkv6 import load_rwkv6_layers
+
+            params["tok_norm_w"] = _as_jnp(_get(r, "token_embd_norm.weight"), jnp.float32)
+            params["tok_norm_b"] = _as_jnp(_get(r, "token_embd_norm.bias"), jnp.float32)
+            params["layers"] = load_rwkv6_layers(r, cfg, dtype)
+        else:
+            from .mamba import load_mamba_layers
+
+            params["layers"] = load_mamba_layers(r, cfg)
         model = LoadedModel(config=cfg, params=params)
         try:
             from ..tokenizer import Vocab

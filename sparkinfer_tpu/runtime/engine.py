@@ -169,9 +169,14 @@ class Engine:
                 decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
         elif self.cfg.traits.recurrent:
-            from ..models.mamba import make_mamba_forward
+            if self.cfg.traits.wkv_version == 6:
+                from ..models.rwkv6 import make_rwkv6_forward
 
-            self.fwd = make_mamba_forward(self.cfg)
+                self.fwd = make_rwkv6_forward(self.cfg)
+            else:
+                from ..models.mamba import make_mamba_forward
+
+                self.fwd = make_mamba_forward(self.cfg)
             self.fwd_prefill = self.fwd
             self.fwd_decode = self.fwd
         else:
@@ -270,6 +275,10 @@ class Engine:
     # --- host-side API ------------------------------------------------------
     def new_cache(self):
         if self.cfg.traits.recurrent:
+            if self.cfg.traits.wkv_version == 6:
+                from ..models.rwkv6 import init_rwkv6_cache
+
+                return init_rwkv6_cache(self.cfg, self.batch)
             from ..models.mamba import init_mamba_cache
 
             return init_mamba_cache(self.cfg, self.batch)

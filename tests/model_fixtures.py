@@ -233,3 +233,176 @@ def ref_predictor(tensors: dict[str, np.ndarray], layer: int, h_normed: np.ndarr
     z = np.maximum(z, 0.0)
     z = z @ tensors[p + "ffn_pred_down.weight"].T + tensors[p + "ffn_pred_down.bias"]
     return 1.0 / (1.0 + np.exp(-z))
+
+
+# ---------------------------------------------------------------------------
+# RWKV6 fixture + oracle
+
+
+def make_tiny_rwkv6(
+    path,
+    *,
+    n_layer: int = 2,
+    n_embd: int = 32,
+    head_size: int = 8,
+    n_ff: int = 56,
+    n_vocab: int = 97,
+    ed: int = 6,  # time_mix_extra_dim
+    dd: int = 7,  # time_decay_extra_dim
+    rescale_every: int = 2,
+    seed: int = 0,
+    scale: float = 0.3,
+) -> dict[str, np.ndarray]:
+    """Write a tiny rwkv6 GGUF with the reference converter's on-disk shapes
+    (convert_hf_to_gguf.py Rwkv6Model); returns the raw f32 tensors."""
+    rng = np.random.default_rng(seed)
+    E = n_embd
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t: dict[str, np.ndarray] = {}
+    t["token_embd.weight"] = w(n_vocab, E)
+    t["token_embd_norm.weight"] = 1.0 + w(E) * 0.1
+    t["token_embd_norm.bias"] = w(E) * 0.1
+    t["output_norm.weight"] = 1.0 + w(E) * 0.1
+    t["output_norm.bias"] = w(E) * 0.1
+    t["output.weight"] = w(n_vocab, E)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        t[p + "attn_norm.weight"] = 1.0 + w(E) * 0.1
+        t[p + "attn_norm.bias"] = w(E) * 0.1
+        t[p + "attn_norm_2.weight"] = 1.0 + w(E) * 0.1
+        t[p + "attn_norm_2.bias"] = w(E) * 0.1
+        t[p + "time_mix_lerp_x.weight"] = w(E)
+        t[p + "time_mix_lerp_fused.weight"] = w(5, 1, 1, E)
+        t[p + "time_mix_w1.weight"] = w(5 * ed, E)
+        t[p + "time_mix_w2.weight"] = w(5, E, ed)
+        t[p + "time_mix_decay_w1.weight"] = w(dd, E)
+        t[p + "time_mix_decay_w2.weight"] = w(E, dd)
+        t[p + "time_mix_decay.weight"] = w(E) - 4.0
+        t[p + "time_mix_first.weight"] = w(E // head_size, head_size)
+        for nm in ("receptance", "key", "value", "gate", "output"):
+            t[p + f"time_mix_{nm}.weight"] = w(E, E)
+        t[p + "time_mix_ln.weight"] = 1.0 + w(E) * 0.1
+        t[p + "time_mix_ln.bias"] = w(E) * 0.1
+        t[p + "channel_mix_lerp_k.weight"] = w(E)
+        t[p + "channel_mix_lerp_r.weight"] = w(E)
+        t[p + "channel_mix_key.weight"] = w(n_ff, E)
+        t[p + "channel_mix_receptance.weight"] = w(E, E)
+        t[p + "channel_mix_value.weight"] = w(E, n_ff)
+
+    wr = GGUFWriter(path, "rwkv6")
+    a = "rwkv6"
+    wr.add_kv(f"{a}.block_count", np.uint32(n_layer))
+    wr.add_kv(f"{a}.embedding_length", np.uint32(E))
+    wr.add_kv(f"{a}.vocab_size", np.uint32(n_vocab))
+    wr.add_kv(f"{a}.context_length", np.uint32(1 << 20))
+    wr.add_kv(f"{a}.feed_forward_length", np.uint32(n_ff))
+    wr.add_kv(f"{a}.attention.head_count", np.uint32(0))
+    wr.add_kv(f"{a}.attention.layer_norm_epsilon", np.float32(1e-5))
+    wr.add_kv(f"{a}.wkv.head_size", np.uint32(head_size))
+    wr.add_kv(f"{a}.time_mix_extra_dim", np.uint32(ed))
+    wr.add_kv(f"{a}.time_decay_extra_dim", np.uint32(dd))
+    wr.add_kv(f"{a}.rescale_every_n_layers", np.uint32(rescale_every))
+    wr.add_kv(f"{a}.token_shift_count", np.uint32(2))
+    for name, data in t.items():
+        wr.add_tensor(name, data, GGMLType.F32)
+    wr.write()
+    return t
+
+
+def _np_ln(x, w, b, eps=1e-5):
+    m = x.mean(-1, keepdims=True)
+    v = ((x - m) ** 2).mean(-1, keepdims=True)
+    return (x - m) / np.sqrt(v + eps) * w + b
+
+
+def ref_rwkv6_forward(
+    t: dict[str, np.ndarray],
+    tokens: np.ndarray,
+    *,
+    n_layer: int,
+    head_size: int,
+    ed: int,
+    rescale_every: int = 0,
+    eps: float = 1e-5,
+    state=None,
+):
+    """Slow numpy oracle for rwkv6: per-token loops straight from the ggml
+    kernel semantics (ggml_compute_forward_rwkv_wkv6_f32: out[j] += r_i *
+    (tf_i*k_i*v_j + S_ij); S_ij = S_ij*w_i + k_i*v_j) and the rwkv6 graph
+    builder (src/models/rwkv6.cpp). Returns (logits (T, V), state)."""
+    T = len(tokens)
+    E = t["token_embd.weight"].shape[1]
+    H = E // head_size
+    N = head_size
+    x = t["token_embd.weight"][tokens].astype(np.float64)
+    x = _np_ln(x, t["token_embd_norm.weight"], t["token_embd_norm.bias"], eps)
+    if state is None:
+        state = {
+            i: {
+                "att": np.zeros(E), "ffn": np.zeros(E),
+                "S": np.zeros((H, N, N)),
+            }
+            for i in range(n_layer)
+        }
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        st = state[i]
+        att_norm = _np_ln(x, t[p + "attn_norm.weight"], t[p + "attn_norm.bias"], eps)
+        att_out = np.zeros_like(x)
+        fused = t[p + "time_mix_lerp_fused.weight"].reshape(5, E).astype(np.float64)
+        w2 = t[p + "time_mix_w2.weight"].astype(np.float64)  # (5, E, ed)
+        for tt in range(T):
+            xn = att_norm[tt]
+            x_prev = st["att"] if tt == 0 else att_norm[tt - 1]
+            sx = x_prev - xn
+            xxx = xn + sx * t[p + "time_mix_lerp_x.weight"]
+            tm = np.tanh(t[p + "time_mix_w1.weight"].astype(np.float64) @ xxx)
+            xm = []
+            for m in range(5):
+                # ggml mul_mat(w2_m, tm_m): out_j = sum_e w2[m, j, e] * tm_m[e]
+                delta = w2[m] @ tm[m * ed : (m + 1) * ed]
+                xm.append(xn + sx * (delta + fused[m]))
+            xw, xk, xv, xr, xg = xm
+            r = t[p + "time_mix_receptance.weight"].astype(np.float64) @ xr
+            k = t[p + "time_mix_key.weight"].astype(np.float64) @ xk
+            v = t[p + "time_mix_value.weight"].astype(np.float64) @ xv
+            g = t[p + "time_mix_gate.weight"].astype(np.float64) @ xg
+            g = g / (1.0 + np.exp(-g))  # silu
+            dec = np.tanh(t[p + "time_mix_decay_w1.weight"].astype(np.float64) @ xw)
+            dec = t[p + "time_mix_decay_w2.weight"].astype(np.float64) @ dec
+            dec = dec + t[p + "time_mix_decay.weight"]
+            wdk = np.exp(-np.exp(dec)).reshape(H, N)
+            rr, kk, vv = r.reshape(H, N), k.reshape(H, N), v.reshape(H, N)
+            tf = t[p + "time_mix_first.weight"].astype(np.float64)  # (H, N)
+            out = np.zeros((H, N))
+            for h in range(H):
+                for ii in range(N):
+                    kv = kk[h, ii] * vv[h]  # (N,) over j
+                    out[h] += rr[h, ii] * (tf[h, ii] * kv + st["S"][h, ii])
+                    st["S"][h, ii] = st["S"][h, ii] * wdk[h, ii] + kv
+            y = _np_ln(out, 1.0, 0.0, 64e-5).reshape(E)
+            y = y * t[p + "time_mix_ln.weight"] + t[p + "time_mix_ln.bias"]
+            y = y * g
+            att_out[tt] = t[p + "time_mix_output.weight"].astype(np.float64) @ y
+        st["att"] = att_norm[T - 1].copy()
+        x = x + att_out
+        ffn_norm = _np_ln(x, t[p + "attn_norm_2.weight"], t[p + "attn_norm_2.bias"], eps)
+        cm_out = np.zeros_like(x)
+        for tt in range(T):
+            xn = ffn_norm[tt]
+            x_prev = st["ffn"] if tt == 0 else ffn_norm[tt - 1]
+            sx = x_prev - xn
+            xk = xn + sx * t[p + "channel_mix_lerp_k.weight"]
+            xr = xn + sx * t[p + "channel_mix_lerp_r.weight"]
+            rr = 1.0 / (1.0 + np.exp(-(t[p + "channel_mix_receptance.weight"].astype(np.float64) @ xr)))
+            kk = np.maximum(t[p + "channel_mix_key.weight"].astype(np.float64) @ xk, 0.0) ** 2
+            cm_out[tt] = rr * (t[p + "channel_mix_value.weight"].astype(np.float64) @ kk)
+        st["ffn"] = ffn_norm[T - 1].copy()
+        x = x + cm_out
+        if rescale_every and (i + 1) % rescale_every == 0:
+            x = x * 0.5
+    x = _np_ln(x, t["output_norm.weight"], t["output_norm.bias"], eps)
+    return x @ t["output.weight"].T.astype(np.float64), state

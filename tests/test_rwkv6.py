@@ -1,0 +1,109 @@
+"""RWKV6: GGUF load + logit parity vs the numpy oracle (math transcribed
+from ggml_compute_forward_rwkv_wkv6_f32 + src/models/rwkv6.cpp), stepwise
+decode vs full-sequence state consistency, padding invariance, Engine
+generation. transformers has no Rwkv6 class, so the oracle plays the role
+the CPU backend plays in the reference's test-backend-ops."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from model_fixtures import make_tiny_rwkv6, ref_rwkv6_forward
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.models.rwkv6 import init_rwkv6_cache, make_rwkv6_forward
+
+HS, ED, DD, RE = 8, 6, 7, 2
+
+
+@pytest.fixture(scope="module")
+def rwkv6_model(tmp_path_factory):
+    p = tmp_path_factory.mktemp("rwkv6") / "tiny.gguf"
+    raw = make_tiny_rwkv6(p, head_size=HS, ed=ED, dd=DD, rescale_every=RE)
+    model = load_model(str(p), dtype=jnp.float32)
+    return model, raw
+
+
+def test_config_and_load(rwkv6_model):
+    model, _ = rwkv6_model
+    cfg = model.config
+    assert cfg.traits.recurrent and cfg.traits.wkv_version == 6
+    assert cfg.wkv_head_size == HS
+    assert cfg.time_mix_extra_dim == ED and cfg.time_decay_extra_dim == DD
+    assert cfg.rescale_every_n_layers == RE
+    layers = model.params["layers"]
+    assert layers["tm_w1"].shape == (cfg.n_layer, cfg.n_embd, 5 * ED)
+    assert layers["tm_w2"].shape == (cfg.n_layer, 5, ED, cfg.n_embd)
+    assert layers["tm_first"].shape == (cfg.n_layer, cfg.n_embd // HS, HS)
+
+
+def test_logit_parity_vs_oracle(rwkv6_model):
+    model, raw = rwkv6_model
+    cfg = model.config
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, cfg.n_vocab, 7).astype(np.int32)
+
+    ref, _ = ref_rwkv6_forward(
+        raw, toks, n_layer=cfg.n_layer, head_size=HS, ed=ED, rescale_every=RE
+    )
+
+    fwd = jax.jit(make_rwkv6_forward(cfg))
+    cache = init_rwkv6_cache(cfg, 1)
+    got, _ = fwd(model.params, jnp.asarray(toks)[None], None, cache)
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_stepwise_matches_full(rwkv6_model):
+    """Decode one token at a time (carrying state) must equal the full
+    parallel prefill — the recurrent-state analogue of KV-cache parity."""
+    model, _ = rwkv6_model
+    cfg = model.config
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, cfg.n_vocab, 6).astype(np.int32)
+
+    fwd = jax.jit(make_rwkv6_forward(cfg))
+    full, _ = fwd(model.params, jnp.asarray(toks)[None], None,
+                  init_rwkv6_cache(cfg, 1))
+
+    cache = init_rwkv6_cache(cfg, 1)
+    steps = []
+    for tk in toks:
+        lg, cache = fwd(model.params, jnp.full((1, 1), tk, jnp.int32), None, cache)
+        steps.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(steps), np.asarray(full[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_trailing_padding_preserves_state(rwkv6_model):
+    """tokens = -1 (bucket padding) must leave shift and wkv state exactly
+    as if the padded tail were absent (ref: recurrent memory consumes every
+    token, so padding must be a no-op)."""
+    model, _ = rwkv6_model
+    cfg = model.config
+    rng = np.random.default_rng(7)
+    toks = rng.integers(0, cfg.n_vocab, 4).astype(np.int32)
+    fwd = jax.jit(make_rwkv6_forward(cfg))
+
+    _, c_ref = fwd(model.params, jnp.asarray(toks)[None], None,
+                   init_rwkv6_cache(cfg, 1))
+    padded = np.concatenate([toks, np.full(3, -1, np.int32)])
+    _, c_pad = fwd(model.params, jnp.asarray(padded)[None], None,
+                   init_rwkv6_cache(cfg, 1))
+    np.testing.assert_allclose(np.asarray(c_pad.shift), np.asarray(c_ref.shift),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_pad.wkv), np.asarray(c_ref.wkv),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_generation(rwkv6_model, tmp_path):
+    from sparkinfer_tpu.runtime import SamplerConfig
+    from sparkinfer_tpu.runtime.engine import Engine
+
+    model, _ = rwkv6_model
+    eng = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0))
+    out = eng.generate([5, 9, 42], max_new_tokens=8)
+    assert len(out) == 8
+    assert all(0 <= t < model.config.n_vocab for t in out)
+    # greedy is deterministic
+    assert out == eng.generate([5, 9, 42], max_new_tokens=8)
