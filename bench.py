@@ -162,23 +162,26 @@ def build_sparse(cfg, params, preset, plat):
         L, E, F2 = cfg.n_layer, cfg.n_embd, cfg.n_ff
         ngg = F2 // gs
         rows = {
-            # (L, ng, E, G) transposed stores straight from the (E, F) cols
-            "w_upT_rows": host_ffn["w_up"].reshape(L, E, ngg, gs)
-            .transpose(0, 2, 1, 3).copy(),
-            "w_gateT_rows": host_ffn["w_gate"].reshape(L, E, ngg, gs)
-            .transpose(0, 2, 1, 3).copy(),
-            "w_down_rows": host_ffn["w_down"].reshape(L, ngg, gs, E),
+            # FLAT (L*ng, ...) loop-invariant stores (see sparse/ffn.py
+            # prepare_pipelined_params layout='v6' notes)
+            "w_upT_flat": host_ffn["w_up"].reshape(L, E, ngg, gs)
+            .transpose(0, 2, 1, 3).reshape(L * ngg, E, gs).copy(),
+            "w_gateT_flat": host_ffn["w_gate"].reshape(L, E, ngg, gs)
+            .transpose(0, 2, 1, 3).reshape(L * ngg, E, gs).copy(),
+            "w_down_flat": host_ffn["w_down"].reshape(L * ngg, gs, E),
         }
         del host_ffn
         gc.collect()
         sparams = dict(params)
         slayers = dict(params["layers"])
+        flat = {}
         for k in list(rows):
-            slayers[k] = jnp.asarray(rows.pop(k))
+            flat[k] = jnp.asarray(rows.pop(k))
             gc.collect()
         for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b"):
             slayers[k + "_nx"] = jnp.roll(slayers[k], -1, axis=0)
         sparams["layers"] = slayers
+        sparams["sparse_flat"] = flat
     else:
         sparams = prepare_pipelined_params(
             params, cfg, scfg, drop_dense=False,

@@ -213,6 +213,13 @@ def make_forward(
             x = x + params["pos_embd"][positions + tr.pos_embd_offset]
 
         layers = params["layers"]
+        # Loop-INVARIANT sparse weight stores, flat over (layer, group).
+        # Deliberately NOT in `layers`: scan xs are dynamic-sliced per layer,
+        # and a Pallas custom call cannot fuse that slice — XLA would
+        # materialize a full per-layer copy of the store every layer, every
+        # step (~GB/step of hidden traffic). Passed whole, the kernel block-
+        # indexes it with il*n_groups + idx and no copy exists.
+        flat = params.get("sparse_flat")
         quantized = cache.quantized
 
         def body(x, lp, kc, vc, ks, vs, fs, il):
@@ -229,11 +236,12 @@ def make_forward(
                 ks, vs = empty_ks, empty_vs
 
             def run_ffn(h_in):
+                lpf = {**lp, **flat, "flat_il": il} if flat is not None else lp
                 if stateful_ffn:
-                    return ffn(lp, h_in, fs, il)
+                    return ffn(lpf, h_in, fs, il)
                 if ffn_carry_init is not None:
-                    return ffn(lp, h_in, fs, il)  # fs doubles as the carry
-                return ffn(lp, h_in), fs  # echo placeholder state
+                    return ffn(lpf, h_in, fs, il)  # fs doubles as the carry
+                return ffn(lpf, h_in), fs  # echo placeholder state
 
             if tr.parallel_blocks:
                 # falcon: FFN reads attn_norm_2(x) (or the same norm when absent)

@@ -148,19 +148,27 @@ def make_sparse_ffn(
         probs = predict_activations(lp, x)  # (..., F) f32
         mask = (probs >= thr).astype(x.dtype)
 
+        def _layer_flat(key):
+            # slice this layer's ng groups out of the flat (L*ng, ...) store
+            # (einsum consumers fuse the dynamic-slice; prefill-only path)
+            import jax
+
+            w = lp[key]
+            return jax.lax.dynamic_slice_in_dim(w, lp["flat_il"] * ng, ng, 0)
+
         def col_mm(key_dense, key_rows):
             if key_dense in lp:
                 return x @ lp[key_dense]
-            if key_dense + "T_rows" in lp:
-                # v6 transposed store (ng, E, G)
-                w = lp[key_dense + "T_rows"]
+            base = key_dense.replace("w_", "")
+            if key_dense + "T_flat" in lp:
+                # v6 transposed flat store (L*ng, E, G)
+                w = _layer_flat(key_dense + "T_flat")
                 y = jnp.einsum("...e,neg->...ng", x, w.astype(x.dtype))
                 return y.reshape(y.shape[:-2] + (F,))
-            if "qw_" + key_dense.replace("w_", "") + "T_rows" in lp:
-                # q8_0 packed transposed store: dequant then contract
-                base = key_dense.replace("w_", "")
-                q = lp["qw_" + base + "T_rows"]  # (ng, E, G) int8
-                s = lp["s_" + base + "T_rows"]  # (ng, E//32, G)
+            if "qw_" + base + "T_flat" in lp:
+                # q8_0 packed transposed flat store: dequant then contract
+                q = _layer_flat("qw_" + base + "T_flat")  # (ng, E, G) int8
+                s = _layer_flat("s_" + base + "T_flat")  # (ng, E//32, G)
                 w = _dequant_sub_nd(q, s).astype(x.dtype)
                 y = jnp.einsum("...e,neg->...ng", x, w)
                 return y.reshape(y.shape[:-2] + (F,))
@@ -174,7 +182,7 @@ def make_sparse_ffn(
             up = up + lp["b_up"].astype(up.dtype)
         gate = None
         if gated and ("w_gate" in lp or "w_gate_rows" in lp
-                      or "w_gateT_rows" in lp or "qw_gateT_rows" in lp):
+                      or "w_gateT_flat" in lp or "qw_gateT_flat" in lp):
             gate = col_mm("w_gate", "w_gate_rows")
         hidden = act(gate, up) if gate is not None else act(None, up)
         hidden = hidden * mask
@@ -184,9 +192,11 @@ def make_sparse_ffn(
             h3 = hidden.reshape(hidden.shape[:-1] + (ng, G))
             if "w_down_rows" in lp:
                 wd = lp["w_down_rows"].astype(hidden.dtype)
+            elif "w_down_flat" in lp:
+                wd = _layer_flat("w_down_flat").astype(hidden.dtype)
             else:
-                wd = _dequant_sub_nd(lp["qw_down_rows"],
-                                     lp["s_down_rows"]).astype(hidden.dtype)
+                wd = _dequant_sub_nd(_layer_flat("qw_down_flat"),
+                                     _layer_flat("s_down_flat")).astype(hidden.dtype)
             out = jnp.einsum("...ng,nge->...e", h3, wd)
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)
@@ -270,10 +280,14 @@ def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
     weight fetch for layer il then has no data dependence on layer il's own
     activations and overlaps with attention.
 
-    layout="v6" additionally stores up/gate TRANSPOSED, (L, ng, E, G), for
-    the v6 VPU-matvec kernel (ops/sparse_ffn_pallas.py) and DROPS the
-    untransposed up/gate row stores (down stays (L, ng, G, E) — v6 reads it
-    as-is). Same total HBM as v1."""
+    layout="v6" stores up/gate TRANSPOSED and FLAT over (layer, group):
+    (L*ng, E, G) under params["sparse_flat"] (down flat as (L*ng, G, E)) for
+    the v6 VPU-matvec kernel (ops/sparse_ffn_pallas.py). Flat + top-level is
+    load-bearing for performance: stores inside params["layers"] ride the
+    layer scan's xs, and the per-layer dynamic-slice cannot fuse into a
+    Pallas custom call — XLA materializes a full copy of the layer's store
+    EVERY layer EVERY step. The flat store is loop-invariant; the kernel
+    block-indexes it at il*ng + idx. Same total HBM as v1."""
     import jax.numpy as jnp
 
     out = prepare_sparse_params(params, cfg, scfg, drop_dense=drop_dense)
@@ -282,25 +296,33 @@ def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
         if k in layers:
             layers[k + "_nx"] = jnp.roll(layers[k], -1, axis=0)
     if layout == "v6":
-        layers["w_upT_rows"] = jnp.swapaxes(layers.pop("w_up_rows"), -1, -2)
+        L = cfg.n_layer
+        ng = scfg.n_groups(cfg.n_ff)
+        G = scfg.group_size
+        E = cfg.n_embd
+        flat = {}
+        flat["w_upT_flat"] = jnp.swapaxes(
+            layers.pop("w_up_rows"), -1, -2).reshape(L * ng, E, G)
         if "w_gate_rows" in layers:
-            layers["w_gateT_rows"] = jnp.swapaxes(
-                layers.pop("w_gate_rows"), -1, -2)
+            flat["w_gateT_flat"] = jnp.swapaxes(
+                layers.pop("w_gate_rows"), -1, -2).reshape(L * ng, E, G)
+        flat["w_down_flat"] = layers.pop("w_down_rows").reshape(L * ng, G, E)
         if quant == "q8_0":
             # Q8_0-packed stores (ref sparse weight types incl. Q8_0,
             # src/llama-sparkinfer.cpp:178): int8 + per-32-block f32 scale;
             # halves sparse HBM bytes/token vs bf16
             from ..ops.sparse_ffn_pallas import quantize_rows_q8_0
 
-            for src, dst, tr in (("w_upT_rows", "qw_upT_rows", True),
-                                 ("w_gateT_rows", "qw_gateT_rows", True),
-                                 ("w_down_rows", "qw_down_rows", False)):
-                if src not in layers:
+            for src, dst, tr in (("w_upT_flat", "qw_upT_flat", True),
+                                 ("w_gateT_flat", "qw_gateT_flat", True),
+                                 ("w_down_flat", "qw_down_flat", False)):
+                if src not in flat:
                     continue
-                q, s = quantize_rows_q8_0(layers[src], transposed=tr)
-                layers[dst] = jnp.asarray(q)
-                layers[dst.replace("qw_", "s_")] = jnp.asarray(s)
-                del layers[src]
+                q, s = quantize_rows_q8_0(flat[src], transposed=tr)
+                flat[dst] = jnp.asarray(q)
+                flat[dst.replace("qw_", "s_")] = jnp.asarray(s)
+                del flat[src]
+        out["sparse_flat"] = flat
     elif quant is not None:
         raise ValueError("quantized sparse stores require layout='v6'")
     import os
@@ -353,7 +375,7 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
             "gp_sel": jnp.zeros((N, C, G), jnp.float32),
         }
 
-    def _compute(lp, xt, idx, gp_sel):
+    def _compute(lp, xt, idx, gp_sel, il):
         if mode == "pallas":
             from ..ops.sparse_ffn_pallas import (
                 sparse_ffn_block,
@@ -365,23 +387,27 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
             if "b_up" in lp:
                 bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32),
                                   idx, axis=0)
-            if "qw_upT_rows" in lp:
-                # q8_0 packed stores -> fused dequant VPU kernel
+            if "qw_upT_flat" in lp:
+                # q8_0 packed FLAT stores -> fused dequant VPU kernel;
+                # block row = il*ng + group (loop-invariant operand, no
+                # per-layer slice copy)
                 from ..ops.sparse_ffn_pallas import sparse_ffn_block_v6q
 
+                idxf = idx + il * ng
                 return sparse_ffn_block_v6q(
-                    xt, idx, gp_sel, lp["qw_upT_rows"], lp["s_upT_rows"],
-                    lp.get("qw_gateT_rows"), lp.get("s_gateT_rows"),
-                    lp["qw_down_rows"], lp["s_down_rows"],
+                    xt, idxf, gp_sel, lp["qw_upT_flat"], lp["s_upT_flat"],
+                    lp.get("qw_gateT_flat"), lp.get("s_gateT_flat"),
+                    lp["qw_down_flat"], lp["s_down_flat"],
                     act=cfg.traits.sparse_act,
                     fatrelu_threshold=cfg.fatrelu_threshold,
                     prob_threshold=thr, bu_sel=bu_sel,
                 )
-            if "w_upT_rows" in lp:
-                # v6 transposed layout -> auto-pipelined VPU-matvec kernel
+            if "w_upT_flat" in lp:
+                # v6 transposed FLAT layout -> auto-pipelined VPU-matvec
+                idxf = idx + il * ng
                 return sparse_ffn_block_v6(
-                    xt, idx, gp_sel, lp["w_upT_rows"], lp.get("w_gateT_rows"),
-                    lp["w_down_rows"], act=cfg.traits.sparse_act,
+                    xt, idxf, gp_sel, lp["w_upT_flat"], lp.get("w_gateT_flat"),
+                    lp["w_down_flat"], act=cfg.traits.sparse_act,
                     fatrelu_threshold=cfg.fatrelu_threshold,
                     prob_threshold=thr, bu_sel=bu_sel,
                 )
@@ -433,7 +459,7 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
             lambda: (carry["idx"], carry["gp_sel"]),
         )
 
-        out = _compute(lp, xt, idx, gp_sel)
+        out = _compute(lp, xt, idx, gp_sel, il)
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)
 

@@ -384,9 +384,10 @@ def test_pipelined_pallas_v6_matches_gather(sparse_model):
                        if not (k.endswith("_nx") or k.endswith("_rows") or k == "w_all_rows")}}
     params_v1 = prepare_pipelined_params(base, cfg, scfg)
     params_v6 = prepare_pipelined_params(base, cfg, scfg, layout="v6")
-    l6 = params_v6["layers"]
-    assert "w_upT_rows" in l6 and "w_up_rows" not in l6
-    assert l6["w_upT_rows"].shape[-2:] == (cfg.n_embd, G)
+    fl = params_v6["sparse_flat"]
+    ng = scfg.n_groups(cfg.n_ff)
+    assert "w_up_rows" not in params_v6["layers"]  # moved out of scan xs
+    assert fl["w_upT_flat"].shape == (cfg.n_layer * ng, cfg.n_embd, G)
 
     rng = np.random.default_rng(11)
     toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
@@ -428,28 +429,33 @@ def test_pipelined_pallas_v6q_matches_dequant_gather(sparse_model):
                        if not (k.endswith("_nx") or k.endswith("_rows") or k == "w_all_rows")}}
     params_q = prepare_pipelined_params(base, cfg, scfg, layout="v6",
                                         quant="q8_0")
-    lq = params_q["layers"]
-    assert "qw_upT_rows" in lq and lq["qw_upT_rows"].dtype == jnp.int8
-    assert "w_upT_rows" not in lq and "w_down_rows" not in lq
+    lq = params_q["sparse_flat"]
+    assert "qw_upT_flat" in lq and lq["qw_upT_flat"].dtype == jnp.int8
+    assert "w_upT_flat" not in lq and "w_down_flat" not in lq
+    L, ng = cfg.n_layer, scfg.n_groups(cfg.n_ff)
 
     # round-trip check on the quantizer itself
-    w = np.asarray(jnp.swapaxes(
-        prepare_pipelined_params(base, cfg, scfg, layout="v6")["layers"]["w_upT_rows"],
-        -1, -2), np.float32)
-    q, s = quantize_rows_q8_0(np.swapaxes(w, -1, -2), transposed=True)
+    w = np.asarray(
+        prepare_pipelined_params(base, cfg, scfg, layout="v6")["sparse_flat"]["w_upT_flat"],
+        np.float32)
+    q, s = quantize_rows_q8_0(w, transposed=True)
     deq = np.asarray(_dequant_sub_nd(jnp.asarray(q), jnp.asarray(s)))
-    amax = np.abs(np.swapaxes(w, -1, -2)).max()
-    assert np.abs(deq - np.swapaxes(w, -1, -2)).max() <= amax / 127 * 0.51 + 1e-7
+    amax = np.abs(w).max()
+    assert np.abs(deq - w).max() <= amax / 127 * 0.51 + 1e-7
 
     # reference: gather math on dequantized row stores
+    def unflat(a):  # (L*ng, A, B) -> (L, ng, A, B)
+        return a.reshape((L, ng) + a.shape[1:])
+
     params_ref = prepare_pipelined_params(base, cfg, scfg)
     lr = dict(params_ref["layers"])
-    lr["w_up_rows"] = jnp.swapaxes(
-        _dequant_sub_nd(lq["qw_upT_rows"], lq["s_upT_rows"]), -1, -2)
-    if "qw_gateT_rows" in lq:
-        lr["w_gate_rows"] = jnp.swapaxes(
-            _dequant_sub_nd(lq["qw_gateT_rows"], lq["s_gateT_rows"]), -1, -2)
-    lr["w_down_rows"] = _dequant_sub_nd(lq["qw_down_rows"], lq["s_down_rows"])
+    lr["w_up_rows"] = unflat(jnp.swapaxes(
+        _dequant_sub_nd(lq["qw_upT_flat"], lq["s_upT_flat"]), -1, -2))
+    if "qw_gateT_flat" in lq:
+        lr["w_gate_rows"] = unflat(jnp.swapaxes(
+            _dequant_sub_nd(lq["qw_gateT_flat"], lq["s_gateT_flat"]), -1, -2))
+    lr["w_down_rows"] = unflat(
+        _dequant_sub_nd(lq["qw_down_flat"], lq["s_down_flat"]))
     params_ref = dict(params_ref)
     params_ref["layers"] = lr
 
@@ -494,6 +500,7 @@ def test_dense_prefill_from_v6_transposed_rows(sparse_model):
     tight = prepare_pipelined_params(base, cfg, scfg, drop_dense=True,
                                      layout="v6")
     assert "w_up" not in tight["layers"] and "w_up_rows" not in tight["layers"]
+    assert "w_upT_flat" in tight["sparse_flat"]
     got, _ = fwd(tight, jnp.asarray(toks)[None], pos,
                  init_cache(cfg, 1, 16, jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
