@@ -165,10 +165,19 @@ class Keys:
         UNK_ID = "tokenizer.ggml.unknown_token_id"
         MASK_ID = "tokenizer.ggml.mask_token_id"
         PAD_ID = "tokenizer.ggml.padding_token_id"
+        SEP_ID = "tokenizer.ggml.seperator_token_id"  # (sic — ref spelling)
         ADD_BOS = "tokenizer.ggml.add_bos_token"
         ADD_EOS = "tokenizer.ggml.add_eos_token"
+        ADD_SEP = "tokenizer.ggml.add_sep_token"
         ADD_SPACE_PREFIX = "tokenizer.ggml.add_space_prefix"
         CHAT_TEMPLATE = "tokenizer.chat_template"
+        # fill-in-the-middle special tokens (ref llama-arch.cpp:284-289)
+        FIM_PRE_ID = "tokenizer.ggml.fim_pre_token_id"
+        FIM_SUF_ID = "tokenizer.ggml.fim_suf_token_id"
+        FIM_MID_ID = "tokenizer.ggml.fim_mid_token_id"
+        FIM_PAD_ID = "tokenizer.ggml.fim_pad_token_id"
+        FIM_REP_ID = "tokenizer.ggml.fim_rep_token_id"
+        FIM_SEP_ID = "tokenizer.ggml.fim_sep_token_id"
 
     # SparkInfer model-split file keys (ref: src/llama-sparkinfer.cpp:150-158)
     class SparkInfer:

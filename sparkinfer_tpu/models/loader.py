@@ -205,6 +205,14 @@ def load_model(
     if out_w is None:
         out_w = np.ascontiguousarray(tok.T)  # tied embeddings
     params["output"] = put("output", _pack(out_w, dtype))
+    # classification head for rank pooling / rerankers
+    # (ref: llama-model.cpp cls/cls_b/cls_out/cls_out_b -> build_pooling)
+    for nm, key in (("cls.weight", "cls_w"), ("cls.bias", "cls_b"),
+                    ("cls.output.weight", "cls_out_w"),
+                    ("cls.output.bias", "cls_out_b")):
+        w = _get(r, nm)
+        if w is not None:
+            params[key] = put(key, _as_jnp(w, jnp.float32))
 
     max_rank = cfg.max_pred_rank
 

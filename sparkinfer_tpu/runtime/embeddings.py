@@ -14,7 +14,7 @@ from .kv_cache import init_cache
 
 class Embedder:
     def __init__(self, model, max_seq: int = 512, pooling: str = "mean"):
-        assert pooling in ("mean", "last", "cls", "none")
+        assert pooling in ("mean", "last", "cls", "none", "rank")
         self.model = model
         self.cfg = model.config
         self.max_seq = max_seq
@@ -46,6 +46,23 @@ class Embedder:
                 v = h[-1]
             elif self.pooling == "cls":
                 v = h[0]
+            elif self.pooling == "rank":
+                # classification head on the CLS position (ref build_pooling
+                # LLAMA_POOLING_TYPE_RANK, llama-graph.cpp:2277-2303);
+                # emits a 1-element score vector, never normalized
+                p = self.model.params
+                v = h[0]
+                if "cls_w" in p:
+                    v = np.asarray(p["cls_w"]) @ v
+                    if "cls_b" in p:
+                        v = v + np.asarray(p["cls_b"])
+                    v = np.tanh(v)
+                if "cls_out_w" in p:
+                    v = np.asarray(p["cls_out_w"]) @ v
+                    if "cls_out_b" in p:
+                        v = v + np.asarray(p["cls_out_b"])
+                out.append(np.atleast_1d(v)[:1])
+                continue
             else:
                 out.append(h)
                 continue
@@ -53,3 +70,9 @@ class Embedder:
                 v = v / max(np.linalg.norm(v), 1e-12)
             out.append(v)
         return np.stack(out) if self.pooling != "none" else out
+
+    def rerank_scores(self, pairs: list[list[int]]) -> list[float]:
+        """pairs: tokenized [bos]query[eos][sep]doc[eos] sequences ->
+        one relevance score each (rank pooling)."""
+        assert self.pooling == "rank"
+        return [float(s[0]) for s in self.embed_tokens(pairs, normalize=False)]

@@ -64,6 +64,7 @@ class SparkServer:
             model.vocab.chat_template
         )
         self._embedder = None
+        self._reranker = None
         self._httpd: ThreadingHTTPServer | None = None
         self._t0 = time.time()
 
@@ -125,6 +126,104 @@ class SparkServer:
         req = self._make_request(prompt, body)
         self.sched.submit(req)
         return req
+
+    def infill_prompt(self, body: dict) -> list[int]:
+        """Build the FIM token prompt for /infill (ref format_prompt_infill,
+        tools/server/server-common.cpp:1544: repo-level FIM pattern
+        [FIM_REP]repo [FIM_SEP]file chunks ... [FIM_PRE]prefix[FIM_SUF]
+        suffix[FIM_MID], with prefix:suffix take ratio 3:1)."""
+        v = self.model.vocab
+        if v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
+            raise ValueError("model vocab has no FIM tokens (infill unsupported)")
+        enc = lambda s: self.tokenizer.encode(s, add_special=False)
+        prefix = enc(body.get("input_prefix", "") or "")
+        suffix = enc(body.get("input_suffix", "") or "")
+        prompt = body.get("prompt", "") or ""
+        tokens_prompt = enc(prompt) if isinstance(prompt, str) else [int(t) for t in prompt]
+        n_predict = int(body.get("n_predict", body.get("max_tokens", 128)))
+
+        extra: list[int] = []
+        if v.fim_rep_id >= 0:
+            extra += [v.fim_rep_id] + enc("myproject\n")
+        for chunk in body.get("input_extra") or []:
+            text = str(chunk.get("text", ""))
+            filename = str(chunk.get("filename", "tmp"))
+            if v.fim_sep_id >= 0:
+                extra += [v.fim_sep_id] + enc(filename + "\n")
+            else:
+                extra += enc("\n\n--- snippet ---\n\n")
+            extra += enc(text)
+        if v.fim_sep_id >= 0:
+            extra += [v.fim_sep_id] + enc("filename\n")
+
+        n_batch = self.cfg.max_seq // 2
+        n_ctx = self.cfg.max_seq
+        n_prefix_take = min(len(prefix), 3 * (n_batch // 4))
+        n_suffix_take = min(len(suffix),
+                            max(0, (n_batch // 4) - (2 + len(tokens_prompt))))
+        n_extra_take = min(max(0, n_ctx - n_batch - 2 * n_predict), len(extra))
+
+        pre = [v.fim_pre_id] + (prefix[len(prefix) - n_prefix_take:]) + tokens_prompt
+        suf = [v.fim_suf_id] + suffix[:n_suffix_take]
+        spm = bool(body.get("spm_infill", False))
+        first, second = (suf, pre) if spm else (pre, suf)
+        ids = list(first)
+        if v.add_bos and v.bos_id >= 0:
+            ids.insert(0, v.bos_id)
+        ids = extra[len(extra) - n_extra_take:] + ids + second + [v.fim_mid_id]
+        return ids
+
+    def infill(self, body: dict):
+        ids = self.infill_prompt(body)
+        req = self._make_request(ids, body)
+        self.sched.submit(req)
+        return req
+
+    def rerank(self, body: dict) -> dict:
+        """Jina/TEI-compatible rerank (ref tools/server post_rerank +
+        format_prompt_rerank): score = rank-pooled classification head on
+        [bos]query[eos][sep]doc[eos]."""
+        from ..runtime.embeddings import Embedder
+
+        query = body.get("query")
+        is_tei = "texts" in body and "documents" not in body
+        docs = body.get("documents", body.get("texts")) or []
+        if query is None or not isinstance(docs, list):
+            raise ValueError("rerank needs 'query' and 'documents'/'texts'")
+        if self._reranker is None:
+            self._reranker = Embedder(self.model, max_seq=self.cfg.max_seq,
+                                      pooling="rank")
+        v = self.model.vocab
+        enc = lambda s: self.tokenizer.encode(s, add_special=False)
+        eos = v.eos_id if v.eos_id >= 0 else v.sep_id
+        q_toks = enc(str(query))
+        pairs = []
+        for d in docs:
+            ids: list[int] = []
+            if v.add_bos and v.bos_id >= 0:
+                ids.append(v.bos_id)
+            ids += q_toks
+            if v.add_eos and eos >= 0:
+                ids.append(eos)
+            if v.add_sep and v.sep_id >= 0:
+                ids.append(v.sep_id)
+            ids += enc(str(d))
+            if v.add_eos and eos >= 0:
+                ids.append(eos)
+            pairs.append(ids)
+        scores = self._reranker.rerank_scores(pairs)
+        label = "score" if is_tei else "relevance_score"
+        results = [{"index": i, label: s} for i, s in enumerate(scores)]
+        top_n = body.get("top_n")
+        results.sort(key=lambda r: -r[label])
+        if top_n is not None:
+            results = results[: int(top_n)]
+        return {
+            "model": self.cfg.model_name,
+            "results": results,
+            "usage": {"prompt_tokens": sum(len(p) for p in pairs),
+                      "total_tokens": sum(len(p) for p in pairs)},
+        }
 
     def chat_completion(self, body: dict):
         msgs = body.get("messages", [])
@@ -313,6 +412,11 @@ def _make_handler(srv: SparkServer):
                     self._completion(body, chat=True)
                 elif self.path in ("/embeddings", "/v1/embeddings"):
                     self._embeddings(body)
+                elif self.path == "/infill":
+                    self._infill(body)
+                elif self.path in ("/rerank", "/reranking", "/v1/rerank",
+                                   "/v1/reranking"):
+                    self._json(200, srv.rerank(body))
                 elif self.path == "/v1/messages":
                     self._anthropic_messages(body)
                 elif self.path.startswith("/slots/"):
@@ -404,6 +508,21 @@ def _make_handler(srv: SparkServer):
                 "stop_reason": "end_turn",
                 "usage": {"input_tokens": req.n_prompt,
                           "output_tokens": len(toks)},
+            })
+
+        def _infill(self, body: dict):
+            """llama.cpp-compatible /infill (ref tools/server/server.cpp:171):
+            FIM prompt assembled server-side, plain completion response."""
+            req = srv.infill(body)
+            toks = req.tokens()
+            text = srv.detok(toks)
+            self._json(200, {
+                "content": text,
+                "tokens": toks,
+                "stop": True,
+                "model": srv.cfg.model_name,
+                "tokens_predicted": len(toks),
+                "tokens_evaluated": req.n_prompt,
             })
 
         def _completion(self, body: dict, chat: bool):

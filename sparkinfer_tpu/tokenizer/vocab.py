@@ -31,10 +31,19 @@ class Vocab:
     unk_id: int = 0
     pad_id: int = -1
     mask_id: int = -1  # diffusion LMs (Dream/LLaDA): the [MASK] token
+    sep_id: int = -1
     add_bos: bool = False
     add_eos: bool = False
+    add_sep: bool = False
     add_space_prefix: bool = True
     chat_template: str | None = None
+    # fill-in-the-middle specials (ref llama-vocab.cpp special_fim_*_id)
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
+    fim_pad_id: int = -1
+    fim_rep_id: int = -1
+    fim_sep_id: int = -1
     token_to_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -86,12 +95,46 @@ class Vocab:
             unk_id=int(kv.get(Keys.Tokenizer.UNK_ID, 0 if model == "llama" else -1)),
             pad_id=int(kv.get(Keys.Tokenizer.PAD_ID, -1)),
             mask_id=int(kv.get(Keys.Tokenizer.MASK_ID, -1)),
+            sep_id=int(kv.get(Keys.Tokenizer.SEP_ID, -1)),
             add_bos=bool(kv.get(Keys.Tokenizer.ADD_BOS, model == "llama")),
             add_eos=bool(kv.get(Keys.Tokenizer.ADD_EOS, False)),
+            add_sep=bool(kv.get(Keys.Tokenizer.ADD_SEP, False)),
             add_space_prefix=bool(kv.get(Keys.Tokenizer.ADD_SPACE_PREFIX, model == "llama")),
             chat_template=kv.get(Keys.Tokenizer.CHAT_TEMPLATE),
+            fim_pre_id=int(kv.get(Keys.Tokenizer.FIM_PRE_ID, -1)),
+            fim_suf_id=int(kv.get(Keys.Tokenizer.FIM_SUF_ID, -1)),
+            fim_mid_id=int(kv.get(Keys.Tokenizer.FIM_MID_ID, -1)),
+            fim_pad_id=int(kv.get(Keys.Tokenizer.FIM_PAD_ID, -1)),
+            fim_rep_id=int(kv.get(Keys.Tokenizer.FIM_REP_ID, -1)),
+            fim_sep_id=int(kv.get(Keys.Tokenizer.FIM_SEP_ID, -1)),
         )
+        v._detect_fim_by_name()
         return v
+
+    # name-based FIM detection fallback (ref llama-vocab.cpp:2225-2335 —
+    # token-string tables for Qwen/Granite/DeepSeek/CodeLlama/GLM)
+    _FIM_NAMES = {
+        "fim_pre_id": ("<|fim_prefix|>", "<fim-prefix>", "<fim_prefix>",
+                       "<｜fim▁begin｜>", "<PRE>", "▁<PRE>", "<|code_prefix|>"),
+        "fim_suf_id": ("<|fim_suffix|>", "<fim-suffix>", "<fim_suffix>",
+                       "<｜fim▁hole｜>", "<SUF>", "▁<SUF>", "<|code_suffix|>"),
+        "fim_mid_id": ("<|fim_middle|>", "<fim-middle>", "<fim_middle>",
+                       "<｜fim▁end｜>", "<MID>", "▁<MID>", "<|code_middle|>"),
+        "fim_pad_id": ("<|fim_pad|>", "<fim-pad>", "<fim_pad>", "<PAD>"),
+        "fim_rep_id": ("<|fim_repo|>", "<|repo_name|>", "<fim-repo>",
+                       "<REPO>", "<reponame>"),
+        "fim_sep_id": ("<|file_sep|>", "<file_sep>"),
+    }
+
+    def _detect_fim_by_name(self):
+        for attr, names in self._FIM_NAMES.items():
+            if getattr(self, attr) >= 0:
+                continue
+            for nm in names:
+                tid = self.token_to_id.get(nm, -1)
+                if tid >= 0:
+                    setattr(self, attr, tid)
+                    break
 
 
 def split_on_specials(text: str, vocab: Vocab) -> list[tuple[str, int | None]]:

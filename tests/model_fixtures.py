@@ -31,6 +31,7 @@ def make_tiny_llama(
     chat_template: str | None = None,
     quant_type: str | None = None,  # "q4_0" | "q8_0": store matmul weights quantized
     extra_kv: dict | None = None,
+    extra_tensors: dict | None = None,  # e.g. cls head for rank pooling
 ) -> dict[str, np.ndarray]:
     """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
     orientation: weights are (out_dim, in_dim) in numpy order)."""
@@ -75,6 +76,9 @@ def make_tiny_llama(
             pd_b[cold] = -6.0
             tensors[p + "ffn_pred_down.weight"] = pd_w
             tensors[p + "ffn_pred_down.bias"] = pd_b
+
+    for k, v in (extra_tensors or {}).items():
+        tensors[k] = np.asarray(v, np.float32)
 
     wr = GGUFWriter(path, arch)
     if with_vocab:

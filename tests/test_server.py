@@ -184,3 +184,120 @@ def test_utf8_stream_holds_split_sequences():
     # flush releases whatever is left, replacing genuinely bad bytes
     assert s.push([0xE4]) == ""
     assert s.flush() == "�"
+
+
+# ---------------------------------------------------------------------------
+# /infill + /rerank (ref tools/server/server.cpp:171,137)
+
+
+@pytest.fixture(scope="module")
+def fim_server(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-fim.gguf"
+    make_tiny_llama(
+        path, n_vocab=300, with_vocab=True,
+        extra_kv={
+            "tokenizer.ggml.fim_pre_token_id": 290,
+            "tokenizer.ggml.fim_suf_token_id": 291,
+            "tokenizer.ggml.fim_mid_token_id": 292,
+        },
+    )
+    model = load_model(str(path), dtype=jnp.float32)
+    srv = SparkServer(
+        model,
+        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32"),
+        sampler=SamplerConfig(temp=0.0),
+    )
+    srv.serve(block=False)
+    yield srv
+    srv.shutdown()
+
+
+def test_infill_prompt_layout(fim_server):
+    v = fim_server.model.vocab
+    assert (v.fim_pre_id, v.fim_suf_id, v.fim_mid_id) == (290, 291, 292)
+    ids = fim_server.infill_prompt(
+        {"input_prefix": "hello ", "input_suffix": " world", "n_predict": 4})
+    # [BOS][FIM_PRE]prefix[FIM_SUF]suffix[FIM_MID]
+    assert ids[0] == v.bos_id
+    assert ids[1] == 290
+    assert ids[-1] == 292
+    i_suf = ids.index(291)
+    assert i_suf > 2 and 292 not in ids[:-1]
+    # spm_infill swaps the prefix/suffix blocks
+    ids_spm = fim_server.infill_prompt(
+        {"input_prefix": "hello ", "input_suffix": " world",
+         "n_predict": 4, "spm_infill": True})
+    assert ids_spm[1] == 291 and ids_spm[-1] == 292
+
+
+def test_infill_endpoint(fim_server):
+    code, body = _post(fim_server, "/infill", {
+        "input_prefix": "def add(a, b):", "input_suffix": "return c",
+        "n_predict": 4,
+    })
+    out = json.loads(body)
+    assert code == 200 and out["tokens_predicted"] == len(out["tokens"]) > 0
+    assert isinstance(out["content"], str)
+
+
+def test_infill_unsupported_without_fim_tokens(server):
+    code = None
+    try:
+        code, _ = _post(server, "/infill", {"input_prefix": "x",
+                                            "input_suffix": "y"})
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
+@pytest.fixture(scope="module")
+def rerank_server(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-rerank.gguf"
+    rng = np.random.default_rng(42)
+    E = 64
+    make_tiny_llama(
+        path, n_vocab=300, with_vocab=True,
+        extra_kv={"tokenizer.ggml.add_eos_token": True},
+        extra_tensors={
+            "cls.weight": rng.standard_normal((E, E)).astype(np.float32) * 0.1,
+            "cls.bias": rng.standard_normal(E).astype(np.float32) * 0.1,
+            "cls.output.weight": rng.standard_normal((1, E)).astype(np.float32),
+            "cls.output.bias": rng.standard_normal(1).astype(np.float32),
+        },
+    )
+    model = load_model(str(path), dtype=jnp.float32)
+    srv = SparkServer(
+        model,
+        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32"),
+        sampler=SamplerConfig(temp=0.0),
+    )
+    srv.serve(block=False)
+    yield srv
+    srv.shutdown()
+
+
+def test_rerank_endpoint(rerank_server):
+    assert "cls_w" in rerank_server.model.params
+    code, body = _post(rerank_server, "/v1/rerank", {
+        "query": "hello world",
+        "documents": ["the hello", "world the", "hello the world"],
+        "top_n": 2,
+    })
+    out = json.loads(body)
+    assert code == 200 and len(out["results"]) == 2
+    scores = [r["relevance_score"] for r in out["results"]]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic scores: head applied to cls position
+    code2, body2 = _post(rerank_server, "/v1/rerank", {
+        "query": "hello world",
+        "documents": ["the hello", "world the", "hello the world"],
+    })
+    out2 = json.loads(body2)
+    top = {r["index"]: r["relevance_score"] for r in out2["results"]}
+    for r in out["results"]:
+        assert abs(top[r["index"]] - r["relevance_score"]) < 1e-6
+    # TEI format: "texts" key -> "score" label
+    code3, body3 = _post(rerank_server, "/rerank", {
+        "query": "hello world", "texts": ["a", "b"]})
+    out3 = json.loads(body3)
+    assert "score" in out3["results"][0]
