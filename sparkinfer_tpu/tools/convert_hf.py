@@ -42,6 +42,8 @@ _ARCH_MAP = {
     "RWForCausalLM": "falcon",
     "MambaForCausalLM": "mamba",
     "GPT2LMHeadModel": "gpt2",
+    "Rwkv6ForCausalLM": "rwkv6",
+    "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
 }
 
 # HF name template -> GGUF name template (llama-family layout;
@@ -148,6 +150,8 @@ def convert(
     arch = _ARCH_MAP[hf_arch]
     if arch == "mamba":
         return _convert_mamba(model_dir, out_path, cfgj, out_type)
+    if arch == "rwkv6":
+        return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
         return _convert_opt(model_dir, out_path, cfgj, out_type,
                             pred_path, pred_bias)
@@ -508,6 +512,125 @@ _MAMBA_TENSORS = {
     "backbone.layers.{i}.mixer.D": "blk.{i}.ssm_d",
     "backbone.layers.{i}.mixer.out_proj.weight": "blk.{i}.ssm_out.weight",
 }
+
+
+def _convert_rwkv6(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """RWKV6 (Finch) HF checkpoint -> GGUF, matching the reference
+    converter's on-disk shapes (convert_hf_to_gguf.py Rwkv6Model:6375-6445:
+    w1/decay_w1/decay_w2 transposed, w2 permuted (0,2,1), lerps squeezed and
+    fused-stacked [w,k,v,r,g], output/value pre-divided by
+    2^(layer//rescale_every))."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    head_size = cfgj.get("head_size", 64)
+    rescale_every = cfgj.get("rescale_every", 6)
+    inter = cfgj.get("intermediate_size") or int((E * 3.5) // 32 * 32)
+    time_mix_extra_dim = 64 if E == 4096 else 32
+    time_decay_extra_dim = 128 if E == 4096 else 64
+
+    w = GGUFWriter(out_path, "rwkv6")
+    w.add_kv("rwkv6.block_count", np.uint32(L))
+    w.add_kv("rwkv6.embedding_length", np.uint32(E))
+    w.add_kv("rwkv6.vocab_size", np.uint32(V))
+    w.add_kv("rwkv6.context_length", np.uint32(1 << 20))
+    w.add_kv("rwkv6.feed_forward_length", np.uint32(inter))
+    w.add_kv("rwkv6.attention.head_count", np.uint32(0))
+    w.add_kv("rwkv6.attention.layer_norm_epsilon",
+             np.float32(cfgj.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv("rwkv6.wkv.head_size", np.uint32(head_size))
+    w.add_kv("rwkv6.time_mix_extra_dim", np.uint32(time_mix_extra_dim))
+    w.add_kv("rwkv6.time_decay_extra_dim", np.uint32(time_decay_extra_dim))
+    w.add_kv("rwkv6.rescale_every_n_layers", np.uint32(rescale_every))
+    w.add_kv("rwkv6.token_shift_count", np.uint32(2))
+
+    # HF name templates (ref gguf-py tensor_mapping.py rwkv6 rows)
+    att = {
+        "time_maa_x": "time_mix_lerp_x", "time_maa_w1": "time_mix_w1",
+        "time_maa_w2": "time_mix_w2", "time_decay": "time_mix_decay",
+        "time_decay_w1": "time_mix_decay_w1",
+        "time_decay_w2": "time_mix_decay_w2", "time_faaaa": "time_mix_first",
+        "receptance.weight": "time_mix_receptance.weight",
+        "key.weight": "time_mix_key.weight",
+        "value.weight": "time_mix_value.weight",
+        "gate.weight": "time_mix_gate.weight",
+        "output.weight": "time_mix_output.weight",
+        "ln_x.weight": "time_mix_ln.weight", "ln_x.bias": "time_mix_ln.bias",
+    }
+    ffn = {
+        "time_maa_k": "channel_mix_lerp_k", "time_maa_r": "channel_mix_lerp_r",
+        "key.weight": "channel_mix_key.weight",
+        "receptance.weight": "channel_mix_receptance.weight",
+        "value.weight": "channel_mix_value.weight",
+    }
+    top = {
+        "rwkv.embeddings.weight": "token_embd.weight",
+        "rwkv.ln_out.weight": "output_norm.weight",
+        "rwkv.ln_out.bias": "output_norm.bias",
+        "head.weight": "output.weight",
+    }
+    lerp_parts: dict[int, dict[str, np.ndarray]] = {}
+    n = 0
+
+    def emit(gname, data):
+        nonlocal n
+        w.add_tensor(gname, np.ascontiguousarray(data.astype(np.float32)),
+                     GGMLType.F32)
+        n += 1
+
+    for name, data in _iter_hf_tensors(model_dir):
+        if name in top:
+            emit(top[name], data)
+            continue
+        parts = name.split(".")
+        if not name.startswith("rwkv.blocks."):
+            continue
+        i = int(parts[2])
+        rest = ".".join(parts[3:])
+        if rest in ("pre_ln.weight", "pre_ln.bias"):
+            if i == 0:
+                emit("token_embd_norm." + parts[-1], data)
+            continue
+        if rest.startswith("ln1."):
+            emit(f"blk.{i}.attn_norm.{parts[-1]}", data)
+            continue
+        if rest.startswith("ln2."):
+            emit(f"blk.{i}.attn_norm_2.{parts[-1]}", data)
+            continue
+        scope, sub = parts[3], ".".join(parts[4:])
+        if scope == "attention" and sub in att:
+            g = att[sub]
+            if g in ("time_mix_w1", "time_mix_decay_w1", "time_mix_decay_w2"):
+                data = data.T
+            elif g == "time_mix_w2":
+                data = data.transpose(0, 2, 1)
+            elif g in ("time_mix_decay", "time_mix_lerp_x"):
+                data = data.reshape(-1)
+            if g == "time_mix_output.weight" and rescale_every > 0:
+                data = data / (2 ** (i // rescale_every))
+            gname = g if g.endswith((".weight", ".bias")) else g + ".weight"
+            emit(f"blk.{i}.{gname}", data)
+            continue
+        if scope == "attention" and sub.startswith("time_maa_") and \
+                sub[-1] in "wkvrg" and len(sub) == len("time_maa_w"):
+            lerp_parts.setdefault(i, {})[sub[-1]] = data.reshape(-1)
+            d = lerp_parts[i]
+            if len(d) == 5:
+                fused = np.stack([d[m] for m in "wkvrg"]).reshape(5, 1, 1, -1)
+                emit(f"blk.{i}.time_mix_lerp_fused.weight", fused)
+            continue
+        if scope == "feed_forward" and sub in ffn:
+            g = ffn[sub]
+            if g.startswith("channel_mix_lerp"):
+                data = data.reshape(-1)
+            if g == "channel_mix_value.weight" and rescale_every > 0:
+                data = data / (2 ** (i // rescale_every))
+            gname = g if g.endswith((".weight", ".bias")) else g + ".weight"
+            emit(f"blk.{i}.{gname}", data)
+            continue
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "rwkv6", "n_tensors": n, "n_layer": L}
 
 
 def _convert_mamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:

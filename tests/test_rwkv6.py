@@ -107,3 +107,86 @@ def test_engine_generation(rwkv6_model, tmp_path):
     assert all(0 <= t < model.config.n_vocab for t in out)
     # greedy is deterministic
     assert out == eng.generate([5, 9, 42], max_new_tokens=8)
+
+
+def test_hf_converter_roundtrip(tmp_path):
+    """Synthetic HF Rwkv6ForCausalLM checkpoint -> convert -> GGUF raw
+    tensors feed the oracle; load_model logits must match (transformers has
+    no Rwkv6 class, so the oracle is the parity target — its math is the
+    ggml wkv6 kernel)."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+    from sparkinfer_tpu.tools.convert_hf import convert
+
+    rng = np.random.default_rng(21)
+    L, E, V, F = 2, 64, 88, 96
+    head_size, ed, dd = 16, 32, 64  # ed/dd are the converter's E<4096 defaults
+    H = E // head_size
+    rescale_every = 1  # exercises both the pre-divide and the runtime *0.5
+
+    sd = {}
+    w = lambda *s: (rng.standard_normal(s) * 0.3).astype(np.float32)
+    sd["rwkv.embeddings.weight"] = w(V, E)
+    sd["rwkv.blocks.0.pre_ln.weight"] = 1.0 + w(E) * 0.1
+    sd["rwkv.blocks.0.pre_ln.bias"] = w(E) * 0.1
+    sd["rwkv.ln_out.weight"] = 1.0 + w(E) * 0.1
+    sd["rwkv.ln_out.bias"] = w(E) * 0.1
+    sd["head.weight"] = w(V, E)
+    for i in range(L):
+        p = f"rwkv.blocks.{i}."
+        sd[p + "ln1.weight"] = 1.0 + w(E) * 0.1
+        sd[p + "ln1.bias"] = w(E) * 0.1
+        sd[p + "ln2.weight"] = 1.0 + w(E) * 0.1
+        sd[p + "ln2.bias"] = w(E) * 0.1
+        a = p + "attention."
+        sd[a + "time_maa_x"] = w(1, 1, E)
+        for m in "wkvrg":
+            sd[a + f"time_maa_{m}"] = w(1, 1, E)
+        sd[a + "time_maa_w1"] = w(E, 5 * ed)
+        sd[a + "time_maa_w2"] = w(5, ed, E)
+        sd[a + "time_decay"] = w(1, 1, E) - 4.0
+        sd[a + "time_decay_w1"] = w(E, dd)
+        sd[a + "time_decay_w2"] = w(dd, E)
+        sd[a + "time_faaaa"] = w(H, head_size)
+        for nm in ("receptance", "key", "value", "gate", "output"):
+            sd[a + nm + ".weight"] = w(E, E)
+        sd[a + "ln_x.weight"] = 1.0 + w(E) * 0.1
+        sd[a + "ln_x.bias"] = w(E) * 0.1
+        f = p + "feed_forward."
+        sd[f + "time_maa_k"] = w(1, 1, E)
+        sd[f + "time_maa_r"] = w(1, 1, E)
+        sd[f + "key.weight"] = w(F, E)
+        sd[f + "receptance.weight"] = w(E, E)
+        sd[f + "value.weight"] = w(E, F)
+
+    d = tmp_path / "hf-rwkv6"
+    d.mkdir()
+    save_file(sd, str(d / "model.safetensors"))
+    (d / "config.json").write_text(_json.dumps({
+        "architectures": ["Rwkv6ForCausalLM"],
+        "num_hidden_layers": L, "hidden_size": E, "vocab_size": V,
+        "head_size": head_size, "rescale_every": rescale_every,
+        "intermediate_size": F, "layer_norm_epsilon": 1e-5,
+    }))
+
+    out = tmp_path / "rwkv6.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "rwkv6"
+
+    # oracle on the converted GGUF's raw tensors
+    r = GGUFReader(str(out))
+    raw = {name: t.to_f32() for name, t in r.tensors.items()}
+    r.close()
+    toks = rng.integers(0, V, 6).astype(np.int32)
+    ref, _ = ref_rwkv6_forward(raw, toks, n_layer=L, head_size=head_size,
+                               ed=ed, rescale_every=rescale_every)
+
+    model = load_model(str(out), dtype=jnp.float32)
+    assert model.config.rescale_every_n_layers == rescale_every
+    fwd = jax.jit(make_rwkv6_forward(model.config))
+    got, _ = fwd(model.params, jnp.asarray(toks)[None], None,
+                 init_rwkv6_cache(model.config, 1))
+    np.testing.assert_allclose(np.asarray(got[0]), ref, rtol=2e-4, atol=2e-4)
