@@ -61,6 +61,16 @@ def get_lib():
         i32, i32, i32, i32, i32, f32, f32,
     ]
     lib.spif_sparse_complement.restype = None
+    try:
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        lib.spif_sparse_complement_f16.argtypes = [
+            f32p, u16p, ctypes.c_void_p, u16p, ctypes.c_void_p, f32p, u8p,
+            f32p, i32, i32, i32, i32, i32, f32, f32,
+        ]
+        lib.spif_sparse_complement_f16.restype = None
+        lib.spif_has_f16.restype = i32
+    except AttributeError:
+        pass  # older .so without the f16 entry point
     lib.spif_dequant_q4_0.argtypes = [u8p, f32p, i64]
     lib.spif_dequant_q8_0.argtypes = [u8p, f32p, i64]
     lib.spif_repack_q4_0.argtypes = [u8p, u8p, f32p, i64]
@@ -101,6 +111,22 @@ def sparse_complement(
     ca = np.ascontiguousarray(cold_active, np.uint8)
     if lib is None:
         raise RuntimeError("native library unavailable")
+    if up.dtype == np.float16 and has_f16():
+        # half-size host store: weights stay f16, converted in HW inside
+        # the dot loops (spif_sparse_complement_f16)
+        lib.spif_sparse_complement_f16(
+            np.ascontiguousarray(x, np.float32),
+            np.ascontiguousarray(up).view(np.uint16),
+            None if gate is None else np.ascontiguousarray(gate).view(np.uint16).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(down).view(np.uint16),
+            None if b_up is None else np.ascontiguousarray(b_up, np.float32).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(probs, np.float32),
+            ca,
+            out,
+            N, ng, G, E,
+            _ACT_KIND[act], float(fatrelu_thr), float(prob_thr),
+        )
+        return out
     lib.spif_sparse_complement(
         np.ascontiguousarray(x, np.float32),
         np.ascontiguousarray(up, np.float32),
@@ -114,6 +140,12 @@ def sparse_complement(
         _ACT_KIND[act], float(fatrelu_thr), float(prob_thr),
     )
     return out
+
+
+def has_f16() -> bool:
+    lib = get_lib()
+    return (lib is not None and hasattr(lib, "spif_has_f16")
+            and bool(lib.spif_has_f16()))
 
 
 def dequant_q4_0(raw: np.ndarray, n_elems: int) -> np.ndarray:

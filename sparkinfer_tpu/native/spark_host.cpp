@@ -61,11 +61,14 @@ static inline float f16_to_f32(uint16_t h) {
 //     act(x[n]·gate[g]^T, x[n]·up[g]^T + b_up[g]) ⊙ (probs[n,g] >= thr) · down[g]
 // act_kind: 0 = relu(up), 1 = fatrelu(gate)*up, 2 = relu(gate)*relu(up)
 
-void spif_sparse_complement(
+}  // extern "C" (template below needs C++ linkage)
+
+template <typename W>
+static void sparse_complement_impl(
     const float* x,            // (N, E)
-    const float* up,           // (ng, G, E)
-    const float* gate,         // (ng, G, E) or nullptr
-    const float* down,         // (ng, G, E)
+    const W* up,               // (ng, G, E)
+    const W* gate,             // (ng, G, E) or nullptr
+    const W* down,             // (ng, G, E)
     const float* b_up,         // (ng, G) or nullptr
     const float* probs,        // (N, ng, G)
     const uint8_t* cold_active,// (N, ng)
@@ -83,20 +86,20 @@ void spif_sparse_complement(
             const float* pg = probs + ((size_t)n * ng + g) * G;
             for (int32_t r = 0; r < G; r++) {
                 if (pg[r] < prob_thr) continue;
-                const float* ur = up + ((size_t)g * G + r) * E;
+                const W* ur = up + ((size_t)g * G + r) * E;
                 float dot_u = 0.f;
                 #pragma omp simd reduction(+:dot_u)
-                for (int32_t e = 0; e < E; e++) dot_u += xn[e] * ur[e];
+                for (int32_t e = 0; e < E; e++) dot_u += xn[e] * (float)ur[e];
                 if (b_up) dot_u += b_up[(size_t)g * G + r];
 
                 float h;
                 if (act_kind == 0) {                    // relu(up)
                     h = dot_u > 0.f ? dot_u : 0.f;
                 } else {
-                    const float* gr = gate + ((size_t)g * G + r) * E;
+                    const W* gr = gate + ((size_t)g * G + r) * E;
                     float dot_g = 0.f;
                     #pragma omp simd reduction(+:dot_g)
-                    for (int32_t e = 0; e < E; e++) dot_g += xn[e] * gr[e];
+                    for (int32_t e = 0; e < E; e++) dot_g += xn[e] * (float)gr[e];
                     if (act_kind == 1) {                // fatrelu(gate)*up
                         h = (dot_g > fatrelu_thr ? dot_g : 0.f) * dot_u;
                     } else {                            // drelu
@@ -105,12 +108,56 @@ void spif_sparse_complement(
                     }
                 }
                 if (h == 0.f) continue;
-                const float* dr = down + ((size_t)g * G + r) * E;
+                const W* dr = down + ((size_t)g * G + r) * E;
                 #pragma omp simd
-                for (int32_t e = 0; e < E; e++) on[e] += h * dr[e];
+                for (int32_t e = 0; e < E; e++) on[e] += h * (float)dr[e];
             }
         }
     }
+}
+
+extern "C" {
+
+void spif_sparse_complement(
+    const float* x, const float* up, const float* gate, const float* down,
+    const float* b_up, const float* probs, const uint8_t* cold_active,
+    float* out, int32_t N, int32_t ng, int32_t G, int32_t E,
+    int32_t act_kind, float fatrelu_thr, float prob_thr)
+{
+    sparse_complement_impl<float>(x, up, gate, down, b_up, probs, cold_active,
+                                  out, N, ng, G, E, act_kind, fatrelu_thr,
+                                  prob_thr);
+}
+
+// f16 weight variant: the cold store stays half-size in host RAM (the
+// reference keeps f16/quantized weights on host, src/llama-sparkinfer.cpp:178);
+// _Float16 -> float converts in HW (F16C/AVX512-FP16) inside the dot loops.
+void spif_sparse_complement_f16(
+    const float* x, const uint16_t* up, const uint16_t* gate,
+    const uint16_t* down, const float* b_up, const float* probs,
+    const uint8_t* cold_active, float* out,
+    int32_t N, int32_t ng, int32_t G, int32_t E,
+    int32_t act_kind, float fatrelu_thr, float prob_thr)
+{
+#if defined(__FLT16_MAX__)
+    sparse_complement_impl<_Float16>(
+        x, (const _Float16*)up, (const _Float16*)gate, (const _Float16*)down,
+        b_up, probs, cold_active, out, N, ng, G, E, act_kind, fatrelu_thr,
+        prob_thr);
+#else
+    // no native f16: scalar-convert fallback
+    (void)x; (void)up; (void)gate; (void)down; (void)b_up; (void)probs;
+    (void)cold_active; (void)out; (void)N; (void)ng; (void)G; (void)E;
+    (void)act_kind; (void)fatrelu_thr; (void)prob_thr;
+#endif
+}
+
+int32_t spif_has_f16(void) {
+#if defined(__FLT16_MAX__)
+    return 1;
+#else
+    return 0;
+#endif
 }
 
 // --------------------------------------------------------------------------

@@ -149,7 +149,9 @@ class Engine:
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn, stateful_ffn=True)
                 # decode params: hot caches instead of full row layouts
                 self._decode_params = dict(self.model.params)
-                self._decode_params["layers"] = tiered_layer_params(layers, self._tp)
+                (self._decode_params["layers"],
+                 self._decode_params["sparse_flat"]) = tiered_layer_params(
+                    layers, self._tp)
             elif sparse_pipelined:
                 # one-layer-ahead selection (ref predictor pipelining):
                 # decouples the weight fetch from this layer's activations
@@ -391,9 +393,9 @@ class Engine:
             from ..sparse.tiering import tiered_layer_params
 
             self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
-            self._decode_params["layers"] = tiered_layer_params(
-                self._full_layers, self._tp
-            )
+            (self._decode_params["layers"],
+             self._decode_params["sparse_flat"]) = tiered_layer_params(
+                self._full_layers, self._tp)
             self.balancer.adapt_window(step_s)
         return tok, cache, sstate
 

@@ -161,7 +161,9 @@ class Scheduler:
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=tiered_ffn,
                                                stateful_ffn=True)
                 self._decode_params = dict(self.model.params)
-                self._decode_params["layers"] = tiered_layer_params(layers, self._tp)
+                (self._decode_params["layers"],
+                 self._decode_params["sparse_flat"]) = tiered_layer_params(
+                    layers, self._tp)
             else:
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="pallas"))
         else:
@@ -434,9 +436,9 @@ class Scheduler:
             from ..sparse.tiering import tiered_layer_params
 
             self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
-            self._decode_params["layers"] = tiered_layer_params(
-                self._full_layers, self._tp
-            )
+            (self._decode_params["layers"],
+             self._decode_params["sparse_flat"]) = tiered_layer_params(
+                self._full_layers, self._tp)
         return any(s.running for s in self.slots) or not self.pending.empty()
 
     # --- background loop ----------------------------------------------------

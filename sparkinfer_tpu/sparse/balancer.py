@@ -50,9 +50,10 @@ def reload_plan(
 
 
 @jax.jit
-def _apply_swaps(cache: jnp.ndarray, l_idx: jnp.ndarray, s_idx: jnp.ndarray, blocks: jnp.ndarray):
-    """cache (L,H,G,E); scatter blocks (K,G,E) into [l_idx[k], s_idx[k]]."""
-    return cache.at[l_idx, s_idx].set(blocks.astype(cache.dtype))
+def _apply_swaps(cache: jnp.ndarray, flat_idx: jnp.ndarray, blocks: jnp.ndarray):
+    """cache (L*H, A, B) flat store; scatter blocks (K, A, B) into
+    rows flat_idx (= l*H + slot)."""
+    return cache.at[flat_idx].set(blocks.astype(cache.dtype))
 
 
 @dataclass
@@ -77,7 +78,7 @@ class Balancer:
         t0 = time.perf_counter()
         hot_ids = np.array(tp.hot_ids)  # (L, H) writable copy
         gmap = np.array(tp.group_map)  # (L, ng) mutable copy
-        L, H = hot_ids.shape
+        L, H = hot_ids.shape  # H also strides the flat (L*H, ...) stores
 
         swaps: list[tuple[int, int, int]] = []  # (layer, slot, group)
         for l in range(L):
@@ -101,15 +102,16 @@ class Balancer:
             gmap[l, g] = slot
             hot_ids[l, slot] = g
 
-        lj = jnp.asarray(l_idx)
-        sj = jnp.asarray(s_idx)
-        new_up = _apply_swaps(tp.hot_up, lj, sj, jnp.asarray(self.cold.up[l_idx, g_idx]))
-        new_gate = (
-            _apply_swaps(tp.hot_gate, lj, sj, jnp.asarray(self.cold.gate[l_idx, g_idx]))
-            if tp.hot_gate is not None
-            else None
-        )
-        new_down = _apply_swaps(tp.hot_down, lj, sj, jnp.asarray(self.cold.down[l_idx, g_idx]))
+        fj = jnp.asarray(l_idx * H + s_idx)
+        # up/gate upload transposed to the v6 (E, G) block layout
+        upT = np.ascontiguousarray(np.swapaxes(self.cold.up[l_idx, g_idx], -1, -2))
+        new_up = _apply_swaps(tp.hot_upT, fj, jnp.asarray(upT))
+        new_gate = None
+        if tp.hot_gateT is not None:
+            gT = np.ascontiguousarray(np.swapaxes(self.cold.gate[l_idx, g_idx], -1, -2))
+            new_gate = _apply_swaps(tp.hot_gateT, fj, jnp.asarray(gT))
+        new_down = _apply_swaps(tp.hot_down, fj,
+                                jnp.asarray(self.cold.down[l_idx, g_idx]))
 
         self.total_swaps += len(swaps)
         self.rebalances += 1
@@ -129,8 +131,8 @@ class Balancer:
                     print(f"[spif-dfr]   layer {l}: slot {slot} <- group {g}",
                           flush=True)
         return TieredParams(
-            hot_up=new_up,
-            hot_gate=new_gate,
+            hot_upT=new_up,
+            hot_gateT=new_gate,
             hot_down=new_down,
             group_map=jnp.asarray(gmap),
             hot_ids=jnp.asarray(hot_ids),

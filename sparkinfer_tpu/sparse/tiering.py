@@ -49,20 +49,32 @@ from .predictor import predict_activations
 
 
 class ColdStore:
-    """Host-RAM neuron-major weights + the host complement computation."""
+    """Host-RAM neuron-major weights + the host complement computation.
 
-    def __init__(self, cfg: ModelConfig, scfg: SparseConfig, layers_np: dict):
+    Weights are kept f16 by default (half the host RAM — the reference
+    keeps f16/quantized weights on host, src/llama-sparkinfer.cpp:178);
+    the native kernel converts in HW inside the dot loops
+    (spif_sparse_complement_f16)."""
+
+    def __init__(self, cfg: ModelConfig, scfg: SparseConfig, layers_np: dict,
+                 dtype=None):
         """layers_np: numpy copies of the stacked layer params (at least
         w_up_rows / w_down_rows (+ w_gate_rows, b_up) in (L, n_g, G, E))."""
         self.cfg = cfg
         self.scfg = scfg
-        self.up = np.asarray(layers_np["w_up_rows"], np.float32)
+        from .. import native as _native
+
+        self._native = _native if _native.available() else None
+        if dtype is None:
+            dtype = np.float16 if (self._native and _native.has_f16()) else np.float32
+        self.dtype = dtype
+        self.up = np.asarray(layers_np["w_up_rows"], dtype)
         self.gate = (
-            np.asarray(layers_np["w_gate_rows"], np.float32)
+            np.asarray(layers_np["w_gate_rows"], dtype)
             if "w_gate_rows" in layers_np
             else None
         )
-        self.down = np.asarray(layers_np["w_down_rows"], np.float32)
+        self.down = np.asarray(layers_np["w_down_rows"], dtype)
         self.b_up = (
             np.asarray(layers_np["b_up"], np.float32).reshape(
                 self.up.shape[0], self.up.shape[1], self.up.shape[2]
@@ -72,9 +84,6 @@ class ColdStore:
         )
         self.act = cfg.traits.sparse_act
         self.fatrelu_threshold = cfg.fatrelu_threshold
-        from .. import native as _native
-
-        self._native = _native if _native.available() else None
 
     def complement(
         self,
@@ -103,31 +112,39 @@ class ColdStore:
         for n in range(N):
             groups = np.nonzero(cold_active[n])[0]
             for g in groups:
-                up = x[n] @ self.up[l, g].T
+                up = x[n] @ self.up[l, g].T.astype(np.float32)
                 if self.b_up is not None:
                     up = up + self.b_up[l, g]
                 if self.act == "fatrelu":
-                    gate = x[n] @ self.gate[l, g].T
+                    gate = x[n] @ self.gate[l, g].T.astype(np.float32)
                     h = np.where(gate > self.fatrelu_threshold, gate, 0.0) * up
                 elif self.act == "drelu":
-                    gate = x[n] @ self.gate[l, g].T
+                    gate = x[n] @ self.gate[l, g].T.astype(np.float32)
                     h = np.maximum(gate, 0.0) * np.maximum(up, 0.0)
                 else:
                     h = np.maximum(up, 0.0)
                 h = h * (probs[n, g] >= thr)
-                out[n] += h @ self.down[l, g]
+                out[n] += h @ self.down[l, g].astype(np.float32)
         return out
 
 
 class TieredParams(NamedTuple):
     """Device-side tiered weight state, swapped by the balancer between
-    steps (analogue of the GPU-side sparkinfer_layer_cache buffers)."""
+    steps (analogue of the GPU-side sparkinfer_layer_cache buffers).
 
-    hot_up: jnp.ndarray  # (L, H, G, E)
-    hot_gate: jnp.ndarray | None
-    hot_down: jnp.ndarray  # (L, H, G, E)
+    The hot stores are FLAT over (layer, slot) and up/gate TRANSPOSED —
+    the same loop-invariance + v6-kernel layout as the all-HBM path (see
+    prepare_pipelined_params): block row = il*H + slot."""
+
+    hot_upT: jnp.ndarray  # (L*H, E, G)
+    hot_gateT: jnp.ndarray | None
+    hot_down: jnp.ndarray  # (L*H, G, E)
     group_map: jnp.ndarray  # (L, n_g) int32: slot or -1
     hot_ids: jnp.ndarray  # (L, H) int32: slot -> group id (for debug/state io)
+
+    @property
+    def n_hot(self) -> int:
+        return self.hot_ids.shape[1]
 
 
 class DFRState(NamedTuple):
@@ -159,14 +176,19 @@ def init_tiered(
         gm[l, init_hot[l]] = np.arange(H, dtype=np.int32)
 
     ids = jnp.asarray(init_hot, jnp.int32)
+    E = cfg.n_embd
+    G = scfg.group_size
 
-    def gather(w):  # (L, ng, G, E) -> (L, H, G, E)
-        return jnp.take_along_axis(w, ids[:, :, None, None], axis=1)
+    def gather(w, transpose):  # (L, ng, G, E) -> flat (L*H, …)
+        sel = jnp.take_along_axis(w, ids[:, :, None, None], axis=1)
+        if transpose:
+            sel = jnp.swapaxes(sel, -1, -2)  # (L, H, E, G)
+        return sel.reshape((L * H,) + sel.shape[2:])
 
     tp = TieredParams(
-        hot_up=gather(layers["w_up_rows"]),
-        hot_gate=gather(layers["w_gate_rows"]) if "w_gate_rows" in layers else None,
-        hot_down=gather(layers["w_down_rows"]),
+        hot_upT=gather(layers["w_up_rows"], True),
+        hot_gateT=gather(layers["w_gate_rows"], True) if "w_gate_rows" in layers else None,
+        hot_down=gather(layers["w_down_rows"], False),
         group_map=jnp.asarray(gm),
         hot_ids=ids,
     )
@@ -183,23 +205,29 @@ def make_tiered_ffn(
     scfg: SparseConfig,
     cold: ColdStore | None,
     mode: str = "host",  # "host" | "drop"
+    kernel: str = "pallas",  # "pallas" | "gather" (CPU tests)
 ):
     """Stateful ffn(lp, x, fs, il) -> (y, fs') for make_forward(...,
-    stateful_ffn=True). Layer params lp must carry 'tiered' (per-layer
-    slices of TieredParams leaves) plus predictor weights."""
+    stateful_ffn=True). lp carries group_map + predictors per layer; the
+    flat hot stores arrive via params['sparse_flat'] (loop-invariant)."""
     act_name = cfg.traits.sparse_act
     G = scfg.group_size
     F = cfg.n_ff
     ng = scfg.n_groups(F)
     thr = scfg.threshold
     lam = scfg.dfr_decay
+    L = cfg.n_layer
 
     if mode == "host" and cold is None:
         raise ValueError("mode='host' needs a ColdStore")
 
     def ffn(lp: dict, x: jnp.ndarray, fs: dict, il: jnp.ndarray):
-        from ..ops.sparse_ffn_pallas import sparse_ffn_block
+        from ..ops.sparse_ffn_pallas import sparse_ffn_block_v6
 
+        # the flat-store stride is the ACTUAL hot-slot count (shapes are
+        # static at trace time), not the config default — init_tiered may
+        # have clamped or the caller overridden it
+        H = lp["hot_upT_flat"].shape[0] // L
         B, T, E = x.shape
         xt = x.reshape(B * T, E)
         N = B * T
@@ -219,18 +247,40 @@ def make_tiered_ffn(
         if "b_up" in lp:
             bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32), idx, axis=0)
 
-        out = sparse_ffn_block(
-            xt,
-            slots_safe,
-            gp_hot,
-            lp["hot_up"],
-            lp.get("hot_gate"),
-            lp["hot_down"],
-            act=act_name,
-            fatrelu_threshold=cfg.fatrelu_threshold,
-            prob_threshold=thr,
-            bu_sel=bu_sel,
-        )
+        slots_flat = slots_safe + il * H
+        if kernel == "pallas":
+            out = sparse_ffn_block_v6(
+                xt,
+                slots_flat,
+                gp_hot,
+                lp["hot_upT_flat"],
+                lp.get("hot_gateT_flat"),
+                lp["hot_down_flat"],
+                act=act_name,
+                fatrelu_threshold=cfg.fatrelu_threshold,
+                prob_threshold=thr,
+                bu_sel=bu_sel,
+            )
+        else:
+            # gather math over the flat stores (CPU/tests)
+            from .ffn import _sparse_act
+
+            act = _sparse_act(act_name, cfg.fatrelu_threshold)
+            wuT = jnp.take(lp["hot_upT_flat"], slots_flat, axis=0)  # (N,C,E,G)
+            up = jnp.einsum("ne,nceg->ncg", xt, wuT.astype(xt.dtype))
+            if bu_sel is not None:
+                up = up + bu_sel.astype(up.dtype)
+            gate = None
+            if lp.get("hot_gateT_flat") is not None:
+                wgT = jnp.take(lp["hot_gateT_flat"], slots_flat, axis=0)
+                gate = jnp.einsum("ne,nceg->ncg", xt, wgT.astype(xt.dtype))
+            hidden = act(gate, up) if gate is not None else act(None, up)
+            hidden = hidden * (gp_hot >= thr).astype(hidden.dtype)
+            wd = jnp.take(lp["hot_down_flat"], slots_flat, axis=0)
+            out = jnp.einsum("ncg,ncge->ne", hidden, wd.astype(hidden.dtype))
+            # kill contributions of cold-selected slots entirely (their
+            # gp_hot is 0 so the threshold mask already zeroes them)
+            out = out.astype(jnp.float32)
 
         # cold∩active bookkeeping
         group_active = (gp >= thr).any(-1)  # (N, ng)
@@ -262,15 +312,17 @@ def make_tiered_ffn(
     return ffn
 
 
-def tiered_layer_params(layers: dict, tp: TieredParams) -> dict:
-    """Merge TieredParams leaves into the stacked layer dict so the scan
-    slices them per layer alongside the other weights. Drops the full-size
-    HBM row layouts (the whole point is not to keep them in HBM; the dense
-    prefill path re-reads from the loader params when needed)."""
+def tiered_layer_params(layers: dict, tp: TieredParams) -> tuple[dict, dict]:
+    """Split the tiered state for make_forward: (per-layer dict for the
+    scan xs, flat loop-invariant dict for params['sparse_flat']). Drops the
+    full-size HBM row layouts (the whole point is not to keep them in HBM;
+    the dense prefill path re-reads from the loader params when needed).
+    The hot stores go in sparse_flat — inside the scan xs their per-layer
+    dynamic-slice could not fuse into the Pallas call and XLA would copy
+    the hot cache every layer, every step."""
     out = {k: v for k, v in layers.items() if not k.endswith("_rows")}
-    out["hot_up"] = tp.hot_up
-    if tp.hot_gate is not None:
-        out["hot_gate"] = tp.hot_gate
-    out["hot_down"] = tp.hot_down
     out["group_map"] = tp.group_map
-    return out
+    flat = {"hot_upT_flat": tp.hot_upT, "hot_down_flat": tp.hot_down}
+    if tp.hot_gateT is not None:
+        flat["hot_gateT_flat"] = tp.hot_gateT
+    return out, flat

@@ -44,15 +44,18 @@ def sp(tmp_path_factory):
     return model, tensors, scfg
 
 
-def _mk(model, scfg, hot_groups, mode, init_hot=None):
+def _mk(model, scfg, hot_groups, mode, init_hot=None, cold_dtype=np.float32):
     cfg = model.config
     layers = model.params["layers"]
     tp, st = init_tiered(cfg, scfg, layers, hot_groups, init_hot=init_hot)
+    # exactness tests pin an f32 cold store; f16 (the memory-saving default
+    # when the native kernel is present) is covered separately below
     cold = ColdStore(cfg, scfg, {k: np.asarray(v) for k, v in layers.items()
-                                 if k.endswith("_rows") or k == "b_up"})
+                                 if k.endswith("_rows") or k == "b_up"},
+                     dtype=cold_dtype)
     ffn = make_tiered_ffn(cfg, scfg, cold, mode=mode)
     params = dict(model.params)
-    params["layers"] = tiered_layer_params(layers, tp)
+    params["layers"], params["sparse_flat"] = tiered_layer_params(layers, tp)
     fwd = jax.jit(make_forward(cfg, ffn_fn=ffn, stateful_ffn=True))
     return fwd, params, tp, st, cold
 
@@ -85,6 +88,25 @@ def test_host_mode_exact_for_any_hot_set(sp):
     logits, _, st2 = fwd(params, jnp.asarray(toks)[None], pos, cache, st)
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-4)
     assert float(np.asarray(st2.miss).sum()) > 0  # cold groups were hit
+
+
+def test_host_mode_f16_cold_store_close(sp):
+    """The half-RAM f16 cold store (the default when the native kernel has
+    f16 support) matches the gathered oracle within f16 rounding."""
+    model, _, scfg = sp
+    cfg = model.config
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, cfg.n_vocab, 5).astype(np.int32)
+    ref = _ref_logits(model, scfg, toks)
+    ng = cfg.n_ff // G
+    bad_hot = np.tile(np.arange(ng - 2, ng, dtype=np.int32), (cfg.n_layer, 1))
+    fwd, params, tp, st, cold = _mk(model, scfg, 2, "host", init_hot=bad_hot,
+                                    cold_dtype=np.float16)
+    assert cold.up.dtype == np.float16
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+    logits, _, _ = fwd(params, jnp.asarray(toks)[None], pos, cache, st)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-2, atol=2e-3)
 
 
 def test_drop_mode_exact_when_hot_covers_active(sp):
@@ -168,7 +190,7 @@ def test_balancer_converges_hot_set(sp):
         _, cache, st = fwd(params, jnp.asarray(tok)[None], pos, cache, st)
         miss_t.append(float(np.asarray(st.miss).sum()) - prev_miss)
         tp = bal.rebalance(tp, np.asarray(st.dfr))
-        params["layers"] = tiered_layer_params(layers, tp)
+        params["layers"], params["sparse_flat"] = tiered_layer_params(layers, tp)
     assert miss_t[-1] == 0.0, miss_t
     assert bal.total_swaps > 0
     # hot ids now cover every fireable group
