@@ -204,6 +204,194 @@ def build_sparse(cfg, params, preset, plat):
     return sparse_fwd, sparams, dense_prefill
 
 
+def make_cold(cfg, params, scfg):
+    """Host-side neuron-major rows (ColdStore, f16 by default) built from
+    the dense column weights. Frees nothing on device."""
+    from sparkinfer_tpu.sparse.tiering import ColdStore
+
+    L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
+    G = scfg.group_size
+    ng = F // G
+    rows = {}
+    for k in ("w_up", "w_gate", "w_down"):
+        wnp = np.asarray(params["layers"][k]).astype(np.float32)
+        if k == "w_down":  # (L, F, E): already neuron-major rows
+            rows[k + "_rows"] = wnp.reshape(L, ng, G, E)
+        else:  # (L, E, F) -> (L, F, E) -> (L, ng, G, E)
+            rows[k + "_rows"] = np.ascontiguousarray(
+                wnp.transpose(0, 2, 1)).reshape(L, ng, G, E)
+    return ColdStore(cfg, scfg, rows)
+
+
+class TieredPath:
+    """Hot/cold tiered decode path: hot groups in HBM (v6 flat stores),
+    cold in host RAM, DFR balancer rebalancing between chunks.
+
+    The reference's core mode (llama-sparkinfer.cpp hot/cold caches); this
+    measures it on-chip: tiered t/s vs dense/all-HBM sparse, and whether
+    mode='host' (pure_callback complement) overlaps or serializes."""
+
+    def __init__(self, name, cfg, scfg, cold, hot_groups, mode, plat,
+                 params, S):
+        import jax
+        import jax.numpy as jnp
+
+        from sparkinfer_tpu.models.transformer import make_forward
+        from sparkinfer_tpu.runtime.kv_cache import init_cache
+        from sparkinfer_tpu.sparse.balancer import Balancer
+        from sparkinfer_tpu.sparse.tiering import (
+            DFRState,
+            TieredParams,
+            make_tiered_ffn,
+            tiered_layer_params,
+        )
+
+        self.name = name
+        self.jnp = jnp
+        L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
+        G = scfg.group_size
+        ng = F // G
+        H = hot_groups
+        init_hot = np.tile(np.arange(H, dtype=np.int32), (L, 1))
+        wdt = jnp.bfloat16 if plat == "tpu" else jnp.float32
+
+        def hot(w, transpose):  # cold (L, ng, G, E) -> flat (L*H, ...)
+            sel = w[np.arange(L)[:, None], init_hot]
+            if transpose:
+                sel = np.swapaxes(sel, -1, -2)
+            return jnp.asarray(
+                sel.reshape((L * H,) + sel.shape[2:]).astype(np.float32), wdt)
+
+        gm = np.full((L, ng), -1, np.int32)
+        gm[:, :H] = np.arange(H, dtype=np.int32)
+        self.tp = TieredParams(
+            hot_upT=hot(cold.up, True), hot_gateT=hot(cold.gate, True),
+            hot_down=hot(cold.down, False),
+            group_map=jnp.asarray(gm), hot_ids=jnp.asarray(init_hot))
+        self.fs = DFRState(dfr=jnp.zeros((L, ng), jnp.float32),
+                           miss=jnp.zeros((L, 1), jnp.float32),
+                           steps=jnp.zeros((L, 1), jnp.float32))
+        ffn = make_tiered_ffn(cfg, scfg, cold, mode=mode,
+                              kernel="pallas" if plat == "tpu" else "gather")
+        # decode params: drop the dense FFN weights from the scan xs
+        self._layers = {k: v for k, v in params["layers"].items()
+                        if k not in ("w_up", "w_gate", "w_down")}
+        lp, flat = tiered_layer_params(self._layers, self.tp)
+        self.params = dict(params)
+        self.params["layers"] = lp
+        self.params["sparse_flat"] = flat
+        self.step = jax.jit(make_forward(cfg, ffn_fn=ffn, stateful_ffn=True),
+                            donate_argnums=(3, 4))
+        self.balancer = Balancer(cold=cold, scfg=scfg, window=8, max_window=64)
+        self.cache = init_cache(cfg, 1, S, jnp.bfloat16)
+        self.tok = jnp.zeros((1, 1), jnp.int32)
+        self.pos = 0
+        self._tlp = tiered_layer_params
+
+    def run_chunk(self):
+        """-> (compute_s, miss_count_this_chunk, rebalance_s)."""
+        jnp = self.jnp
+        miss0 = float(np.asarray(self.fs.miss).sum())
+        t0 = time.perf_counter()
+        for _ in range(CHUNK):
+            lg, self.cache, self.fs = self.step(
+                self.params, self.tok,
+                jnp.full((1, 1), self.pos, jnp.int32), self.cache, self.fs)
+            self.pos += 1
+        _drain(lg)
+        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        self.tp = self.balancer.rebalance(self.tp, np.asarray(self.fs.dfr))
+        (self.params["layers"],
+         self.params["sparse_flat"]) = self._tlp(self._layers, self.tp)
+        reb = time.perf_counter() - t1
+        miss = float(np.asarray(self.fs.miss).sum()) - miss0
+        return dt, miss, reb
+
+
+def tiered_main(plat):
+    """`bench.py tiered`: hot-fraction x {drop,host} sweep vs dense, with
+    miss-rate trajectories (VERDICT item 4). Headline = best tiered config."""
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    preset = "1b" if plat == "tpu" else "tiny"
+    cfg, params = build_model(preset)
+    S = 1024
+    n_rounds = 6 if plat == "tpu" else 3
+    ng = cfg.n_ff // 128
+    cap = max(4, (int(ng * 0.25) + 3) // 4 * 4)
+    scfg = SparseConfig(group_size=128, capacity_groups=cap)
+
+    # Skew the predictor bias: a random ~20% of neuron groups fire often,
+    # the rest almost never — the ProSparse/DejaVu activation locality the
+    # hot/cold design exploits (uniform random firing would light up every
+    # group every token and no tiering could ever win). The hot groups are
+    # SHUFFLED so the DFR balancer must discover them online.
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    L, F = cfg.n_layer, cfg.n_ff
+    b = np.full((L, F), -7.0, np.float32)
+    for l in range(L):
+        true_hot = rng.choice(ng, size=max(1, ng // 5), replace=False)
+        for g in true_hot:
+            b[l, g * 128:(g + 1) * 128] = (
+                rng.standard_normal(128).astype(np.float32) * 0.5 - 0.8)
+    params["layers"]["pred_down_b"] = jnp.asarray(b)
+
+    cold = make_cold(cfg, params, scfg)
+    print(f"# cold store: {cold.dtype} "
+          f"{(cold.up.nbytes + cold.gate.nbytes + cold.down.nbytes) / 1e9:.2f} GB host",
+          file=sys.stderr)
+
+    dense = Path("dense", make_forward(cfg), params, cfg, S)
+    dense.run_chunk()  # warm
+    configs = [(m, f) for f in (0.5, 0.25) for m in ("drop", "host")]
+    results = {k: {"t": [], "miss": [], "reb": [], "ratio": []}
+               for k in configs}
+    tiered = {}
+    for mode, frac in configs:
+        H = max(1, int(ng * frac))
+        tiered[(mode, frac)] = TieredPath(
+            f"tiered-{mode}-{frac}", cfg, scfg, cold, H, mode, plat, params, S)
+        # warm/compile chunk; its miss count is the pre-balancer cold start
+        _, warm_miss, _ = tiered[(mode, frac)].run_chunk()
+        results[(mode, frac)]["miss"].append(warm_miss)
+    d_times = []
+    for _ in range(n_rounds):
+        dt = dense.run_chunk()
+        d_times.append(dt)
+        for k in configs:
+            ct, miss, reb = tiered[k].run_chunk()
+            results[k]["t"].append(ct)
+            results[k]["miss"].append(miss)
+            results[k]["reb"].append(reb)
+            results[k]["ratio"].append(dt / ct)
+
+    best_key, best_tps, best_ratio = None, 0.0, 0.0
+    print(f"# dense: {CHUNK / min(d_times):.1f} t/s", file=sys.stderr)
+    for k in configs:
+        r = results[k]
+        tps = CHUNK / min(r["t"])
+        ratio = statistics.median(r["ratio"])
+        print(json.dumps({
+            "config": f"{k[0]}@hot{k[1]}", "tps": round(tps, 1),
+            "vs_dense": round(ratio, 3),
+            "miss_traj": [round(m, 0) for m in r["miss"]],
+            "rebalance_ms": round(1e3 * statistics.median(r["reb"]), 1),
+        }), file=sys.stderr)
+        if tps > best_tps:
+            best_key, best_tps, best_ratio = k, tps, ratio
+    print(json.dumps({
+        "metric": f"decode_tps_tiered_{preset}_b1",
+        "value": round(best_tps, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(best_ratio, 3),
+        "best_config": f"{best_key[0]}@hot{best_key[1]}",
+    }))
+
+
 def main():
     import jax
 
@@ -217,6 +405,8 @@ def main():
     preset = "1b" if plat == "tpu" else "tiny"
     if len(sys.argv) > 1:
         preset = sys.argv[1]
+    if preset == "tiered":
+        return tiered_main(plat)
     cfg, params = build_model(preset)
     tight_hbm = preset == "7b"
     S = 1024
