@@ -351,13 +351,19 @@ def tiered_main(plat):
     results = {k: {"t": [], "miss": [], "reb": [], "ratio": []}
                for k in configs}
     tiered = {}
+    skipped = {}
     for mode, frac in configs:
         H = max(1, int(ng * frac))
-        tiered[(mode, frac)] = TieredPath(
-            f"tiered-{mode}-{frac}", cfg, scfg, cold, H, mode, plat, params, S)
-        # warm/compile chunk; its miss count is the pre-balancer cold start
-        _, warm_miss, _ = tiered[(mode, frac)].run_chunk()
-        results[(mode, frac)]["miss"].append(warm_miss)
+        try:
+            tiered[(mode, frac)] = TieredPath(
+                f"tiered-{mode}-{frac}", cfg, scfg, cold, H, mode, plat, params, S)
+            # warm/compile chunk; its miss count is the pre-balancer cold start
+            _, warm_miss, _ = tiered[(mode, frac)].run_chunk()
+            results[(mode, frac)]["miss"].append(warm_miss)
+        except Exception as e:  # the axon relay rejects host callbacks
+            skipped[(mode, frac)] = f"{type(e).__name__}: {str(e)[:120]}"
+            tiered.pop((mode, frac), None)
+    configs = [k for k in configs if k in tiered]
     d_times = []
     for _ in range(n_rounds):
         dt = dense.run_chunk()
@@ -371,6 +377,9 @@ def tiered_main(plat):
 
     best_key, best_tps, best_ratio = None, 0.0, 0.0
     print(f"# dense: {CHUNK / min(d_times):.1f} t/s", file=sys.stderr)
+    for k, why in skipped.items():
+        print(json.dumps({"config": f"{k[0]}@hot{k[1]}", "skipped": why}),
+              file=sys.stderr)
     for k in configs:
         r = results[k]
         tps = CHUNK / min(r["t"])
@@ -388,7 +397,7 @@ def tiered_main(plat):
         "value": round(best_tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(best_ratio, 3),
-        "best_config": f"{best_key[0]}@hot{best_key[1]}",
+        "best_config": f"{best_key[0]}@hot{best_key[1]}" if best_key else "none",
     }))
 
 

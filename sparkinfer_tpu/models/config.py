@@ -34,6 +34,15 @@ class ArchTraits:
     pos_embd: bool = False  # opt learned positions
     pos_embd_offset: int = 0  # opt: HF offset 2
     final_logit_softcap: float = 0.0
+    # gemma2-style attention logit soft-capping (cap*tanh(s/cap), applied
+    # pre-mask; ref: llama-graph.cpp build_attn_mha attn_soft_cap)
+    attn_logit_softcap: float = 0.0
+    # gemma family scales embeddings by sqrt(n_embd)
+    embd_scale_sqrt: bool = False
+    # every Nth layer is full-attention, the others sliding-window
+    # (ref: llama-hparams.h set_swa_pattern — gemma2: 2, gemma3: 6);
+    # 0 = uniform (sliding_window applies to all layers when set)
+    swa_pattern: int = 0
     recurrent: bool = False  # state-space/linear-attention family (mamba)
     wkv_version: int = 0  # RWKV family: 6 | 7 (0 = not RWKV)
     # sparse-FFN activation used when predictors present
@@ -89,7 +98,12 @@ _reg(
 _reg(ArchTraits("gpt2", norm="ln", act="gelu", rope_mode="none", fused_qkv=True,
                 qkv_bias=True, attn_out_bias=True, ffn_bias=True, norm_bias=True,
                 pos_embd=True))
-_reg(ArchTraits("gemma2", rope_mode="neox", act="geglu", final_logit_softcap=30.0))
+_reg(ArchTraits("gemma", rope_mode="neox", act="geglu", embd_scale_sqrt=True))
+_reg(ArchTraits("gemma2", rope_mode="neox", act="geglu", embd_scale_sqrt=True,
+                final_logit_softcap=30.0, attn_logit_softcap=50.0,
+                swa_pattern=2))
+_reg(ArchTraits("gemma3", rope_mode="neox", act="geglu", embd_scale_sqrt=True,
+                swa_pattern=6))
 _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # broader llama-family coverage: these archs are trait-compatible with the
 # generic forward (ref: per-arch builders in src/models/*.cpp that differ
@@ -104,15 +118,32 @@ _reg(ArchTraits("phi3", rope_mode="neox"))
 _reg(ArchTraits("olmo2", rope_mode="neox"))
 _reg(ArchTraits("smollm", ))
 _reg(ArchTraits("tinyllama", ))
-_reg(ArchTraits("internlm2", rope_mode="neox"))
+# internlm2 ropes NORM-style (ref llama-model.cpp rope-type switch)
+_reg(ArchTraits("internlm2", ))
 _reg(ArchTraits("starcoder2", norm="ln", act="gelu", rope_mode="neox",
                 qkv_bias=True, attn_out_bias=True, ffn_bias=True,
                 norm_bias=True))
 _reg(ArchTraits("exaone", ))
 _reg(ArchTraits("granite", ))
 _reg(ArchTraits("minicpm", ))
-_reg(ArchTraits("deepseek2", rope_mode="neox"))
-_reg(ArchTraits("cohere2", rope_mode="neox", norm="ln"))
+_reg(ArchTraits("deepseek2", ))  # NORM rope (ref rope-type switch)
+# command-r/cohere2: parallel attn+FFN sharing one pre-LN, NORM rope
+# WITHOUT the llama q/k permute (HF cohere is natively interleaved), and
+# a logit_scale multiplier (ref src/models/command-r.cpp, cohere2.cpp)
+_reg(ArchTraits("command-r", norm="ln", parallel_blocks=True))
+_reg(ArchTraits("cohere2", norm="ln", parallel_blocks=True))
+_reg(ArchTraits("olmoe", rope_mode="neox"))
+_reg(ArchTraits("smollm3", ))
+_reg(ArchTraits("granitemoe", ))
+# gpt-oss: alternating SWA (pattern 2), learned attention sinks, MoE with
+# clamped swiglu (ref src/models/openai-moe-iswa.cpp)
+_reg(ArchTraits("gpt-oss", rope_mode="neox", swa_pattern=2,
+                act="swiglu_oai"))
+_reg(ArchTraits("glm4", swa_pattern=0))
+_reg(ArchTraits("nemotron", norm="ln", act="relu2", norm_bias=True,
+                rope_mode="neox"))
+_reg(ArchTraits("ernie4_5", ))
+_reg(ArchTraits("exaone4", rope_mode="neox"))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))
@@ -143,7 +174,23 @@ class ModelConfig:
     # MoE
     n_expert: int = 0
     n_expert_used: int = 0
+    n_expert_shared: int = 0  # shared (always-on) experts (qwen2moe/deepseek2)
+    n_ff_exp: int = 0  # per-expert FF width when it differs from n_ff
+    expert_weights_scale: float = 0.0  # deepseek2 routed_scaling_factor
+    expert_gating: str = "softmax"  # "softmax" | "sigmoid" (deepseek3-style)
+    norm_topk_prob: bool = True  # renormalize selected expert weights
     sliding_window: int = 0
+    # model-level multipliers (granite/minicpm/cohere families; 1.0 = off.
+    # ref: LLM_KV_*_SCALE in llama-arch.cpp, llama-hparams f_*_scale)
+    embd_scale: float = 1.0
+    logit_scale: float = 1.0
+    residual_scale: float = 1.0
+    attn_scale: float = 0.0  # 0 = default 1/sqrt(head_dim)
+    # rope base for sliding-window layers when it differs from full layers
+    # (gemma3: 10k local / 1M global; 0 = same base everywhere)
+    rope_freq_base_swa: float = 0.0
+    # per-layer NoPE flags (smollm3: every 4th layer skips rope)
+    nope_layers: tuple[int, ...] = ()
     fatrelu_threshold: float = 0.0
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     ssm_d_conv: int = 0
@@ -162,6 +209,18 @@ class ModelConfig:
     @property
     def traits(self) -> ArchTraits:
         return ARCH_REGISTRY[self.arch]
+
+    @property
+    def swa_layers(self) -> tuple[bool, ...]:
+        """Per-layer sliding-window flags (ref: llama-hparams.h
+        set_swa_pattern: il %% pattern < pattern-1 -> SWA; last of each
+        pattern block is full attention). Uniform when swa_pattern == 0."""
+        if self.sliding_window <= 0:
+            return (False,) * self.n_layer
+        p = self.traits.swa_pattern
+        if p <= 1:
+            return (True,) * self.n_layer
+        return tuple((il % p) < (p - 1) for il in range(self.n_layer))
 
     @property
     def has_predictors(self) -> bool:
@@ -218,7 +277,22 @@ class ModelConfig:
             pred_lora=pred_lora,
             n_expert=int(g("expert_count", 0)),
             n_expert_used=int(g("expert_used_count", 0)),
+            n_expert_shared=int(g("expert_shared_count", 0)),
+            n_ff_exp=int(g("expert_feed_forward_length", 0)),
+            expert_weights_scale=float(g("expert_weights_scale", 0.0)),
+            expert_gating=(
+                "sigmoid" if int(g("expert_gating_func", 1)) == 2 else "softmax"
+            ),
+            norm_topk_prob=bool(g("expert_weights_norm", True)),
             sliding_window=int(g("attention.sliding_window", 0)),
+            embd_scale=float(g("embedding_scale", 1.0)),
+            logit_scale=float(g("logit_scale", 1.0)),
+            residual_scale=float(g("residual_scale", 1.0)),
+            attn_scale=float(g("attention.scale", 0.0)),
+            rope_freq_base_swa=float(g("rope.freq_base_swa", 0.0)),
+            nope_layers=tuple(
+                int(x) for x in (g("nope_layers") if g("nope_layers") is not None else ())
+            ),
             ssm_d_conv=int(g("ssm.conv_kernel", 0)),
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),

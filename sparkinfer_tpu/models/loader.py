@@ -245,8 +245,20 @@ def load_model(
         add("bq", bq)
         add("bk", bk)
         add("bv", bv)
+        # q/k norms (qwen3/gemma3 per-head, olmo2/cohere full-width)
+        add("attn_q_norm_w", _get(r, p + "attn_q_norm.weight"))
+        add("attn_q_norm_b", _get(r, p + "attn_q_norm.bias"))
+        add("attn_k_norm_w", _get(r, p + "attn_k_norm.weight"))
+        add("attn_k_norm_b", _get(r, p + "attn_k_norm.bias"))
+        # gpt-oss learned attention sinks (per-head logits)
+        add("attn_sinks", _get(r, p + "attn_sinks.weight"))
         add("wo", _lin(p + "attn_output.weight", H * D, E))
         add("bo", _get(r, p + "attn_output.bias"))
+        # post-norms (gemma2 sandwich, olmo2 post-norm-only)
+        add("attn_post_norm_w", _get(r, p + "attn_post_norm.weight"))
+        add("attn_post_norm_b", _get(r, p + "attn_post_norm.bias"))
+        add("ffn_post_norm_w", _get(r, p + "ffn_post_norm.weight"))
+        add("ffn_post_norm_b", _get(r, p + "ffn_post_norm.bias"))
         add("ffn_norm_w", _get(r, p + "ffn_norm.weight"))
         add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
         # MoE expert tensors (3D); canonicalized to (X, E, F)/(X, F, E)
@@ -260,6 +272,24 @@ def load_model(
                 add("w_gate_exps", np.ascontiguousarray(np.swapaxes(ge, -1, -2)))
             de = _get(r, p + "ffn_down_exps.weight")  # (X, E, F)
             add("w_down_exps", np.ascontiguousarray(np.swapaxes(de, -1, -2)))
+            # deepseek3 router score-correction bias (selection only)
+            add("router_bias", _get(r, p + "exp_probs_b.bias"))
+            # shared (always-on) experts — qwen2moe/deepseek2 ffn_*_shexp;
+            # orient by n_embd since the shexp width differs from n_ff
+            for nm, key in (("ffn_up_shexp.weight", "w_up_shexp"),
+                            ("ffn_gate_shexp.weight", "w_gate_shexp"),
+                            ("ffn_down_shexp.weight", "w_down_shexp")):
+                ws = _get(r, p + nm)
+                if ws is not None:
+                    if key == "w_down_shexp":
+                        if ws.shape[0] == E:  # (E, Fs) -> (Fs, E)
+                            ws = np.ascontiguousarray(ws.T)
+                    elif ws.shape[1] == E:  # (Fs, E) -> (E, Fs)
+                        ws = np.ascontiguousarray(ws.T)
+                    add(key, ws)
+            gis = _get(r, p + "ffn_gate_inp_shexp.weight")  # (1, E)
+            if gis is not None:  # qwen2moe sigmoid gate on the shared expert
+                add("w_gate_inp_shexp", np.ascontiguousarray(gis.reshape(-1)))
         add("w_up", _lin(p + "ffn_up.weight", E, F))
         add("b_up", _get(r, p + "ffn_up.bias"))
         add("w_gate", _lin(p + "ffn_gate.weight", E, F))
@@ -299,7 +329,9 @@ def load_model(
             layers[k] = put(f"layers.{k}", qt)
             continue
         stacked = np.stack(arrs)
-        want = jnp.float32 if ("norm" in k or k.startswith("b")) else dtype
+        want = (jnp.float32 if ("norm" in k or k.startswith("b")
+                                or k in ("router_bias", "attn_sinks"))
+                else dtype)
         layers[k] = put(f"layers.{k}", _as_jnp(stacked, want))
     params["layers"] = layers
 

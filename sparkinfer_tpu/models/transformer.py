@@ -83,8 +83,11 @@ def attention(
     rp: RopeParams,
     fresh_prefill: bool = False,
     causal: bool = True,
+    rp_swa: RopeParams | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     B, T, _ = x.shape
+    tr = cfg.traits
+    eps = cfg.norm_eps
     H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
     S = kc.shape[1]
     q = mm(x, lp["wq"]).reshape(B, T, H, D)
@@ -94,19 +97,55 @@ def attention(
         q = q + lp["bq"].astype(q.dtype).reshape(H, D)
         k = k + lp["bk"].astype(k.dtype).reshape(Hkv, D)
         v = v + lp["bv"].astype(v.dtype).reshape(Hkv, D)
-    q = apply_rope(q, positions, rp)
-    k = apply_rope(k, positions, rp)
+    if "attn_q_norm_w" in lp:
+        # q/k norms (qwen3/gemma3/olmo2/cohere — llama-model.cpp
+        # attn_q_norm/attn_k_norm): per-head when the weight is head_dim
+        # wide, full-width (olmo2) otherwise
+        qw, kw = lp["attn_q_norm_w"], lp["attn_k_norm_w"]
+        if qw.shape[-1] == D:
+            q = _norm(q, qw, lp.get("attn_q_norm_b"), tr.norm, eps)
+            k = _norm(k, kw, lp.get("attn_k_norm_b"), tr.norm, eps)
+        else:
+            q = _norm(q.reshape(B, T, H * D), qw, lp.get("attn_q_norm_b"),
+                      tr.norm, eps).reshape(B, T, H, D)
+            k = _norm(k.reshape(B, T, Hkv * D), kw, lp.get("attn_k_norm_b"),
+                      tr.norm, eps).reshape(B, T, Hkv, D)
+    # per-layer SWA flag (0.0/1.0 scalar riding the layer scan)
+    swa_flag = lp.get("swa_flag")
+    q0, k0 = q, k
+    if rp_swa is not None and swa_flag is not None:
+        # gemma3: SWA layers rope at a different base than full layers
+        is_swa = swa_flag > 0.5
+        q = jnp.where(is_swa, apply_rope(q, positions, rp_swa),
+                      apply_rope(q, positions, rp))
+        k = jnp.where(is_swa, apply_rope(k, positions, rp_swa),
+                      apply_rope(k, positions, rp))
+    else:
+        q = apply_rope(q, positions, rp)
+        k = apply_rope(k, positions, rp)
+    nope_flag = lp.get("nope_flag")
+    if nope_flag is not None:
+        # smollm3-style NoPE layers: skip rope entirely on flagged layers
+        skip = nope_flag > 0.5
+        q = jnp.where(skip, q0, q)
+        k = jnp.where(skip, k0, k)
 
     kc, ks = write_layer(kc, ks, k, positions)
     vc, vs = write_layer(vc, vs, v, positions)
 
-    if (fresh_prefill or not causal) and cfg.sliding_window <= 0:
+    scale = cfg.attn_scale if cfg.attn_scale else D ** -0.5
+    softcap = tr.attn_logit_softcap
+    sinks = lp.get("attn_sinks")
+
+    if (fresh_prefill or not causal) and cfg.sliding_window <= 0 \
+            and softcap == 0.0 and sinks is None:
         # prompt-from-scratch: every relevant key IS in this chunk
         # (positions are 0..T-1), so attend over the chunk directly instead
         # of the S-sized cache — O(T^2) not O(T*S), and on TPU the fused
         # flash kernel (GGML_OP_FLASH_ATTN_EXT analogue) applies. causal=False
         # (diffusion LMs: Dream/LLaDA full-window denoising) drops the mask.
-        out = _chunk_causal_attention(q, k, v, H, Hkv, D, causal=causal)
+        out = _chunk_causal_attention(q, k, v, H, Hkv, D, causal=causal,
+                                      scale=scale)
         out = out.reshape(B, T, H * D)
         out = mm(out, lp["wo"])
         if "bo" in lp:
@@ -119,13 +158,31 @@ def attention(
     g = H // Hkv
     qg = q.reshape(B, T, Hkv, g, D)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, keys, preferred_element_type=jnp.float32)
-    scores = scores * (D ** -0.5)
+    scores = scores * scale
+    if softcap > 0.0:
+        # gemma2 attention soft-capping (pre-mask)
+        scores = softcap * jnp.tanh(scores / softcap)
     s_idx = jnp.arange(S, dtype=jnp.int32)
     mask = s_idx[None, None, :] <= positions[:, :, None]  # (B, T, S)
     if cfg.sliding_window > 0:
-        mask = mask & (s_idx[None, None, :] > positions[:, :, None] - cfg.sliding_window)
+        win = cfg.sliding_window
+        swa_mask = s_idx[None, None, :] > positions[:, :, None] - win
+        if swa_flag is not None:
+            # window applies only on SWA layers of the pattern
+            mask = mask & (swa_mask | (swa_flag <= 0.5))
+        else:
+            mask = mask & swa_mask
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    if sinks is not None:
+        # gpt-oss attention sinks: a learned per-head logit joins the
+        # softmax denominator but contributes no value (llama-graph.cpp
+        # build_attn_mha sinks path)
+        sk = sinks.astype(jnp.float32).reshape(Hkv, g)[None, :, :, None, None]
+        sk = jnp.broadcast_to(sk, scores.shape[:-1] + (1,))
+        probs = jax.nn.softmax(jnp.concatenate([scores, sk], axis=-1), axis=-1)
+        probs = probs[..., :-1].astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, vals)
     out = out.reshape(B, T, H * D)
     out = mm(out, lp["wo"])
@@ -134,12 +191,14 @@ def attention(
     return out, kc, vc, ks, vs
 
 
-def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True):
+def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None):
     """q (B,T,H,D), k/v (B,T,Hkv,D) -> (B,T,H,D); causal within chunk
     (bidirectional when causal=False). Uses the Pallas TPU flash kernel
     when on TPU and shapes permit."""
     B, T = q.shape[0], q.shape[1]
     g = H // Hkv
+    if scale is None:
+        scale = D ** -0.5
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
@@ -154,12 +213,12 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True):
             kk.transpose(0, 2, 1, 3),
             vv.transpose(0, 2, 1, 3),
             causal=causal,
-            sm_scale=D ** -0.5,
+            sm_scale=scale,
         )
         return out.transpose(0, 2, 1, 3)
     qg = q.reshape(B, T, Hkv, g, D)
     scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
-    scores = scores * (D ** -0.5)
+    scores = scores * scale
     if causal:
         t_idx = jnp.arange(T, dtype=jnp.int32)
         mask = t_idx[:, None] >= t_idx[None, :]  # (t, s): query t sees key s<=t
@@ -206,13 +265,39 @@ def make_forward(
         ffn = ffn_fn or dense_ffn(cfg)
     eps = cfg.norm_eps
 
+    rp_swa = None
+    if cfg.rope_freq_base_swa and cfg.rope_freq_base_swa != cfg.rope_freq_base:
+        import dataclasses as _dc
+
+        # gemma3: local (SWA) layers rope at the local base, UNSCALED —
+        # rope_scaling applies only to the global layers (HF Gemma3
+        # rope_local_base_freq semantics)
+        rp_swa = _dc.replace(rp, freq_base=cfg.rope_freq_base_swa,
+                             freq_scale=1.0, yarn_ext_factor=0.0)
+    swa_flags = None
+    if cfg.sliding_window > 0 and (tr.swa_pattern > 1 or rp_swa is not None):
+        swa_flags = jnp.asarray(
+            [1.0 if s else 0.0 for s in cfg.swa_layers], jnp.float32)
+    nope_flags = None
+    if any(cfg.nope_layers):
+        nope_flags = jnp.asarray(
+            [1.0 if s else 0.0 for s in cfg.nope_layers], jnp.float32)
+
     def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache,
             fstate=None):
         x = params["tok_embd"][tokens]  # (B, T, E)
+        if tr.embd_scale_sqrt:  # gemma: embeddings scaled by sqrt(n_embd)
+            x = x * jnp.asarray(cfg.n_embd ** 0.5, x.dtype)
+        if cfg.embd_scale != 1.0:  # granite/minicpm embedding multiplier
+            x = x * jnp.asarray(cfg.embd_scale, x.dtype)
         if tr.pos_embd:
             x = x + params["pos_embd"][positions + tr.pos_embd_offset]
 
         layers = params["layers"]
+        if swa_flags is not None:
+            layers = dict(layers, swa_flag=swa_flags)
+        if nope_flags is not None:
+            layers = dict(layers, nope_flag=nope_flags)
         # Loop-INVARIANT sparse weight stores, flat over (layer, group).
         # Deliberately NOT in `layers`: scan xs are dynamic-sliced per layer,
         # and a Pallas custom call cannot fuse that slice — XLA would
@@ -228,12 +313,20 @@ def make_forward(
             empty_ks, empty_vs = ks, vs
             if ks is not None and ks.shape[-1] == 0:
                 ks = vs = None
-            h = _norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
+            # pre-norm when present (post-norm-only archs like olmo2 have no
+            # attn_norm/ffn_norm tensors — attention reads the raw residual)
+            h = (_norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
+                 if "attn_norm_w" in lp else x)
             attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp,
                                                  fresh_prefill=fresh_prefill,
-                                                 causal=causal)
+                                                 causal=causal, rp_swa=rp_swa)
             if ks is None:
                 ks, vs = empty_ks, empty_vs
+            if "attn_post_norm_w" in lp:  # gemma2 sandwich / olmo2 post-norm
+                attn_out = _norm(attn_out, lp["attn_post_norm_w"],
+                                 lp.get("attn_post_norm_b"), tr.norm, eps)
+            if cfg.residual_scale != 1.0:  # granite residual_multiplier
+                attn_out = attn_out * jnp.asarray(cfg.residual_scale, attn_out.dtype)
 
             def run_ffn(h_in):
                 lpf = {**lp, **flat, "flat_il": il} if flat is not None else lp
@@ -253,8 +346,14 @@ def make_forward(
                 x = x + attn_out + y
             else:
                 x = x + attn_out
-                h2 = _norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), tr.norm, eps)
+                h2 = (_norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), tr.norm, eps)
+                      if "ffn_norm_w" in lp else x)
                 y, fs2 = run_ffn(h2)
+                if "ffn_post_norm_w" in lp:
+                    y = _norm(y, lp["ffn_post_norm_w"],
+                              lp.get("ffn_post_norm_b"), tr.norm, eps)
+                if cfg.residual_scale != 1.0:
+                    y = y * jnp.asarray(cfg.residual_scale, y.dtype)
                 x = x + y
             if "cvec" in lp:  # control vector (llama_adapter_cvec)
                 x = x + lp["cvec"].astype(x.dtype)
@@ -306,6 +405,8 @@ def make_forward(
             logits = jnp.einsum(
                 "bte,ev->btv", x, out_w, preferred_element_type=jnp.float32
             )
+        if cfg.logit_scale != 1.0:  # cohere/granite logit multiplier
+            logits = logits * cfg.logit_scale
         if tr.final_logit_softcap > 0:
             # gemma2-style soft capping: cap * tanh(logits / cap)
             cap = tr.final_logit_softcap

@@ -46,9 +46,25 @@ def _fatrelu_gate(threshold: float):
     return f
 
 
+def _swiglu_oai(g, u, alpha: float = 1.702, limit: float = 7.0):
+    """gpt-oss clamped swiglu (ggml_swiglu_oai, ref ggml.h GLU ops):
+    gate clamped to [-inf, limit], up to [-limit, limit], sigmoid slope
+    alpha, plus the (up + 1) shift."""
+    gf = jnp.clip(g.astype(jnp.float32), None, limit)
+    uf = jnp.clip(u.astype(jnp.float32), -limit, limit)
+    out = gf * jax.nn.sigmoid(alpha * gf) * (uf + 1.0)
+    return out.astype(g.dtype)
+
+
 # ungated: act(up)
 def _relu(u):
     return jnp.maximum(u, 0)
+
+
+def _relu2(u):
+    """relu(x)^2 (nemotron — ggml_sqr(ggml_relu))."""
+    r = jnp.maximum(u, 0)
+    return r * r
 
 
 def _gelu(u):
@@ -60,9 +76,11 @@ def act_fn(name: str, fatrelu_threshold: float = 0.0):
     table = {
         "silu": (True, _silu_gate),
         "swiglu": (True, _silu_gate),
+        "swiglu_oai": (True, _swiglu_oai),
         "gelu": (False, _gelu),
         "geglu": (True, _gelu_gate),
         "relu": (False, _relu),
+        "relu2": (False, _relu2),
         "reglu": (True, _relu_gate),
         "drelu": (True, _drelu),
         "fatrelu": (True, _fatrelu_gate(fatrelu_threshold)),

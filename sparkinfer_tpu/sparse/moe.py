@@ -26,7 +26,7 @@ from ..models.config import ModelConfig
 def moe_layout(lp: dict, cfg: ModelConfig, group_size: int = 128) -> dict:
     """Reshape stacked expert weights (..., X, E, F)/(..., X, F, E) into the
     row-store (..., X * F/G, G, E) the fused kernel indexes."""
-    F, E, X = cfg.n_ff, cfg.n_embd, cfg.n_expert
+    F, E, X = (cfg.n_ff_exp or cfg.n_ff), cfg.n_embd, cfg.n_expert
     G = min(group_size, F)
     while F % G:
         G //= 2
@@ -47,21 +47,59 @@ def moe_layout(lp: dict, cfg: ModelConfig, group_size: int = 128) -> dict:
     return out
 
 
-def route(cfg: ModelConfig, lp: dict, xt: jnp.ndarray, norm_topk: bool = True):
-    """xt (N, E) -> (expert_idx (N, k), weights (N, k))."""
-    logits = xt @ lp["w_router"].astype(xt.dtype)  # (N, X)
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    w, idx = jax.lax.top_k(probs, cfg.n_expert_used)
+def route(cfg: ModelConfig, lp: dict, xt: jnp.ndarray, norm_topk: bool | None = None):
+    """xt (N, E) -> (expert_idx (N, k), weights (N, k)).
+
+    Gating follows llm_graph_context::build_moe_ffn: softmax (default) or
+    sigmoid (deepseek3/gpt-oss-style LLAMA_EXPERT_GATING_FUNC_SIGMOID)
+    over router logits; selection may add the score-correction bias
+    (exp_probs_b) while the mixing weights use unbiased probs; optional
+    top-k renorm (norm_topk_prob) and routed scaling
+    (expert_weights_scale)."""
+    if norm_topk is None:
+        norm_topk = cfg.norm_topk_prob
+    logits = (xt @ lp["w_router"].astype(xt.dtype)).astype(jnp.float32)  # (N, X)
+    if cfg.expert_gating == "sigmoid":
+        probs = jax.nn.sigmoid(logits)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+    sel = probs
+    if "router_bias" in lp:
+        sel = probs + lp["router_bias"].astype(jnp.float32)
+    _, idx = jax.lax.top_k(sel, cfg.n_expert_used)
+    w = jnp.take_along_axis(probs, idx, axis=-1)
     if norm_topk:
         w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-9)
+    if cfg.expert_weights_scale:
+        w = w * cfg.expert_weights_scale
     return idx.astype(jnp.int32), w
 
 
+def _shared_expert(cfg: ModelConfig, lp: dict, xt: jnp.ndarray, act: str):
+    """Always-on shared expert(s) added to the routed output
+    (qwen2moe ffn_*_shexp with a sigmoid gate scalar; deepseek2 plain)."""
+    up = xt @ lp["w_up_shexp"].astype(xt.dtype)
+    if "w_gate_shexp" in lp:
+        gate = xt @ lp["w_gate_shexp"].astype(xt.dtype)
+        if act == "silu":
+            hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+        else:
+            hidden = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(up.dtype) * up
+    else:
+        hidden = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
+    out = hidden @ lp["w_down_shexp"].astype(hidden.dtype)
+    if "w_gate_inp_shexp" in lp:
+        g = jax.nn.sigmoid(
+            (xt @ lp["w_gate_inp_shexp"].astype(xt.dtype)).astype(jnp.float32))
+        out = out * g[..., None].astype(out.dtype)
+    return out
+
+
 def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
-                 norm_topk: bool = True):
+                 norm_topk: bool | None = None):
     """ffn(lp, x) for make_forward. lp needs w_router (E, X) + the
     moe_layout row stores (pallas) or w_*_exps (dense)."""
-    X, F, E, k = cfg.n_expert, cfg.n_ff, cfg.n_embd, cfg.n_expert_used
+    X, F, E, k = cfg.n_expert, (cfg.n_ff_exp or cfg.n_ff), cfg.n_embd, cfg.n_expert_used
     assert X > 0 and k > 0
     G = min(group_size, F)
     while F % G:
@@ -87,6 +125,8 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
             hidden = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
         out = jnp.einsum("nkf,nkfe->nke", hidden, down_w.astype(hidden.dtype))
         out = (out * w[..., None].astype(out.dtype)).sum(1)
+        if "w_up_shexp" in lp:
+            out = out + _shared_expert(cfg, lp, xt, act).astype(out.dtype)
         return out.reshape(B, T, E).astype(x.dtype)
 
     def pallas(lp, x):
@@ -112,6 +152,8 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
             act=act,
             mask_mode="scale",
         )
+        if "w_up_shexp" in lp:
+            out = out + _shared_expert(cfg, lp, xt, act).astype(out.dtype)
         return out.reshape(B, T, E).astype(x.dtype)
 
     return {"dense": dense, "pallas": pallas}[mode]

@@ -67,6 +67,281 @@ _LLAMA_TENSORS = {
 }
 
 
+# --------------------------------------------------------------------------
+# Declarative family table (the analogue of convert_hf_to_gguf.py's Model
+# subclasses): each entry maps an HF architecture onto the generic llama
+# tensor layout with overlays, per-family KVs, and optional transforms.
+#
+#   arch          GGUF architecture name (must be in ARCH_REGISTRY)
+#   tmap          overlay on _LLAMA_TENSORS (value None drops a mapping)
+#   permute       override q/k llama-permute (default: rope_mode == "norm")
+#   norm_plus_one gemma/nemotron store norm weights as (w - 1) in HF
+#   kv            fn(writer, arch, cfgj) for extra KVs
+#   moe           "mixtral" | "qwen2moe" style expert tensor collection
+#   split         fn(name_template, data, cfgj) -> list[(hf_template, data)]
+#                 pre-mapping splitter for fused tensors (phi3)
+
+_QNORM_T = {
+    "model.layers.{i}.self_attn.q_norm.weight": "blk.{i}.attn_q_norm.weight",
+    "model.layers.{i}.self_attn.k_norm.weight": "blk.{i}.attn_k_norm.weight",
+}
+
+_GEMMA2_T = {
+    "model.layers.{i}.post_attention_layernorm.weight": "blk.{i}.attn_post_norm.weight",
+    "model.layers.{i}.pre_feedforward_layernorm.weight": "blk.{i}.ffn_norm.weight",
+    "model.layers.{i}.post_feedforward_layernorm.weight": "blk.{i}.ffn_post_norm.weight",
+}
+
+
+def _kv_gemma2(w, a, c):
+    w.add_kv(f"{a}.attention.sliding_window", np.uint32(c.get("sliding_window", 4096)))
+    qpas = c.get("query_pre_attn_scalar")
+    if qpas:
+        w.add_kv(f"{a}.attention.scale", np.float32(qpas ** -0.5))
+
+
+def _kv_gemma3(w, a, c):
+    _kv_gemma2(w, a, c)
+    w.add_kv(f"{a}.rope.freq_base_swa",
+             np.float32(c.get("rope_local_base_freq", 10000.0)))
+
+
+def _kv_granite(w, a, c):
+    w.add_kv(f"{a}.embedding_scale", np.float32(c.get("embedding_multiplier", 1.0)))
+    w.add_kv(f"{a}.residual_scale", np.float32(c.get("residual_multiplier", 1.0)))
+    # granite DIVIDES logits by logits_scaling (src/models/granite.cpp);
+    # store the reciprocal so the runtime multiplier semantics hold
+    w.add_kv(f"{a}.logit_scale", np.float32(1.0 / c.get("logits_scaling", 1.0)))
+    w.add_kv(f"{a}.attention.scale", np.float32(c.get("attention_multiplier", 0.0)))
+
+
+def _kv_cohere(w, a, c):
+    w.add_kv(f"{a}.logit_scale", np.float32(c.get("logit_scale", 1.0)))
+    w.add_kv(f"{a}.attention.layer_norm_epsilon",
+             np.float32(c.get("layer_norm_eps", 1e-5)))
+
+
+def _kv_smollm3(w, a, c):
+    # HF no_rope_layers entries: 1 = rope, 0 = NoPE — store as skip flags
+    nrl = c.get("no_rope_layers")
+    if nrl:
+        w.add_array(f"{a}.nope_layers",
+                    np.asarray([1 - int(x) for x in nrl], np.uint32))
+
+
+def _kv_moe(w, a, c):
+    w.add_kv(f"{a}.expert_count", np.uint32(
+        c.get("num_local_experts") or c.get("num_experts")))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(
+        c.get("num_experts_per_tok", 2)))
+    if "moe_intermediate_size" in c:
+        w.add_kv(f"{a}.expert_feed_forward_length",
+                 np.uint32(c["moe_intermediate_size"]))
+    if "shared_expert_intermediate_size" in c:
+        w.add_kv(f"{a}.expert_shared_feed_forward_length",
+                 np.uint32(c["shared_expert_intermediate_size"]))
+        w.add_kv(f"{a}.expert_shared_count", np.uint32(1))
+    w.add_kv(f"{a}.expert_weights_norm", bool(c.get("norm_topk_prob", True)))
+
+
+def _split_phi3(templ, data, cfgj):
+    E = cfgj["hidden_size"]
+    H = cfgj["num_attention_heads"]
+    Hkv = cfgj.get("num_key_value_heads", H)
+    D = cfgj.get("head_dim") or E // H
+    if templ.endswith("self_attn.qkv_proj.weight"):
+        base = templ.rsplit("qkv_proj", 1)[0]
+        return [
+            (base + "q_proj.weight", data[: H * D]),
+            (base + "k_proj.weight", data[H * D: (H + Hkv) * D]),
+            (base + "v_proj.weight", data[(H + Hkv) * D:]),
+        ]
+    if templ.endswith("mlp.gate_up_proj.weight"):
+        F = cfgj["intermediate_size"]
+        base = templ.rsplit("gate_up_proj", 1)[0]
+        return [
+            (base + "gate_proj.weight", data[:F]),
+            (base + "up_proj.weight", data[F:]),
+        ]
+    return [(templ, data)]
+
+
+_STARCODER2_T = {
+    "model.layers.{i}.input_layernorm.bias": "blk.{i}.attn_norm.bias",
+    "model.layers.{i}.post_attention_layernorm.bias": "blk.{i}.ffn_norm.bias",
+    "model.layers.{i}.self_attn.o_proj.bias": "blk.{i}.attn_output.bias",
+    "model.layers.{i}.mlp.c_fc.weight": "blk.{i}.ffn_up.weight",
+    "model.layers.{i}.mlp.c_fc.bias": "blk.{i}.ffn_up.bias",
+    "model.layers.{i}.mlp.c_proj.weight": "blk.{i}.ffn_down.weight",
+    "model.layers.{i}.mlp.c_proj.bias": "blk.{i}.ffn_down.bias",
+    "model.norm.bias": "output_norm.bias",
+}
+
+_MOE_ROUTER_T = {
+    "model.layers.{i}.mlp.gate.weight": "blk.{i}.ffn_gate_inp.weight",
+    "model.layers.{i}.mlp.shared_expert.gate_proj.weight": "blk.{i}.ffn_gate_shexp.weight",
+    "model.layers.{i}.mlp.shared_expert.up_proj.weight": "blk.{i}.ffn_up_shexp.weight",
+    "model.layers.{i}.mlp.shared_expert.down_proj.weight": "blk.{i}.ffn_down_shexp.weight",
+    "model.layers.{i}.mlp.shared_expert_gate.weight": "blk.{i}.ffn_gate_inp_shexp.weight",
+}
+
+_FAMILIES: dict[str, dict] = {
+    "Qwen3ForCausalLM": dict(arch="qwen3", tmap=_QNORM_T),
+    "GemmaForCausalLM": dict(arch="gemma", norm_plus_one=True),
+    "Gemma2ForCausalLM": dict(arch="gemma2", tmap=_GEMMA2_T,
+                              norm_plus_one=True, kv=_kv_gemma2),
+    "Gemma3ForCausalLM": dict(arch="gemma3", tmap={**_GEMMA2_T, **_QNORM_T},
+                              norm_plus_one=True, kv=_kv_gemma3),
+    "Olmo2ForCausalLM": dict(
+        arch="olmo2",
+        tmap={
+            **_QNORM_T,
+            "model.layers.{i}.input_layernorm.weight": None,
+            "model.layers.{i}.post_attention_layernorm.weight": "blk.{i}.attn_post_norm.weight",
+            "model.layers.{i}.post_feedforward_layernorm.weight": "blk.{i}.ffn_post_norm.weight",
+        },
+    ),
+    "CohereForCausalLM": dict(arch="command-r", permute=False, kv=_kv_cohere),
+    "GraniteForCausalLM": dict(arch="granite", kv=_kv_granite),
+    "Phi3ForCausalLM": dict(arch="phi3", split=_split_phi3),
+    "Starcoder2ForCausalLM": dict(arch="starcoder2", tmap=_STARCODER2_T),
+    "MixtralForCausalLM": dict(
+        arch="mixtral", moe="mixtral", kv=_kv_moe,
+        tmap={"model.layers.{i}.block_sparse_moe.gate.weight": "blk.{i}.ffn_gate_inp.weight"},
+    ),
+    "Qwen2MoeForCausalLM": dict(arch="qwen2moe", moe="qwen2moe", kv=_kv_moe,
+                                tmap=_MOE_ROUTER_T),
+    "OlmoeForCausalLM": dict(arch="olmoe", moe="qwen2moe", kv=_kv_moe,
+                             tmap={**_MOE_ROUTER_T, **_QNORM_T}),
+    "SmolLM3ForCausalLM": dict(arch="smollm3", kv=_kv_smollm3),
+    "Ernie4_5ForCausalLM": dict(arch="ernie4_5"),
+}
+
+# kind letter -> (gguf suffix); mixtral w1=gate, w2=down, w3=up
+_MIXTRAL_KIND = {"1": "gate", "2": "down", "3": "up"}
+
+import re
+
+_MOE_RE = {
+    "mixtral": re.compile(
+        r"model\.layers\.(\d+)\.block_sparse_moe\.experts\.(\d+)\.w([123])\.weight"),
+    "qwen2moe": re.compile(
+        r"model\.layers\.(\d+)\.mlp\.experts\.(\d+)\.(gate|up|down)_proj\.weight"),
+}
+
+
+def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
+                    out_type: str) -> dict:
+    """Generic family conversion driven by the _FAMILIES table."""
+    arch = fam["arch"]
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    H = cfgj["num_attention_heads"]
+    Hkv = cfgj.get("num_key_value_heads", H)
+    F = cfgj["intermediate_size"]
+    V = cfgj["vocab_size"]
+    D = cfgj.get("head_dim") or E // H
+
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    w = GGUFWriter(out_path, arch)
+    w.add_kv(f"{arch}.block_count", np.uint32(L))
+    w.add_kv(f"{arch}.embedding_length", np.uint32(E))
+    w.add_kv(f"{arch}.attention.head_count", np.uint32(H))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.uint32(Hkv))
+    w.add_kv(f"{arch}.feed_forward_length", np.uint32(F))
+    w.add_kv(f"{arch}.vocab_size", np.uint32(V))
+    w.add_kv(f"{arch}.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 4096)))
+    eps = cfgj.get("rms_norm_eps", cfgj.get("layer_norm_epsilon",
+                                            cfgj.get("norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", np.float32(eps))
+    w.add_kv(f"{arch}.rope.freq_base", np.float32(cfgj.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.attention.key_length", np.uint32(D))
+    w.add_kv(f"{arch}.rope.dimension_count", np.uint32(D))
+    rs = cfgj.get("rope_scaling") or {}
+    if rs.get("factor"):
+        w.add_kv(f"{arch}.rope.scaling.type",
+                 str(rs.get("rope_type", rs.get("type", "linear"))))
+        w.add_kv(f"{arch}.rope.scaling.factor", np.float32(rs["factor"]))
+        if rs.get("original_max_position_embeddings"):
+            w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                     np.uint32(rs["original_max_position_embeddings"]))
+    if cfgj.get("sliding_window") and "gemma" not in arch:
+        w.add_kv(f"{arch}.attention.sliding_window",
+                 np.uint32(cfgj["sliding_window"]))
+    if fam.get("kv"):
+        fam["kv"](w, arch, cfgj)
+
+    tmap = dict(_LLAMA_TENSORS)
+    for k, v in fam.get("tmap", {}).items():
+        if v is None:
+            tmap.pop(k, None)
+            tmap[k] = None
+        else:
+            tmap[k] = v
+    permute = fam.get("permute")
+    if permute is None:
+        permute = ARCH_REGISTRY[arch].rope_mode == "norm"
+    plus_one = fam.get("norm_plus_one", False)
+    splitter = fam.get("split")
+    moe_style = fam.get("moe")
+    moe_buf: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        if moe_style:
+            m = _MOE_RE[moe_style].match(name)
+            if m:
+                i, e, kind = int(m.group(1)), int(m.group(2)), m.group(3)
+                if moe_style == "mixtral":
+                    kind = _MIXTRAL_KIND[kind]
+                moe_buf.setdefault((i, kind), {})[e] = data
+                continue
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("model.layers."):
+            i = int(parts[2])
+            templ = ".".join(parts[:2] + ["{i}"] + parts[3:])
+        pieces = splitter(templ, data, cfgj) if splitter else [(templ, data)]
+        for templ2, data2 in pieces:
+            gname = tmap.get(templ2)
+            if gname is None:
+                continue
+            gname = gname.format(i=i) if i is not None else gname
+            if permute and gname.endswith("attn_q.weight"):
+                data2 = permute_rope(data2, H)
+            if permute and gname.endswith("attn_k.weight"):
+                data2 = permute_rope(data2, Hkv)
+            if permute and gname.endswith("attn_q.bias"):
+                data2 = permute_rope(data2[:, None], H)[:, 0]
+            if permute and gname.endswith("attn_k.bias"):
+                data2 = permute_rope(data2[:, None], Hkv)[:, 0]
+            if plus_one and "norm" in gname and data2.ndim == 1:
+                data2 = data2 + 1.0
+            tt = gtype if data2.ndim == 2 and "norm" not in gname else GGMLType.F32
+            if tt == GGMLType.Q8_0 and data2.shape[-1] % 32 != 0:
+                tt = GGMLType.F16
+            w.add_tensor(gname, data2, tt)
+            n += 1
+
+    # stacked expert tensors: (n_expert, F_e, E) up/gate, (n_expert, E, F_e) down
+    if moe_buf:
+        X = cfgj.get("num_local_experts") or cfgj.get("num_experts")
+        for (i, kind), by_e in sorted(moe_buf.items()):
+            assert len(by_e) == X, f"layer {i} {kind}: {len(by_e)} != {X} experts"
+            stacked = np.stack([by_e[e] for e in range(X)])
+            w.add_tensor(f"blk.{i}.ffn_{kind}_exps.weight", stacked,
+                         gtype if gtype != GGMLType.Q8_0 else GGMLType.F16)
+            n += 1
+
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": arch, "n_tensors": n, "n_layer": L}
+
+
 def _iter_hf_tensors(model_dir: Path):
     """Yield (name, np.ndarray f32) from safetensors or torch .bin shards."""
     st_files = sorted(model_dir.glob("*.safetensors"))
@@ -145,6 +420,9 @@ def convert(
     model_dir = Path(model_dir)
     cfgj = json.loads((model_dir / "config.json").read_text())
     hf_arch = (cfgj.get("architectures") or ["LlamaForCausalLM"])[0]
+    if hf_arch in _FAMILIES:
+        return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
+                               out_type)
     if hf_arch not in _ARCH_MAP:
         raise NotImplementedError(f"HF arch {hf_arch} not supported")
     arch = _ARCH_MAP[hf_arch]
