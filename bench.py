@@ -332,12 +332,17 @@ def tiered_main(plat):
 
     rng = np.random.default_rng(7)
     L, F = cfg.n_layer, cfg.n_ff
-    b = np.full((L, F), -7.0, np.float32)
+    R = cfg.max_pred_rank
+    # the pred-LoRA term has logit std ~ 0.6*(0.05*sqrt(E))*sqrt(R/2)
+    # (w scales in build_model); bias offsets must scale with it or the
+    # noise swamps the skew at 1B+ (observed: flat max misses on-chip)
+    sigma = 0.6 * (0.05 * np.sqrt(cfg.n_embd)) * np.sqrt(R / 2)
+    b = np.full((L, F), -4.0 * sigma, np.float32)
     for l in range(L):
         true_hot = rng.choice(ng, size=max(1, ng // 5), replace=False)
         for g in true_hot:
             b[l, g * 128:(g + 1) * 128] = (
-                rng.standard_normal(128).astype(np.float32) * 0.5 - 0.8)
+                rng.standard_normal(128).astype(np.float32) * 0.5 - 0.5) * sigma
     params["layers"]["pred_down_b"] = jnp.asarray(b)
 
     cold = make_cold(cfg, params, scfg)

@@ -280,9 +280,10 @@ class ModelConfig:
             n_expert_shared=int(g("expert_shared_count", 0)),
             n_ff_exp=int(g("expert_feed_forward_length", 0)),
             expert_weights_scale=float(g("expert_weights_scale", 0.0)),
-            expert_gating=(
-                "sigmoid" if int(g("expert_gating_func", 1)) == 2 else "softmax"
-            ),
+            # ref llama-hparams.h: 1=softmax, 2=sigmoid (deepseek3),
+            # 3=softmax over the SELECTED top-k logits (gpt-oss)
+            expert_gating={2: "sigmoid", 3: "softmax_topk"}.get(
+                int(g("expert_gating_func", 1)), "softmax"),
             norm_topk_prob=bool(g("expert_weights_norm", True)),
             sliding_window=int(g("attention.sliding_window", 0)),
             embd_scale=float(g("embedding_scale", 1.0)),

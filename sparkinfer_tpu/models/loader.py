@@ -265,6 +265,11 @@ def load_model(
         gi = _get(r, p + "ffn_gate_inp.weight")  # (X, E)
         if gi is not None:
             add("w_router", np.ascontiguousarray(gi.T))  # (E, X)
+            add("w_router_b", _get(r, p + "ffn_gate_inp.bias"))
+            # gpt-oss per-expert biases
+            add("w_up_exps_b", _get(r, p + "ffn_up_exps.bias"))
+            add("w_gate_exps_b", _get(r, p + "ffn_gate_exps.bias"))
+            add("w_down_exps_b", _get(r, p + "ffn_down_exps.bias"))
             ue = _get(r, p + "ffn_up_exps.weight")  # (X, F, E)
             add("w_up_exps", np.ascontiguousarray(np.swapaxes(ue, -1, -2)))
             ge = _get(r, p + "ffn_gate_exps.weight")

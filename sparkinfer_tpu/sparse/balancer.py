@@ -49,10 +49,15 @@ def reload_plan(
     return pairs
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def _apply_swaps(cache: jnp.ndarray, flat_idx: jnp.ndarray, blocks: jnp.ndarray):
-    """cache (L*H, A, B) flat store; scatter blocks (K, A, B) into
-    rows flat_idx (= l*H + slot)."""
+    """cache (L*H, A, B) flat store; scatter blocks (K, A, B) into rows
+    flat_idx (= l*H + slot). The store is DONATED — without donation XLA
+    copies the whole multi-hundred-MB store per rebalance (measured:
+    ~4.8 s/rebalance at 1B on-chip); in-place it is just the K block DMAs."""
     return cache.at[flat_idx].set(blocks.astype(cache.dtype))
 
 

@@ -59,8 +59,14 @@ def route(cfg: ModelConfig, lp: dict, xt: jnp.ndarray, norm_topk: bool | None = 
     if norm_topk is None:
         norm_topk = cfg.norm_topk_prob
     logits = (xt @ lp["w_router"].astype(xt.dtype)).astype(jnp.float32)  # (N, X)
+    if "w_router_b" in lp:  # gpt-oss router bias (applied to the logits)
+        logits = logits + lp["w_router_b"].astype(jnp.float32)
     if cfg.expert_gating == "sigmoid":
         probs = jax.nn.sigmoid(logits)
+    elif cfg.expert_gating == "softmax_topk":
+        # gpt-oss: select on raw logits, softmax over the k selected
+        # (LLAMA_EXPERT_GATING_FUNC_TYPE_SOFTMAX_WEIGHT)
+        probs = logits
     else:
         probs = jax.nn.softmax(logits, axis=-1)
     sel = probs
@@ -68,6 +74,8 @@ def route(cfg: ModelConfig, lp: dict, xt: jnp.ndarray, norm_topk: bool | None = 
         sel = probs + lp["router_bias"].astype(jnp.float32)
     _, idx = jax.lax.top_k(sel, cfg.n_expert_used)
     w = jnp.take_along_axis(probs, idx, axis=-1)
+    if cfg.expert_gating == "softmax_topk":
+        w = jax.nn.softmax(w, axis=-1)
     if norm_topk:
         w = w / jnp.maximum(w.sum(-1, keepdims=True), 1e-9)
     if cfg.expert_weights_scale:
@@ -107,6 +115,10 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
     ng_e = F // G
     act = cfg.traits.act  # silu for mixtral/qwen-family
 
+    from ..ops.activations import act_fn
+
+    gated, actf = act_fn(act)
+
     def dense(lp, x):
         B, T, _ = x.shape
         xt = x.reshape(B * T, E)
@@ -115,15 +127,18 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
         gate_w = jnp.take(lp["w_gate_exps"], idx, axis=0) if "w_gate_exps" in lp else None
         down_w = jnp.take(lp["w_down_exps"], idx, axis=0)  # (N, k, F, E)
         up = jnp.einsum("ne,nkef->nkf", xt, up_w.astype(xt.dtype))
+        if "w_up_exps_b" in lp:  # gpt-oss expert biases
+            up = up + jnp.take(lp["w_up_exps_b"], idx, axis=0).astype(up.dtype)
         if gate_w is not None:
             gate = jnp.einsum("ne,nkef->nkf", xt, gate_w.astype(xt.dtype))
-            if act == "silu":
-                hidden = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
-            else:
-                hidden = jax.nn.gelu(gate.astype(jnp.float32), approximate=True).astype(up.dtype) * up
+            if "w_gate_exps_b" in lp:
+                gate = gate + jnp.take(lp["w_gate_exps_b"], idx, axis=0).astype(gate.dtype)
+            hidden = actf(gate, up) if gated else actf(up)
         else:
             hidden = jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype)
         out = jnp.einsum("nkf,nkfe->nke", hidden, down_w.astype(hidden.dtype))
+        if "w_down_exps_b" in lp:
+            out = out + jnp.take(lp["w_down_exps_b"], idx, axis=0).astype(out.dtype)
         out = (out * w[..., None].astype(out.dtype)).sum(1)
         if "w_up_shexp" in lp:
             out = out + _shared_expert(cfg, lp, xt, act).astype(out.dtype)

@@ -121,6 +121,46 @@ def _kv_cohere(w, a, c):
              np.float32(c.get("layer_norm_eps", 1e-5)))
 
 
+def _split_gptoss(templ, data, cfgj):
+    """gpt-oss HF experts store gate/up INTERLEAVED in gate_up_proj
+    (X, E, 2F) (even = gate, odd = up); split + transpose to the GGUF
+    expert layouts (X, F, E) up/gate and (X, E, F) down."""
+    if templ.endswith("mlp.experts.gate_up_proj"):
+        return [(templ + ".gate",
+                 np.ascontiguousarray(np.swapaxes(data[..., ::2], -1, -2))),
+                (templ + ".up",
+                 np.ascontiguousarray(np.swapaxes(data[..., 1::2], -1, -2)))]
+    if templ.endswith("mlp.experts.gate_up_proj_bias"):
+        return [(templ + ".gate", np.ascontiguousarray(data[..., ::2])),
+                (templ + ".up", np.ascontiguousarray(data[..., 1::2]))]
+    if templ.endswith("mlp.experts.down_proj"):
+        return [(templ, np.ascontiguousarray(np.swapaxes(data, -1, -2)))]
+    return [(templ, data)]
+
+
+_GPTOSS_T = {
+    "model.layers.{i}.self_attn.sinks": "blk.{i}.attn_sinks.weight",
+    "model.layers.{i}.self_attn.o_proj.bias": "blk.{i}.attn_output.bias",
+    "model.layers.{i}.mlp.router.weight": "blk.{i}.ffn_gate_inp.weight",
+    "model.layers.{i}.mlp.router.bias": "blk.{i}.ffn_gate_inp.bias",
+    "model.layers.{i}.mlp.experts.gate_up_proj.gate": "blk.{i}.ffn_gate_exps.weight",
+    "model.layers.{i}.mlp.experts.gate_up_proj.up": "blk.{i}.ffn_up_exps.weight",
+    "model.layers.{i}.mlp.experts.gate_up_proj_bias.gate": "blk.{i}.ffn_gate_exps.bias",
+    "model.layers.{i}.mlp.experts.gate_up_proj_bias.up": "blk.{i}.ffn_up_exps.bias",
+    "model.layers.{i}.mlp.experts.down_proj": "blk.{i}.ffn_down_exps.weight",
+    "model.layers.{i}.mlp.experts.down_proj_bias": "blk.{i}.ffn_down_exps.bias",
+}
+
+
+def _kv_gptoss(w, a, c):
+    w.add_kv(f"{a}.expert_count", np.uint32(c["num_local_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["num_experts_per_tok"]))
+    # softmax over the selected top-k logits (llama-hparams.h
+    # SOFTMAX_WEIGHT = 3), no top-k renorm
+    w.add_kv(f"{a}.expert_gating_func", np.uint32(3))
+    w.add_kv(f"{a}.expert_weights_norm", False)
+
+
 def _kv_smollm3(w, a, c):
     # HF no_rope_layers entries: 1 = rope, 0 = NoPE — store as skip flags
     nrl = c.get("no_rope_layers")
@@ -214,6 +254,10 @@ _FAMILIES: dict[str, dict] = {
     "OlmoeForCausalLM": dict(arch="olmoe", moe="qwen2moe", kv=_kv_moe,
                              tmap={**_MOE_ROUTER_T, **_QNORM_T}),
     "SmolLM3ForCausalLM": dict(arch="smollm3", kv=_kv_smollm3),
+    "GptOssForCausalLM": dict(arch="gpt-oss", tmap=_GPTOSS_T,
+                              split=_split_gptoss, kv=_kv_gptoss),
+    "Qwen3MoeForCausalLM": dict(arch="qwen3moe", moe="qwen2moe", kv=_kv_moe,
+                                tmap={**_MOE_ROUTER_T, **_QNORM_T}),
     "Ernie4_5ForCausalLM": dict(arch="ernie4_5"),
 }
 

@@ -69,6 +69,14 @@ def _families():
         "smollm3": (T.SmolLM3ForCausalLM, _cfg(
             T.SmolLM3Config, num_hidden_layers=4, pad_token_id=0)),
         "ernie4_5": (T.Ernie4_5ForCausalLM, _cfg(T.Ernie4_5Config)),
+        "gpt-oss": (T.GptOssForCausalLM, _cfg(
+            T.GptOssConfig, head_dim=16, num_local_experts=4,
+            num_experts_per_tok=2, sliding_window=16, rope_scaling=None,
+            num_hidden_layers=3, intermediate_size=64)),
+        "qwen3moe": (T.Qwen3MoeForCausalLM, _cfg(
+            T.Qwen3MoeConfig, head_dim=16, num_experts=4,
+            num_experts_per_tok=2, moe_intermediate_size=48,
+            decoder_sparse_step=1, mlp_only_layers=[])),
     }
 
 
