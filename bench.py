@@ -29,7 +29,10 @@ import numpy as np
 CHUNK = 64  # decode steps fused into one dispatch
 
 
-def build_model(preset: str):
+def build_model(preset: str, host_ffn: bool = False):
+    """host_ffn=True also returns {name: np.float16} host copies of the
+    FFN weights (for the tiered ColdStore) so no device->host readback of
+    GB-scale tensors rides the relay."""
     import jax.numpy as jnp
 
     from sparkinfer_tpu.models.config import ModelConfig
@@ -50,16 +53,23 @@ def build_model(preset: str):
                       pred_lora=(R,) * L)
     rng = np.random.default_rng(0)
 
-    def w(*shape, scale=0.02, dtype=jnp.bfloat16):
+    host_copies = {}
+
+    def w(*shape, scale=0.02, dtype=jnp.bfloat16, host_key=None):
         # f32 RNG directly (f64 default doubles host time/memory at 7B scale)
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale, dtype)
+        a = rng.standard_normal(shape, dtype=np.float32) * scale
+        if host_ffn and host_key:
+            host_copies[host_key] = a.astype(np.float16)
+        return jnp.asarray(a, dtype)
 
     layers = {
         "attn_norm_w": jnp.ones((L, E), jnp.float32),
         "ffn_norm_w": jnp.ones((L, E), jnp.float32),
         "wq": w(L, E, H * D), "wk": w(L, E, Hkv * D), "wv": w(L, E, Hkv * D),
         "wo": w(L, H * D, E),
-        "w_up": w(L, E, F), "w_gate": w(L, E, F), "w_down": w(L, F, E),
+        "w_up": w(L, E, F, host_key="w_up"),
+        "w_gate": w(L, E, F, host_key="w_gate"),
+        "w_down": w(L, F, E, host_key="w_down"),
         # predictor biased so ~12% of neurons fire (ProSparse-like rates);
         # bf16 storage (compute is f32 inside predict_activations)
         "pred_up": w(L, E, R, scale=0.05),
@@ -74,6 +84,8 @@ def build_model(preset: str):
         "output": w(E, V),
         "layers": layers,
     }
+    if host_ffn:
+        return cfg, params, host_copies
     return cfg, params
 
 
@@ -204,9 +216,9 @@ def build_sparse(cfg, params, preset, plat):
     return sparse_fwd, sparams, dense_prefill
 
 
-def make_cold(cfg, params, scfg):
-    """Host-side neuron-major rows (ColdStore, f16 by default) built from
-    the dense column weights. Frees nothing on device."""
+def make_cold(cfg, host_ffn, scfg):
+    """Host-side neuron-major rows (ColdStore, f16) from the host copies
+    build_model kept — no GB-scale device->host readback on the relay."""
     from sparkinfer_tpu.sparse.tiering import ColdStore
 
     L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
@@ -214,13 +226,13 @@ def make_cold(cfg, params, scfg):
     ng = F // G
     rows = {}
     for k in ("w_up", "w_gate", "w_down"):
-        wnp = np.asarray(params["layers"][k]).astype(np.float32)
+        wnp = host_ffn[k]
         if k == "w_down":  # (L, F, E): already neuron-major rows
             rows[k + "_rows"] = wnp.reshape(L, ng, G, E)
         else:  # (L, E, F) -> (L, F, E) -> (L, ng, G, E)
             rows[k + "_rows"] = np.ascontiguousarray(
                 wnp.transpose(0, 2, 1)).reshape(L, ng, G, E)
-    return ColdStore(cfg, scfg, rows)
+    return ColdStore(cfg, scfg, rows, dtype=np.float16)
 
 
 class TieredPath:
@@ -316,7 +328,7 @@ def tiered_main(plat):
     from sparkinfer_tpu.sparse import SparseConfig
 
     preset = "1b" if plat == "tpu" else "tiny"
-    cfg, params = build_model(preset)
+    cfg, params, host_ffn = build_model(preset, host_ffn=True)
     S = 1024
     n_rounds = 6 if plat == "tpu" else 3
     ng = cfg.n_ff // 128
@@ -345,7 +357,8 @@ def tiered_main(plat):
                 rng.standard_normal(128).astype(np.float32) * 0.5 - 0.5) * sigma
     params["layers"]["pred_down_b"] = jnp.asarray(b)
 
-    cold = make_cold(cfg, params, scfg)
+    cold = make_cold(cfg, host_ffn, scfg)
+    del host_ffn
     print(f"# cold store: {cold.dtype} "
           f"{(cold.up.nbytes + cold.gate.nbytes + cold.down.nbytes) / 1e9:.2f} GB host",
           file=sys.stderr)

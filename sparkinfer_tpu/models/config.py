@@ -191,6 +191,13 @@ class ModelConfig:
     rope_freq_base_swa: float = 0.0
     # per-layer NoPE flags (smollm3: every 4th layer skips rope)
     nope_layers: tuple[int, ...] = ()
+    # MLA (deepseek2/3): low-rank latent attention geometry
+    # (ref: src/models/deepseek2.cpp, llama-hparams n_lora_q/n_lora_kv)
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    v_head_dim: int = 0  # != head_dim under MLA (value width)
+    # number of dense (non-MoE) leading layers (first_k_dense_replace)
+    n_dense_lead: int = 0
     fatrelu_threshold: float = 0.0
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     ssm_d_conv: int = 0
@@ -244,6 +251,10 @@ class ModelConfig:
         if n_head == 0:  # recurrent archs carry no attention heads
             n_head = 1
         n_head_kv = int(g("attention.head_count_kv", n_head))
+        if int(g("attention.kv_lora_rank", 0) or 0) > 0:
+            # MLA decompresses K/V per query head; the naive cache stores
+            # all n_head heads regardless of the GGUF's head_count_kv
+            n_head_kv = n_head
         head_dim = int(g("attention.key_length", n_embd // n_head))
         tokens = r.kv.get("tokenizer.ggml.tokens")
         n_vocab = int(g("vocab_size", len(tokens) if tokens is not None else 0))
@@ -294,6 +305,10 @@ class ModelConfig:
             nope_layers=tuple(
                 int(x) for x in (g("nope_layers") if g("nope_layers") is not None else ())
             ),
+            q_lora_rank=int(g("attention.q_lora_rank", 0) or 0),
+            kv_lora_rank=int(g("attention.kv_lora_rank", 0) or 0),
+            v_head_dim=int(g("attention.value_length", 0) or 0),
+            n_dense_lead=int(g("leading_dense_block_count", 0) or 0),
             ssm_d_conv=int(g("ssm.conv_kernel", 0)),
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),

@@ -217,18 +217,38 @@ def load_model(
     max_rank = cfg.max_pred_rank
 
     per_layer: dict[str, list[np.ndarray]] = {}
+    per_layer_idx: dict[str, list[int]] = {}
+    _cur = [0]
 
     def add(key: str, arr: np.ndarray | None):
         if arr is not None:
             per_layer.setdefault(key, []).append(arr)
+            per_layer_idx.setdefault(key, []).append(_cur[0])
 
     for i in range(L):
+        _cur[0] = i
         p = f"blk.{i}."
         add("attn_norm_w", _get(r, p + "attn_norm.weight"))
         add("attn_norm_b", _get(r, p + "attn_norm.bias"))
         add("attn_norm2_w", _get(r, p + "attn_norm_2.weight"))
         add("attn_norm2_b", _get(r, p + "attn_norm_2.bias"))
-        if tr.fused_qkv:
+        if cfg.kv_lora_rank > 0:
+            # MLA (deepseek2): low-rank latent projections replace wk/wv
+            # (ref llama-model.cpp DEEPSEEK2 attn_q_a/attn_kv_a_mqa/...)
+            Rkv = cfg.kv_lora_rank
+            Dr = cfg.rope_dim
+            Dv = cfg.v_head_dim or D
+            if cfg.q_lora_rank > 0:
+                add("wq_a", _lin(p + "attn_q_a.weight", E, cfg.q_lora_rank))
+                add("q_a_norm_w", _get(r, p + "attn_q_a_norm.weight"))
+                add("wq_b", _lin(p + "attn_q_b.weight", cfg.q_lora_rank, H * D))
+            else:
+                add("wq", _lin(p + "attn_q.weight", E, H * D))
+            add("wkv_a", _lin(p + "attn_kv_a_mqa.weight", E, Rkv + Dr))
+            add("kv_a_norm_w", _get(r, p + "attn_kv_a_norm.weight"))
+            add("wkv_b", _lin(p + "attn_kv_b.weight", Rkv, H * (D - Dr + Dv)))
+            wq = wk = wv = bq = bk = bv = None
+        elif tr.fused_qkv:
             wqkv = _linear(r, p + "attn_qkv.weight", E, (H + 2 * Hkv) * D)
             bqkv = _get(r, p + "attn_qkv.bias")
             wq, wk, wv, bq, bk, bv = _split_fused_qkv(wqkv, bqkv, cfg)
@@ -252,7 +272,8 @@ def load_model(
         add("attn_k_norm_b", _get(r, p + "attn_k_norm.bias"))
         # gpt-oss learned attention sinks (per-head logits)
         add("attn_sinks", _get(r, p + "attn_sinks.weight"))
-        add("wo", _lin(p + "attn_output.weight", H * D, E))
+        wo_in = H * (cfg.v_head_dim or D) if cfg.kv_lora_rank > 0 else H * D
+        add("wo", _lin(p + "attn_output.weight", wo_in, E))
         add("bo", _get(r, p + "attn_output.bias"))
         # post-norms (gemma2 sandwich, olmo2 post-norm-only)
         add("attn_post_norm_w", _get(r, p + "attn_post_norm.weight"))
@@ -318,27 +339,45 @@ def load_model(
             add("pred_down", pd)
             add("pred_down_b", pdb if pdb is not None else np.zeros(F, np.float32))
 
-    layers: Params = {}
-    for k, arrs in per_layer.items():
-        assert len(arrs) == L, f"{k}: {len(arrs)} != {L} layers"
+    def _stack(k: str, arrs: list):
         if isinstance(arrs[0], tuple) and arrs[0][0] == "quant":
             from ..ops.quant_matmul import QuantTensor
 
             kind = arrs[0][1]
             assert all(a[1] == kind for a in arrs), f"{k}: mixed quant kinds"
-            qt = QuantTensor(
+            return put(f"layers.{k}", QuantTensor(
                 jnp.asarray(np.stack([a[2] for a in arrs])),
                 jnp.asarray(np.stack([a[3] for a in arrs])),
                 kind,
-            )
-            layers[k] = put(f"layers.{k}", qt)
-            continue
+            ))
         stacked = np.stack(arrs)
         want = (jnp.float32 if ("norm" in k or k.startswith("b")
                                 or k in ("router_bias", "attn_sinks"))
                 else dtype)
-        layers[k] = put(f"layers.{k}", _as_jnp(stacked, want))
-    params["layers"] = layers
+        return put(f"layers.{k}", _as_jnp(stacked, want))
+
+    if all(len(a) == L for a in per_layer.values()):
+        params["layers"] = {k: _stack(k, arrs) for k, arrs in per_layer.items()}
+    else:
+        # Heterogeneous layers (deepseek2 first_k_dense_replace: leading
+        # dense FFN layers, MoE for the rest): group contiguous runs of
+        # identical tensor signatures into separate stacks the forward
+        # scans sequentially (params["layer_segments"]).
+        sigs = [frozenset(k for k, idxs in per_layer_idx.items() if i in set(idxs))
+                for i in range(L)]
+        segments = []
+        start = 0
+        for i in range(1, L + 1):
+            if i == L or sigs[i] != sigs[start]:
+                seg = {}
+                for k in sorted(sigs[start]):
+                    idxs = per_layer_idx[k]
+                    arrs = [per_layer[k][idxs.index(j)] for j in range(start, i)]
+                    seg[k] = _stack(k, arrs)
+                segments.append(seg)
+                start = i
+        params["layers"] = segments[0]  # compat: first stack
+        params["layer_segments"] = segments
 
     model = LoadedModel(config=cfg, params=params)
     try:

@@ -191,6 +191,73 @@ def attention(
     return out, kc, vc, ks, vs
 
 
+def attention_mla(
+    cfg: ModelConfig,
+    lp: dict,
+    x: jnp.ndarray,  # (B, T, E) already normed
+    positions: jnp.ndarray,
+    kc: jnp.ndarray,
+    vc: jnp.ndarray,
+    ks: jnp.ndarray | None,
+    vs: jnp.ndarray | None,
+    rp: RopeParams,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
+    """Multi-head Latent Attention (deepseek2/3 — ref src/models/
+    deepseek2.cpp): queries and keys are [nope; rope] splits, K/V are
+    decompressed from a shared low-rank latent (kv_lora_rank) plus one
+    shared rope'd key head.
+
+    This is the NAIVE (decompressed) form: the cache stores full per-head
+    K (head_dim wide) and V zero-padded to head_dim — correct and simple;
+    the absorbed latent-cache variant (cache = c_kv + k_pe only,
+    kv_lora+rope bytes/token independent of n_head) is the optimization
+    path."""
+    B, T, _ = x.shape
+    eps = cfg.norm_eps
+    H = cfg.n_head
+    Dk = cfg.head_dim  # qk_nope + qk_rope
+    Dr = cfg.rope_dim  # qk_rope_head_dim
+    Dn = Dk - Dr
+    Dv = cfg.v_head_dim or Dk
+    R = cfg.kv_lora_rank
+
+    if "wq_a" in lp:
+        qa = rms_norm(mm(x, lp["wq_a"]), lp["q_a_norm_w"], eps)
+        q = mm(qa, lp["wq_b"]).reshape(B, T, H, Dk)
+    else:  # deepseek2-lite: direct q projection
+        q = mm(x, lp["wq"]).reshape(B, T, H, Dk)
+    q_nope, q_pe = q[..., :Dn], q[..., Dn:]
+
+    kv_a = mm(x, lp["wkv_a"])  # (B, T, R + Dr)
+    c_kv, k_pe = kv_a[..., :R], kv_a[..., R:]
+    c_kv = rms_norm(c_kv, lp["kv_a_norm_w"], eps)
+    kvb = mm(c_kv, lp["wkv_b"]).reshape(B, T, H, Dn + Dv)
+    k_nope, v = kvb[..., :Dn], kvb[..., Dn:]
+
+    q_pe = apply_rope(q_pe, positions, rp)
+    k_pe = apply_rope(k_pe[:, :, None, :], positions, rp)  # one shared head
+    q = jnp.concatenate([q_nope, q_pe], -1)
+    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (Dr,))], -1)
+    v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, Dk - Dv))) if Dv < Dk else v
+
+    kc, ks = write_layer(kc, ks, k, positions)
+    vc, vs = write_layer(vc, vs, v_pad, positions)
+    keys = read_layer(kc, ks, q.dtype)  # (B, S, H, Dk)
+    vals = read_layer(vc, vs, q.dtype)
+
+    S = kc.shape[1]
+    scores = jnp.einsum("bthd,bshd->bhts", q, keys,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (Dk ** -0.5)
+    s_idx = jnp.arange(S, dtype=jnp.int32)
+    mask = s_idx[None, None, :] <= positions[:, :, None]
+    scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, vals)[..., :Dv]
+    out = out.reshape(B, T, H * Dv)
+    return mm(out, lp["wo"]), kc, vc, ks, vs
+
+
 def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None):
     """q (B,T,H,D), k/v (B,T,Hkv,D) -> (B,T,H,D); causal within chunk
     (bidirectional when causal=False). Uses the Pallas TPU flash kernel
@@ -260,7 +327,13 @@ def make_forward(
     if ffn_fn is None and cfg.n_expert > 0:
         from ..sparse.moe import make_moe_ffn
 
-        ffn = make_moe_ffn(cfg, mode="dense")
+        _moe_f = make_moe_ffn(cfg, mode="dense")
+        _dense_f = dense_ffn(cfg)
+
+        def ffn(lp, x):
+            # per-segment dispatch: deepseek2-style leading dense layers
+            # (first_k_dense_replace) carry plain FFN tensors, the rest MoE
+            return _moe_f(lp, x) if "w_router" in lp else _dense_f(lp, x)
     else:
         ffn = ffn_fn or dense_ffn(cfg)
     eps = cfg.norm_eps
@@ -317,9 +390,13 @@ def make_forward(
             # attn_norm/ffn_norm tensors — attention reads the raw residual)
             h = (_norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
                  if "attn_norm_w" in lp else x)
-            attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp,
-                                                 fresh_prefill=fresh_prefill,
-                                                 causal=causal, rp_swa=rp_swa)
+            if cfg.kv_lora_rank > 0:
+                attn_out, kc, vc, ks, vs = attention_mla(
+                    cfg, lp, h, positions, kc, vc, ks, vs, rp)
+            else:
+                attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp,
+                                                     fresh_prefill=fresh_prefill,
+                                                     causal=causal, rp_swa=rp_swa)
             if ks is None:
                 ks, vs = empty_ks, empty_vs
             if "attn_post_norm_w" in lp:  # gemma2 sandwich / olmo2 post-norm
@@ -388,8 +465,28 @@ def make_forward(
                 lp, kc, vc, ks_, vs_, fs, il = t
                 return body(carry, lp, kc, vc, ks_, vs_, fs, il)
 
-            xs = (layers, cache.k, cache.v, pack(ks), pack(vs), pack(fstate), layer_ids)
-            x, (k_new, v_new, ks_new, vs_new, fs_new) = jax.lax.scan(scan_body, x, xs)
+            segments = params.get("layer_segments")
+            if segments is not None:
+                # heterogeneous stacks (deepseek2 leading-dense + MoE):
+                # one scan per contiguous run of same-signature layers,
+                # cache sliced by static layer offsets and re-concatenated
+                off = 0
+                outs = []
+                for seg in segments:
+                    n = jax.tree_util.tree_leaves(seg)[0].shape[0]
+                    sl = slice(off, off + n)
+                    xs = (seg, cache.k[sl], cache.v[sl], pack(ks)[sl],
+                          pack(vs)[sl], pack(fstate)[sl], layer_ids[sl])
+                    x, seg_out = jax.lax.scan(scan_body, x, xs)
+                    outs.append(seg_out)
+                    off += n
+                k_new, v_new, ks_new, vs_new, fs_new = (
+                    jax.tree_util.tree_map(
+                        lambda *xs_: jnp.concatenate(xs_, 0), *outs)
+                    if len(outs) > 1 else outs[0])
+            else:
+                xs = (layers, cache.k, cache.v, pack(ks), pack(vs), pack(fstate), layer_ids)
+                x, (k_new, v_new, ks_new, vs_new, fs_new) = jax.lax.scan(scan_body, x, xs)
 
         if quantized:
             new_cache = KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)

@@ -161,6 +161,40 @@ def _kv_gptoss(w, a, c):
     w.add_kv(f"{a}.expert_weights_norm", False)
 
 
+_DEEPSEEK2_T = {
+    "model.layers.{i}.self_attn.q_a_proj.weight": "blk.{i}.attn_q_a.weight",
+    "model.layers.{i}.self_attn.q_a_layernorm.weight": "blk.{i}.attn_q_a_norm.weight",
+    "model.layers.{i}.self_attn.q_b_proj.weight": "blk.{i}.attn_q_b.weight",
+    "model.layers.{i}.self_attn.kv_a_proj_with_mqa.weight": "blk.{i}.attn_kv_a_mqa.weight",
+    "model.layers.{i}.self_attn.kv_a_layernorm.weight": "blk.{i}.attn_kv_a_norm.weight",
+    "model.layers.{i}.self_attn.kv_b_proj.weight": "blk.{i}.attn_kv_b.weight",
+    "model.layers.{i}.mlp.gate.weight": "blk.{i}.ffn_gate_inp.weight",
+    "model.layers.{i}.mlp.gate.e_score_correction_bias": "blk.{i}.exp_probs_b.bias",
+    "model.layers.{i}.mlp.shared_experts.gate_proj.weight": "blk.{i}.ffn_gate_shexp.weight",
+    "model.layers.{i}.mlp.shared_experts.up_proj.weight": "blk.{i}.ffn_up_shexp.weight",
+    "model.layers.{i}.mlp.shared_experts.down_proj.weight": "blk.{i}.ffn_down_shexp.weight",
+}
+
+
+def _kv_deepseek2(w, a, c):
+    if c.get("q_lora_rank"):
+        w.add_kv(f"{a}.attention.q_lora_rank", np.uint32(c["q_lora_rank"]))
+    w.add_kv(f"{a}.attention.kv_lora_rank", np.uint32(c["kv_lora_rank"]))
+    w.add_kv(f"{a}.attention.value_length", np.uint32(c["v_head_dim"]))
+    w.add_kv(f"{a}.leading_dense_block_count",
+             np.uint32(c.get("first_k_dense_replace", 0)))
+    w.add_kv(f"{a}.expert_count", np.uint32(c["n_routed_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["num_experts_per_tok"]))
+    w.add_kv(f"{a}.expert_feed_forward_length",
+             np.uint32(c["moe_intermediate_size"]))
+    w.add_kv(f"{a}.expert_shared_count", np.uint32(c.get("n_shared_experts", 0)))
+    w.add_kv(f"{a}.expert_weights_scale",
+             np.float32(c.get("routed_scaling_factor", 1.0)))
+    w.add_kv(f"{a}.expert_weights_norm", bool(c.get("norm_topk_prob", False)))
+    w.add_kv(f"{a}.expert_gating_func",
+             np.uint32(2 if c.get("scoring_func") == "sigmoid" else 1))
+
+
 def _kv_smollm3(w, a, c):
     # HF no_rope_layers entries: 1 = rope, 0 = NoPE — store as skip flags
     nrl = c.get("no_rope_layers")
@@ -258,6 +292,18 @@ _FAMILIES: dict[str, dict] = {
                               split=_split_gptoss, kv=_kv_gptoss),
     "Qwen3MoeForCausalLM": dict(arch="qwen3moe", moe="qwen2moe", kv=_kv_moe,
                                 tmap={**_MOE_ROUTER_T, **_QNORM_T}),
+    # permute=False: MLA q is [nope;pe] per head — the llama q/k permute
+    # would scramble the split (rope rides only the pe slice)
+    "DeepseekV2ForCausalLM": dict(
+        arch="deepseek2", moe="qwen2moe", kv=_kv_deepseek2, tmap=_DEEPSEEK2_T,
+        permute=False,
+        head_dim=lambda c: c["qk_nope_head_dim"] + c["qk_rope_head_dim"],
+        rope_dim=lambda c: c["qk_rope_head_dim"]),
+    "DeepseekV3ForCausalLM": dict(
+        arch="deepseek2", moe="qwen2moe", kv=_kv_deepseek2, tmap=_DEEPSEEK2_T,
+        permute=False,
+        head_dim=lambda c: c["qk_nope_head_dim"] + c["qk_rope_head_dim"],
+        rope_dim=lambda c: c["qk_rope_head_dim"]),
     "Ernie4_5ForCausalLM": dict(arch="ernie4_5"),
 }
 
@@ -301,9 +347,12 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
     eps = cfgj.get("rms_norm_eps", cfgj.get("layer_norm_epsilon",
                                             cfgj.get("norm_epsilon", 1e-5)))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", np.float32(eps))
+    if "head_dim" in fam:
+        D = fam["head_dim"](cfgj)
     w.add_kv(f"{arch}.rope.freq_base", np.float32(cfgj.get("rope_theta", 10000.0)))
     w.add_kv(f"{arch}.attention.key_length", np.uint32(D))
-    w.add_kv(f"{arch}.rope.dimension_count", np.uint32(D))
+    w.add_kv(f"{arch}.rope.dimension_count",
+             np.uint32(fam["rope_dim"](cfgj) if "rope_dim" in fam else D))
     rs = cfgj.get("rope_scaling") or {}
     if rs.get("factor"):
         w.add_kv(f"{arch}.rope.scaling.type",
@@ -373,7 +422,8 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
 
     # stacked expert tensors: (n_expert, F_e, E) up/gate, (n_expert, E, F_e) down
     if moe_buf:
-        X = cfgj.get("num_local_experts") or cfgj.get("num_experts")
+        X = (cfgj.get("num_local_experts") or cfgj.get("num_experts")
+             or cfgj.get("n_routed_experts"))
         for (i, kind), by_e in sorted(moe_buf.items()):
             assert len(by_e) == X, f"layer {i} {kind}: {len(by_e)} != {X} experts"
             stacked = np.stack([by_e[e] for e in range(X)])

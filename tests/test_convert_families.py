@@ -77,6 +77,26 @@ def _families():
             T.Qwen3MoeConfig, head_dim=16, num_experts=4,
             num_experts_per_tok=2, moe_intermediate_size=48,
             decoder_sparse_step=1, mlp_only_layers=[])),
+        # deepseek2-lite flavor: MLA without q-lora, 1 leading dense layer,
+        # shared experts, softmax gating + routed scaling
+        "deepseek2": (T.DeepseekV2ForCausalLM, _cfg(
+            T.DeepseekV2Config, num_hidden_layers=3, q_lora_rank=None,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48, n_shared_experts=1,
+            first_k_dense_replace=1, moe_layer_freq=1,
+            routed_scaling_factor=1.5, topk_method="greedy", n_group=1,
+            topk_group=1, rope_scaling=None, attention_bias=False)),
+        # deepseek3 flavor: q-lora + sigmoid gating + score-correction bias
+        "deepseek3": (T.DeepseekV3ForCausalLM, _cfg(
+            T.DeepseekV3Config, num_hidden_layers=3, q_lora_rank=24,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, n_routed_experts=8, num_experts_per_tok=2,
+            moe_intermediate_size=48, n_shared_experts=1,
+            first_k_dense_replace=1, moe_layer_freq=1,
+            routed_scaling_factor=2.0, scoring_func="sigmoid",
+            norm_topk_prob=True, n_group=1, topk_group=1,
+            rope_scaling=None, attention_bias=False)),
     }
 
 
@@ -91,7 +111,7 @@ def test_family_logit_parity(family, tmp_path):
 
     out = tmp_path / "m.gguf"
     info = convert(str(d), str(out), out_type="f32")
-    assert info["arch"] == family
+    assert info["arch"] == family.replace("deepseek3", "deepseek2")
 
     model = load_model(str(out), dtype=jnp.float32)
     cfg = model.config
