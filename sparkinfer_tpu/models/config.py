@@ -37,6 +37,8 @@ class ArchTraits:
     # gemma2-style attention logit soft-capping (cap*tanh(s/cap), applied
     # pre-mask; ref: llama-graph.cpp build_attn_mha attn_soft_cap)
     attn_logit_softcap: float = 0.0
+    # ALiBi positional bias (bloom/mpt — ref ggml_soft_max_ext max_bias)
+    alibi: bool = False
     # gemma family scales embeddings by sqrt(n_embd)
     embd_scale_sqrt: bool = False
     # every Nth layer is full-attention, the others sliding-window
@@ -131,7 +133,9 @@ _reg(ArchTraits("deepseek2", ))  # NORM rope (ref rope-type switch)
 # WITHOUT the llama q/k permute (HF cohere is natively interleaved), and
 # a logit_scale multiplier (ref src/models/command-r.cpp, cohere2.cpp)
 _reg(ArchTraits("command-r", norm="ln", parallel_blocks=True))
-_reg(ArchTraits("cohere2", norm="ln", parallel_blocks=True))
+# cohere2: 3 sliding+rope layers then 1 global rope-less layer
+# (ref src/models/cohere2-iswa.cpp)
+_reg(ArchTraits("cohere2", norm="ln", parallel_blocks=True, swa_pattern=4))
 _reg(ArchTraits("olmoe", rope_mode="neox"))
 _reg(ArchTraits("smollm3", ))
 _reg(ArchTraits("granitemoe", ))
@@ -144,6 +148,15 @@ _reg(ArchTraits("nemotron", norm="ln", act="relu2", norm_bias=True,
                 rope_mode="neox"))
 _reg(ArchTraits("ernie4_5", ))
 _reg(ArchTraits("exaone4", rope_mode="neox"))
+_reg(ArchTraits("gptneox", norm="ln", act="gelu", rope_mode="neox",
+                norm_bias=True, qkv_bias=True, attn_out_bias=True,
+                ffn_bias=True, parallel_blocks=True))
+_reg(ArchTraits("bloom", norm="ln", act="gelu", rope_mode="none",
+                norm_bias=True, qkv_bias=True, attn_out_bias=True,
+                ffn_bias=True, alibi=True))
+_reg(ArchTraits("mpt", norm="ln", act="gelu", rope_mode="none", alibi=True))
+_reg(ArchTraits("gptj", norm="ln", act="gelu", norm_bias=True,
+                ffn_bias=True, parallel_blocks=True))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))

@@ -195,6 +195,13 @@ def load_model(
     params: Params = {}
     tok = _get(r, "token_embd.weight")
     params["tok_embd"] = put("tok_embd", _as_jnp(tok, dtype))
+    # bloom-style post-embedding LayerNorm
+    tn = _get(r, "token_embd_norm.weight")
+    if tn is not None:
+        params["tok_norm_w"] = put("tok_norm_w", _as_jnp(tn, jnp.float32))
+        tnb = _get(r, "token_embd_norm.bias")
+        if tnb is not None:
+            params["tok_norm_b"] = put("tok_norm_b", _as_jnp(tnb, jnp.float32))
     if tr.pos_embd:
         params["pos_embd"] = put("pos_embd", _as_jnp(_get(r, "position_embd.weight"), dtype))
     params["output_norm_w"] = put("output_norm_w", _as_jnp(_get(r, "output_norm.weight"), jnp.float32))
@@ -205,6 +212,9 @@ def load_model(
     if out_w is None:
         out_w = np.ascontiguousarray(tok.T)  # tied embeddings
     params["output"] = put("output", _pack(out_w, dtype))
+    ob = _get(r, "output.bias")  # gptj lm_head bias
+    if ob is not None:
+        params["output_b"] = put("output_b", _as_jnp(ob, jnp.float32))
     # classification head for rank pooling / rerankers
     # (ref: llama-model.cpp cls/cls_b/cls_out/cls_out_b -> build_pooling)
     for nm, key in (("cls.weight", "cls_w"), ("cls.bias", "cls_b"),

@@ -49,6 +49,20 @@ def _norm(x, w, b, kind: str, eps: float):
     return layer_norm(x, w, b, eps)
 
 
+def alibi_slopes(n_head: int) -> list[float]:
+    """Standard ALiBi per-head slopes (bloom/mpt; ref ggml soft_max_ext
+    max_bias path: m0 = 2^(-8/n), interleaved extras for non-powers)."""
+    import math
+
+    n = 2 ** math.floor(math.log2(n_head))
+    m0 = 2.0 ** (-8.0 / n)
+    slopes = [m0 ** (i + 1) for i in range(n)]
+    if n < n_head:
+        m1 = 2.0 ** (-4.0 / n)
+        slopes += [m1 ** (2 * i + 1) for i in range(n_head - n)]
+    return slopes[:n_head]
+
+
 def dense_ffn(cfg: ModelConfig):
     gated, f = act_fn(cfg.traits.act, cfg.fatrelu_threshold)
 
@@ -138,7 +152,7 @@ def attention(
     sinks = lp.get("attn_sinks")
 
     if (fresh_prefill or not causal) and cfg.sliding_window <= 0 \
-            and softcap == 0.0 and sinks is None:
+            and softcap == 0.0 and sinks is None and not tr.alibi:
         # prompt-from-scratch: every relevant key IS in this chunk
         # (positions are 0..T-1), so attend over the chunk directly instead
         # of the S-sized cache — O(T^2) not O(T*S), and on TPU the fused
@@ -163,6 +177,10 @@ def attention(
         # gemma2 attention soft-capping (pre-mask)
         scores = softcap * jnp.tanh(scores / softcap)
     s_idx = jnp.arange(S, dtype=jnp.int32)
+    if tr.alibi:
+        sl = jnp.asarray(alibi_slopes(H), jnp.float32).reshape(Hkv, g)
+        rel = (s_idx[None, None, :] - positions[:, :, None]).astype(jnp.float32)
+        scores = scores + sl[None, :, :, None, None] * rel[:, None, None, :, :]
     mask = s_idx[None, None, :] <= positions[:, :, None]  # (B, T, S)
     if cfg.sliding_window > 0:
         win = cfg.sliding_window
@@ -365,6 +383,9 @@ def make_forward(
             x = x * jnp.asarray(cfg.embd_scale, x.dtype)
         if tr.pos_embd:
             x = x + params["pos_embd"][positions + tr.pos_embd_offset]
+        if "tok_norm_w" in params:  # bloom post-embedding LayerNorm
+            x = _norm(x, params["tok_norm_w"], params.get("tok_norm_b"),
+                      tr.norm, eps)
 
         layers = params["layers"]
         if swa_flags is not None:
@@ -502,6 +523,8 @@ def make_forward(
             logits = jnp.einsum(
                 "bte,ev->btv", x, out_w, preferred_element_type=jnp.float32
             )
+        if "output_b" in params:  # gptj lm_head bias
+            logits = logits + params["output_b"]
         if cfg.logit_scale != 1.0:  # cohere/granite logit multiplier
             logits = logits * cfg.logit_scale
         if tr.final_logit_softcap > 0:

@@ -161,6 +161,147 @@ def _kv_gptoss(w, a, c):
     w.add_kv(f"{a}.expert_weights_norm", False)
 
 
+def _split_headwise_qkv(templ, data, cfgj, fused_name):
+    """(H, 3, D) head-interleaved fused qkv (gptneox/bloom) -> q/k/v."""
+    if not templ.endswith(fused_name + ".weight") and \
+            not templ.endswith(fused_name + ".bias"):
+        return [(templ, data)]
+    H = cfgj["num_attention_heads"]
+    E = cfgj["hidden_size"]
+    D = E // H
+    base, kind = templ.rsplit(fused_name, 1)
+    if kind == ".weight":
+        w = data.reshape(H, 3, D, E)
+        return [(base + "q.weight", np.ascontiguousarray(w[:, 0].reshape(H * D, E))),
+                (base + "k.weight", np.ascontiguousarray(w[:, 1].reshape(H * D, E))),
+                (base + "v.weight", np.ascontiguousarray(w[:, 2].reshape(H * D, E)))]
+    b = data.reshape(H, 3, D)
+    return [(base + "q.bias", np.ascontiguousarray(b[:, 0].reshape(H * D))),
+            (base + "k.bias", np.ascontiguousarray(b[:, 1].reshape(H * D))),
+            (base + "v.bias", np.ascontiguousarray(b[:, 2].reshape(H * D)))]
+
+
+def _split_neox(templ, data, cfgj):
+    return _split_headwise_qkv(templ, data, cfgj, "query_key_value")
+
+
+def _split_mpt(templ, data, cfgj):
+    if templ.endswith("attn.Wqkv.weight"):  # plain [Q;K;V] concat
+        E = cfgj["hidden_size"]
+        H = cfgj["num_attention_heads"]
+        Hkv = cfgj.get("num_key_value_heads", H)
+        D = E // H
+        base = templ.rsplit("Wqkv", 1)[0]
+        return [(base + "q.weight", data[: H * D]),
+                (base + "k.weight", data[H * D: (H + Hkv) * D]),
+                (base + "v.weight", data[(H + Hkv) * D:])]
+    return [(templ, data)]
+
+
+def _split_glm4(templ, data, cfgj):
+    if templ.endswith("mlp.gate_up_proj.weight"):
+        F = cfgj["intermediate_size"]
+        base = templ.rsplit("gate_up_proj", 1)[0]
+        return [(base + "gate_proj.weight", data[:F]),
+                (base + "up_proj.weight", data[F:])]
+    return [(templ, data)]
+
+
+_GPTNEOX_T = {
+    "gpt_neox.embed_in.weight": "token_embd.weight",
+    "gpt_neox.final_layer_norm.weight": "output_norm.weight",
+    "gpt_neox.final_layer_norm.bias": "output_norm.bias",
+    "embed_out.weight": "output.weight",
+    "gpt_neox.layers.{i}.input_layernorm.weight": "blk.{i}.attn_norm.weight",
+    "gpt_neox.layers.{i}.input_layernorm.bias": "blk.{i}.attn_norm.bias",
+    # parallel-residual: post_attention_layernorm feeds the FFN branch
+    "gpt_neox.layers.{i}.post_attention_layernorm.weight": "blk.{i}.attn_norm_2.weight",
+    "gpt_neox.layers.{i}.post_attention_layernorm.bias": "blk.{i}.attn_norm_2.bias",
+    "gpt_neox.layers.{i}.attention.q.weight": "blk.{i}.attn_q.weight",
+    "gpt_neox.layers.{i}.attention.q.bias": "blk.{i}.attn_q.bias",
+    "gpt_neox.layers.{i}.attention.k.weight": "blk.{i}.attn_k.weight",
+    "gpt_neox.layers.{i}.attention.k.bias": "blk.{i}.attn_k.bias",
+    "gpt_neox.layers.{i}.attention.v.weight": "blk.{i}.attn_v.weight",
+    "gpt_neox.layers.{i}.attention.v.bias": "blk.{i}.attn_v.bias",
+    "gpt_neox.layers.{i}.attention.dense.weight": "blk.{i}.attn_output.weight",
+    "gpt_neox.layers.{i}.attention.dense.bias": "blk.{i}.attn_output.bias",
+    "gpt_neox.layers.{i}.mlp.dense_h_to_4h.weight": "blk.{i}.ffn_up.weight",
+    "gpt_neox.layers.{i}.mlp.dense_h_to_4h.bias": "blk.{i}.ffn_up.bias",
+    "gpt_neox.layers.{i}.mlp.dense_4h_to_h.weight": "blk.{i}.ffn_down.weight",
+    "gpt_neox.layers.{i}.mlp.dense_4h_to_h.bias": "blk.{i}.ffn_down.bias",
+}
+
+_BLOOM_T = {
+    "transformer.word_embeddings.weight": "token_embd.weight",
+    "transformer.word_embeddings_layernorm.weight": "token_embd_norm.weight",
+    "transformer.word_embeddings_layernorm.bias": "token_embd_norm.bias",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+    "transformer.h.{i}.input_layernorm.weight": "blk.{i}.attn_norm.weight",
+    "transformer.h.{i}.input_layernorm.bias": "blk.{i}.attn_norm.bias",
+    "transformer.h.{i}.self_attention.q.weight": "blk.{i}.attn_q.weight",
+    "transformer.h.{i}.self_attention.q.bias": "blk.{i}.attn_q.bias",
+    "transformer.h.{i}.self_attention.k.weight": "blk.{i}.attn_k.weight",
+    "transformer.h.{i}.self_attention.k.bias": "blk.{i}.attn_k.bias",
+    "transformer.h.{i}.self_attention.v.weight": "blk.{i}.attn_v.weight",
+    "transformer.h.{i}.self_attention.v.bias": "blk.{i}.attn_v.bias",
+    "transformer.h.{i}.self_attention.dense.weight": "blk.{i}.attn_output.weight",
+    "transformer.h.{i}.self_attention.dense.bias": "blk.{i}.attn_output.bias",
+    "transformer.h.{i}.post_attention_layernorm.weight": "blk.{i}.ffn_norm.weight",
+    "transformer.h.{i}.post_attention_layernorm.bias": "blk.{i}.ffn_norm.bias",
+    "transformer.h.{i}.mlp.dense_h_to_4h.weight": "blk.{i}.ffn_up.weight",
+    "transformer.h.{i}.mlp.dense_h_to_4h.bias": "blk.{i}.ffn_up.bias",
+    "transformer.h.{i}.mlp.dense_4h_to_h.weight": "blk.{i}.ffn_down.weight",
+    "transformer.h.{i}.mlp.dense_4h_to_h.bias": "blk.{i}.ffn_down.bias",
+}
+
+_MPT_T = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.norm_f.weight": "output_norm.weight",
+    "transformer.blocks.{i}.norm_1.weight": "blk.{i}.attn_norm.weight",
+    "transformer.blocks.{i}.attn.q.weight": "blk.{i}.attn_q.weight",
+    "transformer.blocks.{i}.attn.k.weight": "blk.{i}.attn_k.weight",
+    "transformer.blocks.{i}.attn.v.weight": "blk.{i}.attn_v.weight",
+    "transformer.blocks.{i}.attn.out_proj.weight": "blk.{i}.attn_output.weight",
+    "transformer.blocks.{i}.norm_2.weight": "blk.{i}.ffn_norm.weight",
+    "transformer.blocks.{i}.ffn.up_proj.weight": "blk.{i}.ffn_up.weight",
+    "transformer.blocks.{i}.ffn.down_proj.weight": "blk.{i}.ffn_down.weight",
+}
+
+_GPTJ_T = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
+    "lm_head.bias": "output.bias",
+    "transformer.h.{i}.ln_1.weight": "blk.{i}.attn_norm.weight",
+    "transformer.h.{i}.ln_1.bias": "blk.{i}.attn_norm.bias",
+    "transformer.h.{i}.attn.q_proj.weight": "blk.{i}.attn_q.weight",
+    "transformer.h.{i}.attn.k_proj.weight": "blk.{i}.attn_k.weight",
+    "transformer.h.{i}.attn.v_proj.weight": "blk.{i}.attn_v.weight",
+    "transformer.h.{i}.attn.out_proj.weight": "blk.{i}.attn_output.weight",
+    "transformer.h.{i}.mlp.fc_in.weight": "blk.{i}.ffn_up.weight",
+    "transformer.h.{i}.mlp.fc_in.bias": "blk.{i}.ffn_up.bias",
+    "transformer.h.{i}.mlp.fc_out.weight": "blk.{i}.ffn_down.weight",
+    "transformer.h.{i}.mlp.fc_out.bias": "blk.{i}.ffn_down.bias",
+}
+
+_GLM4_T = {
+    "model.layers.{i}.post_self_attn_layernorm.weight": "blk.{i}.attn_post_norm.weight",
+    "model.layers.{i}.post_mlp_layernorm.weight": "blk.{i}.ffn_post_norm.weight",
+}
+
+
+def _kv_cohere2(w, a, c):
+    _kv_cohere(w, a, c)
+    # every sliding_window_pattern-th layer is global AND rope-less
+    p = c.get("sliding_window_pattern", 4)
+    L = c["num_hidden_layers"]
+    w.add_array(f"{a}.nope_layers",
+                np.asarray([1 if (i % p) == (p - 1) else 0 for i in range(L)],
+                           np.uint32))
+
+
 _DEEPSEEK2_T = {
     "model.layers.{i}.self_attn.q_a_proj.weight": "blk.{i}.attn_q_a.weight",
     "model.layers.{i}.self_attn.q_a_layernorm.weight": "blk.{i}.attn_q_a_norm.weight",
@@ -292,6 +433,42 @@ _FAMILIES: dict[str, dict] = {
                               split=_split_gptoss, kv=_kv_gptoss),
     "Qwen3MoeForCausalLM": dict(arch="qwen3moe", moe="qwen2moe", kv=_kv_moe,
                                 tmap={**_MOE_ROUTER_T, **_QNORM_T}),
+    "GPTNeoXForCausalLM": dict(
+        arch="gptneox", tmap=_GPTNEOX_T, split=_split_neox,
+        rope_dim=lambda c: int(c.get("rotary_pct", 0.25) *
+                               (c["hidden_size"] // c["num_attention_heads"]))),
+    "BloomForCausalLM": dict(
+        arch="bloom", tmap=_BLOOM_T, split=_split_neox,
+        cfg_adapt=lambda c: dict(
+            num_hidden_layers=c["n_layer"], num_attention_heads=c["n_head"],
+            num_key_value_heads=c["n_head"],
+            intermediate_size=4 * c["hidden_size"])),
+    "MptForCausalLM": dict(
+        arch="mpt", tmap=_MPT_T, split=_split_mpt,
+        cfg_adapt=lambda c: dict(
+            num_hidden_layers=c["n_layers"], hidden_size=c["d_model"],
+            num_attention_heads=c["n_heads"],
+            num_key_value_heads=(c.get("attn_config") or {}).get(
+                "kv_n_heads", c["n_heads"]),
+            # HF MptMLP hardcodes a 4x hidden FFN width
+            intermediate_size=4 * c["d_model"],
+            max_position_embeddings=c.get("max_seq_len", 2048),
+            vocab_size=c["vocab_size"])),
+    "GPTJForCausalLM": dict(
+        arch="gptj", tmap=_GPTJ_T, permute=False,
+        rope_dim=lambda c: c.get("rotary_dim") or c["n_embd"] // c["n_head"],
+        cfg_adapt=lambda c: dict(
+            num_hidden_layers=c["n_layer"], hidden_size=c["n_embd"],
+            num_attention_heads=c["n_head"],
+            intermediate_size=c.get("n_inner") or 4 * c["n_embd"],
+            max_position_embeddings=c.get("n_positions", 2048),
+            vocab_size=c["vocab_size"])),
+    "Glm4ForCausalLM": dict(
+        arch="glm4", tmap=_GLM4_T, split=_split_glm4, permute=False,
+        rope_dim=lambda c: int(c.get("partial_rotary_factor", 0.5) *
+                               (c.get("head_dim") or
+                                c["hidden_size"] // c["num_attention_heads"]))),
+    "Cohere2ForCausalLM": dict(arch="cohere2", permute=False, kv=_kv_cohere2),
     # permute=False: MLA q is [nope;pe] per head — the llama q/k permute
     # would scramble the split (rope rides only the pe slice)
     "DeepseekV2ForCausalLM": dict(
@@ -320,10 +497,15 @@ _MOE_RE = {
 }
 
 
+_LAYER_RE = re.compile(r"^(.*?\.(?:layers|h|blocks)\.)(\d+)\.(.*)$")
+
+
 def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
                     out_type: str) -> dict:
     """Generic family conversion driven by the _FAMILIES table."""
     arch = fam["arch"]
+    if "cfg_adapt" in fam:  # normalize non-llama config key names (mpt/gptj)
+        cfgj = {**cfgj, **fam["cfg_adapt"](cfgj)}
     L = cfgj["num_hidden_layers"]
     E = cfgj["hidden_size"]
     H = cfgj["num_attention_heads"]
@@ -345,7 +527,8 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
     w.add_kv(f"{arch}.context_length",
              np.uint32(cfgj.get("max_position_embeddings", 4096)))
     eps = cfgj.get("rms_norm_eps", cfgj.get("layer_norm_epsilon",
-                                            cfgj.get("norm_epsilon", 1e-5)))
+                                            cfgj.get("layer_norm_eps",
+                                                     cfgj.get("norm_epsilon", 1e-5))))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", np.float32(eps))
     if "head_dim" in fam:
         D = fam["head_dim"](cfgj)
@@ -392,12 +575,12 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
                     kind = _MIXTRAL_KIND[kind]
                 moe_buf.setdefault((i, kind), {})[e] = data
                 continue
-        parts = name.split(".")
         i = None
         templ = name
-        if name.startswith("model.layers."):
-            i = int(parts[2])
-            templ = ".".join(parts[:2] + ["{i}"] + parts[3:])
+        lm = _LAYER_RE.match(name)
+        if lm:
+            i = int(lm.group(2))
+            templ = lm.group(1) + "{i}." + lm.group(3)
         pieces = splitter(templ, data, cfgj) if splitter else [(templ, data)]
         for templ2, data2 in pieces:
             gname = tmap.get(templ2)

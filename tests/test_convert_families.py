@@ -87,6 +87,25 @@ def _families():
             first_k_dense_replace=1, moe_layer_freq=1,
             routed_scaling_factor=1.5, topk_method="greedy", n_group=1,
             topk_group=1, rope_scaling=None, attention_bias=False)),
+        "gptneox": (T.GPTNeoXForCausalLM, _cfg(
+            T.GPTNeoXConfig, rotary_pct=0.5, use_parallel_residual=True,
+            num_key_value_heads=4)),  # gptneox is MHA-only
+        "bloom": (T.BloomForCausalLM, T.BloomConfig(
+            vocab_size=160, hidden_size=64, n_layer=2, n_head=4,
+            num_hidden_layers=2)),
+        "mpt": (T.MptForCausalLM, T.MptConfig(
+            vocab_size=160, d_model=64, n_layers=2, n_heads=4,
+            expansion_ratio=2, max_seq_len=128)),
+        "gptj": (T.GPTJForCausalLM, T.GPTJConfig(
+            vocab_size=160, n_embd=64, n_layer=2, n_head=4, rotary_dim=8,
+            n_positions=128)),
+        "glm4": (T.Glm4ForCausalLM, _cfg(
+            T.Glm4Config, head_dim=16, partial_rotary_factor=0.5,
+            pad_token_id=0)),
+        "cohere2": (T.Cohere2ForCausalLM, _cfg(
+            T.Cohere2Config, logit_scale=0.25, tie_word_embeddings=True,
+            sliding_window=16, sliding_window_pattern=4,
+            num_hidden_layers=5)),
         # deepseek3 flavor: q-lora + sigmoid gating + score-correction bias
         "deepseek3": (T.DeepseekV3ForCausalLM, _cfg(
             T.DeepseekV3Config, num_hidden_layers=3, q_lora_rank=24,
