@@ -292,6 +292,34 @@ _GLM4_T = {
 }
 
 
+_NORMBIAS_T = {
+    "model.layers.{i}.input_layernorm.bias": "blk.{i}.attn_norm.bias",
+    "model.layers.{i}.post_attention_layernorm.bias": "blk.{i}.ffn_norm.bias",
+    "model.norm.bias": "output_norm.bias",
+}
+
+_PHI2_T = {
+    "model.final_layernorm.weight": "output_norm.weight",
+    "model.final_layernorm.bias": "output_norm.bias",
+    "lm_head.bias": "output.bias",
+    "model.layers.{i}.input_layernorm.bias": "blk.{i}.attn_norm.bias",
+    "model.layers.{i}.self_attn.dense.weight": "blk.{i}.attn_output.weight",
+    "model.layers.{i}.self_attn.dense.bias": "blk.{i}.attn_output.bias",
+    "model.layers.{i}.mlp.fc1.weight": "blk.{i}.ffn_up.weight",
+    "model.layers.{i}.mlp.fc1.bias": "blk.{i}.ffn_up.bias",
+    "model.layers.{i}.mlp.fc2.weight": "blk.{i}.ffn_down.weight",
+    "model.layers.{i}.mlp.fc2.bias": "blk.{i}.ffn_down.bias",
+}
+
+
+def _rope_partial(default):
+    def f(c):
+        hd = c.get("head_dim") or c["hidden_size"] // c["num_attention_heads"]
+        return int(c.get("partial_rotary_factor", default) * hd)
+
+    return f
+
+
 def _kv_cohere2(w, a, c):
     _kv_cohere(w, a, c)
     # every sliding_window_pattern-th layer is global AND rope-less
@@ -469,6 +497,13 @@ _FAMILIES: dict[str, dict] = {
                                (c.get("head_dim") or
                                 c["hidden_size"] // c["num_attention_heads"]))),
     "Cohere2ForCausalLM": dict(arch="cohere2", permute=False, kv=_kv_cohere2),
+    "NemotronForCausalLM": dict(arch="nemotron", tmap=_NORMBIAS_T,
+                                norm_plus_one=True,
+                                rope_dim=_rope_partial(0.5)),
+    "StableLmForCausalLM": dict(arch="stablelm", tmap=_NORMBIAS_T,
+                                rope_dim=_rope_partial(0.25)),
+    "PhiForCausalLM": dict(arch="phi2", tmap=_PHI2_T,
+                           rope_dim=_rope_partial(0.5)),
     # permute=False: MLA q is [nope;pe] per head — the llama q/k permute
     # would scramble the split (rope rides only the pe slice)
     "DeepseekV2ForCausalLM": dict(
@@ -595,7 +630,9 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
                 data2 = permute_rope(data2[:, None], H)[:, 0]
             if permute and gname.endswith("attn_k.bias"):
                 data2 = permute_rope(data2[:, None], Hkv)[:, 0]
-            if plus_one and "norm" in gname and data2.ndim == 1:
+            if plus_one and data2.ndim == 1 and "norm" in gname \
+                    and gname.endswith(".weight"):
+                # gemma/nemotron store norm weights as (w - 1); biases stay
                 data2 = data2 + 1.0
             tt = gtype if data2.ndim == 2 and "norm" not in gname else GGMLType.F32
             if tt == GGMLType.Q8_0 and data2.shape[-1] % 32 != 0:

@@ -42,6 +42,13 @@ def _families():
 
     return {
         "qwen3": (T.Qwen3ForCausalLM, _cfg(T.Qwen3Config, head_dim=16)),
+        "gemma": (T.GemmaForCausalLM, _cfg(T.GemmaConfig, head_dim=16)),
+        "nemotron": (T.NemotronForCausalLM, _cfg(
+            T.NemotronConfig, partial_rotary_factor=0.5)),
+        "stablelm": (T.StableLmForCausalLM, _cfg(
+            T.StableLmConfig, partial_rotary_factor=0.25)),
+        "phi2": (T.PhiForCausalLM, _cfg(
+            T.PhiConfig, num_key_value_heads=4, partial_rotary_factor=0.5)),
         "gemma2": (T.Gemma2ForCausalLM, _cfg(
             T.Gemma2Config, head_dim=16, query_pre_attn_scalar=16,
             sliding_window=32)),
