@@ -164,12 +164,15 @@ def load_model(
         params["output"] = _as_jnp(
             out_w if out_w is not None else np.ascontiguousarray(tok.T), dtype
         )
-        if tr.wkv_version == 6:
-            from .rwkv6 import load_rwkv6_layers
+        if tr.wkv_version in (6, 7):
+            if tr.wkv_version == 6:
+                from .rwkv6 import load_rwkv6_layers as load_wkv_layers
+            else:
+                from .rwkv7 import load_rwkv7_layers as load_wkv_layers
 
             params["tok_norm_w"] = _as_jnp(_get(r, "token_embd_norm.weight"), jnp.float32)
             params["tok_norm_b"] = _as_jnp(_get(r, "token_embd_norm.bias"), jnp.float32)
-            params["layers"] = load_rwkv6_layers(r, cfg, dtype)
+            params["layers"] = load_wkv_layers(r, cfg, dtype)
         else:
             from .mamba import load_mamba_layers
 

@@ -175,6 +175,10 @@ class Engine:
                 from ..models.rwkv6 import make_rwkv6_forward
 
                 self.fwd = make_rwkv6_forward(self.cfg)
+            elif self.cfg.traits.wkv_version == 7:
+                from ..models.rwkv7 import make_rwkv7_forward
+
+                self.fwd = make_rwkv7_forward(self.cfg)
             else:
                 from ..models.mamba import make_mamba_forward
 
@@ -277,9 +281,10 @@ class Engine:
     # --- host-side API ------------------------------------------------------
     def new_cache(self):
         if self.cfg.traits.recurrent:
-            if self.cfg.traits.wkv_version == 6:
+            if self.cfg.traits.wkv_version in (6, 7):
                 from ..models.rwkv6 import init_rwkv6_cache
 
+                # rwkv7 state geometry is identical (2-way shift + (H,N,N))
                 return init_rwkv6_cache(self.cfg, self.batch)
             from ..models.mamba import init_mamba_cache
 

@@ -410,3 +410,179 @@ def ref_rwkv6_forward(
             x = x * 0.5
     x = _np_ln(x, t["output_norm.weight"], t["output_norm.bias"], eps)
     return x @ t["output.weight"].T.astype(np.float64), state
+
+
+def make_tiny_rwkv7(
+    path,
+    *,
+    n_layer: int = 3,
+    n_embd: int = 32,
+    head_size: int = 8,
+    n_ff: int = 48,
+    n_vocab: int = 97,
+    dr: int = 6,  # decay lora rank
+    ir: int = 5,  # iclr (a) lora rank
+    vr: int = 4,  # value-residual-mix lora rank
+    gr: int = 7,  # gate lora rank
+    seed: int = 0,
+    scale: float = 0.3,
+) -> dict[str, np.ndarray]:
+    """Write a tiny rwkv7 GGUF with the reference's on-disk shapes
+    (llama-model.cpp LLM_ARCH_RWKV7 create_tensor dims, ggml ne order
+    reversed to numpy); returns the raw f32 tensors."""
+    rng = np.random.default_rng(seed)
+    E = n_embd
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    t: dict[str, np.ndarray] = {}
+    t["token_embd.weight"] = w(n_vocab, E)
+    t["token_embd_norm.weight"] = 1.0 + w(E) * 0.1
+    t["token_embd_norm.bias"] = w(E) * 0.1
+    t["output_norm.weight"] = 1.0 + w(E) * 0.1
+    t["output_norm.bias"] = w(E) * 0.1
+    t["output.weight"] = w(n_vocab, E)
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        t[p + "attn_norm.weight"] = 1.0 + w(E) * 0.1
+        t[p + "attn_norm.bias"] = w(E) * 0.1
+        t[p + "attn_norm_2.weight"] = 1.0 + w(E) * 0.1
+        t[p + "attn_norm_2.bias"] = w(E) * 0.1
+        t[p + "time_mix_lerp_fused.weight"] = w(6, 1, 1, E)
+        t[p + "time_mix_w0.weight"] = w(E) - 2.0
+        t[p + "time_mix_w1.weight"] = w(dr, E)
+        t[p + "time_mix_w2.weight"] = w(E, dr)
+        t[p + "time_mix_a0.weight"] = w(E)
+        t[p + "time_mix_a1.weight"] = w(ir, E)
+        t[p + "time_mix_a2.weight"] = w(E, ir)
+        # layer 0 carries placeholder v-lora (unused; defines v_first)
+        t[p + "time_mix_v0.weight"] = w(E)
+        t[p + "time_mix_v1.weight"] = w(ir if i == 0 else vr, E)
+        t[p + "time_mix_v2.weight"] = w(E, ir if i == 0 else vr)
+        t[p + "time_mix_g1.weight"] = w(gr, E)
+        t[p + "time_mix_g2.weight"] = w(E, gr)
+        t[p + "time_mix_k_k.weight"] = w(E)
+        t[p + "time_mix_k_a.weight"] = w(E)
+        t[p + "time_mix_r_k.weight"] = w(E)
+        for nm in ("receptance", "key", "value", "output"):
+            t[p + f"time_mix_{nm}.weight"] = w(E, E)
+        t[p + "time_mix_ln.weight"] = 1.0 + w(E) * 0.1
+        t[p + "time_mix_ln.bias"] = w(E) * 0.1
+        t[p + "channel_mix_lerp_k.weight"] = w(1, 1, E)
+        t[p + "channel_mix_key.weight"] = w(n_ff, E)
+        t[p + "channel_mix_value.weight"] = w(E, n_ff)
+
+    wr = GGUFWriter(path, "rwkv7")
+    a = "rwkv7"
+    wr.add_kv(f"{a}.block_count", np.uint32(n_layer))
+    wr.add_kv(f"{a}.embedding_length", np.uint32(E))
+    wr.add_kv(f"{a}.vocab_size", np.uint32(n_vocab))
+    wr.add_kv(f"{a}.context_length", np.uint32(1 << 20))
+    wr.add_kv(f"{a}.feed_forward_length", np.uint32(n_ff))
+    wr.add_kv(f"{a}.attention.head_count", np.uint32(0))
+    wr.add_kv(f"{a}.attention.layer_norm_epsilon", np.float32(1e-5))
+    wr.add_kv(f"{a}.wkv.head_size", np.uint32(head_size))
+    wr.add_kv(f"{a}.attention.decay_lora_rank", np.uint32(dr))
+    wr.add_kv(f"{a}.attention.iclr_lora_rank", np.uint32(ir))
+    wr.add_kv(f"{a}.attention.value_residual_mix_lora_rank", np.uint32(vr))
+    wr.add_kv(f"{a}.attention.gate_lora_rank", np.uint32(gr))
+    wr.add_kv(f"{a}.token_shift_count", np.uint32(2))
+    for name, data in t.items():
+        wr.add_tensor(name, data, GGMLType.F32)
+    wr.write()
+    return t
+
+
+def _np_sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def ref_rwkv7_forward(
+    t: dict[str, np.ndarray],
+    tokens: np.ndarray,
+    *,
+    n_layer: int,
+    head_size: int,
+    eps: float = 1e-5,
+):
+    """Numpy rwkv7 oracle, transcribed INDEPENDENTLY from
+    ggml_compute_forward_rwkv_wkv7_f32 + src/models/rwkv7-base.cpp.
+    f64 accumulation; returns (logits (T, V), final wkv states)."""
+    E = t["token_embd.weight"].shape[1]
+    H = E // head_size
+    N = head_size
+    T = len(tokens)
+    x = t["token_embd.weight"][tokens].astype(np.float64)
+    x = _np_ln(x, t["token_embd_norm.weight"], t["token_embd_norm.bias"], eps)
+    states = []
+    v_first = None
+    for i in range(n_layer):
+        p = f"blk.{i}."
+        xn = _np_ln(x, t[p + "attn_norm.weight"], t[p + "attn_norm.bias"], eps)
+        x_prev = np.concatenate([np.zeros((1, E)), xn[:-1]], 0)
+        sx = x_prev - xn
+        lf = t[p + "time_mix_lerp_fused.weight"].reshape(6, E).astype(np.float64)
+        xr, xw, xk, xv, xa, xg = [xn + sx * lf[m] for m in range(6)]
+
+        r = xr @ t[p + "time_mix_receptance.weight"].T.astype(np.float64)
+        wl = np.tanh(xw @ t[p + "time_mix_w1.weight"].T.astype(np.float64)) \
+            @ t[p + "time_mix_w2.weight"].T.astype(np.float64) \
+            + t[p + "time_mix_w0.weight"]
+        w = np.exp(-0.606531 * _np_sigmoid(wl))
+        k = xk @ t[p + "time_mix_key.weight"].T.astype(np.float64)
+        v = xv @ t[p + "time_mix_value.weight"].T.astype(np.float64)
+        if i == 0:
+            v_first = v
+        else:
+            mix = _np_sigmoid(
+                xv @ t[p + "time_mix_v1.weight"].T.astype(np.float64)
+                @ t[p + "time_mix_v2.weight"].T.astype(np.float64)
+                + t[p + "time_mix_v0.weight"])
+            v = v + (v_first - v) * mix
+        g = _np_sigmoid(xg @ t[p + "time_mix_g1.weight"].T.astype(np.float64)) \
+            @ t[p + "time_mix_g2.weight"].T.astype(np.float64)
+        a = _np_sigmoid(
+            xa @ t[p + "time_mix_a1.weight"].T.astype(np.float64)
+            @ t[p + "time_mix_a2.weight"].T.astype(np.float64)
+            + t[p + "time_mix_a0.weight"])
+
+        kk = (k * t[p + "time_mix_k_k.weight"]).reshape(T, H, N)
+        kk = kk / np.maximum(np.linalg.norm(kk, axis=-1, keepdims=True), 1e-12)
+        k = k + k * t[p + "time_mix_k_a.weight"] * (a - 1.0)
+
+        rh = r.reshape(T, H, N)
+        wh = w.reshape(T, H, N)
+        khh = k.reshape(T, H, N)
+        vh = v.reshape(T, H, N)
+        ah = (-kk)
+        bh = kk * a.reshape(T, H, N)
+        S = np.zeros((H, N, N))  # [i=value, j=key]
+        out = np.zeros((T, H, N))
+        for tt in range(T):
+            for h in range(H):
+                sa = S[h] @ ah[tt, h]  # (N,) over i
+                S[h] = S[h] * wh[tt, h][None, :] \
+                    + np.outer(vh[tt, h], khh[tt, h]) \
+                    + np.outer(sa, bh[tt, h])
+                out[tt, h] = S[h] @ rh[tt, h]
+        states.append(S.copy())
+
+        y = out.reshape(T, H, N)
+        m = y.mean(-1, keepdims=True)
+        var = ((y - m) ** 2).mean(-1, keepdims=True)
+        y = (y - m) / np.sqrt(var + 64e-5)
+        y = y.reshape(T, E) * t[p + "time_mix_ln.weight"] + t[p + "time_mix_ln.bias"]
+        rk = (rh * khh * t[p + "time_mix_r_k.weight"].reshape(H, N)).sum(-1)
+        y = y + (vh * rk[..., None]).reshape(T, E)
+        y = y * g
+        x = x + y @ t[p + "time_mix_output.weight"].T.astype(np.float64)
+
+        xn2 = _np_ln(x, t[p + "attn_norm_2.weight"], t[p + "attn_norm_2.bias"], eps)
+        x_prev2 = np.concatenate([np.zeros((1, E)), xn2[:-1]], 0)
+        xk2 = xn2 + (x_prev2 - xn2) * t[p + "channel_mix_lerp_k.weight"].reshape(E)
+        k2 = np.square(np.maximum(
+            xk2 @ t[p + "channel_mix_key.weight"].T.astype(np.float64), 0.0))
+        x = x + k2 @ t[p + "channel_mix_value.weight"].T.astype(np.float64)
+    x = _np_ln(x, t["output_norm.weight"], t["output_norm.bias"], eps)
+    return x @ t["output.weight"].T.astype(np.float64), states
