@@ -98,6 +98,7 @@ def attention(
     fresh_prefill: bool = False,
     causal: bool = True,
     rp_swa: RopeParams | None = None,
+    ring_width: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     B, T, _ = x.shape
     tr = cfg.traits
@@ -144,8 +145,12 @@ def attention(
         q = jnp.where(skip, q0, q)
         k = jnp.where(skip, k0, k)
 
-    kc, ks = write_layer(kc, ks, k, positions)
-    vc, vs = write_layer(vc, vs, v, positions)
+    # iSWA ring cache: this layer's cache holds only the last ring_width
+    # key slots; slot j of the ring holds the key written at absolute
+    # position q_j, reconstructed below for masking
+    wpos = positions % ring_width if ring_width else positions
+    kc, ks = write_layer(kc, ks, k, wpos)
+    vc, vs = write_layer(vc, vs, v, wpos)
 
     scale = cfg.attn_scale if cfg.attn_scale else D ** -0.5
     softcap = tr.attn_logit_softcap
@@ -177,19 +182,28 @@ def attention(
         # gemma2 attention soft-capping (pre-mask)
         scores = softcap * jnp.tanh(scores / softcap)
     s_idx = jnp.arange(S, dtype=jnp.int32)
-    if tr.alibi:
-        sl = jnp.asarray(alibi_slopes(H), jnp.float32).reshape(Hkv, g)
-        rel = (s_idx[None, None, :] - positions[:, :, None]).astype(jnp.float32)
-        scores = scores + sl[None, :, :, None, None] * rel[:, None, None, :, :]
-    mask = s_idx[None, None, :] <= positions[:, :, None]  # (B, T, S)
-    if cfg.sliding_window > 0:
-        win = cfg.sliding_window
-        swa_mask = s_idx[None, None, :] > positions[:, :, None] - win
-        if swa_flag is not None:
-            # window applies only on SWA layers of the pattern
-            mask = mask & (swa_mask | (swa_flag <= 0.5))
-        else:
-            mask = mask & swa_mask
+    if ring_width:
+        # absolute position held by ring slot j: the newest write is at
+        # positions[:, -1]; each slot holds the latest q <= p_max with
+        # q % ring == j. Never-written slots reconstruct to q_j < 0.
+        p_max = positions[:, -1]  # (B,)
+        q_j = p_max[:, None] - ((p_max[:, None] - s_idx[None, :]) % ring_width)
+        mask = (q_j[:, None, :] <= positions[:, :, None]) & (q_j[:, None, :] >= 0)
+        mask = mask & (q_j[:, None, :] > positions[:, :, None] - cfg.sliding_window)
+    else:
+        if tr.alibi:
+            sl = jnp.asarray(alibi_slopes(H), jnp.float32).reshape(Hkv, g)
+            rel = (s_idx[None, None, :] - positions[:, :, None]).astype(jnp.float32)
+            scores = scores + sl[None, :, :, None, None] * rel[:, None, None, :, :]
+        mask = s_idx[None, None, :] <= positions[:, :, None]  # (B, T, S)
+        if cfg.sliding_window > 0:
+            win = cfg.sliding_window
+            swa_mask = s_idx[None, None, :] > positions[:, :, None] - win
+            if swa_flag is not None:
+                # window applies only on SWA layers of the pattern
+                mask = mask & (swa_mask | (swa_flag <= 0.5))
+            else:
+                mask = mask & swa_mask
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
     if sinks is not None:
         # gpt-oss attention sinks: a learned per-head logit joins the
@@ -401,7 +415,7 @@ def make_forward(
         flat = params.get("sparse_flat")
         quantized = cache.quantized
 
-        def body(x, lp, kc, vc, ks, vs, fs, il):
+        def body(x, lp, kc, vc, ks, vs, fs, il, ring_w=0):
             # unpack the zero-size placeholders lax.scan required (None can't
             # ride in xs/ys); shapes are static so this resolves at trace time
             empty_ks, empty_vs = ks, vs
@@ -417,7 +431,8 @@ def make_forward(
             else:
                 attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp,
                                                      fresh_prefill=fresh_prefill,
-                                                     causal=causal, rp_swa=rp_swa)
+                                                     causal=causal, rp_swa=rp_swa,
+                                                     ring_width=ring_w)
             if ks is None:
                 ks, vs = empty_ks, empty_vs
             if "attn_post_norm_w" in lp:  # gemma2 sandwich / olmo2 post-norm
@@ -481,6 +496,33 @@ def make_forward(
                 scan_body, (x, ffn_carry_init(B_, T_)), xs
             )
             fs_new = None
+        elif isinstance(cache.k, tuple):
+            # iSWA dual cache: one scan per contiguous same-SWA-flag run;
+            # SWA runs address their small ring, full runs the whole S
+            # (ref src/llama-kv-cache-iswa.cpp). Shapes per run are
+            # static, so each run traces its own attention variant.
+            from ..runtime.kv_cache import swa_runs
+
+            outs_k, outs_v, outs_fs = [], [], []
+            for (s, e, is_swa), kc_r, vc_r in zip(swa_runs(cfg), cache.k, cache.v):
+                n = e - s
+                ring_w = kc_r.shape[2] if is_swa else 0
+
+                def run_body(carry, t, _rw=ring_w):
+                    lp, kc, vc, ks_, vs_, fs, il = t
+                    return body(carry, lp, kc, vc, ks_, vs_, fs, il, _rw)
+
+                seg = {k: v[s:e] for k, v in layers.items()}
+                xs = (seg, kc_r, vc_r, jnp.zeros((n, 0)), jnp.zeros((n, 0)),
+                      pack(fstate)[s:e], layer_ids[s:e])
+                x, (k_r, v_r, _, _, fs_r) = jax.lax.scan(run_body, x, xs)
+                outs_k.append(k_r)
+                outs_v.append(v_r)
+                outs_fs.append(fs_r)
+            k_new, v_new = tuple(outs_k), tuple(outs_v)
+            ks_new = vs_new = None
+            fs_new = (jnp.concatenate(outs_fs, 0)
+                      if fstate is not None else None)
         else:
             def scan_body(carry, t):
                 lp, kc, vc, ks_, vs_, fs, il = t

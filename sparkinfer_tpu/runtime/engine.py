@@ -94,7 +94,9 @@ class Engine:
         rebalance_every: int = 1,
         donate_cache: bool = True,
         fused_chunk: int = 16,
+        kv_iswa: bool = False,  # dual SWA/full cache (llama-kv-cache-iswa)
     ):
+        self.kv_iswa = kv_iswa
         self.model = model
         self.cfg: ModelConfig = model.config
         self.max_seq = max_seq
@@ -289,6 +291,12 @@ class Engine:
             from ..models.mamba import init_mamba_cache
 
             return init_mamba_cache(self.cfg, self.batch)
+        if self.kv_iswa:
+            from .kv_cache import init_cache_iswa
+
+            # ring must absorb the largest single forward chunk
+            return init_cache_iswa(self.cfg, self.batch, self.max_seq,
+                                   chunk=self.prefill_chunk, dtype=self.kv_dtype)
         return init_cache(
             self.cfg, self.batch, self.max_seq, self.kv_dtype, self.kv_quantized
         )

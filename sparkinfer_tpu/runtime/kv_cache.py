@@ -23,13 +23,22 @@ if TYPE_CHECKING:
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # (L, B, S, Hkv, D) storage dtype
+    k: jnp.ndarray  # (L, B, S, Hkv, D) storage dtype — or, in iSWA mode,
+    # a tuple of per-run buffers (run = contiguous layers with the same
+    # SWA flag): SWA runs hold a small ring (window+chunk wide), full
+    # runs the whole S (ref: src/llama-kv-cache-iswa.cpp dual caches)
     v: jnp.ndarray  # (L, B, S, Hkv, D)
     k_scale: jnp.ndarray | None = None  # (L, B, S, Hkv, 1) f32, int8 mode
     v_scale: jnp.ndarray | None = None
 
     @property
+    def iswa(self) -> bool:
+        return isinstance(self.k, tuple)
+
+    @property
     def max_seq(self) -> int:
+        if self.iswa:
+            return max(a.shape[2] for a in self.k)
         return self.k.shape[2]
 
     @property
@@ -49,6 +58,38 @@ def init_cache(
             v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
         )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def swa_runs(cfg: "ModelConfig") -> list[tuple[int, int, bool]]:
+    """Contiguous (start, end, is_swa) layer runs of cfg.swa_layers."""
+    flags = cfg.swa_layers
+    runs = []
+    s = 0
+    for i in range(1, cfg.n_layer + 1):
+        if i == cfg.n_layer or flags[i] != flags[s]:
+            runs.append((s, i, flags[s]))
+            s = i
+    return runs
+
+
+def init_cache_iswa(
+    cfg: "ModelConfig", batch: int, max_seq: int, chunk: int = 64,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    """iSWA dual cache (ref src/llama-kv-cache-iswa.cpp): SWA layers get
+    a ring of sliding_window + chunk slots (chunk = largest prefill
+    ubatch the caller will feed — keys written this chunk must not
+    overwrite keys its own earliest query still needs); full-attention
+    layers get the whole max_seq. For gemma-style patterns this cuts KV
+    memory by ~n_swa_layers * (1 - ring/max_seq)."""
+    ring = min(max_seq, cfg.sliding_window + chunk)
+    ks, vs = [], []
+    for s, e, is_swa in swa_runs(cfg):
+        S = ring if is_swa else max_seq
+        shape = (e - s, batch, S, cfg.n_head_kv, cfg.head_dim)
+        ks.append(jnp.zeros(shape, dtype))
+        vs.append(jnp.zeros(shape, dtype))
+    return KVCache(k=tuple(ks), v=tuple(vs))
 
 
 def quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
