@@ -172,3 +172,165 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
         return out.reshape(B, T, E).astype(x.dtype)
 
     return {"dense": dense, "pallas": pallas}[mode]
+
+
+def moe_rows_layout(lp: dict, cfg: ModelConfig, group_size: int = 128) -> dict:
+    """Stacked expert weights -> the neuron-row layout the group tiering
+    machinery understands: w_up_rows/w_gate_rows/w_down_rows
+    (L, X*Fe/G, G, E), where expert e owns groups [e*ng_e, (e+1)*ng_e).
+    Feeding these to init_tiered/ColdStore/Balancer gives EXPERT hot/cold
+    tiering for free — the analogue of the reference's used-expert-only
+    upload (-cmoe, ggml-backend.cpp:1604-1688)."""
+    Fe, E, X = (cfg.n_ff_exp or cfg.n_ff), cfg.n_embd, cfg.n_expert
+    G = min(group_size, Fe)
+    while Fe % G:
+        G //= 2
+    ng_e = Fe // G
+
+    out = dict(lp)
+    up = jnp.swapaxes(lp["w_up_exps"], -1, -2)  # (L, X, Fe, E)
+    out["w_up_rows"] = up.reshape(up.shape[:-3] + (X * ng_e, G, E))
+    if "w_gate_exps" in lp:
+        gate = jnp.swapaxes(lp["w_gate_exps"], -1, -2)
+        out["w_gate_rows"] = gate.reshape(gate.shape[:-3] + (X * ng_e, G, E))
+    out["w_down_rows"] = lp["w_down_exps"].reshape(
+        lp["w_down_exps"].shape[:-3] + (X * ng_e, G, E))
+    return out
+
+
+class MoEColdStore:
+    """Host-RAM expert rows + the host complement for cold (not-in-HBM)
+    experts. Same storage contract as sparse.tiering.ColdStore
+    (up/gate/down (L, ng, G, E)) so the Balancer drives it unchanged."""
+
+    def __init__(self, cfg: ModelConfig, scfg, layers_np: dict, dtype=None):
+        import numpy as np
+
+        if dtype is None:
+            dtype = np.float16
+        self.up = np.asarray(layers_np["w_up_rows"], dtype)
+        self.gate = (np.asarray(layers_np["w_gate_rows"], dtype)
+                     if "w_gate_rows" in layers_np else None)
+        self.down = np.asarray(layers_np["w_down_rows"], dtype)
+        Fe = cfg.n_ff_exp or cfg.n_ff
+        G = scfg.group_size
+        while Fe % G:
+            G //= 2
+        self.ng_e = Fe // G
+        self.act = cfg.traits.act
+
+    def complement_moe(self, il, x, idx, wts, expert_hot):
+        """x (N, E) f32; idx/wts (N, k); expert_hot (N, k) bool ->
+        (N, E) f32 contribution of the cold routed experts."""
+        import numpy as np
+
+        l = int(il)
+        N, E = x.shape
+        out = np.zeros((N, E), np.float32)
+        ge = self.ng_e
+        for n in range(N):
+            for j in range(idx.shape[1]):
+                if expert_hot[n, j]:
+                    continue
+                e = int(idx[n, j])
+                sl = slice(e * ge, (e + 1) * ge)
+                U = self.up[l, sl].reshape(-1, E).astype(np.float32)
+                up = x[n] @ U.T
+                if self.gate is not None:
+                    Gw = self.gate[l, sl].reshape(-1, E).astype(np.float32)
+                    g = x[n] @ Gw.T
+                    if self.act == "geglu":
+                        import math
+
+                        h = 0.5 * g * (1.0 + np.tanh(
+                            math.sqrt(2.0 / math.pi) * (g + 0.044715 * g ** 3))) * up
+                    else:  # silu
+                        h = g / (1.0 + np.exp(-g)) * up
+                else:
+                    h = up / (1.0 + np.exp(-up))
+                D = self.down[l, sl].reshape(-1, E).astype(np.float32)
+                out[n] += float(wts[n, j]) * (h @ D)
+        return out
+
+
+def make_tiered_moe_ffn(cfg: ModelConfig, scfg, cold, mode: str = "drop"):
+    """Expert-tiered MoE ffn(lp, x, fs, il) -> (y, fs') for
+    make_forward(..., stateful_ffn=True): hot experts' row-groups live in
+    the flat HBM store (params['sparse_flat'], same layout as the tiered
+    dense path), cold experts are dropped (their router weight mass is
+    renormalized away) or computed on host via pure_callback.
+
+    DFR = per-group routing frequency EMA; since all ng_e groups of an
+    expert fire together, the Balancer converges to whole-expert swaps —
+    expert-granular hot/cold with zero new balancer machinery."""
+    import jax as _jax
+
+    X, E, k = cfg.n_expert, cfg.n_embd, cfg.n_expert_used
+    Fe = cfg.n_ff_exp or cfg.n_ff
+    G = scfg.group_size
+    while Fe % G:
+        G //= 2
+    ng_e = Fe // G
+    ng = X * ng_e
+    act = cfg.traits.act
+    lam = scfg.dfr_decay
+    L = cfg.n_layer
+
+    from ..ops.activations import act_fn
+
+    gated, actf = act_fn(act)
+
+    def ffn(lp: dict, x: jnp.ndarray, fs, il):
+        from .tiering import DFRState
+
+        H = lp["hot_upT_flat"].shape[0] // L
+        B, T, E_ = x.shape
+        xt = x.reshape(B * T, E_)
+        N = B * T
+        idx, w = route(cfg, lp, xt)  # (N, k)
+        offs = jnp.arange(ng_e, dtype=jnp.int32)
+        rows = (idx[:, :, None] * ng_e + offs[None, None, :]).reshape(N, k * ng_e)
+        gmap = lp["group_map"]  # (ng,)
+        slots = jnp.take(gmap, rows)  # (N, k*ng_e)
+        hot = slots >= 0
+        slots_flat = jnp.maximum(slots, 0).astype(jnp.int32) + il * H
+
+        # gather math over the flat transposed stores
+        wuT = jnp.take(lp["hot_upT_flat"], slots_flat, axis=0)  # (N,C,E,G)
+        up = jnp.einsum("ne,nceg->ncg", xt, wuT.astype(xt.dtype))
+        gate = None
+        if lp.get("hot_gateT_flat") is not None:
+            wgT = jnp.take(lp["hot_gateT_flat"], slots_flat, axis=0)
+            gate = jnp.einsum("ne,nceg->ncg", xt, wgT.astype(xt.dtype))
+        hidden = actf(gate, up) if (gated and gate is not None) else (
+            _jax.nn.silu(up.astype(jnp.float32)).astype(up.dtype))
+        # apply router weight per expert block + zero cold blocks
+        scale = jnp.broadcast_to(w[:, :, None], (N, k, ng_e)).reshape(N, k * ng_e)
+        scale = jnp.where(hot, scale, 0.0)
+        hidden = hidden * scale[..., None].astype(hidden.dtype)
+        wd = jnp.take(lp["hot_down_flat"], slots_flat, axis=0)
+        out = jnp.einsum("ncg,ncge->ne", hidden, wd.astype(hidden.dtype)
+                         ).astype(jnp.float32)
+
+        expert_hot = hot.reshape(N, k, ng_e).all(-1)  # (N, k)
+        n_miss = (~expert_hot).sum().astype(jnp.float32)
+        if mode == "host":
+            comp = _jax.pure_callback(
+                cold.complement_moe,
+                _jax.ShapeDtypeStruct((N, E_), jnp.float32),
+                il, xt.astype(jnp.float32), idx,
+                w.astype(jnp.float32), expert_hot,
+            )
+            out = out + comp
+
+        if "w_up_shexp" in lp:
+            out = out + _shared_expert(cfg, lp, xt, act).astype(out.dtype)
+
+        # DFR: routed-frequency per group (all of an expert's groups move
+        # together); EMA like the dense tiered path
+        fired = jnp.zeros((ng,), jnp.float32).at[rows.reshape(-1)].add(1.0) / N
+        dfr = lam * fs.dfr + (1.0 - lam) * fired if scfg.dfr_ema else fs.dfr + fired
+        fs2 = DFRState(dfr=dfr, miss=fs.miss + n_miss, steps=fs.steps + 1.0)
+        return out.reshape(B, T, E_).astype(x.dtype), fs2
+
+    return ffn

@@ -167,7 +167,9 @@ def init_tiered(
     split-file reorder permutation (hot-first neuron order,
     src/llama-sparkinfer.cpp:286-352) that means 'the profiled-hottest'."""
     L = cfg.n_layer
-    ng = scfg.n_groups(cfg.n_ff)
+    # group count from the actual row store (MoE expert rows span
+    # n_expert * Fe/G groups, not n_ff/G)
+    ng = layers["w_up_rows"].shape[1]
     H = min(hot_groups, ng)
     if init_hot is None:
         init_hot = np.tile(np.arange(H, dtype=np.int32), (L, 1))
