@@ -335,6 +335,7 @@ def make_forward(
     fresh_prefill: bool = False,
     ffn_carry_init: Callable | None = None,
     causal: bool = True,
+    inputs_embeds: bool = False,
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
@@ -390,7 +391,9 @@ def make_forward(
 
     def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache,
             fstate=None):
-        x = params["tok_embd"][tokens]  # (B, T, E)
+        # inputs_embeds: `tokens` is already (B, T, E) float (multimodal
+        # splicing — the analogue of llama_batch.embd)
+        x = tokens if inputs_embeds else params["tok_embd"][tokens]
         if tr.embd_scale_sqrt:  # gemma: embeddings scaled by sqrt(n_embd)
             x = x * jnp.asarray(cfg.n_embd ** 0.5, x.dtype)
         if cfg.embd_scale != 1.0:  # granite/minicpm embedding multiplier

@@ -1,0 +1,15 @@
+"""Multimodal (mtmd) subsystem — the TPU-native analogue of
+tools/mtmd/ (mtmd.cpp + clip.cpp): vision encoding, prompt splicing
+around image markers, and multimodal generation on top of the Engine.
+"""
+
+from .clip import ClipConfig, load_mmproj, make_vision_forward, preprocess_image
+from .pipeline import MtmdPipeline
+
+__all__ = [
+    "ClipConfig",
+    "load_mmproj",
+    "make_vision_forward",
+    "preprocess_image",
+    "MtmdPipeline",
+]

@@ -536,8 +536,10 @@ _LAYER_RE = re.compile(r"^(.*?\.(?:layers|h|blocks)\.)(\d+)\.(.*)$")
 
 
 def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
-                    out_type: str) -> dict:
-    """Generic family conversion driven by the _FAMILIES table."""
+                    out_type: str, rename=None) -> dict:
+    """Generic family conversion driven by the _FAMILIES table.
+    rename(name) -> name | None filters/renames the HF tensor stream
+    (used by multimodal wrappers to strip the language_model. prefix)."""
     arch = fam["arch"]
     if "cfg_adapt" in fam:  # normalize non-llama config key names (mpt/gptj)
         cfgj = {**cfgj, **fam["cfg_adapt"](cfgj)}
@@ -602,6 +604,10 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
 
     n = 0
     for name, data in _iter_hf_tensors(model_dir):
+        if rename is not None:
+            name = rename(name)
+            if name is None:
+                continue
         if moe_style:
             m = _MOE_RE[moe_style].match(name)
             if m:
@@ -724,6 +730,103 @@ def permute_rope(w: np.ndarray, n_head: int) -> np.ndarray:
     )
 
 
+_CLIP_VISION_T = {
+    "vision_model.embeddings.patch_embedding.weight": "v.patch_embd.weight",
+    "vision_model.embeddings.class_embedding": "v.class_embd",
+    "vision_model.embeddings.position_embedding.weight": "v.position_embd.weight",
+    "vision_model.pre_layrnorm.weight": "v.pre_ln.weight",  # HF's typo
+    "vision_model.pre_layrnorm.bias": "v.pre_ln.bias",
+    "vision_model.post_layernorm.weight": "v.post_ln.weight",
+    "vision_model.post_layernorm.bias": "v.post_ln.bias",
+}
+_CLIP_BLK = {
+    "self_attn.q_proj": "attn_q", "self_attn.k_proj": "attn_k",
+    "self_attn.v_proj": "attn_v", "self_attn.out_proj": "attn_out",
+    "layer_norm1": "ln1", "layer_norm2": "ln2",
+    "mlp.fc1": "ffn_up", "mlp.fc2": "ffn_down",
+}
+
+
+def _convert_llava(model_dir: Path, out_path: str, cfgj: dict,
+                   out_type: str) -> dict:
+    """LlavaForConditionalGeneration -> LLM GGUF + <out>.mmproj.gguf,
+    following the reference's split (convert_hf_to_gguf.py --mmproj:
+    clip.cpp tensor/KV conventions for the vision side)."""
+    tc = dict(cfgj["text_config"])
+    tc.setdefault("architectures", ["LlamaForCausalLM"])
+    inner = tc["architectures"][0]
+    fam = _FAMILIES.get(inner, dict(arch=_ARCH_MAP.get(inner, "llama")))
+
+    def strip(name):
+        for pre in ("language_model.model.", "model.language_model."):
+            if name.startswith(pre):
+                return "model." + name[len(pre):]
+        if name.startswith("language_model."):
+            return name[len("language_model."):]
+        if name == "lm_head.weight" or name.startswith("model.lm_head"):
+            return "lm_head.weight"
+        return None  # vision / projector tensors go to the mmproj file
+
+    info = _convert_family(fam, model_dir, out_path, tc, out_type,
+                           rename=strip)
+
+    vc = cfgj["vision_config"]
+    a = "clip"
+    mm_path = str(out_path) + ".mmproj.gguf"
+    w = GGUFWriter(mm_path, a)
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "mlp")
+    w.add_kv("clip.vision.image_size", np.uint32(vc["image_size"]))
+    w.add_kv("clip.vision.patch_size", np.uint32(vc["patch_size"]))
+    w.add_kv("clip.vision.embedding_length", np.uint32(vc["hidden_size"]))
+    w.add_kv("clip.vision.feed_forward_length", np.uint32(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", np.uint32(vc["num_hidden_layers"]))
+    w.add_kv("clip.vision.attention.head_count", np.uint32(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             np.float32(vc.get("layer_norm_eps", 1e-5)))
+    w.add_kv("clip.use_gelu", vc.get("hidden_act", "quick_gelu") != "quick_gelu")
+    pp = model_dir / "preprocessor_config.json"
+    if pp.exists():
+        ppj = json.loads(pp.read_text())
+        if "image_mean" in ppj:
+            w.add_array("clip.vision.image_mean",
+                        np.asarray(ppj["image_mean"], np.float32))
+            w.add_array("clip.vision.image_std",
+                        np.asarray(ppj["image_std"], np.float32))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        for pre in ("vision_tower.", "model.vision_tower."):
+            if name.startswith(pre):
+                name = name[len(pre):]
+                break
+        else:
+            if "multi_modal_projector" in name:
+                mmname = ("mm.0" if "linear_1" in name else "mm.2") + \
+                    (".weight" if name.endswith("weight") else ".bias")
+                w.add_tensor(mmname, data, GGMLType.F32)
+                n += 1
+            continue
+        gname = _CLIP_VISION_T.get(name)
+        if gname is None and name.startswith("vision_model.encoder.layers."):
+            parts = name.split(".")
+            i = int(parts[3])
+            stem = ".".join(parts[4:-1])
+            kind = parts[-1]
+            short = _CLIP_BLK.get(stem)
+            if short is not None:
+                gname = f"v.blk.{i}.{short}.{kind}"
+        if gname is None:
+            continue
+        w.add_tensor(gname, data, GGMLType.F32)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    info["mmproj"] = mm_path
+    info["n_mmproj_tensors"] = n
+    return info
+
+
 def convert(
     model_dir: str,
     out_path: str,
@@ -734,6 +837,8 @@ def convert(
     model_dir = Path(model_dir)
     cfgj = json.loads((model_dir / "config.json").read_text())
     hf_arch = (cfgj.get("architectures") or ["LlamaForCausalLM"])[0]
+    if hf_arch in ("LlavaForConditionalGeneration",):
+        return _convert_llava(model_dir, out_path, cfgj, out_type)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)
