@@ -39,6 +39,12 @@ class ServerConfig:
     kv_dtype: str = "bf16"  # "bf16" | "f32" | "int8"
     chat_template: str | None = None  # override; default = detect from GGUF
     slot_save_path: str | None = None  # dir for /slots/:id?action=save files
+    # LoRA adapters applied at startup; runtime-rescalable via
+    # GET/POST /lora-adapters (ref tools/server/server.cpp:180-181)
+    lora: list | None = None  # [path | (path, scale), ...]
+    # multi-model router (ref server-models.cpp): name -> GGUF path,
+    # selected per request by the OpenAI "model" field, loaded lazily
+    extra_models: dict | None = None
 
 
 class SparkServer:
@@ -67,6 +73,66 @@ class SparkServer:
         self._reranker = None
         self._httpd: ThreadingHTTPServer | None = None
         self._t0 = time.time()
+        # LoRA: keep pristine base params so scales can change at runtime
+        self._lora: list[dict] = []
+        if self.cfg.lora:
+            self._base_params = model.params
+            for i, item in enumerate(self.cfg.lora):
+                path, scale = (item if isinstance(item, (tuple, list))
+                               else (item, 1.0))
+                self._lora.append({"id": i, "path": str(path),
+                                   "scale": float(scale)})
+            self._remerge_lora()
+        self._backends: dict[str, object] = {}
+        self._backends_lock = threading.Lock()
+
+    # --- lora ---------------------------------------------------------------
+    def lora_list(self) -> list[dict]:
+        return [dict(a) for a in self._lora]
+
+    def lora_set(self, items: list[dict]) -> list[dict]:
+        for it in items:
+            self._lora[int(it["id"])]["scale"] = float(it["scale"])
+        self._remerge_lora()
+        return self.lora_list()
+
+    def _remerge_lora(self):
+        from ..models.lora import apply_lora
+
+        params = self._base_params
+        for a in self._lora:
+            if a["scale"]:
+                params = apply_lora(params, self.model.config, a["path"],
+                                    a["scale"])
+        # the scheduler dispatches self.model.params every step, so the
+        # swap takes effect on the next decode tick
+        self.model.params = params
+
+    # --- multi-model router -------------------------------------------------
+    def _backend_for(self, body: dict):
+        """Returns (sched, tokenizer, template, name) for the request's
+        "model" field; lazily loads extra models (server-models.cpp)."""
+        name = body.get("model")
+        extras = self.cfg.extra_models or {}
+        if not name or name == self.cfg.model_name or name not in extras:
+            return (self.sched, self.tokenizer, self.template,
+                    self.cfg.model_name)
+        with self._backends_lock:
+            be = self._backends.get(name)
+            if be is None:
+                from ..models.loader import load_model
+
+                m = load_model(extras[name], dtype=jnp.bfloat16)
+                tok = build_tokenizer(m.vocab)
+                sched = Scheduler(
+                    m, n_slots=self.cfg.n_slots, max_seq=self.cfg.max_seq,
+                    sampler=SamplerConfig(), tokenizer=tok,
+                )
+                sched.start()
+                tmpl = detect_template(m.vocab.chat_template)
+                be = (sched, tok, tmpl, name)
+                self._backends[name] = be
+        return be
 
     # --- request handling ---------------------------------------------------
     def _sampler_from(self, body: dict) -> SamplerConfig:
@@ -90,9 +156,12 @@ class SparkServer:
                 ids.add(i)
         return ids
 
-    def _make_request(self, prompt: str | list[int], body: dict) -> Request:
+    def _make_request(self, prompt: str | list[int], body: dict,
+                      tokenizer=None, sched=None) -> Request:
+        tokenizer = tokenizer or self.tokenizer
+        sched = sched or self.sched
         if isinstance(prompt, str):
-            ids = self.tokenizer.encode(prompt, add_special=True)
+            ids = tokenizer.encode(prompt, add_special=True)
         else:
             ids = [int(t) for t in prompt]
         max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
@@ -122,9 +191,12 @@ class SparkServer:
 
     def completion(self, body: dict):
         """Returns (request, detok) — caller decides stream vs collect."""
+        sched, tok, _, name = self._backend_for(body)
         prompt = body.get("prompt", "")
-        req = self._make_request(prompt, body)
-        self.sched.submit(req)
+        req = self._make_request(prompt, body, tokenizer=tok, sched=sched)
+        req._detok = tok.decode
+        req._model_name = name
+        sched.submit(req)
         return req
 
     def infill_prompt(self, body: dict) -> list[int]:
@@ -226,6 +298,7 @@ class SparkServer:
         }
 
     def chat_completion(self, body: dict):
+        sched, tok, template, name = self._backend_for(body)
         msgs = body.get("messages", [])
         tools = body.get("tools")
         if tools:
@@ -235,10 +308,12 @@ class SparkServer:
             if body.get("tool_choice") == "required" and not body.get("grammar"):
                 body = dict(body)
                 body["grammar"] = tool_call_grammar(tools)
-        prompt = apply_template(msgs, self.template)
-        req = self._make_request(prompt, body)
+        prompt = apply_template(msgs, template)
+        req = self._make_request(prompt, body, tokenizer=tok, sched=sched)
         req._has_tools = bool(tools)
-        self.sched.submit(req)
+        req._detok = tok.decode
+        req._model_name = name
+        sched.submit(req)
         return req
 
     def detok(self, toks: list[int]) -> str:
@@ -295,6 +370,10 @@ class SparkServer:
             self._httpd.shutdown()
             self._httpd = None
         self.sched.stop()
+        with self._backends_lock:
+            for sched, *_ in self._backends.values():
+                sched.stop()
+            self._backends.clear()
 
 
 class _Utf8Stream:
@@ -381,11 +460,14 @@ def _make_handler(srv: SparkServer):
                 self.end_headers()
                 self.wfile.write(data)
             elif self.path == "/v1/models":
+                names = [srv.cfg.model_name] + sorted(srv.cfg.extra_models or {})
                 self._json(200, {
                     "object": "list",
-                    "data": [{"id": srv.cfg.model_name, "object": "model",
-                              "owned_by": "sparkinfer-tpu"}],
+                    "data": [{"id": n, "object": "model",
+                              "owned_by": "sparkinfer-tpu"} for n in names],
                 })
+            elif self.path == "/lora-adapters":
+                self._json(200, srv.lora_list())
             elif self.path == "/slots":
                 slots = [
                     {"id": i, "running": s.running, "n_past": s.n_past,
@@ -419,6 +501,15 @@ def _make_handler(srv: SparkServer):
                     self._json(200, srv.rerank(body))
                 elif self.path == "/v1/messages":
                     self._anthropic_messages(body)
+                elif self.path == "/apply-template":
+                    # render the chat template without generating
+                    # (ref server.cpp handle_apply_template)
+                    prompt = apply_template(body.get("messages", []),
+                                            srv.template)
+                    self._json(200, {"prompt": prompt})
+                elif self.path == "/lora-adapters":
+                    items = body if isinstance(body, list) else [body]
+                    self._json(200, srv.lora_set(items))
                 elif self.path.startswith("/slots/"):
                     # /slots/<id>?action=save|restore  (ref: server slot save)
                     import urllib.parse
@@ -577,7 +668,7 @@ def _make_handler(srv: SparkServer):
                 self.wfile.write(b"0\r\n\r\n")
                 return
             toks = req.tokens()
-            text = srv.detok(toks)
+            text = getattr(req, "_detok", srv.detok)(toks)
             usage = {
                 "prompt_tokens": req.n_prompt,
                 "completion_tokens": len(toks),

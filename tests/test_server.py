@@ -301,3 +301,89 @@ def test_rerank_endpoint(rerank_server):
         "query": "hello world", "texts": ["a", "b"]})
     out3 = json.loads(body3)
     assert "score" in out3["results"][0]
+
+
+@pytest.fixture(scope="module")
+def router_server(tmp_path_factory):
+    """Server with LoRA adapters + a second routed model."""
+    from sparkinfer_tpu.gguf.constants import GGMLType
+    from sparkinfer_tpu.gguf.writer import GGUFWriter
+
+    d = tmp_path_factory.mktemp("router")
+    main_p = d / "main.gguf"
+    make_tiny_llama(main_p, n_vocab=300, with_vocab=True)
+    other_p = d / "other.gguf"
+    make_tiny_llama(other_p, n_vocab=300, with_vocab=True, seed=9)
+
+    model = load_model(str(main_p), dtype=jnp.float32)
+    L, E, F = model.config.n_layer, model.config.n_embd, model.config.n_ff
+    lora_p = d / "adapter.gguf"
+    rng = np.random.default_rng(1)
+    w = GGUFWriter(str(lora_p), "llama")
+    w.add_kv("general.type", "adapter")
+    w.add_kv("adapter.type", "lora")
+    w.add_kv("adapter.lora.alpha", np.float32(8.0))
+    for l in range(L):
+        A = (rng.standard_normal((4, E)) * 0.05).astype(np.float32)
+        B = (rng.standard_normal((F, 4)) * 0.05).astype(np.float32)
+        w.add_tensor(f"blk.{l}.ffn_up.lora_a", A, GGMLType.F32)
+        w.add_tensor(f"blk.{l}.ffn_up.lora_b", B, GGMLType.F32)
+    w.write()
+
+    srv = SparkServer(
+        model,
+        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32",
+                     lora=[(str(lora_p), 0.0)],
+                     extra_models={"other": str(other_p)}),
+        sampler=SamplerConfig(temp=0.0),
+    )
+    srv.serve(block=False)
+    yield srv
+    srv.shutdown()
+
+
+def test_apply_template(server):
+    code, body = _post(server, "/apply-template", {
+        "messages": [{"role": "user", "content": "hello"}]})
+    assert code == 200
+    assert "hello" in json.loads(body)["prompt"]
+
+
+def test_lora_endpoints(router_server):
+    """GET lists adapters; POST rescales and changes generation
+    (ref server.cpp /lora-adapters)."""
+    code, body = _get(router_server, "/lora-adapters")
+    assert code == 200
+    lst = json.loads(body)
+    assert lst[0]["scale"] == 0.0
+
+    req = {"prompt": "hello world", "max_tokens": 8, "temperature": 0.0}
+    _, b0 = _post(router_server, "/v1/completions", req)
+    t0 = json.loads(b0)["choices"][0]["text"]
+
+    code, body = _post(router_server, "/lora-adapters",
+                       [{"id": 0, "scale": 4.0}])
+    assert code == 200 and json.loads(body)[0]["scale"] == 4.0
+    _, b1 = _post(router_server, "/v1/completions", req)
+    t1 = json.loads(b1)["choices"][0]["text"]
+    assert t0 != t1  # scaled adapter changed the output
+
+    _post(router_server, "/lora-adapters", [{"id": 0, "scale": 0.0}])
+    _, b2 = _post(router_server, "/v1/completions", req)
+    assert json.loads(b2)["choices"][0]["text"] == t0  # restored
+
+
+def test_multi_model_router(router_server):
+    """Requests select a model by the OpenAI "model" field; the second
+    model loads lazily and produces different output
+    (ref server-models.cpp router)."""
+    code, body = _get(router_server, "/v1/models")
+    ids = [m["id"] for m in json.loads(body)["data"]]
+    assert "other" in ids
+
+    req = {"prompt": "hello world", "max_tokens": 8, "temperature": 0.0}
+    _, ba = _post(router_server, "/v1/completions", req)
+    _, bb = _post(router_server, "/v1/completions", dict(req, model="other"))
+    ta = json.loads(ba)["choices"][0]["text"]
+    tb = json.loads(bb)["choices"][0]["text"]
+    assert ta != tb  # different weights behind the same endpoint
