@@ -208,10 +208,15 @@ def make_tiered_ffn(
     cold: ColdStore | None,
     mode: str = "host",  # "host" | "drop"
     kernel: str = "pallas",  # "pallas" | "gather" (CPU tests)
+    stateless: bool = False,
 ):
     """Stateful ffn(lp, x, fs, il) -> (y, fs') for make_forward(...,
     stateful_ffn=True). lp carries group_map + predictors per layer; the
-    flat hot stores arrive via params['sparse_flat'] (loop-invariant)."""
+    flat hot stores arrive via params['sparse_flat'] (loop-invariant).
+
+    stateless=True returns plain ffn(lp, x) -> y (layer index read from
+    lp['flat_il'], DFR bookkeeping skipped) — for quality evaluation of a
+    FIXED hot set (tools/perplexity --hot-groups)."""
     act_name = cfg.traits.sparse_act
     G = scfg.group_size
     F = cfg.n_ff
@@ -289,7 +294,7 @@ def make_tiered_ffn(
         cold_active = group_active & (gmap[None, :] < 0)  # (N, ng)
         n_miss = cold_active.sum().astype(jnp.float32)
 
-        if mode == "host":
+        if mode == "host":  # noqa: SIM108
             comp = jax.pure_callback(
                 cold.complement,
                 jax.ShapeDtypeStruct((N, E), jnp.float32),
@@ -300,6 +305,11 @@ def make_tiered_ffn(
             )
             out = out + comp
 
+        if "b_down" in lp:
+            out = out + lp["b_down"].astype(out.dtype)
+        y = out.reshape(B, T, E).astype(x.dtype)
+        if fs is None:  # stateless quality-eval path
+            return y, None
         # DFR EMA (ref: ggml_scale_add; delta = fired fraction per group)
         fired = (gp >= thr).astype(jnp.float32).sum(-1).sum(0) / (N * G)  # (ng,)
         if scfg.dfr_ema:
@@ -307,10 +317,13 @@ def make_tiered_ffn(
         else:
             dfr = fs.dfr + fired
         fs2 = DFRState(dfr=dfr, miss=fs.miss + n_miss, steps=fs.steps + 1.0)
-        if "b_down" in lp:
-            out = out + lp["b_down"].astype(out.dtype)
-        return out.reshape(B, T, E).astype(x.dtype), fs2
+        return y, fs2
 
+    if stateless:
+        def ffn_stateless(lp, x):
+            return ffn(lp, x, None, lp["flat_il"])[0]
+
+        return ffn_stateless
     return ffn
 
 

@@ -220,6 +220,11 @@ def main(argv=None) -> int:
     ap.add_argument("--sparse", action="store_true")
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--capacity-groups", type=int, default=0)
+    ap.add_argument("--hot-groups", type=int, default=0,
+                    help="evaluate the TIERED path with this fixed hot-set "
+                         "size (quality cost of drop/host cold handling)")
+    ap.add_argument("--cold-mode", default="drop", choices=["drop", "host"])
+    ap.add_argument("--split", help="offline split file (hot-first reorder)")
     ap.add_argument("--save-logits", help="write full-vocab logp base (npz)")
     ap.add_argument("--kl-divergence", metavar="BASE_NPZ",
                     help="KL vs a --save-logits base run")
@@ -234,7 +239,43 @@ def main(argv=None) -> int:
     tk = build_tokenizer(model.vocab)
 
     ffn_fn = None
-    if args.sparse and model.config.has_predictors:
+    if args.hot_groups and model.config.has_predictors:
+        # tiered quality eval: fixed hot set (first-H groups — combined
+        # with a --split reorder that means "the profiled-hottest")
+        import jax
+
+        from ..sparse.config import SparseConfig
+        from ..sparse.ffn import sparse_layout
+        from ..sparse.tiering import (
+            ColdStore,
+            init_tiered,
+            make_tiered_ffn,
+            tiered_layer_params,
+        )
+
+        cfg = model.config
+        scfg = SparseConfig(group_size=args.group_size,
+                            capacity_groups=args.capacity_groups,
+                            hot_groups=args.hot_groups)
+        if args.split:
+            from ..sparse.split import apply_reorder, read_split
+
+            model.params = apply_reorder(model.params, cfg,
+                                         read_split(args.split).perms)
+        layers = sparse_layout(model.params["layers"], cfg, scfg)
+        tp, _ = init_tiered(cfg, scfg, layers, args.hot_groups)
+        cold = None
+        if args.cold_mode == "host":
+            cold = ColdStore(cfg, scfg,
+                             {k: np.asarray(v) for k, v in layers.items()
+                              if k.endswith("_rows") or k == "b_up"})
+        plat = jax.devices()[0].platform
+        ffn_fn = make_tiered_ffn(cfg, scfg, cold, mode=args.cold_mode,
+                                 kernel="pallas" if plat == "tpu" else "gather",
+                                 stateless=True)
+        (model.params["layers"],
+         model.params["sparse_flat"]) = tiered_layer_params(layers, tp)
+    elif args.sparse and model.config.has_predictors:
         from ..sparse.config import SparseConfig
         from ..sparse.ffn import make_sparse_ffn, prepare_sparse_params
 
