@@ -103,16 +103,24 @@ def main(argv=None) -> int:
     ap.add_argument("--capacity-groups", type=int, default=0)
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("-o", "--output", choices=["md", "json"], default="md")
+    ap.add_argument("--trace", metavar="DIR",
+                    help="capture a jax.profiler (xprof/TensorBoard) trace "
+                         "of the measured section into DIR")
     args = ap.parse_args(argv)
+
+    import contextlib
 
     import jax.numpy as jnp
 
     from ..models.loader import load_model
+    from ..utils.profiling import maybe_trace
 
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "q8": jnp.bfloat16}[args.ctk]
     model = load_model(args.model, keep_quantized=args.keep_quantized)
     cfg = model.config
 
+    stack = contextlib.ExitStack()
+    stack.enter_context(maybe_trace(args.trace))
     rows = []
     for pp in [int(x) for x in args.pp.split(",") if int(x) > 0]:
         tps = bench_pp(model, pp, args.reps, kv_dtype)
@@ -135,6 +143,7 @@ def main(argv=None) -> int:
                 name += "-sparse"
             rows.append({"test": name, "t/s": round(tps, 2)})
 
+    stack.close()  # flush the profiler trace before reporting
     meta = {"arch": cfg.arch, "n_layer": cfg.n_layer, "n_embd": cfg.n_embd,
             "n_ff": cfg.n_ff}
     if args.output == "json":
