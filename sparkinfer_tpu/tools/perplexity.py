@@ -230,6 +230,10 @@ def main(argv=None) -> int:
                     help="KL vs a --save-logits base run")
     ap.add_argument("--hellaswag", metavar="TASKS_JSON")
     ap.add_argument("--winogrande", metavar="TASKS_JSON")
+    ap.add_argument("--mmlu", metavar="TASKS_JSON",
+                    help="multiple-choice QA: [{question, choices[...],"
+                         " answer (index or letter)}] (ref perplexity.cpp"
+                         " multiple_choice_score)")
     args = ap.parse_args(argv)
 
     from ..models.loader import load_model
@@ -298,6 +302,23 @@ def main(argv=None) -> int:
         out["winogrande"] = winogrande_score(model, tk, tasks, ffn_fn=ffn_fn,
                                              max_seq=args.ctx_size,
                                              progress=progress)
+    if args.mmlu:
+        # MMLU-style multiple choice rides the HellaSwag scorer: the
+        # question becomes the context, each choice an ending
+        raw = json.load(open(args.mmlu))
+        tasks = []
+        for t in raw:
+            ans = t.get("answer", 0)
+            if isinstance(ans, str):
+                ans = "ABCDEFGH".index(ans.strip().upper()[0])
+            tasks.append({
+                "context": f"Question: {t['question']}\nAnswer:",
+                "endings": [f" {c}" for c in t["choices"]],
+                "label": int(ans),
+            })
+        out["mmlu"] = hellaswag_score(model, tk, tasks, ffn_fn=ffn_fn,
+                                      max_seq=args.ctx_size,
+                                      progress=progress)
     if args.file:
         ids = np.asarray(tk.encode(open(args.file).read(), add_special=True),
                          np.int32)
