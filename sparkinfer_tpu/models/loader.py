@@ -259,7 +259,14 @@ def load_model(
                 add("wq", _lin(p + "attn_q.weight", E, H * D))
             add("wkv_a", _lin(p + "attn_kv_a_mqa.weight", E, Rkv + Dr))
             add("kv_a_norm_w", _get(r, p + "attn_kv_a_norm.weight"))
-            add("wkv_b", _lin(p + "attn_kv_b.weight", Rkv, H * (D - Dr + Dv)))
+            # split the latent decompressor for ABSORBED attention (score
+            # and output computed in latent space; the cache holds only
+            # c_kv + k_pe — the llama.cpp MLA wk_b/wv_b split)
+            wkv_b = _lin(p + "attn_kv_b.weight", Rkv, H * (D - Dr + Dv))
+            if wkv_b is not None:
+                wb = wkv_b.reshape(Rkv, H, D - Dr + Dv)
+                add("wk_b", np.ascontiguousarray(wb[:, :, : D - Dr]))
+                add("wv_b", np.ascontiguousarray(wb[:, :, D - Dr:]))
             wq = wk = wv = bq = bk = bv = None
         elif tr.fused_qkv:
             wqkv = _linear(r, p + "attn_qkv.weight", E, (H + 2 * Hkv) * D)

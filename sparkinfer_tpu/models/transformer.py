@@ -235,15 +235,19 @@ def attention_mla(
     rp: RopeParams,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     """Multi-head Latent Attention (deepseek2/3 — ref src/models/
-    deepseek2.cpp): queries and keys are [nope; rope] splits, K/V are
-    decompressed from a shared low-rank latent (kv_lora_rank) plus one
-    shared rope'd key head.
+    deepseek2.cpp), ABSORBED form: scores and outputs are computed in
+    the shared latent space, so the cache stores only the compressed
+    latent c_kv (+ the single rope'd key head) — kv_lora_rank+rope_dim
+    bytes/token, independent of n_head (the MLA memory win; the
+    llama.cpp analogue is the wk_b/wv_b split attention).
 
-    This is the NAIVE (decompressed) form: the cache stores full per-head
-    K (head_dim wide) and V zero-padded to head_dim — correct and simple;
-    the absorbed latent-cache variant (cache = c_kv + k_pe only,
-    kv_lora+rope bytes/token independent of n_head) is the optimization
-    path."""
+    Math (associativity): score = q_nope·(c·Wk_b)ᵀ + q_pe·k_pe
+                                 = (q_nope·Wk_bᵀ)·cᵀ + q_pe·k_pe,
+    and out_h = (probs·c)·Wv_b[h] — no per-head K/V ever materialized.
+
+    Cache layout: Hkv=1 head of width R+Dr (k slot: [c_kv; k_pe]);
+    the v-side cache is unused (zero-width) since values decompress
+    from the same latent."""
     B, T, _ = x.shape
     eps = cfg.norm_eps
     H = cfg.n_head
@@ -259,33 +263,34 @@ def attention_mla(
     else:  # deepseek2-lite: direct q projection
         q = mm(x, lp["wq"]).reshape(B, T, H, Dk)
     q_nope, q_pe = q[..., :Dn], q[..., Dn:]
+    q_pe = apply_rope(q_pe, positions, rp)
+    # absorb the key decompressor into q: (B,T,H,Dn)x(R,H,Dn) -> latent q
+    q_lat = jnp.einsum("bthd,rhd->bthr", q_nope,
+                       lp["wk_b"].astype(q_nope.dtype))
 
     kv_a = mm(x, lp["wkv_a"])  # (B, T, R + Dr)
     c_kv, k_pe = kv_a[..., :R], kv_a[..., R:]
     c_kv = rms_norm(c_kv, lp["kv_a_norm_w"], eps)
-    kvb = mm(c_kv, lp["wkv_b"]).reshape(B, T, H, Dn + Dv)
-    k_nope, v = kvb[..., :Dn], kvb[..., Dn:]
+    k_pe = apply_rope(k_pe[:, :, None, :], positions, rp)[:, :, 0]
 
-    q_pe = apply_rope(q_pe, positions, rp)
-    k_pe = apply_rope(k_pe[:, :, None, :], positions, rp)  # one shared head
-    q = jnp.concatenate([q_nope, q_pe], -1)
-    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (Dr,))], -1)
-    v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, Dk - Dv))) if Dv < Dk else v
-
-    kc, ks = write_layer(kc, ks, k, positions)
-    vc, vs = write_layer(vc, vs, v_pad, positions)
-    keys = read_layer(kc, ks, q.dtype)  # (B, S, H, Dk)
-    vals = read_layer(vc, vs, q.dtype)
+    lat = jnp.concatenate([c_kv, k_pe], -1)[:, :, None, :]  # (B,T,1,R+Dr)
+    kc, ks = write_layer(kc, ks, lat, positions)
+    latc = read_layer(kc, ks, q.dtype)[:, :, 0]  # (B, S, R+Dr)
+    c_all, pe_all = latc[..., :R], latc[..., R:]
 
     S = kc.shape[1]
-    scores = jnp.einsum("bthd,bshd->bhts", q, keys,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (Dk ** -0.5)
+    scores = (
+        jnp.einsum("bthr,bsr->bhts", q_lat, c_all,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bthd,bsd->bhts", q_pe, pe_all,
+                     preferred_element_type=jnp.float32)
+    ) * (Dk ** -0.5)
     s_idx = jnp.arange(S, dtype=jnp.int32)
     mask = s_idx[None, None, :] <= positions[:, :, None]
     scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhts,bshd->bthd", probs, vals)[..., :Dv]
+    ctx = jnp.einsum("bhts,bsr->bthr", probs, c_all)  # latent context
+    out = jnp.einsum("bthr,rhd->bthd", ctx, lp["wv_b"].astype(ctx.dtype))
     out = out.reshape(B, T, H * Dv)
     return mm(out, lp["wo"]), kc, vc, ks, vs
 

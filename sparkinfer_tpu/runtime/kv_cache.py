@@ -49,6 +49,15 @@ class KVCache(NamedTuple):
 def init_cache(
     cfg: "ModelConfig", batch: int, max_seq: int, dtype=jnp.bfloat16, quantized: bool = False
 ) -> KVCache:
+    if cfg.kv_lora_rank > 0:
+        # MLA absorbed cache: ONE latent slot [c_kv; k_pe] per token
+        # (kv_lora_rank + rope_dim wide, independent of n_head); the
+        # v-side buffer is zero-width (values decompress from c_kv)
+        kshape = (cfg.n_layer, batch, max_seq, 1,
+                  cfg.kv_lora_rank + cfg.rope_dim)
+        vshape = kshape[:-1] + (0,)
+        assert not quantized, "int8 KV not supported for the MLA latent cache"
+        return KVCache(k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype))
     shape = (cfg.n_layer, batch, max_seq, cfg.n_head_kv, cfg.head_dim)
     if quantized:
         return KVCache(

@@ -159,3 +159,52 @@ def test_family_logit_parity(family, tmp_path):
     )
     got = np.asarray(logits)[0]
     np.testing.assert_allclose(got, ref, rtol=4e-3, atol=4e-3)
+
+
+def test_mla_latent_cache_decode_and_memory(tmp_path):
+    """The absorbed MLA cache (one R+Dr latent slot per token, no per-head
+    K/V) must decode stepwise exactly like full-sequence prefill, and be
+    far smaller than a dense cache would be."""
+    import torch
+    import transformers as T
+    from sparkinfer_tpu.runtime.kv_cache import init_cache
+
+    torch.manual_seed(0)
+    cfg_hf = _cfg(T.DeepseekV2Config, num_hidden_layers=2, q_lora_rank=None,
+                  kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+                  v_head_dim=16, n_routed_experts=4, num_experts_per_tok=2,
+                  moe_intermediate_size=48, n_shared_experts=1,
+                  first_k_dense_replace=2, moe_layer_freq=1,
+                  topk_method="greedy", n_group=1, topk_group=1,
+                  rope_scaling=None, attention_bias=False)
+    hf = T.DeepseekV2ForCausalLM(cfg_hf)
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "m.gguf"
+    convert(str(d), str(out), out_type="f32")
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+
+    cache = init_cache(cfg, 1, 32, jnp.float32)
+    # latent slot: kv_lora_rank + rope_dim, ONE head
+    assert cache.k.shape[-2:] == (1, 32 + 8)
+    assert cache.v.shape[-1] == 0
+    dense_bytes = cfg.n_layer * 32 * cfg.n_head * cfg.head_dim * 2 * 4
+    # tiny test dims give (R+Dr)/(2*H*Dk) ~ 0.21; real deepseek2 dims
+    # (H=16..128, Dk=192, R=512) put this near 0.01-0.09
+    assert cache.k.nbytes + cache.v.nbytes < 0.25 * dense_bytes
+
+    fwd = jax.jit(make_forward(cfg))
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, COMMON["vocab_size"], 7).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(7, dtype=jnp.int32)[None], cache)
+    cache2 = init_cache(cfg, 1, 32, jnp.float32)
+    outs = []
+    for t, tok in enumerate(toks):
+        lg, cache2 = fwd(model.params, jnp.asarray([[tok]], jnp.int32),
+                         jnp.full((1, 1), t, jnp.int32), cache2)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=2e-4, atol=2e-4)
