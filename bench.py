@@ -122,7 +122,7 @@ class Path:
     sparse 3.18 vs 5.25 — the scan appears to defeat cache buffer aliasing);
     each mode gets its best-known configuration."""
 
-    def __init__(self, name, fwd, params, cfg, S, prefill_fwd=None):
+    def __init__(self, name, fwd, params, cfg, S, prefill_fwd=None, batch=1):
         import jax
         import jax.numpy as jnp
 
@@ -131,16 +131,18 @@ class Path:
         self.name = name
         self.params = params
         self.jnp = jnp
+        self.batch = batch
         self.step = jax.jit(fwd, donate_argnums=(3,))
         T0 = 64
-        cache = init_cache(cfg, 1, S, jnp.bfloat16)
+        cache = init_cache(cfg, batch, S, jnp.bfloat16)
         pstep = jax.jit(prefill_fwd if prefill_fwd is not None else fwd,
                         donate_argnums=(3,))
-        lg, cache = pstep(params, jnp.zeros((1, T0), jnp.int32),
-                          jnp.arange(T0, dtype=jnp.int32)[None], cache)
+        lg, cache = pstep(params, jnp.zeros((batch, T0), jnp.int32),
+                          jnp.broadcast_to(jnp.arange(T0, dtype=jnp.int32),
+                                           (batch, T0)), cache)
         _drain(lg)
         self.cache = cache
-        self.tok = jnp.zeros((1, 1), jnp.int32)
+        self.tok = jnp.zeros((batch, 1), jnp.int32)
         self.pos = T0
 
     def run_chunk(self) -> float:
@@ -149,7 +151,7 @@ class Path:
         for _ in range(CHUNK):
             lg, self.cache = self.step(
                 self.params, self.tok,
-                jnp.full((1, 1), self.pos, jnp.int32), self.cache)
+                jnp.full((self.batch, 1), self.pos, jnp.int32), self.cache)
             self.pos += 1
         _drain(lg)
         return time.perf_counter() - t0
@@ -419,6 +421,54 @@ def tiered_main(plat):
     }))
 
 
+def batch_main(plat):
+    """`bench.py batch`: serving-batch amortization — sparse vs dense
+    aggregate decode t/s at B in {1, 4, 8}. The sparse path's fixed
+    per-step costs (predictor, top-k, kernel entry) amortize over the
+    batch while its bandwidth saving persists, so the ratio should GROW
+    with B (round-2 order-of-attack #3, BENCH_NOTES)."""
+    from sparkinfer_tpu.models.transformer import make_forward
+
+    preset = "1b" if plat == "tpu" else "tiny"
+    cfg, params = build_model(preset)
+    S = 1024
+    n_trials = 4 if plat == "tpu" else 2
+    dense_fwd = make_forward(cfg)
+    sparse_fwd, sparams, dense_prefill = build_sparse(cfg, params, preset, plat)
+
+    best = None
+    for B in (1, 4, 8):
+        dense = Path("dense", dense_fwd, params, cfg, S, batch=B)
+        sparse = Path("sparse", sparse_fwd, sparams, cfg, S,
+                      prefill_fwd=dense_prefill, batch=B)
+        dense.run_chunk()
+        sparse.run_chunk()
+        d_t, s_t, ratios = [], [], []
+        for _ in range(n_trials):
+            dt = dense.run_chunk()
+            st = sparse.run_chunk()
+            d_t.append(dt)
+            s_t.append(st)
+            ratios.append(dt / st)
+        row = {
+            "batch": B,
+            "dense_tps": round(B * CHUNK / min(d_t), 1),
+            "sparse_tps": round(B * CHUNK / min(s_t), 1),
+            "ratio": round(statistics.median(ratios), 3),
+        }
+        print(json.dumps(row), file=sys.stderr)
+        if best is None or row["sparse_tps"] > best["sparse_tps"]:
+            best = row
+        del dense, sparse
+    print(json.dumps({
+        "metric": f"decode_tps_sparse_{preset}_batched",
+        "value": best["sparse_tps"],
+        "unit": "tokens/s",
+        "vs_baseline": best["ratio"],
+        "best_batch": best["batch"],
+    }))
+
+
 def main():
     import jax
 
@@ -434,6 +484,8 @@ def main():
         preset = sys.argv[1]
     if preset == "tiered":
         return tiered_main(plat)
+    if preset == "batch":
+        return batch_main(plat)
     cfg, params = build_model(preset)
     tight_hbm = preset == "7b"
     S = 1024
