@@ -29,6 +29,12 @@ SLOW_MODULES = {
     "test_training",
     "test_state_io",
     "test_tiering",
+    # round-2 wave: comprehensive but heavy e2e modules (the quick tier
+    # keeps test_forward/test_moe/test_iswa/test_rwkv7 as representatives)
+    "test_convert_families",
+    "test_engine_newarch",
+    "test_mtmd",
+    "test_pp",
 }
 
 
