@@ -323,13 +323,13 @@ class TieredPath:
         return dt, miss, reb
 
 
-def tiered_main(plat):
-    """`bench.py tiered`: hot-fraction x {drop,host} sweep vs dense, with
-    miss-rate trajectories (VERDICT item 4). Headline = best tiered config."""
+def tiered_main(plat, size=None):
+    """`bench.py tiered [size]`: hot-fraction x {drop,host} sweep vs dense,
+    with miss-rate trajectories (VERDICT item 4). Headline = best config."""
     from sparkinfer_tpu.models.transformer import make_forward
     from sparkinfer_tpu.sparse import SparseConfig
 
-    preset = "1b" if plat == "tpu" else "tiny"
+    preset = size or ("1b" if plat == "tpu" else "tiny")
     cfg, params, host_ffn = build_model(preset, host_ffn=True)
     S = 1024
     n_rounds = 6 if plat == "tpu" else 3
@@ -482,8 +482,8 @@ def main():
     preset = "1b" if plat == "tpu" else "tiny"
     if len(sys.argv) > 1:
         preset = sys.argv[1]
-    if preset == "tiered":
-        return tiered_main(plat)
+    if preset.startswith("tiered"):
+        return tiered_main(plat, preset[6:].lstrip("-") or None)
     if preset == "batch":
         return batch_main(plat)
     cfg, params = build_model(preset)
