@@ -190,6 +190,9 @@ class Scheduler:
 
         self._jit_prefill = jax.jit(self._prefill_impl)
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        # per-slot allowed-token masks for grammar-constrained slots;
+        # all-True rows for unconstrained/idle slots (on-device masking)
+        self._gmask = np.ones((n_slots, self.cfg.n_vocab), bool)
 
         # metrics (analogue of server_metrics, server-context.cpp:444-545)
         self.metrics = {
@@ -211,15 +214,22 @@ class Scheduler:
         return tok, cache1, sstate1, last
 
     def _decode_impl(self, params, tokens, positions, cache, sstate, active, dp,
-                     fstate=None):
+                     fstate=None, lmask=None):
         """tokens/positions (B,1); active (B,) masks sampler-state updates
-        for idle slots (their dummy writes are position-overwritten later)."""
+        for idle slots (their dummy writes are position-overwritten later).
+        lmask (B, V) bool: per-slot allowed-token mask (grammar-constrained
+        decoding ON DEVICE — the host computes next step's mask from the
+        accepted token while the device runs, so no full-vocab logits
+        readback rides the decode loop; round-1 read V floats per
+        constrained slot per step)."""
         if self.tiered:
             logits, cache, fstate = self.fwd_decode(params, tokens, positions,
                                                     cache, fstate)
         else:
             logits, cache = self.fwd_decode(params, tokens, positions, cache)
         last = logits[:, -1]
+        if lmask is not None:
+            last = jnp.where(lmask, last, -1e30)
         tok, new_sstate = jax.vmap(self.sample)(last, sstate, dp)
         # idle slots keep their old sampler state untouched
         keep = lambda new, old: jnp.where(
@@ -320,6 +330,7 @@ class Scheduler:
             first = req._gsampler.constrain_and_pick(
                 np.asarray(last_logits)[0], first
             )
+            self._gmask[s_i] = req._gsampler.mask()
         slot.req = req
         slot.n_past = req.n_prompt
         slot.n_gen = 0
@@ -386,6 +397,8 @@ class Scheduler:
                     held.clear()
             req.done_s = time.time()
             req.out_queue.put(None)
+            if req._gsampler is not None:
+                self._gmask[s_i] = True  # free the row for the next tenant
             slot.req = None
         else:
             slot.last_token = tok
@@ -405,6 +418,13 @@ class Scheduler:
             [[s.n_past if s.running else 0] for s in self.slots], np.int32
         )
         decode_params = self._decode_params if self.tiered else self.model.params
+        # grammar-constrained slots: per-slot masks were computed on host
+        # from the PREVIOUS accepted token and ride H2D asynchronously —
+        # sampling stays on device, no logits readback (ref grammar-first
+        # chain; round-1 pulled V floats per constrained slot per step)
+        constrained = [s_i for s_i, s in enumerate(self.slots)
+                       if s.running and s.req._gsampler is not None]
+        lmask = jnp.asarray(self._gmask) if constrained else None
         tok, self.cache, self.sstate, last_logits, self._fstate = self._jit_decode(
             decode_params,
             jnp.asarray(toks),
@@ -414,16 +434,21 @@ class Scheduler:
             jnp.asarray(active),
             self.dparams,
             self._fstate,
+            lmask,
         )
         tok = np.array(tok)
-        lg_host = None
-        if any(s.running and s.req._gsampler is not None for s in self.slots):
-            lg_host = np.asarray(last_logits)
-        for s_i, slot in enumerate(self.slots):
-            if slot.running and slot.req._gsampler is not None:
-                tok[s_i] = slot.req._gsampler.constrain_and_pick(
-                    lg_host[s_i], int(tok[s_i])
-                )
+        for s_i in constrained:
+            gs = self.slots[s_i].req._gsampler
+            gs.accept(int(tok[s_i]))  # always legal: sampled under the mask
+            self._gmask[s_i] = gs.mask()
+            if not self._gmask[s_i].any():
+                # grammar dead end: fail just this request (per-slot
+                # error isolation), free the mask row
+                self._gmask[s_i] = True
+                slot = self.slots[s_i]
+                slot.req.out_queue.put(None)
+                slot.req = None
+                self.metrics["n_errors"] = self.metrics.get("n_errors", 0) + 1
         self.metrics["n_decode_steps"] += 1
         self.metrics["t_decode_s"] += time.perf_counter() - t0
         for s_i, slot in enumerate(self.slots):
