@@ -827,6 +827,72 @@ def _convert_llava(model_dir: Path, out_path: str, cfgj: dict,
     return info
 
 
+_WHISPER_BLK = {
+    "self_attn.q_proj": ("attn_q", True),
+    "self_attn.k_proj": ("attn_k", True),
+    "self_attn.v_proj": ("attn_v", True),
+    "self_attn.out_proj": ("attn_out", True),
+    "self_attn_layer_norm": ("ln1", True),
+    "fc1": ("ffn_up", True),
+    "fc2": ("ffn_down", True),
+    "final_layer_norm": ("ln2", True),
+}
+
+
+def _convert_whisper_mmproj(model_dir: Path, out_path: str, cfgj: dict) -> dict:
+    """Whisper encoder -> audio mmproj GGUF (the reference's a.* tensor
+    conventions, clip.cpp build_whisper_enc / mtmd-audio.cpp). A bundled
+    multimodal projector (qwen2-audio style multi_modal_projector.linear)
+    maps to mm.a.fc when present."""
+    a = "clip"
+    w = GGUFWriter(out_path, a)
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.projector_type", "qwen2a")
+    w.add_kv("clip.audio.num_mel_bins", np.uint32(cfgj.get("num_mel_bins", 80)))
+    w.add_kv("clip.audio.embedding_length", np.uint32(cfgj["d_model"]))
+    w.add_kv("clip.audio.attention.head_count",
+             np.uint32(cfgj["encoder_attention_heads"]))
+    w.add_kv("clip.audio.feed_forward_length", np.uint32(cfgj["encoder_ffn_dim"]))
+    w.add_kv("clip.audio.block_count", np.uint32(cfgj["encoder_layers"]))
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", np.float32(1e-5))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        for pre in ("model.encoder.", "encoder.", "audio_tower."):
+            if name.startswith(pre):
+                name = name[len(pre):]
+                break
+        else:
+            if "multi_modal_projector" in name and "linear" in name:
+                w.add_tensor("mm.a.fc." + name.rsplit(".", 1)[1], data,
+                             GGMLType.F32)
+                n += 1
+            continue
+        gname = None
+        if name.startswith("conv1."):
+            gname = "a.conv1d.1." + name.split(".")[1]
+        elif name.startswith("conv2."):
+            gname = "a.conv1d.2." + name.split(".")[1]
+        elif name == "embed_positions.weight":
+            gname = "a.position_embd.weight"
+        elif name.startswith("layer_norm."):
+            gname = "a.post_ln." + name.split(".")[1]
+        elif name.startswith("layers."):
+            parts = name.split(".")
+            i = int(parts[1])
+            stem = ".".join(parts[2:-1])
+            mapped = _WHISPER_BLK.get(stem)
+            if mapped:
+                gname = f"a.blk.{i}.{mapped[0]}.{parts[-1]}"
+        if gname is None:
+            continue
+        w.add_tensor(gname, data, GGMLType.F32)
+        n += 1
+    w.write()
+    return {"arch": "clip-audio", "n_tensors": n,
+            "n_layer": cfgj["encoder_layers"]}
+
+
 def convert(
     model_dir: str,
     out_path: str,
@@ -839,6 +905,8 @@ def convert(
     hf_arch = (cfgj.get("architectures") or ["LlamaForCausalLM"])[0]
     if hf_arch in ("LlavaForConditionalGeneration",):
         return _convert_llava(model_dir, out_path, cfgj, out_type)
+    if hf_arch in ("WhisperModel", "WhisperForConditionalGeneration"):
+        return _convert_whisper_mmproj(model_dir, out_path, cfgj)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)

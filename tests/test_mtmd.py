@@ -121,3 +121,39 @@ def test_pipeline_splicing(llava):
     out = pipe.generate("hi <__image__> go", [img], max_new_tokens=6)
     assert len(out) == 6
     assert out == pipe.generate("hi <__image__> go", [img], max_new_tokens=6)
+
+
+def test_audio_encoder_parity(tmp_path):
+    """Whisper audio tower: convert the HF encoder to the reference's
+    audio-mmproj layout, load, and match transformers' encoder output
+    (ref clip.cpp build_whisper_enc / mtmd-audio.cpp)."""
+    import transformers as T
+
+    from sparkinfer_tpu.mtmd import load_mmproj_audio, make_audio_forward
+
+    torch.manual_seed(0)
+    cfg = T.WhisperConfig(
+        vocab_size=100, num_mel_bins=16, d_model=48,
+        encoder_layers=2, encoder_attention_heads=4, encoder_ffn_dim=64,
+        decoder_layers=1, decoder_attention_heads=4, decoder_ffn_dim=64,
+        max_source_positions=40, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, decoder_start_token_id=1)
+    hf = T.WhisperModel(cfg)
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "a.mmproj.gguf"
+    info = convert(str(d), str(out))
+    assert info["arch"] == "clip-audio" and info["n_tensors"] > 0
+
+    acfg, aparams = load_mmproj_audio(str(out))
+    assert acfg.n_mel == 16 and acfg.n_layer == 2
+    fwd = jax.jit(make_audio_forward(acfg))
+
+    rng = np.random.default_rng(0)
+    n_frames = 80  # -> 40 positions after the stride-2 conv
+    mel = rng.standard_normal((1, 16, n_frames)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.encoder(torch.tensor(mel)).last_hidden_state.numpy()
+    got = np.asarray(fwd(aparams, jnp.asarray(mel)))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
