@@ -364,6 +364,33 @@ def _kv_deepseek2(w, a, c):
              np.uint32(2 if c.get("scoring_func") == "sigmoid" else 1))
 
 
+def _split_granitemoe(templ, data, cfgj):
+    """granitemoe fuses [gate; up] per expert in input_linear (X, 2F, E)."""
+    if templ.endswith("block_sparse_moe.input_linear.weight"):
+        F = cfgj["intermediate_size"]
+        base = templ.rsplit("input_linear", 1)[0]
+        return [(base + "gate_split.weight", np.ascontiguousarray(data[:, :F])),
+                (base + "up_split.weight", np.ascontiguousarray(data[:, F:]))]
+    return [(templ, data)]
+
+
+_GRANITEMOE_T = {
+    "model.layers.{i}.block_sparse_moe.router.layer.weight": "blk.{i}.ffn_gate_inp.weight",
+    "model.layers.{i}.block_sparse_moe.gate_split.weight": "blk.{i}.ffn_gate_exps.weight",
+    "model.layers.{i}.block_sparse_moe.up_split.weight": "blk.{i}.ffn_up_exps.weight",
+    "model.layers.{i}.block_sparse_moe.output_linear.weight": "blk.{i}.ffn_down_exps.weight",
+}
+
+
+def _kv_granitemoe(w, a, c):
+    _kv_granite(w, a, c)
+    w.add_kv(f"{a}.expert_count", np.uint32(c["num_local_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["num_experts_per_tok"]))
+    # HF GraniteMoeTopKGating: top-k on logits, softmax over the selected
+    w.add_kv(f"{a}.expert_gating_func", np.uint32(3))
+    w.add_kv(f"{a}.expert_weights_norm", False)
+
+
 def _kv_smollm3(w, a, c):
     # HF no_rope_layers entries: 1 = rope, 0 = NoPE — store as skip flags
     nrl = c.get("no_rope_layers")
@@ -497,6 +524,9 @@ _FAMILIES: dict[str, dict] = {
                                (c.get("head_dim") or
                                 c["hidden_size"] // c["num_attention_heads"]))),
     "Cohere2ForCausalLM": dict(arch="cohere2", permute=False, kv=_kv_cohere2),
+    "GraniteMoeForCausalLM": dict(arch="granitemoe", tmap=_GRANITEMOE_T,
+                                  split=_split_granitemoe,
+                                  kv=_kv_granitemoe),
     "NemotronForCausalLM": dict(arch="nemotron", tmap=_NORMBIAS_T,
                                 norm_plus_one=True,
                                 rope_dim=_rope_partial(0.5)),

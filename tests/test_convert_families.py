@@ -59,6 +59,10 @@ def _families():
         "olmo2": (T.Olmo2ForCausalLM, _cfg(T.Olmo2Config)),
         "command-r": (T.CohereForCausalLM, _cfg(
             T.CohereConfig, logit_scale=0.25, tie_word_embeddings=True)),
+        "granitemoe": (T.GraniteMoeForCausalLM, _cfg(
+            T.GraniteMoeConfig, num_local_experts=4, num_experts_per_tok=2,
+            embedding_multiplier=2.0, residual_multiplier=0.5,
+            logits_scaling=4.0, attention_multiplier=0.1)),
         "granite": (T.GraniteForCausalLM, _cfg(
             T.GraniteConfig, embedding_multiplier=2.0,
             residual_multiplier=0.5, logits_scaling=4.0,
@@ -208,3 +212,25 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
         outs.append(np.asarray(lg[0, 0]))
     np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("arch", ["internlm2", "minicpm", "exaone",
+                                  "smollm", "tinyllama", "olmo2"])
+def test_direct_gguf_arch_smoke(arch, tmp_path):
+    """Trait-only (llama-shaped) archs load and run from a direct GGUF —
+    no converter needed (llama.cpp-produced GGUFs of these archs use the
+    standard tensor names)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama
+
+    p = tmp_path / f"{arch}.gguf"
+    make_tiny_llama(p, arch=arch)
+    model = load_model(str(p), dtype=jnp.float32)
+    assert model.config.arch == arch
+    fwd = jax.jit(make_forward(model.config))
+    toks = jnp.asarray([[3, 5, 7]], jnp.int32)
+    lg, _ = fwd(model.params, toks, jnp.arange(3, dtype=jnp.int32)[None],
+                init_cache(model.config, 1, 8, jnp.float32))
+    assert np.isfinite(np.asarray(lg)).all()
