@@ -32,6 +32,7 @@ def make_tiny_llama(
     quant_type: str | None = None,  # "q4_0" | "q8_0": store matmul weights quantized
     extra_kv: dict | None = None,
     extra_tensors: dict | None = None,  # e.g. cls head for rank pooling
+    extra_control_pieces: list[str] | None = None,  # extra CONTROL vocab pieces
 ) -> dict[str, np.ndarray]:
     """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
     orientation: weights are (out_dim, in_dim) in numpy order)."""
@@ -91,6 +92,11 @@ def make_tiny_llama(
                  "▁t", "▁th", "▁the", "he", "ll", "o", "el"]
         n_words = len(words)
         tokens += words
+        # caller-supplied control pieces (e.g. OuteTTS <|text_start|>/<|N|>
+        # audio-code tokens), placed right after the word pieces
+        n_extra_ctl = len(extra_control_pieces or [])
+        extra_ctl_base = len(tokens)
+        tokens += list(extra_control_pieces or [])
         assert len(tokens) <= n_vocab, (len(tokens), n_vocab)
         tokens += [f"<extra_{i}>" for i in range(n_vocab - len(tokens))]
         scores = np.zeros(n_vocab, np.float32)
@@ -98,6 +104,7 @@ def make_tiny_llama(
         ttypes = np.full(n_vocab, 1, np.int32)  # NORMAL
         ttypes[0] = 2  # UNKNOWN
         ttypes[1] = ttypes[2] = 3  # CONTROL
+        ttypes[extra_ctl_base : extra_ctl_base + n_extra_ctl] = 3  # CONTROL
         ttypes[3:259] = 6  # BYTE
         wr.add_kv("tokenizer.ggml.model", "llama")
         wr.add_array("tokenizer.ggml.tokens", tokens)
