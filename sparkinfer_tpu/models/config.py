@@ -13,6 +13,8 @@ the predictor tensors + `{arch}.pred_lora` KV (ref: src/llama-hparams.h:54).
 from __future__ import annotations
 
 import dataclasses
+
+import numpy as np
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
@@ -46,6 +48,9 @@ class ArchTraits:
     # 0 = uniform (sliding_window applies to all layers when set)
     swa_pattern: int = 0
     recurrent: bool = False  # state-space/linear-attention family (mamba)
+    # hybrid attention+recurrent stack (jamba — llama-memory-hybrid.cpp);
+    # per-layer type comes from the attention.head_count_kv array
+    ssm_hybrid: bool = False
     wkv_version: int = 0  # RWKV family: 6 | 7 (0 = not RWKV)
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
@@ -158,6 +163,7 @@ _reg(ArchTraits("mpt", norm="ln", act="gelu", rope_mode="none", alibi=True))
 _reg(ArchTraits("gptj", norm="ln", act="gelu", norm_bias=True,
                 ffn_bias=True, parallel_blocks=True))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
+_reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))
 _reg(ArchTraits("rwkv7", norm="ln", rope_mode="none", recurrent=True,
@@ -213,6 +219,7 @@ class ModelConfig:
     n_dense_lead: int = 0
     fatrelu_threshold: float = 0.0
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
+    n_head_kv_arr: tuple = ()  # per-layer kv heads (hybrid stacks; 0 = recurrent)
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
@@ -263,7 +270,15 @@ class ModelConfig:
         n_head = int(g("attention.head_count", 0) or 0)
         if n_head == 0:  # recurrent archs carry no attention heads
             n_head = 1
-        n_head_kv = int(g("attention.head_count_kv", n_head))
+        hkv_raw = g("attention.head_count_kv", n_head)
+        n_head_kv_arr: tuple = ()
+        if isinstance(hkv_raw, (list, tuple, np.ndarray)):
+            # per-layer array (jamba-style hybrid stacks: 0 = recurrent
+            # layer; ref src/llama-model.cpp:1470-1472)
+            n_head_kv_arr = tuple(int(x) for x in hkv_raw)
+            n_head_kv = max(n_head_kv_arr)
+        else:
+            n_head_kv = int(hkv_raw)
         if int(g("attention.kv_lora_rank", 0) or 0) > 0:
             # MLA decompresses K/V per query head; the naive cache stores
             # all n_head heads regardless of the GGUF's head_count_kv
@@ -282,6 +297,7 @@ class ModelConfig:
             n_embd=n_embd,
             n_head=n_head,
             n_head_kv=n_head_kv,
+            n_head_kv_arr=n_head_kv_arr,
             n_ff=int(g("feed_forward_length", 0) or 0),
             n_vocab=n_vocab,
             head_dim=head_dim,

@@ -173,6 +173,10 @@ def load_model(
             params["tok_norm_w"] = _as_jnp(_get(r, "token_embd_norm.weight"), jnp.float32)
             params["tok_norm_b"] = _as_jnp(_get(r, "token_embd_norm.bias"), jnp.float32)
             params["layers"] = load_wkv_layers(r, cfg, dtype)
+        elif tr.ssm_hybrid:
+            from .hybrid import load_hybrid_layers
+
+            params["layers"] = load_hybrid_layers(r, cfg, dtype)
         else:
             from .mamba import load_mamba_layers
 

@@ -64,9 +64,17 @@ def _layer_step(lp, u, conv_state, ssm_state, cfg):
     dt = dbc[:, :dt_rank]
     Bm = dbc[:, dt_rank : dt_rank + d_state]
     Cm = dbc[:, dt_rank + d_state :]
+    if "ssm_dt_norm_w" in lp:
+        # jamba-style dt/B/C RMS norms (ref graph-context-mamba.cpp:94-97)
+        dt = rms_norm(dt, lp["ssm_dt_norm_w"], cfg.norm_eps)
+        Bm = rms_norm(Bm, lp["ssm_b_norm_w"], cfg.norm_eps)
+        Cm = rms_norm(Cm, lp["ssm_c_norm_w"], cfg.norm_eps)
     dt = jax.nn.softplus(dt @ lp["ssm_dt"] + lp["ssm_dt_b"])  # (B, d_in)
 
-    A = -jnp.exp(lp["ssm_a"].astype(jnp.float32))  # (d_in, d_state)
+    # GGUF convention: ssm_a already holds A = -exp(A_log) (the reference
+    # converter transforms at write — convert_hf_to_gguf.py MambaModel
+    # "A_log --> A"), so reference-produced GGUFs load directly
+    A = lp["ssm_a"].astype(jnp.float32)  # (d_in, d_state)
     dA = jnp.exp(dt[:, :, None] * A[None])  # (B, d_in, d_state)
     dBx = (dt * x)[:, :, None] * Bm[:, None, :]  # (B, d_in, d_state)
     h = dA * ssm_state + dBx

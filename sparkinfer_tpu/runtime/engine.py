@@ -173,7 +173,11 @@ class Engine:
                 decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
         elif self.cfg.traits.recurrent:
-            if self.cfg.traits.wkv_version == 6:
+            if self.cfg.traits.ssm_hybrid:
+                from ..models.hybrid import make_hybrid_forward
+
+                self.fwd = make_hybrid_forward(self.cfg)
+            elif self.cfg.traits.wkv_version == 6:
                 from ..models.rwkv6 import make_rwkv6_forward
 
                 self.fwd = make_rwkv6_forward(self.cfg)
@@ -283,6 +287,11 @@ class Engine:
     # --- host-side API ------------------------------------------------------
     def new_cache(self):
         if self.cfg.traits.recurrent:
+            if self.cfg.traits.ssm_hybrid:
+                from ..models.hybrid import init_hybrid_cache
+
+                return init_hybrid_cache(self.cfg, self.batch, self.max_seq,
+                                         self.kv_dtype)
             if self.cfg.traits.wkv_version in (6, 7):
                 from ..models.rwkv6 import init_rwkv6_cache
 

@@ -41,6 +41,7 @@ _ARCH_MAP = {
     "FalconForCausalLM": "falcon",
     "RWForCausalLM": "falcon",
     "MambaForCausalLM": "mamba",
+    "JambaForCausalLM": "jamba",
     "GPT2LMHeadModel": "gpt2",
     "Rwkv6ForCausalLM": "rwkv6",
     "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
@@ -945,6 +946,8 @@ def convert(
     arch = _ARCH_MAP[hf_arch]
     if arch == "mamba":
         return _convert_mamba(model_dir, out_path, cfgj, out_type)
+    if arch == "jamba":
+        return _convert_jamba(model_dir, out_path, cfgj, out_type)
     if arch == "rwkv6":
         return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
@@ -1464,11 +1467,129 @@ def _convert_mamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) ->
         gname = gname.format(i=i) if i is not None else gname
         if gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
             data = data[:, 0, :]  # (d_inner, 1, d_conv) -> (d_inner, d_conv)
+        if gname.endswith("ssm_a"):
+            # reference GGUF convention: store A = -exp(A_log)
+            # (convert_hf_to_gguf.py MambaModel "A_log --> A")
+            data = -np.exp(data)
         w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
         n += 1
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "mamba", "n_tensors": n, "n_layer": L}
+
+
+def _convert_jamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """Jamba (hybrid attention+mamba+MoE) HF checkpoint -> GGUF
+    (ref: convert_hf_to_gguf.py JambaModel:6840-6940; per-layer kv-head
+    vector encodes which layers are recurrent)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    d_inner = cfgj.get("mamba_expand", 2) * E
+    d_conv = cfgj.get("mamba_d_conv", 4)
+    d_state = cfgj.get("mamba_d_state", 16)
+    dt_rank = cfgj.get("mamba_dt_rank", (E + 15) // 16)
+    n_kv = cfgj["num_key_value_heads"]
+    a_off = cfgj.get("attn_layer_offset", 4)
+    a_per = cfgj.get("attn_layer_period", 8)
+    kv_vec = [n_kv if i >= a_off and (i - a_off) % a_per == 0 else 0
+              for i in range(L)]
+    n_expert = cfgj.get("num_experts", 1)
+    moe = n_expert > 1
+
+    w = GGUFWriter(out_path, "jamba")
+    w.add_kv("jamba.block_count", np.uint32(L))
+    w.add_kv("jamba.embedding_length", np.uint32(E))
+    w.add_kv("jamba.vocab_size", np.uint32(V))
+    w.add_kv("jamba.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 2**18)))
+    w.add_kv("jamba.feed_forward_length", np.uint32(cfgj["intermediate_size"]))
+    w.add_kv("jamba.attention.head_count",
+             np.uint32(cfgj["num_attention_heads"]))
+    w.add_array("jamba.attention.head_count_kv",
+                np.asarray(kv_vec, np.uint32))
+    w.add_kv("jamba.ssm.conv_kernel", np.uint32(d_conv))
+    w.add_kv("jamba.ssm.inner_size", np.uint32(d_inner))
+    w.add_kv("jamba.ssm.state_size", np.uint32(d_state))
+    w.add_kv("jamba.ssm.time_step_rank", np.uint32(dt_rank))
+    w.add_kv("jamba.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("rms_norm_eps", 1e-6)))
+    if moe:
+        w.add_kv("jamba.expert_count", np.uint32(n_expert))
+        w.add_kv("jamba.expert_used_count",
+                 np.uint32(cfgj.get("num_experts_per_tok", 2)))
+
+    _JAMBA_SUFFIX = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "pre_ff_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "mamba.in_proj.weight": "ssm_in.weight",
+        "mamba.conv1d.weight": "ssm_conv1d.weight",
+        "mamba.conv1d.bias": "ssm_conv1d.bias",
+        "mamba.x_proj.weight": "ssm_x.weight",
+        "mamba.dt_proj.weight": "ssm_dt.weight",
+        "mamba.dt_proj.bias": "ssm_dt.bias",
+        "mamba.dt_layernorm.weight": "ssm_dt_norm.weight",
+        "mamba.b_layernorm.weight": "ssm_b_norm.weight",
+        "mamba.c_layernorm.weight": "ssm_c_norm.weight",
+        "mamba.A_log": "ssm_a",
+        "mamba.D": "ssm_d",
+        "mamba.out_proj.weight": "ssm_out.weight",
+        "feed_forward.gate_proj.weight": "ffn_gate.weight",
+        "feed_forward.up_proj.weight": "ffn_up.weight",
+        "feed_forward.down_proj.weight": "ffn_down.weight",
+        "feed_forward.router.weight": "ffn_gate_inp.weight",
+    }
+    experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+    tok_embd = None
+    n = 0
+
+    def emit(gname, data):
+        nonlocal n
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+
+    for name, data in _iter_hf_tensors(model_dir):
+        if name == "model.embed_tokens.weight":
+            tok_embd = data
+            emit("token_embd.weight", data)
+            continue
+        if name == "model.final_layernorm.weight":
+            emit("output_norm.weight", data)
+            continue
+        if name == "lm_head.weight":
+            emit("output.weight", data)
+            continue
+        if not name.startswith("model.layers."):
+            continue
+        parts = name.split(".")
+        i = int(parts[2])
+        suffix = ".".join(parts[3:])
+        if ".experts." in suffix:
+            # feed_forward.experts.{j}.{gate,up,down}_proj.weight
+            j = int(parts[5])
+            kind = parts[6].split("_")[0]  # gate | up | down
+            experts.setdefault((i, kind), {})[j] = data
+            continue
+        gname = _JAMBA_SUFFIX.get(suffix)
+        if gname is None:
+            continue
+        if gname == "ssm_conv1d.weight" and data.ndim == 3:
+            data = data[:, 0, :]
+        if gname == "ssm_a":
+            data = -np.exp(data)  # reference GGUF convention (A, not A_log)
+        emit(f"blk.{i}.{gname}", data)
+
+    for (i, kind), by_j in sorted(experts.items()):
+        stacked = np.stack([by_j[j] for j in sorted(by_j)])  # (X, out, in)
+        emit(f"blk.{i}.ffn_{kind}_exps.weight", stacked)
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "jamba", "n_tensors": n, "n_layer": L,
+            "tied": tok_embd is not None}
 
 
 def _write_tokenizer(w: GGUFWriter, model_dir: Path):
