@@ -95,6 +95,7 @@ class Engine:
         donate_cache: bool = True,
         fused_chunk: int = 16,
         kv_iswa: bool = False,  # dual SWA/full cache (llama-kv-cache-iswa)
+        self_extend: tuple[int, int] | None = None,  # (grp_attn_n, grp_attn_w)
     ):
         self.kv_iswa = kv_iswa
         self.model = model
@@ -211,7 +212,19 @@ class Engine:
         # Kills the per-step dispatch cost entirely — the TPU-native
         # replacement for the reference's per-token llama_decode loop.
         # Disabled for the tiered path (host rebalance runs between steps).
-        self.fused_chunk = 0 if self.tiered else max(int(fused_chunk), 0)
+        self.self_extend = None
+        if self_extend is not None and self_extend[0] > 1:
+            # Self-Extend group attention (ref tools/main/main.cpp:845-1010):
+            # between-step host label tracking + on-device K re-rotation;
+            # per-step like the tiered balancer, so fused decode is off
+            from .self_extend import SelfExtendState
+
+            if self.cfg.traits.recurrent or kv_iswa or kv_quantized:
+                raise ValueError("self-extend needs a plain full-attention KV cache")
+            self.self_extend = SelfExtendState(ga_n=self_extend[0],
+                                               ga_w=self_extend[1])
+        self.fused_chunk = (0 if self.tiered or self.self_extend is not None
+                            else max(int(fused_chunk), 0))
         self._fused = jax.jit(self._fused_impl, donate_argnums=(3,),
                               static_argnums=(5,))
         self.perf = PerfCounters()
@@ -368,6 +381,14 @@ class Engine:
                 off == 0,
             )
             off += CH
+            if self.self_extend is not None:
+                # group as ingestion proceeds (the reference fires the
+                # self-extend ops inside its prompt loop, main.cpp:990)
+                from ..models.transformer import rope_params
+                from .self_extend import self_extend_step
+
+                cache = self_extend_step(cache, rope_params(self.cfg),
+                                         self.self_extend, off)
         # final chunk: cache-reading prefill + sampling
         rem = n - off
         Tpad = bucket_len(rem)
@@ -442,11 +463,24 @@ class Engine:
             yield from self._generate_fused(tok, n_past, cache, sstate,
                                             max_new_tokens, stop_ids, n_keep)
             return
+        se = self.self_extend
+        if se is not None:
+            from ..models.transformer import rope_params
+            from .self_extend import self_extend_step
+
+            se_rp = rope_params(self.cfg)
+            cache = self_extend_step(cache, se_rp, se, n_past)
         for _ in range(max_new_tokens):
             if tok in stop_ids:
                 break
             yield tok
-            if n_past >= self.max_seq - 1 and not self.cfg.traits.recurrent:
+            if se is not None:
+                if n_past >= self.max_seq - 1:
+                    # physical slots exhausted (self-extend compresses rope
+                    # labels, not storage — same as the reference's cells)
+                    break
+                cache = self_extend_step(cache, se_rp, se, n_past)
+            elif n_past >= self.max_seq - 1 and not self.cfg.traits.recurrent:
                 # context shift (ref: llama-cli context shift): keep the
                 # prompt, drop half of the generated region, slide + re-rope
                 from ..models.transformer import rope_params

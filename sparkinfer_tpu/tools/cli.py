@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--draft", type=int, default=5,
                     help="draft length for --draft-mode")
     ap.add_argument("--json", action="store_true", help="bench output as JSON")
+    ap.add_argument("-gan", "--grp-attn-n", type=int, default=1,
+                    help="self-extend group size (ref main.cpp grp_attn_n)")
+    ap.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
+                    help="self-extend window (multiple of -gan)")
     ap.add_argument("--verbose", action="store_true")
     return ap
 
@@ -117,6 +121,8 @@ def make_engine(args, model):
     return Engine(
         model,
         max_seq=args.ctx_size,
+        self_extend=(args.grp_attn_n, args.grp_attn_w)
+        if args.grp_attn_n > 1 else None,
         sampler=sampler,
         kv_dtype=kv_dtype,
         kv_quantized=kv_quant,
