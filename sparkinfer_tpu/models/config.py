@@ -163,6 +163,7 @@ _reg(ArchTraits("mpt", norm="ln", act="gelu", rope_mode="none", alibi=True))
 _reg(ArchTraits("gptj", norm="ln", act="gelu", norm_bias=True,
                 ffn_bias=True, parallel_blocks=True))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
+_reg(ArchTraits("mamba2", rope_mode="none", recurrent=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))
@@ -220,6 +221,7 @@ class ModelConfig:
     fatrelu_threshold: float = 0.0
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     n_head_kv_arr: tuple = ()  # per-layer kv heads (hybrid stacks; 0 = recurrent)
+    ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count; 0 = mamba1)
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
@@ -338,6 +340,7 @@ class ModelConfig:
             kv_lora_rank=int(g("attention.kv_lora_rank", 0) or 0),
             v_head_dim=int(g("attention.value_length", 0) or 0),
             n_dense_lead=int(g("leading_dense_block_count", 0) or 0),
+            ssm_n_group=int(g("ssm.group_count", 0)),
             ssm_d_conv=int(g("ssm.conv_kernel", 0)),
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),

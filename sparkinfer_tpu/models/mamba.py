@@ -32,14 +32,22 @@ from ..ops.norms import rms_norm
 
 
 class MambaCache(NamedTuple):
-    conv: jnp.ndarray  # (L, B, d_conv-1, d_inner)
+    conv: jnp.ndarray  # (L, B, d_conv-1, conv_width)
     ssm: jnp.ndarray  # (L, B, d_inner, d_state)
+
+
+def _conv_width(cfg) -> int:
+    """Mamba-2 convolves [x; B; C] together (d_inner + 2*G*d_state wide,
+    ref llama-model.cpp:4322); mamba-1 convolves x alone."""
+    if cfg.ssm_n_group > 0:
+        return cfg.ssm_d_inner + 2 * cfg.ssm_n_group * cfg.ssm_d_state
+    return cfg.ssm_d_inner
 
 
 def init_mamba_cache(cfg, batch: int, dtype=jnp.float32) -> MambaCache:
     L = cfg.n_layer
     return MambaCache(
-        conv=jnp.zeros((L, batch, cfg.ssm_d_conv - 1, cfg.ssm_d_inner), dtype),
+        conv=jnp.zeros((L, batch, cfg.ssm_d_conv - 1, _conv_width(cfg)), dtype),
         ssm=jnp.zeros((L, batch, cfg.ssm_d_inner, cfg.ssm_d_state), dtype),
     )
 
@@ -84,11 +92,63 @@ def _layer_step(lp, u, conv_state, ssm_state, cfg):
     return out, new_conv, h
 
 
+def _layer_step2(lp, u, conv_state, ssm_state, cfg):
+    """One token of a Mamba-2 (SSD) block (ref build_mamba2_layer,
+    graph-context-mamba.cpp, + the ggml_ssm_scan mamba-2 branch
+    ggml-cpu/ops.cpp:8897-8905: scalar dA per head, grouped B/C)."""
+    B = u.shape[0]
+    d_in = cfg.ssm_d_inner
+    ds = cfg.ssm_d_state
+    nh = cfg.ssm_dt_rank  # head count (ssm.time_step_rank carries n_head)
+    hd = d_in // nh
+    G = cfg.ssm_n_group
+    d_xbc = d_in + 2 * G * ds
+
+    zxbcdt = u @ lp["ssm_in"]  # (B, 2*d_in + 2*G*ds + nh)
+    z = zxbcdt[:, :d_in]
+    xBC = zxbcdt[:, d_in : d_in + d_xbc]
+    dt = zxbcdt[:, d_in + d_xbc :]  # (B, nh)
+
+    window = jnp.concatenate([conv_state, xBC[:, None, :]], axis=1)
+    xBC = jnp.einsum("bcd,cd->bd", window, lp["conv_w"]) + lp["conv_b"]
+    new_conv = window[:, 1:, :]
+    xBC = jax.nn.silu(xBC.astype(jnp.float32))
+
+    x = xBC[:, :d_in].reshape(B, nh, hd)
+    Bm = xBC[:, d_in : d_in + G * ds].reshape(B, G, ds)
+    Cm = xBC[:, d_in + G * ds :].reshape(B, G, ds)
+
+    dt_sp = jax.nn.softplus(dt.astype(jnp.float32) + lp["ssm_dt_b"])  # (B, nh)
+    A = lp["ssm_a"].reshape(nh)  # already -exp(A_log), scalar per head
+    dA = jnp.exp(dt_sp * A)  # (B, nh)
+
+    g_idx = jnp.arange(nh, dtype=jnp.int32) // (nh // G)  # repeat_interleave
+    Bh = Bm[:, g_idx]  # (B, nh, ds)
+    Ch = Cm[:, g_idx]
+    h0 = ssm_state.reshape(B, nh, hd, ds)
+    xdt = x * dt_sp[:, :, None]  # (B, nh, hd)
+    h = dA[:, :, None, None] * h0 + xdt[..., None] * Bh[:, :, None, :]
+    y = jnp.einsum("bhds,bhs->bhd", h, Ch)
+    y = y + lp["ssm_d"].reshape(nh)[None, :, None] * x  # D per head
+    y = y.reshape(B, d_in) * jax.nn.silu(z.astype(jnp.float32))
+
+    # grouped gated RMS norm (ssm_norm {d_inner/G, G} — llama-model.cpp:4332;
+    # variance per group, matching the official mamba layernorm_gated)
+    yg = y.reshape(B, G, d_in // G)
+    var = jnp.mean(yg * yg, axis=-1, keepdims=True)
+    yg = yg * jax.lax.rsqrt(var + cfg.norm_eps)
+    y = (yg * lp["ssm_norm"].reshape(G, d_in // G)).reshape(B, d_in)
+
+    out = y.astype(u.dtype) @ lp["ssm_out"]
+    return out, new_conv, h.reshape(B, d_in, ds)
+
+
 def make_mamba_forward(cfg):
     """fwd(params, tokens (B,T), positions-ignored, cache) ->
     (logits (B,T,V) f32, MambaCache). Same call shape as the transformer
     forward so Engine-style drivers can reuse it."""
     eps = cfg.norm_eps
+    step = _layer_step2 if cfg.ssm_n_group > 0 else _layer_step
 
     def fwd(params, tokens, positions, cache: MambaCache):
         # tokens < 0 are PADDING no-ops: state must pass through untouched
@@ -106,7 +166,7 @@ def make_mamba_forward(cfg):
                 u_t, v_t = inp  # (B, E), (B,)
                 conv_s, ssm_s = carry
                 h = rms_norm(u_t, lp["attn_norm_w"], eps)
-                out, conv_n, ssm_n = _layer_step(lp, h, conv_s, ssm_s, cfg)
+                out, conv_n, ssm_n = step(lp, h, conv_s, ssm_s, cfg)
                 keep = v_t[:, None]
                 conv_n = jnp.where(keep[:, :, None], conv_n, conv_s)
                 ssm_n = jnp.where(keep[:, :, None], ssm_n, ssm_s)
@@ -141,6 +201,22 @@ def load_mamba_layers(r, cfg) -> dict:
 
     def add(k, a):
         per.setdefault(k, []).append(a)
+
+    if cfg.ssm_n_group > 0:  # mamba2 tensor table (llama-model.cpp:4314-4336)
+        for i in range(L):
+            p = f"blk.{i}."
+            g = lambda n: r.tensors[p + n].to_f32()
+            add("attn_norm_w", g("attn_norm.weight"))
+            add("ssm_in", np.ascontiguousarray(g("ssm_in.weight").T))
+            cw = g("ssm_conv1d.weight")  # (d_xbc, d_conv) numpy order
+            add("conv_w", np.ascontiguousarray(cw.T))
+            add("conv_b", g("ssm_conv1d.bias"))
+            add("ssm_dt_b", g("ssm_dt.bias"))
+            add("ssm_a", g("ssm_a").reshape(-1))  # stored {1, nh}
+            add("ssm_d", g("ssm_d").reshape(-1))
+            add("ssm_norm", g("ssm_norm.weight"))  # (G, d_inner/G)
+            add("ssm_out", np.ascontiguousarray(g("ssm_out.weight").T))
+        return {k: jnp.asarray(np.stack(v), jnp.float32) for k, v in per.items()}
 
     for i in range(L):
         p = f"blk.{i}."

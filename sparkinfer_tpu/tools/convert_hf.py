@@ -42,6 +42,7 @@ _ARCH_MAP = {
     "RWForCausalLM": "falcon",
     "MambaForCausalLM": "mamba",
     "JambaForCausalLM": "jamba",
+    "Mamba2ForCausalLM": "mamba2",
     "GPT2LMHeadModel": "gpt2",
     "Rwkv6ForCausalLM": "rwkv6",
     "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
@@ -948,6 +949,8 @@ def convert(
         return _convert_mamba(model_dir, out_path, cfgj, out_type)
     if arch == "jamba":
         return _convert_jamba(model_dir, out_path, cfgj, out_type)
+    if arch == "mamba2":
+        return _convert_mamba2(model_dir, out_path, cfgj, out_type)
     if arch == "rwkv6":
         return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
@@ -1476,6 +1479,77 @@ def _convert_mamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) ->
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "mamba", "n_tensors": n, "n_layer": L}
+
+
+_MAMBA2_TENSORS = {
+    "backbone.embeddings.weight": "token_embd.weight",
+    "backbone.norm_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+    "backbone.layers.{i}.norm.weight": "blk.{i}.attn_norm.weight",
+    "backbone.layers.{i}.mixer.in_proj.weight": "blk.{i}.ssm_in.weight",
+    "backbone.layers.{i}.mixer.conv1d.weight": "blk.{i}.ssm_conv1d.weight",
+    "backbone.layers.{i}.mixer.conv1d.bias": "blk.{i}.ssm_conv1d.bias",
+    "backbone.layers.{i}.mixer.dt_bias": "blk.{i}.ssm_dt.bias",
+    "backbone.layers.{i}.mixer.A_log": "blk.{i}.ssm_a",
+    "backbone.layers.{i}.mixer.D": "blk.{i}.ssm_d",
+    "backbone.layers.{i}.mixer.norm.weight": "blk.{i}.ssm_norm.weight",
+    "backbone.layers.{i}.mixer.out_proj.weight": "blk.{i}.ssm_out.weight",
+}
+
+
+def _convert_mamba2(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """Mamba-2 (SSD) HF checkpoint -> GGUF (ref: convert_hf_to_gguf.py
+    Mamba2Model:6747-6837; time_step_rank carries n_head, A/D unsqueezed,
+    ssm_norm reshaped to (n_group, d_inner/n_group))."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    d_inner = cfgj.get("intermediate_size") or cfgj.get("expand", 2) * E
+    d_conv = cfgj.get("conv_kernel", 4)
+    d_state = cfgj.get("state_size", 128)
+    head_dim = cfgj.get("head_dim", 64)
+    n_head = d_inner // head_dim
+    n_group = cfgj.get("n_groups", 1)
+
+    w = GGUFWriter(out_path, "mamba2")
+    w.add_kv("mamba2.block_count", np.uint32(L))
+    w.add_kv("mamba2.embedding_length", np.uint32(E))
+    w.add_kv("mamba2.vocab_size", np.uint32(V))
+    w.add_kv("mamba2.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 2**20)))
+    w.add_kv("mamba2.ssm.conv_kernel", np.uint32(d_conv))
+    w.add_kv("mamba2.ssm.inner_size", np.uint32(d_inner))
+    w.add_kv("mamba2.ssm.state_size", np.uint32(d_state))
+    w.add_kv("mamba2.ssm.time_step_rank", np.uint32(n_head))
+    w.add_kv("mamba2.ssm.group_count", np.uint32(n_group))
+    w.add_kv("mamba2.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("layer_norm_epsilon", 1e-5)))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        parts = name.split(".")
+        i = None
+        templ = name
+        if name.startswith("backbone.layers."):
+            i = int(parts[2])
+            templ = ".".join(parts[:2] + ["{i}"] + parts[3:])
+        gname = _MAMBA2_TENSORS.get(templ)
+        if gname is None:
+            continue
+        gname = gname.format(i=i) if i is not None else gname
+        if gname.endswith("ssm_conv1d.weight") and data.ndim == 3:
+            data = data[:, 0, :]
+        if gname.endswith("ssm_a"):
+            data = -np.exp(data).reshape(-1, 1)  # A = -exp(A_log), {1, nh} ne
+        if gname.endswith("ssm_d") and data.ndim == 1:
+            data = data.reshape(-1, 1)
+        if gname.endswith("ssm_norm.weight"):
+            data = data.reshape(n_group, d_inner // n_group)
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "mamba2", "n_tensors": n, "n_layer": L}
 
 
 def _convert_jamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
