@@ -51,6 +51,9 @@ class ArchTraits:
     # hybrid attention+recurrent stack (jamba — llama-memory-hybrid.cpp);
     # per-layer type comes from the attention.head_count_kv array
     ssm_hybrid: bool = False
+    # falcon-h1 style: attention AND mamba2 run in parallel in EVERY layer
+    # and their outputs sum (src/models/falcon-h1.cpp:26-72)
+    hybrid_parallel: bool = False
     wkv_version: int = 0  # RWKV family: 6 | 7 (0 = not RWKV)
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
@@ -164,6 +167,8 @@ _reg(ArchTraits("gptj", norm="ln", act="gelu", norm_bias=True,
                 ffn_bias=True, parallel_blocks=True))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
 _reg(ArchTraits("mamba2", rope_mode="none", recurrent=True))
+_reg(ArchTraits("falcon-h1", rope_mode="neox", recurrent=True,
+                ssm_hybrid=True, hybrid_parallel=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.norms import rms_norm
-from .mamba import _layer_step
+from .mamba import _conv_width, _layer_step, _layer_step2
 
 
 class HybridCache(NamedTuple):
@@ -41,7 +41,12 @@ class HybridCache(NamedTuple):
 def _layer_kinds(cfg):
     """(attn_layer_indices, recurrent_layer_indices) from the per-layer
     kv-head array; a layer is recurrent iff n_head_kv(il) == 0
-    (ref llama-hparams.cpp is_recurrent)."""
+    (ref llama-hparams.cpp is_recurrent). Parallel hybrids (falcon-h1:
+    attention AND mamba2 in EVERY layer, summed — falcon-h1.cpp:26-72)
+    put every layer in both lists."""
+    if cfg.traits.hybrid_parallel:
+        both = list(range(cfg.n_layer))
+        return both, both
     arr = cfg.n_head_kv_arr or tuple(
         cfg.n_head_kv for _ in range(cfg.n_layer))
     attn = [i for i, h in enumerate(arr) if h > 0]
@@ -55,7 +60,7 @@ def init_hybrid_cache(cfg, batch: int, max_seq: int,
     return HybridCache(
         k=jnp.zeros((len(attn), batch, max_seq, cfg.n_head_kv, cfg.head_dim), dtype),
         v=jnp.zeros((len(attn), batch, max_seq, cfg.n_head_kv, cfg.head_dim), dtype),
-        conv=jnp.zeros((len(rec), batch, cfg.ssm_d_conv - 1, cfg.ssm_d_inner),
+        conv=jnp.zeros((len(rec), batch, cfg.ssm_d_conv - 1, _conv_width(cfg)),
                        jnp.float32),
         ssm=jnp.zeros((len(rec), batch, cfg.ssm_d_inner, cfg.ssm_d_state),
                       jnp.float32),
@@ -82,6 +87,8 @@ def make_hybrid_forward(cfg):
         # weights (ref jamba.cpp:73-84 build_moe_ffn norm=false)
         _moe = make_moe_ffn(cfg, mode="dense", norm_topk=False)
 
+    mamba_step = _layer_step2 if cfg.ssm_n_group > 0 else _layer_step
+
     def fwd(params, tokens, positions, cache: HybridCache):
         valid = tokens >= 0  # (B, T): -1 padding passes recurrent state through
         x = params["tok_embd"][jnp.maximum(tokens, 0)]
@@ -91,30 +98,33 @@ def make_hybrid_forward(cfg):
 
         for il, lp in enumerate(layers):
             h = rms_norm(x, lp["attn_norm_w"], eps)
+            out = None
             if il in a_of:
                 ai = a_of[il]
                 out, kc, vc, _, _ = attention(
                     cfg, lp, h, positions, k_all[ai], v_all[ai], None, None, rp)
                 k_all = k_all.at[ai].set(kc)
                 v_all = v_all.at[ai].set(vc)
-            else:
+            if il in r_of:
                 ri = r_of[il]
 
                 def time_step(carry, inp):
                     u_t, v_t = inp
                     conv_s, ssm_s = carry
-                    o, conv_n, ssm_n = _layer_step(lp, u_t, conv_s, ssm_s, cfg)
+                    o, conv_n, ssm_n = mamba_step(lp, u_t, conv_s, ssm_s, cfg)
                     keep = v_t[:, None]
                     conv_n = jnp.where(keep[:, :, None], conv_n, conv_s)
                     ssm_n = jnp.where(keep[:, :, None], ssm_n, ssm_s)
                     return (conv_n, ssm_n), jnp.where(keep, o, 0.0)
 
-                (conv1, ssm1), out = jax.lax.scan(
+                (conv1, ssm1), rec_out = jax.lax.scan(
                     time_step, (conv_all[ri], ssm_all[ri]),
                     (jnp.swapaxes(h, 0, 1), jnp.swapaxes(valid, 0, 1)))
-                out = jnp.swapaxes(out, 0, 1).astype(x.dtype)
+                rec_out = jnp.swapaxes(rec_out, 0, 1).astype(x.dtype)
                 conv_all = conv_all.at[ri].set(conv1)
                 ssm_all = ssm_all.at[ri].set(ssm1)
+                # parallel hybrids sum attention + ssm (falcon-h1.cpp:70-72)
+                out = rec_out if out is None else out + rec_out
             x = x + out
 
             hf = rms_norm(x, lp["ffn_norm_w"], eps)
@@ -130,10 +140,12 @@ def make_hybrid_forward(cfg):
 
 
 def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
-    """Per-layer tensor dicts from a jamba GGUF (tensor table
-    src/llama-model.cpp:4337-4418)."""
-    attn_idx, _ = _layer_kinds(cfg)
+    """Per-layer tensor dicts from a hybrid GGUF (jamba tensor table
+    src/llama-model.cpp:4337-4418; falcon-h1 :6180-6230 has BOTH attention
+    and mamba2 tensors in every layer)."""
+    attn_idx, rec_idx = _layer_kinds(cfg)
     attn_set = set(attn_idx)
+    rec_set = set(rec_idx)
     layers = []
     for i in range(cfg.n_layer):
         p = f"blk.{i}."
@@ -157,7 +169,22 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
             lp["wk"] = lin("attn_k.weight")
             lp["wv"] = lin("attn_v.weight")
             lp["wo"] = lin("attn_output.weight")
-        else:
+        if i in rec_set and cfg.ssm_n_group > 0:
+            # mamba2 block (falcon-h1/granite-hybrid style)
+            lp["ssm_in"] = jnp.asarray(np.ascontiguousarray(g("ssm_in.weight").T),
+                                       jnp.float32)
+            cw = g("ssm_conv1d.weight")
+            lp["conv_w"] = jnp.asarray(np.ascontiguousarray(cw.T), jnp.float32)
+            lp["conv_b"] = jnp.asarray(g("ssm_conv1d.bias"), jnp.float32)
+            lp["ssm_dt_b"] = jnp.asarray(g("ssm_dt.bias"), jnp.float32)
+            lp["ssm_a"] = jnp.asarray(g("ssm_a").reshape(-1), jnp.float32)
+            lp["ssm_d"] = jnp.asarray(g("ssm_d").reshape(-1), jnp.float32)
+            snorm = g("ssm_norm.weight", required=False)  # optional (falcon-h1)
+            if snorm is not None:
+                lp["ssm_norm"] = jnp.asarray(snorm, jnp.float32)
+            lp["ssm_out"] = jnp.asarray(np.ascontiguousarray(g("ssm_out.weight").T),
+                                        jnp.float32)
+        elif i in rec_set:
             lp["ssm_in"] = jnp.asarray(np.ascontiguousarray(g("ssm_in.weight").T),
                                        jnp.float32)
             cw = g("ssm_conv1d.weight")  # (d_inner, d_conv) numpy order

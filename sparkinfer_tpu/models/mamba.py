@@ -132,12 +132,15 @@ def _layer_step2(lp, u, conv_state, ssm_state, cfg):
     y = y + lp["ssm_d"].reshape(nh)[None, :, None] * x  # D per head
     y = y.reshape(B, d_in) * jax.nn.silu(z.astype(jnp.float32))
 
-    # grouped gated RMS norm (ssm_norm {d_inner/G, G} — llama-model.cpp:4332;
-    # variance per group, matching the official mamba layernorm_gated)
-    yg = y.reshape(B, G, d_in // G)
-    var = jnp.mean(yg * yg, axis=-1, keepdims=True)
-    yg = yg * jax.lax.rsqrt(var + cfg.norm_eps)
-    y = (yg * lp["ssm_norm"].reshape(G, d_in // G)).reshape(B, d_in)
+    if "ssm_norm" in lp:
+        # grouped gated RMS norm (ssm_norm {d_inner/G, G} —
+        # llama-model.cpp:4332; variance per group, matching the official
+        # mamba layernorm_gated). Optional: falcon-h1 with
+        # mamba_rms_norm=false has no ssm_norm (build_mamba2_layer guards)
+        yg = y.reshape(B, G, d_in // G)
+        var = jnp.mean(yg * yg, axis=-1, keepdims=True)
+        yg = yg * jax.lax.rsqrt(var + cfg.norm_eps)
+        y = (yg * lp["ssm_norm"].reshape(G, d_in // G)).reshape(B, d_in)
 
     out = y.astype(u.dtype) @ lp["ssm_out"]
     return out, new_conv, h.reshape(B, d_in, ds)

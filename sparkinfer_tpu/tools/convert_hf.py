@@ -43,6 +43,7 @@ _ARCH_MAP = {
     "MambaForCausalLM": "mamba",
     "JambaForCausalLM": "jamba",
     "Mamba2ForCausalLM": "mamba2",
+    "FalconH1ForCausalLM": "falcon-h1",
     "GPT2LMHeadModel": "gpt2",
     "Rwkv6ForCausalLM": "rwkv6",
     "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
@@ -951,6 +952,8 @@ def convert(
         return _convert_jamba(model_dir, out_path, cfgj, out_type)
     if arch == "mamba2":
         return _convert_mamba2(model_dir, out_path, cfgj, out_type)
+    if arch == "falcon-h1":
+        return _convert_falcon_h1(model_dir, out_path, cfgj, out_type)
     if arch == "rwkv6":
         return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
@@ -1550,6 +1553,127 @@ def _convert_mamba2(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "mamba2", "n_tensors": n, "n_layer": L}
+
+
+def _convert_falcon_h1(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """Falcon-H1 (parallel attention + mamba2 every layer) HF checkpoint ->
+    GGUF (ref: convert_hf_to_gguf.py FalconH1Model:9320-9424 — every
+    multiplier hparam is baked into the weights at conversion)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    d_inner = cfgj["mamba_d_ssm"]
+    d_conv = cfgj.get("mamba_d_conv", 4)
+    d_state = cfgj.get("mamba_d_state", 128)
+    d_head = cfgj.get("mamba_d_head", 64)
+    n_head_ssm = d_inner // d_head
+    n_group = cfgj.get("mamba_n_groups", 1)
+    gts = n_group * d_state
+
+    mul = lambda k, d=1.0: cfgj.get(k) if cfgj.get(k) is not None else d
+    mlp_m = cfgj.get("mlp_multipliers") or [1.0, 1.0]
+    ssm_m = cfgj.get("ssm_multipliers") or [1.0] * 5
+
+    w = GGUFWriter(out_path, "falcon-h1")
+    w.add_kv("falcon-h1.block_count", np.uint32(L))
+    w.add_kv("falcon-h1.embedding_length", np.uint32(E))
+    w.add_kv("falcon-h1.vocab_size", np.uint32(V))
+    w.add_kv("falcon-h1.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 8192)))
+    w.add_kv("falcon-h1.feed_forward_length", np.uint32(cfgj["intermediate_size"]))
+    w.add_kv("falcon-h1.attention.head_count",
+             np.uint32(cfgj["num_attention_heads"]))
+    w.add_kv("falcon-h1.attention.head_count_kv",
+             np.uint32(cfgj["num_key_value_heads"]))
+    w.add_kv("falcon-h1.attention.key_length", np.uint32(cfgj["head_dim"]))
+    w.add_kv("falcon-h1.attention.value_length", np.uint32(cfgj["head_dim"]))
+    w.add_kv("falcon-h1.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("rms_norm_eps", 1e-5)))
+    w.add_kv("falcon-h1.rope.freq_base", np.float32(cfgj.get("rope_theta", 1e5)))
+    w.add_kv("falcon-h1.ssm.conv_kernel", np.uint32(d_conv))
+    w.add_kv("falcon-h1.ssm.inner_size", np.uint32(d_inner))
+    w.add_kv("falcon-h1.ssm.state_size", np.uint32(d_state))
+    w.add_kv("falcon-h1.ssm.time_step_rank", np.uint32(n_head_ssm))
+    w.add_kv("falcon-h1.ssm.group_count", np.uint32(n_group))
+
+    _FH1_SUFFIX = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "pre_ff_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "mamba.in_proj.weight": "ssm_in.weight",
+        "mamba.conv1d.weight": "ssm_conv1d.weight",
+        "mamba.conv1d.bias": "ssm_conv1d.bias",
+        "mamba.dt_bias": "ssm_dt.bias",
+        "mamba.A_log": "ssm_a",
+        "mamba.D": "ssm_d",
+        "mamba.norm.weight": "ssm_norm.weight",
+        "mamba.out_proj.weight": "ssm_out.weight",
+        "feed_forward.gate_proj.weight": "ffn_gate.weight",
+        "feed_forward.up_proj.weight": "ffn_up.weight",
+        "feed_forward.down_proj.weight": "ffn_down.weight",
+    }
+    n = 0
+
+    def emit(gname, data):
+        nonlocal n
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+
+    for name, data in _iter_hf_tensors(model_dir):
+        data = np.asarray(data, np.float32)
+        if name == "model.embed_tokens.weight":
+            emit("token_embd.weight", data * mul("embedding_multiplier"))
+            continue
+        if name == "model.final_layernorm.weight":
+            emit("output_norm.weight", data)
+            continue
+        if name == "lm_head.weight":
+            emit("output.weight", data * mul("lm_head_multiplier"))
+            continue
+        if not name.startswith("model.layers."):
+            continue
+        parts = name.split(".")
+        i = int(parts[2])
+        suffix = ".".join(parts[3:])
+        gname = _FH1_SUFFIX.get(suffix)
+        if gname is None:
+            continue
+        # bake the falcon-h1 multiplier zoo into the weights
+        # (FalconH1Model.modify_tensors:9364-9399)
+        if gname == "ffn_gate.weight":
+            data = data * mlp_m[0]
+        elif gname == "ffn_down.weight":
+            data = data * mlp_m[1]
+        elif gname == "attn_q.weight" or gname == "attn_v.weight":
+            data = data * mul("attention_in_multiplier")
+        elif gname == "attn_k.weight":
+            data = data * mul("key_multiplier") * mul("attention_in_multiplier")
+        elif gname == "attn_output.weight":
+            data = data * mul("attention_out_multiplier")
+        elif gname == "ssm_out.weight":
+            data = data * mul("ssm_out_multiplier")
+        elif gname == "ssm_in.weight":
+            data = data * mul("ssm_in_multiplier")
+            data[:d_inner] *= ssm_m[0]
+            data[d_inner : 2 * d_inner] *= ssm_m[1]
+            data[2 * d_inner : 2 * d_inner + gts] *= ssm_m[2]
+            data[2 * d_inner + gts : 2 * d_inner + 2 * gts] *= ssm_m[3]
+            data[2 * d_inner + 2 * gts :] *= ssm_m[4]
+        elif gname == "ssm_conv1d.weight" and data.ndim == 3:
+            data = data[:, 0, :]
+        elif gname == "ssm_a":
+            data = -np.exp(data).reshape(-1, 1)
+        elif gname == "ssm_d":
+            data = data.reshape(-1, 1)
+        elif gname == "ssm_norm.weight":
+            data = data.reshape(n_group, d_inner // n_group)
+        emit(f"blk.{i}.{gname}", data)
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "falcon-h1", "n_tensors": n, "n_layer": L}
 
 
 def _convert_jamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
