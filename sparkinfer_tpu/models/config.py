@@ -169,6 +169,11 @@ _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
 _reg(ArchTraits("mamba2", rope_mode="none", recurrent=True))
 _reg(ArchTraits("falcon-h1", rope_mode="neox", recurrent=True,
                 ssm_hybrid=True, hybrid_parallel=True))
+# granite 4.0 hybrid: interleaved mamba2/attention (NoPE), granitemoe-style
+# fused MoE + shared expert, granite scale multipliers
+# (ref src/models/granite-hybrid.cpp)
+_reg(ArchTraits("granitehybrid", rope_mode="none", recurrent=True,
+                ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))

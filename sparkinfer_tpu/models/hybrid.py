@@ -84,14 +84,21 @@ def make_hybrid_forward(cfg):
         from ..sparse.moe import make_moe_ffn
 
         # jamba routes softmax top-k WITHOUT renormalizing the selected
-        # weights (ref jamba.cpp:73-84 build_moe_ffn norm=false)
-        _moe = make_moe_ffn(cfg, mode="dense", norm_topk=False)
+        # weights (ref jamba.cpp:73-84 build_moe_ffn norm=false);
+        # granite-hybrid follows its GGUF KVs (gating func 3 + norm flag,
+        # the HF GraniteMoeTopKGating convention)
+        _moe = make_moe_ffn(cfg, mode="dense",
+                            norm_topk=False if cfg.arch == "jamba" else None)
 
     mamba_step = _layer_step2 if cfg.ssm_n_group > 0 else _layer_step
+
+    rscale = cfg.residual_scale
 
     def fwd(params, tokens, positions, cache: HybridCache):
         valid = tokens >= 0  # (B, T): -1 padding passes recurrent state through
         x = params["tok_embd"][jnp.maximum(tokens, 0)]
+        if cfg.embd_scale != 1.0:  # granite embedding multiplier
+            x = x * jnp.asarray(cfg.embd_scale, x.dtype)
         layers = params["layers"]
         k_all, v_all = cache.k, cache.v
         conv_all, ssm_all = cache.conv, cache.ssm
@@ -125,15 +132,21 @@ def make_hybrid_forward(cfg):
                 ssm_all = ssm_all.at[ri].set(ssm1)
                 # parallel hybrids sum attention + ssm (falcon-h1.cpp:70-72)
                 out = rec_out if out is None else out + rec_out
+            if rscale != 1.0:  # granite residual multiplier
+                out = out * jnp.asarray(rscale, out.dtype)
             x = x + out
 
             hf = rms_norm(x, lp["ffn_norm_w"], eps)
             ffn_out = _moe(lp, hf) if "w_router" in lp else _dense(lp, hf)
+            if rscale != 1.0:
+                ffn_out = ffn_out * jnp.asarray(rscale, ffn_out.dtype)
             x = x + ffn_out
 
         x = rms_norm(x, params["output_norm_w"], eps)
         logits = jnp.einsum("bte,ev->btv", x, params["output"],
                             preferred_element_type=jnp.float32)
+        if cfg.logit_scale != 1.0:  # granite divides by logits_scaling
+            logits = logits * cfg.logit_scale
         return logits, HybridCache(k=k_all, v=v_all, conv=conv_all, ssm=ssm_all)
 
     return fwd
@@ -208,6 +221,12 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
                     lp[key] = jnp.asarray(t, jnp.float32)
         if r.tensors.get(p + "ffn_gate_inp.weight") is not None:
             lp["w_router"] = lin("ffn_gate_inp.weight")
+            for hf_n, key in (("ffn_up_shexp.weight", "w_up_shexp"),
+                              ("ffn_gate_shexp.weight", "w_gate_shexp"),
+                              ("ffn_down_shexp.weight", "w_down_shexp")):
+                t = g(hf_n, required=False)
+                if t is not None:  # granite-hybrid shared expert
+                    lp[key] = jnp.asarray(np.ascontiguousarray(t.T), dtype)
             lp["w_up_exps"] = jnp.asarray(
                 np.ascontiguousarray(np.swapaxes(g("ffn_up_exps.weight"), 1, 2)),
                 dtype)

@@ -44,6 +44,7 @@ _ARCH_MAP = {
     "JambaForCausalLM": "jamba",
     "Mamba2ForCausalLM": "mamba2",
     "FalconH1ForCausalLM": "falcon-h1",
+    "GraniteMoeHybridForCausalLM": "granitehybrid",
     "GPT2LMHeadModel": "gpt2",
     "Rwkv6ForCausalLM": "rwkv6",
     "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
@@ -954,6 +955,8 @@ def convert(
         return _convert_mamba2(model_dir, out_path, cfgj, out_type)
     if arch == "falcon-h1":
         return _convert_falcon_h1(model_dir, out_path, cfgj, out_type)
+    if arch == "granitehybrid":
+        return _convert_granite_hybrid(model_dir, out_path, cfgj, out_type)
     if arch == "rwkv6":
         return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
@@ -1674,6 +1677,137 @@ def _convert_falcon_h1(model_dir: Path, out_path: str, cfgj: dict, out_type: str
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "falcon-h1", "n_tensors": n, "n_layer": L}
+
+
+def _convert_granite_hybrid(model_dir: Path, out_path: str, cfgj: dict,
+                            out_type: str) -> dict:
+    """GraniteMoeHybrid (granite 4.0: interleaved mamba2/attention + fused
+    MoE + shared expert + granite multipliers) -> GGUF (ref:
+    src/models/granite-hybrid.cpp; arch name 'granitehybrid',
+    llama-arch.cpp:89)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    F = cfgj["intermediate_size"]
+    d_inner = cfgj.get("mamba_expand", 2) * E
+    d_conv = cfgj.get("mamba_d_conv", 4)
+    d_state = cfgj.get("mamba_d_state", 128)
+    n_head_ssm = cfgj.get("mamba_n_heads", 8)
+    n_group = cfgj.get("mamba_n_groups", 1)
+    layer_types = cfgj.get("layer_types") or ["mamba"] * L
+    n_kv = cfgj["num_key_value_heads"]
+    kv_vec = [n_kv if t == "attention" else 0 for t in layer_types]
+    n_expert = cfgj.get("num_local_experts", 0)
+    shared_F = cfgj.get("shared_intermediate_size", 0)
+
+    a = "granitehybrid"
+    w = GGUFWriter(out_path, a)
+    w.add_kv(f"{a}.block_count", np.uint32(L))
+    w.add_kv(f"{a}.embedding_length", np.uint32(E))
+    w.add_kv(f"{a}.vocab_size", np.uint32(V))
+    w.add_kv(f"{a}.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 8192)))
+    w.add_kv(f"{a}.feed_forward_length", np.uint32(F))
+    w.add_kv(f"{a}.attention.head_count",
+             np.uint32(cfgj["num_attention_heads"]))
+    w.add_array(f"{a}.attention.head_count_kv", np.asarray(kv_vec, np.uint32))
+    w.add_kv(f"{a}.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("rms_norm_eps", 1e-5)))
+    w.add_kv(f"{a}.ssm.conv_kernel", np.uint32(d_conv))
+    w.add_kv(f"{a}.ssm.inner_size", np.uint32(d_inner))
+    w.add_kv(f"{a}.ssm.state_size", np.uint32(d_state))
+    w.add_kv(f"{a}.ssm.time_step_rank", np.uint32(n_head_ssm))
+    w.add_kv(f"{a}.ssm.group_count", np.uint32(n_group))
+    # granite multipliers (same KV semantics as _kv_granite)
+    w.add_kv(f"{a}.embedding_scale",
+             np.float32(cfgj.get("embedding_multiplier", 1.0)))
+    w.add_kv(f"{a}.residual_scale",
+             np.float32(cfgj.get("residual_multiplier", 1.0)))
+    w.add_kv(f"{a}.logit_scale",
+             np.float32(1.0 / cfgj.get("logits_scaling", 1.0)))
+    w.add_kv(f"{a}.attention.scale",
+             np.float32(cfgj.get("attention_multiplier", 0.0)))
+    if n_expert:
+        w.add_kv(f"{a}.expert_count", np.uint32(n_expert))
+        w.add_kv(f"{a}.expert_used_count",
+                 np.uint32(cfgj.get("num_experts_per_tok", 2)))
+        # HF GraniteMoeTopKGating: top-k on logits, softmax over selected
+        w.add_kv(f"{a}.expert_gating_func", np.uint32(3))
+        w.add_kv(f"{a}.expert_weights_norm", False)
+
+    _GH_SUFFIX = {
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.o_proj.weight": "attn_output.weight",
+        "mamba.in_proj.weight": "ssm_in.weight",
+        "mamba.conv1d.weight": "ssm_conv1d.weight",
+        "mamba.conv1d.bias": "ssm_conv1d.bias",
+        "mamba.dt_bias": "ssm_dt.bias",
+        "mamba.A_log": "ssm_a",
+        "mamba.D": "ssm_d",
+        "mamba.norm.weight": "ssm_norm.weight",
+        "mamba.out_proj.weight": "ssm_out.weight",
+        "block_sparse_moe.router.layer.weight": "ffn_gate_inp.weight",
+        "block_sparse_moe.output_linear.weight": "ffn_down_exps.weight",
+    }
+    n = 0
+
+    def emit(gname, data):
+        nonlocal n
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+
+    for name, data in _iter_hf_tensors(model_dir):
+        data = np.asarray(data, np.float32)
+        if name == "model.embed_tokens.weight":
+            emit("token_embd.weight", data)
+            continue
+        if name == "model.norm.weight":
+            emit("output_norm.weight", data)
+            continue
+        if name == "lm_head.weight":
+            emit("output.weight", data)
+            continue
+        if not name.startswith("model.layers."):
+            continue
+        parts = name.split(".")
+        i = int(parts[2])
+        suffix = ".".join(parts[3:])
+        if suffix == "block_sparse_moe.input_linear.weight":
+            # fused [gate; up] per expert (granitemoe convention)
+            emit(f"blk.{i}.ffn_gate_exps.weight",
+                 np.ascontiguousarray(data[:, :F]))
+            emit(f"blk.{i}.ffn_up_exps.weight",
+                 np.ascontiguousarray(data[:, F:]))
+            continue
+        if suffix == "shared_mlp.input_linear.weight":
+            # fused [gate; up] shared expert
+            emit(f"blk.{i}.ffn_gate_shexp.weight",
+                 np.ascontiguousarray(data[:shared_F]))
+            emit(f"blk.{i}.ffn_up_shexp.weight",
+                 np.ascontiguousarray(data[shared_F:]))
+            continue
+        if suffix == "shared_mlp.output_linear.weight":
+            emit(f"blk.{i}.ffn_down_shexp.weight", data)
+            continue
+        gname = _GH_SUFFIX.get(suffix)
+        if gname is None:
+            continue
+        if gname == "ssm_conv1d.weight" and data.ndim == 3:
+            data = data[:, 0, :]
+        if gname == "ssm_a":
+            data = -np.exp(data).reshape(-1, 1)
+        if gname == "ssm_d":
+            data = data.reshape(-1, 1)
+        if gname == "ssm_norm.weight":
+            data = data.reshape(n_group, d_inner // n_group)
+        emit(f"blk.{i}.{gname}", data)
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "granitehybrid", "n_tensors": n, "n_layer": L}
 
 
 def _convert_jamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
