@@ -174,6 +174,11 @@ _reg(ArchTraits("falcon-h1", rope_mode="neox", recurrent=True,
 # (ref src/models/granite-hybrid.cpp)
 _reg(ArchTraits("granitehybrid", rope_mode="none", recurrent=True,
                 ssm_hybrid=True))
+# lfm2: gated short-conv layers + GQA attention layers (qk-norm, rope)
+# (ref src/models/lfm2.cpp); lfm2moe adds sigma-gated MoE past the
+# leading dense blocks
+_reg(ArchTraits("lfm2", rope_mode="neox", recurrent=True, ssm_hybrid=True))
+_reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))
@@ -232,6 +237,7 @@ class ModelConfig:
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     n_head_kv_arr: tuple = ()  # per-layer kv heads (hybrid stacks; 0 = recurrent)
     ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count; 0 = mamba1)
+    shortconv_l_cache: int = 0  # lfm2 gated short-conv kernel length
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
     ssm_d_state: int = 0
@@ -351,6 +357,7 @@ class ModelConfig:
             v_head_dim=int(g("attention.value_length", 0) or 0),
             n_dense_lead=int(g("leading_dense_block_count", 0) or 0),
             ssm_n_group=int(g("ssm.group_count", 0)),
+            shortconv_l_cache=int(g("shortconv.l_cache", 0)),
             ssm_d_conv=int(g("ssm.conv_kernel", 0)),
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),

@@ -38,6 +38,22 @@ class HybridCache(NamedTuple):
     ssm: jnp.ndarray  # (Lr, B, d_inner, d_state)
 
 
+def _shortconv_step(lp, u, conv_state, ssm_state, cfg):
+    """One token of an lfm2 gated short-conv block (ref lfm2.cpp
+    build_shortconv_block / HF Lfm2ShortConv.slow_forward): split the
+    in_proj into [B, C, x], causal-conv B*x over the last L_cache inputs,
+    gate with C."""
+    E = cfg.n_embd
+    bcx = u @ lp["sc_in"]  # (B, 3E)
+    b, c, x = bcx[:, :E], bcx[:, E : 2 * E], bcx[:, 2 * E :]
+    bx = (b * x).astype(jnp.float32)
+    window = jnp.concatenate([conv_state, bx[:, None, :]], axis=1)  # (B, L, E)
+    conv = jnp.einsum("ble,le->be", window, lp["sc_conv"])
+    y = c.astype(jnp.float32) * conv
+    out = y.astype(u.dtype) @ lp["sc_out"]
+    return out, window[:, 1:, :], ssm_state
+
+
 def _layer_kinds(cfg):
     """(attn_layer_indices, recurrent_layer_indices) from the per-layer
     kv-head array; a layer is recurrent iff n_head_kv(il) == 0
@@ -57,13 +73,17 @@ def _layer_kinds(cfg):
 def init_hybrid_cache(cfg, batch: int, max_seq: int,
                       dtype=jnp.bfloat16) -> HybridCache:
     attn, rec = _layer_kinds(cfg)
+    if cfg.shortconv_l_cache > 0:  # lfm2: conv over n_embd, no ssm state
+        d_conv, width = cfg.shortconv_l_cache, cfg.n_embd
+        ssm_shape = (len(rec), batch, 0, 0)
+    else:
+        d_conv, width = cfg.ssm_d_conv, _conv_width(cfg)
+        ssm_shape = (len(rec), batch, cfg.ssm_d_inner, cfg.ssm_d_state)
     return HybridCache(
         k=jnp.zeros((len(attn), batch, max_seq, cfg.n_head_kv, cfg.head_dim), dtype),
         v=jnp.zeros((len(attn), batch, max_seq, cfg.n_head_kv, cfg.head_dim), dtype),
-        conv=jnp.zeros((len(rec), batch, cfg.ssm_d_conv - 1, _conv_width(cfg)),
-                       jnp.float32),
-        ssm=jnp.zeros((len(rec), batch, cfg.ssm_d_inner, cfg.ssm_d_state),
-                      jnp.float32),
+        conv=jnp.zeros((len(rec), batch, d_conv - 1, width), jnp.float32),
+        ssm=jnp.zeros(ssm_shape, jnp.float32),
     )
 
 
@@ -90,7 +110,12 @@ def make_hybrid_forward(cfg):
         _moe = make_moe_ffn(cfg, mode="dense",
                             norm_topk=False if cfg.arch == "jamba" else None)
 
-    mamba_step = _layer_step2 if cfg.ssm_n_group > 0 else _layer_step
+    if cfg.shortconv_l_cache > 0:
+        mamba_step = _shortconv_step
+    elif cfg.ssm_n_group > 0:
+        mamba_step = _layer_step2
+    else:
+        mamba_step = _layer_step
 
     rscale = cfg.residual_scale
 
@@ -182,7 +207,20 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
             lp["wk"] = lin("attn_k.weight")
             lp["wv"] = lin("attn_v.weight")
             lp["wo"] = lin("attn_output.weight")
-        if i in rec_set and cfg.ssm_n_group > 0:
+            for hf_n, key in (("attn_q_norm.weight", "attn_q_norm_w"),
+                              ("attn_k_norm.weight", "attn_k_norm_w")):
+                t = g(hf_n, required=False)  # lfm2 per-head qk norms
+                if t is not None:
+                    lp[key] = jnp.asarray(t, jnp.float32)
+        if i in rec_set and cfg.shortconv_l_cache > 0:
+            # lfm2 shortconv (blk.i.shortconv.* — llama-arch.cpp:2340-2342)
+            lp["sc_in"] = jnp.asarray(
+                np.ascontiguousarray(g("shortconv.in_proj.weight").T), jnp.float32)
+            sck = g("shortconv.conv.weight")  # (E, L) numpy order
+            lp["sc_conv"] = jnp.asarray(np.ascontiguousarray(sck.T), jnp.float32)
+            lp["sc_out"] = jnp.asarray(
+                np.ascontiguousarray(g("shortconv.out_proj.weight").T), jnp.float32)
+        elif i in rec_set and cfg.ssm_n_group > 0:
             # mamba2 block (falcon-h1/granite-hybrid style)
             lp["ssm_in"] = jnp.asarray(np.ascontiguousarray(g("ssm_in.weight").T),
                                        jnp.float32)

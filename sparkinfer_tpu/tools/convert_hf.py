@@ -45,6 +45,7 @@ _ARCH_MAP = {
     "Mamba2ForCausalLM": "mamba2",
     "FalconH1ForCausalLM": "falcon-h1",
     "GraniteMoeHybridForCausalLM": "granitehybrid",
+    "Lfm2ForCausalLM": "lfm2",
     "GPT2LMHeadModel": "gpt2",
     "Rwkv6ForCausalLM": "rwkv6",
     "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
@@ -957,6 +958,8 @@ def convert(
         return _convert_falcon_h1(model_dir, out_path, cfgj, out_type)
     if arch == "granitehybrid":
         return _convert_granite_hybrid(model_dir, out_path, cfgj, out_type)
+    if arch == "lfm2":
+        return _convert_lfm2(model_dir, out_path, cfgj, out_type)
     if arch == "rwkv6":
         return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
@@ -1808,6 +1811,86 @@ def _convert_granite_hybrid(model_dir: Path, out_path: str, cfgj: dict,
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "granitehybrid", "n_tensors": n, "n_layer": L}
+
+
+def _convert_lfm2(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
+    """LFM2 (gated short-conv + attention hybrid) -> GGUF (ref:
+    src/models/lfm2.cpp; shortconv tensors llama-arch.cpp:2340-2342).
+    feed_forward_length is derived from the checkpoint (HF auto-adjusts
+    the block ff dim), not from config."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    l_cache = cfgj.get("conv_L_cache", 3)
+    layer_types = cfgj.get("layer_types") or ["conv"] * L
+    n_kv = cfgj["num_key_value_heads"]
+    kv_vec = [n_kv if t == "full_attention" else 0 for t in layer_types]
+
+    a = "lfm2"
+    w = GGUFWriter(out_path, a)
+    w.add_kv(f"{a}.block_count", np.uint32(L))
+    w.add_kv(f"{a}.embedding_length", np.uint32(E))
+    w.add_kv(f"{a}.vocab_size", np.uint32(V))
+    w.add_kv(f"{a}.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 128000)))
+    w.add_kv(f"{a}.attention.head_count",
+             np.uint32(cfgj["num_attention_heads"]))
+    w.add_array(f"{a}.attention.head_count_kv", np.asarray(kv_vec, np.uint32))
+    w.add_kv(f"{a}.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("norm_eps", 1e-5)))
+    w.add_kv(f"{a}.rope.freq_base", np.float32(cfgj.get("rope_theta", 1e6)))
+    w.add_kv(f"{a}.shortconv.l_cache", np.uint32(l_cache))
+
+    _LFM2_SUFFIX = {
+        "operator_norm.weight": "attn_norm.weight",
+        "ffn_norm.weight": "ffn_norm.weight",
+        "self_attn.q_proj.weight": "attn_q.weight",
+        "self_attn.k_proj.weight": "attn_k.weight",
+        "self_attn.v_proj.weight": "attn_v.weight",
+        "self_attn.out_proj.weight": "attn_output.weight",
+        "self_attn.q_layernorm.weight": "attn_q_norm.weight",
+        "self_attn.k_layernorm.weight": "attn_k_norm.weight",
+        "conv.in_proj.weight": "shortconv.in_proj.weight",
+        "conv.conv.weight": "shortconv.conv.weight",
+        "conv.out_proj.weight": "shortconv.out_proj.weight",
+        "feed_forward.w1.weight": "ffn_gate.weight",
+        "feed_forward.w3.weight": "ffn_up.weight",
+        "feed_forward.w2.weight": "ffn_down.weight",
+    }
+    n = 0
+    n_ff = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        data = np.asarray(data, np.float32)
+        if name == "model.embed_tokens.weight":
+            w.add_tensor("token_embd.weight", data, GGMLType.F32)
+            n += 1
+            continue
+        if name == "model.embedding_norm.weight":
+            w.add_tensor("output_norm.weight", data, GGMLType.F32)
+            n += 1
+            continue
+        if name == "lm_head.weight":
+            w.add_tensor("output.weight", data, GGMLType.F32)
+            n += 1
+            continue
+        if not name.startswith("model.layers."):
+            continue
+        parts = name.split(".")
+        i = int(parts[2])
+        suffix = ".".join(parts[3:])
+        gname = _LFM2_SUFFIX.get(suffix)
+        if gname is None:
+            continue
+        if gname == "shortconv.conv.weight" and data.ndim == 3:
+            data = data[:, 0, :]  # (E, 1, L) -> (E, L)
+        if gname == "ffn_gate.weight":
+            n_ff = data.shape[0]
+        w.add_tensor(f"blk.{i}.{gname}", np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+    w.add_kv(f"{a}.feed_forward_length", np.uint32(n_ff))
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "lfm2", "n_tensors": n, "n_layer": L}
 
 
 def _convert_jamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
