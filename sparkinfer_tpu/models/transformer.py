@@ -341,6 +341,7 @@ def make_forward(
     ffn_carry_init: Callable | None = None,
     causal: bool = True,
     inputs_embeds: bool = False,
+    moe_mode: str = "dense",  # "dense" | "pallas" (fused row-streaming)
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
@@ -365,12 +366,13 @@ def make_forward(
     if ffn_fn is None and cfg.n_expert > 0:
         from ..sparse.moe import make_moe_ffn
 
-        _moe_f = make_moe_ffn(cfg, mode="dense")
+        _moe_f = make_moe_ffn(cfg, mode=moe_mode)
         _dense_f = dense_ffn(cfg)
 
         def ffn(lp, x):
             # per-segment dispatch: deepseek2-style leading dense layers
-            # (first_k_dense_replace) carry plain FFN tensors, the rest MoE
+            # (first_k_dense_replace) carry plain FFN tensors, the rest MoE;
+            # moe_mode="pallas" expects moe_layout-transformed layer params
             return _moe_f(lp, x) if "w_router" in lp else _dense_f(lp, x)
     else:
         ffn = ffn_fn or dense_ffn(cfg)

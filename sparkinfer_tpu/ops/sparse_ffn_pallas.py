@@ -49,6 +49,12 @@ def _combine(act: str, fatrelu_threshold: float, gate, up):
         return gate * jax.nn.sigmoid(gate) * up
     if act == "gelu":
         return jax.nn.gelu(gate, approximate=True) * up
+    if act == "swiglu_oai":
+        # gpt-oss clamped swiglu (ggml_swiglu_oai): gate clamped above at
+        # limit, up clamped both ways, sigmoid slope 1.702, (up + 1) shift
+        gf = jnp.minimum(gate, 7.0)
+        uf = jnp.clip(up, -7.0, 7.0)
+        return gf * jax.nn.sigmoid(1.702 * gf) * (uf + 1.0)
     raise ValueError(act)
 
 
@@ -63,7 +69,8 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, U, refs):
     x_ref = refs[1]
     gp_ref = refs[2]
     bu_ref = refs[3]
-    w_refs = refs[4:-1]
+    bg_ref = refs[4]
+    w_refs = refs[5:-1]
     out_ref = refs[-1]
     n_proj = 3 if gated else 2
     wu_refs = w_refs[0:U]
@@ -84,6 +91,7 @@ def _kernel(act, fatrelu_threshold, prob_threshold, gated, mask_mode, U, refs):
                 x, wg_refs[u][0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            gate = gate + bg_ref[0, pl.ds(u, 1), :][0]
         else:
             gate = None
         hidden = _combine(act, fatrelu_threshold, gate, up)
@@ -125,6 +133,7 @@ def sparse_ffn_block(
     fatrelu_threshold: float = 0.0,
     prob_threshold: float = 0.5,
     bu_sel: jnp.ndarray | None = None,  # (N, C, G) pre-gathered up-bias
+    bg_sel: jnp.ndarray | None = None,  # (N, C, G) pre-gathered gate-bias
     interpret: bool | None = None,
     mask_mode: str = "threshold",  # "threshold" | "scale"
     unroll: int | None = None,  # grid-step unroll override (1 = deepest grid)
@@ -136,7 +145,9 @@ def sparse_ffn_block(
         interpret = not _on_tpu()
 
     bu = jnp.zeros_like(gp_sel) if bu_sel is None else bu_sel.astype(jnp.float32)
-    gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu", "gelu")
+    bg = jnp.zeros_like(gp_sel) if bg_sel is None else bg_sel.astype(jnp.float32)
+    gated = w_gate_rows is not None and act in ("fatrelu", "drelu", "silu",
+                                                "gelu", "swiglu_oai")
 
     # unroll factor: U groups per grid step (U weight streams per projection)
     # amortizes per-step pipeline overhead, but each stream double-buffers a
@@ -164,12 +175,13 @@ def sparse_ffn_block(
     x3 = x.reshape(N, 1, E)
     gp3 = gp_sel.reshape(N * Cs, U, G)
     bu3 = bu.reshape(N * Cs, U, G)
+    bg3 = bg.reshape(N * Cs, U, G)
     x_spec = pl.BlockSpec((1, 1, E), lambda n, c, idx_ref: (n, 0, 0),
                           memory_space=pltpu.VMEM)
     sel_spec = pl.BlockSpec((1, U, G), lambda n, c, idx_ref: (n * Cs + c, 0, 0),
                             memory_space=pltpu.VMEM)
-    in_specs = [x_spec, sel_spec, sel_spec]
-    inputs = [x3, gp3, bu3]
+    in_specs = [x_spec, sel_spec, sel_spec, sel_spec]
+    inputs = [x3, gp3, bu3, bg3]
     in_specs += [w_spec_u(u) for u in range(U)]
     inputs += [w_up_rows] * U
     if gated:

@@ -96,6 +96,7 @@ class Engine:
         fused_chunk: int = 16,
         kv_iswa: bool = False,  # dual SWA/full cache (llama-kv-cache-iswa)
         self_extend: tuple[int, int] | None = None,  # (grp_attn_n, grp_attn_w)
+        moe_mode: str = "dense",  # "pallas": fused row-streaming expert FFN
     ):
         self.kv_iswa = kv_iswa
         self.model = model
@@ -193,8 +194,30 @@ class Engine:
             self.fwd_prefill = self.fwd
             self.fwd_decode = self.fwd
         else:
-            self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
-            self.fwd_prefill = make_forward(self.cfg, ffn_fn=ffn_fn, fresh_prefill=True)
+            if moe_mode == "pallas" and self.cfg.n_expert > 0 and ffn_fn is None:
+                # fused row-streaming MoE: reshape stacked expert weights
+                # into the kernel's row stores ONCE (replacing the dense
+                # copies — same bytes, no 2x residency) and route every
+                # forward through the Pallas gather kernel. Kills the
+                # per-token HBM gather copies of jnp.take dense mode.
+                from ..sparse.moe import moe_layout
+
+                def to_rows(lay):
+                    if "w_up_exps" not in lay:
+                        return lay
+                    lay = moe_layout(lay, self.cfg)
+                    for k in ("w_up_exps", "w_gate_exps", "w_down_exps"):
+                        lay.pop(k, None)
+                    return lay
+
+                model.params["layers"] = to_rows(model.params["layers"])
+                segs = model.params.get("layer_segments")
+                if segs is not None:  # deepseek2-style mixed stacks
+                    model.params["layer_segments"] = [to_rows(s) for s in segs]
+                    model.params["layers"] = model.params["layer_segments"][0]
+            self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn, moe_mode=moe_mode)
+            self.fwd_prefill = make_forward(self.cfg, ffn_fn=ffn_fn,
+                                            fresh_prefill=True, moe_mode=moe_mode)
             self.fwd_decode = self.fwd
         self.sample = make_sampler(self.sampler_cfg)
         self.kv_dtype = kv_dtype

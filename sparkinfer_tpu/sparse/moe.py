@@ -39,11 +39,20 @@ def moe_layout(lp: dict, cfg: ModelConfig, group_size: int = 128) -> dict:
     def rows_from_row(w):  # (..., X, F, E) -> (..., X*ng_e, G, E)
         return w.reshape(w.shape[:-3] + (X * ng_e, G, E))
 
+    def bias_rows(b):  # (..., X, F) -> (..., X*ng_e, G)
+        return b.reshape(b.shape[:-2] + (X * ng_e, G))
+
     out = dict(lp)
     out["moe_up_rows"] = rows_from_col(lp["w_up_exps"])
     if "w_gate_exps" in lp:
         out["moe_gate_rows"] = rows_from_col(lp["w_gate_exps"])
     out["moe_down_rows"] = rows_from_row(lp["w_down_exps"])
+    # gpt-oss per-expert biases ride as row stores too (down bias is per
+    # (expert, E) and is mixed outside the kernel)
+    if "w_up_exps_b" in lp:
+        out["moe_up_b_rows"] = bias_rows(lp["w_up_exps_b"])
+    if "w_gate_exps_b" in lp:
+        out["moe_gate_b_rows"] = bias_rows(lp["w_gate_exps_b"])
     return out
 
 
@@ -157,6 +166,11 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
         scale = jnp.broadcast_to(
             w[:, :, None, None], (N, k, ng_e, G)
         ).reshape(N, k * ng_e, G).astype(jnp.float32)
+        bu_sel = bg_sel = None
+        if "moe_up_b_rows" in lp:  # gpt-oss expert biases (fused in-kernel)
+            bu_sel = jnp.take(lp["moe_up_b_rows"], rows, axis=0)
+        if "moe_gate_b_rows" in lp:
+            bg_sel = jnp.take(lp["moe_gate_b_rows"], rows, axis=0)
         out = sparse_ffn_block(
             xt,
             rows,
@@ -166,7 +180,13 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
             lp["moe_down_rows"],
             act=act,
             mask_mode="scale",
+            bu_sel=bu_sel,
+            bg_sel=bg_sel,
         )
+        if "w_down_exps_b" in lp:
+            # down bias is per (expert, E): mix with the routing weights
+            db = jnp.take(lp["w_down_exps_b"], idx, axis=0)  # (N, k, E)
+            out = out + (db * w[..., None]).sum(1).astype(out.dtype)
         if "w_up_shexp" in lp:
             out = out + _shared_expert(cfg, lp, xt, act).astype(out.dtype)
         return out.reshape(B, T, E).astype(x.dtype)

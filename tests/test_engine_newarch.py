@@ -70,3 +70,20 @@ def test_engine_generate(family, tmp_path):
     assert len(out) == 24
     # determinism + long-enough generation to cross the SWA window
     assert out == eng.generate([5, 9, 42], max_new_tokens=24)
+
+
+def test_gptoss_engine_pallas_moe_matches_dense(tmp_path):
+    """gpt-oss through Engine(moe_mode='pallas'): fused row-streaming MoE
+    with in-kernel expert biases + clamped swiglu must reproduce the
+    dense-gather tokens exactly."""
+    model_a = _mk(tmp_path, _CLS["gpt-oss"], dict(CASES["gpt-oss"]))
+    a = Engine(model_a, max_seq=64, sampler=SamplerConfig(temp=0.0),
+               kv_dtype=jnp.float32)
+    ta = a.generate([5, 9, 42], max_new_tokens=16)
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    model_b = _mk(d2, _CLS["gpt-oss"], dict(CASES["gpt-oss"]))
+    b = Engine(model_b, max_seq=64, sampler=SamplerConfig(temp=0.0),
+               kv_dtype=jnp.float32, moe_mode="pallas")
+    tb = b.generate([5, 9, 42], max_new_tokens=16)
+    assert ta == tb

@@ -99,3 +99,47 @@ def test_moe_end_to_end_generation(moe_model):
     assert len(out) == 5
     out2 = eng.generate([3, 5, 7], max_new_tokens=5)
     assert out == out2
+
+
+def test_moe_pallas_matches_dense_with_biases(moe_model):
+    """gpt-oss-style per-expert biases + clamped swiglu through the fused
+    kernel (bu/bg ride as pre-gathered row stores, down bias mixed outside;
+    ref ggml_swiglu_oai + mmq bias adds)."""
+    import dataclasses
+
+    model, _ = moe_model
+    cfg = dataclasses.replace(model.config, arch="gpt-oss")
+    assert cfg.traits.act == "swiglu_oai"
+    lp = jax.tree.map(lambda a: a[0], model.params["layers"])
+    rng = np.random.default_rng(3)
+    F, E = 64, 64
+    lp = dict(lp)
+    lp["w_up_exps_b"] = jnp.asarray(rng.standard_normal((X, F)) * 0.1, jnp.float32)
+    lp["w_gate_exps_b"] = jnp.asarray(rng.standard_normal((X, F)) * 0.1, jnp.float32)
+    lp["w_down_exps_b"] = jnp.asarray(rng.standard_normal((X, E)) * 0.1, jnp.float32)
+    lp = moe_layout(lp, cfg, group_size=16)
+    x = jnp.asarray(rng.standard_normal((2, 2, E)).astype(np.float32))
+    dense = make_moe_ffn(cfg, mode="dense")(lp, x)
+    pallas = make_moe_ffn(cfg, group_size=16, mode="pallas")(lp, x)
+    np.testing.assert_allclose(np.asarray(pallas), np.asarray(dense),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_engine_moe_mode_pallas_matches_dense(moe_model, tmp_path):
+    """Engine(moe_mode='pallas') must emit the same greedy tokens as the
+    dense-gather MoE path (the row stores replace the stacked exps)."""
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    path = str(tmp_path / "tiny-moe2.gguf")
+    make_tiny_llama(path, n_expert=X, n_expert_used=K, n_ff=64, seed=7)
+    a = Engine(load_model(path, dtype=jnp.float32), max_seq=64,
+               sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32)
+    b = Engine(load_model(path, dtype=jnp.float32), max_seq=64,
+               sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32,
+               moe_mode="pallas")
+    assert "w_up_exps" not in b.model.params["layers"]  # rows replaced exps
+    assert "moe_up_rows" in b.model.params["layers"]
+    ta = a.generate([5, 9, 42], max_new_tokens=12)
+    tb = b.generate([5, 9, 42], max_new_tokens=12)
+    assert ta == tb
