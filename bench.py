@@ -469,6 +469,92 @@ def batch_main(plat):
     }))
 
 
+def build_moe_model(preset: str):
+    """Qwen3-MoE-style decode model for the fused-MoE bench: router +
+    stacked experts, silu gating."""
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.models.config import ModelConfig
+
+    shapes = {
+        # name: (L, E, H, Hkv, F_exp, X, k, V)
+        "moe": (12, 2048, 16, 4, 1408, 8, 2, 32000),
+        "tiny": (2, 256, 8, 4, 128, 4, 2, 1024),
+    }
+    L, E, H, Hkv, F, X, k, V = shapes[preset]
+    D = E // H
+    cfg = ModelConfig(arch="qwen3moe", n_layer=L, n_embd=E, n_head=H,
+                      n_head_kv=Hkv, n_ff=F, n_ff_exp=F, n_vocab=V,
+                      head_dim=D, n_expert=X, n_expert_used=k)
+    rng = np.random.default_rng(0)
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale,
+                           jnp.bfloat16)
+
+    layers = {
+        "attn_norm_w": jnp.ones((L, E), jnp.float32),
+        "ffn_norm_w": jnp.ones((L, E), jnp.float32),
+        "wq": w(L, E, H * D), "wk": w(L, E, Hkv * D), "wv": w(L, E, Hkv * D),
+        "wo": w(L, H * D, E),
+        "w_router": w(L, E, X, scale=0.1),
+        "w_up_exps": w(L, X, E, F),
+        "w_gate_exps": w(L, X, E, F),
+        "w_down_exps": w(L, X, F, E),
+    }
+    params = {
+        "tok_embd": w(V, E),
+        "output_norm_w": jnp.ones((E,), jnp.float32),
+        "output": w(E, V),
+        "layers": layers,
+    }
+    return cfg, params
+
+
+def moe_main(plat):
+    """`bench.py moe`: dense-gather vs fused row-streaming expert FFN at
+    batch-1 decode. Dense mode materializes per-token (k, E, F) expert
+    gathers in HBM (jnp.take) before the matmuls; the Pallas path streams
+    only the selected rows HBM->VMEM (PARITY gap: fused-MoE engine path)."""
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.sparse.moe import moe_layout
+
+    preset = "moe" if plat == "tpu" else "tiny"
+    cfg, params = build_moe_model(preset)
+    S = 1024
+    n_trials = 6 if plat == "tpu" else 2
+
+    dense_fwd = make_forward(cfg, moe_mode="dense")
+    pallas_fwd = make_forward(cfg, moe_mode="pallas")
+    rows_layers = moe_layout(params["layers"], cfg)
+    for kk in ("w_up_exps", "w_gate_exps", "w_down_exps"):
+        rows_layers.pop(kk)
+    params_rows = dict(params) | {"layers": rows_layers}
+
+    dense = Path("moe_dense", dense_fwd, params, cfg, S)
+    pallas = Path("moe_pallas", pallas_fwd, params_rows, cfg, S,
+                  prefill_fwd=pallas_fwd)
+    dense.run_chunk()
+    pallas.run_chunk()
+    d_t, p_t, ratios = [], [], []
+    for _ in range(n_trials):
+        dt = dense.run_chunk()
+        pt = pallas.run_chunk()
+        d_t.append(dt)
+        p_t.append(pt)
+        ratios.append(dt / pt)
+        print(json.dumps({"dense_ms": round(dt * 1e3 / CHUNK, 2),
+                          "pallas_ms": round(pt * 1e3 / CHUNK, 2),
+                          "ratio": round(dt / pt, 3)}), file=sys.stderr)
+    print(json.dumps({
+        "metric": f"decode_tps_moe_pallas_{preset}_b1",
+        "value": round(CHUNK / min(p_t), 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(statistics.median(ratios), 3),
+        "dense_tps": round(CHUNK / min(d_t), 2),
+    }))
+
+
 def main():
     import jax
 
@@ -486,6 +572,8 @@ def main():
         return tiered_main(plat, preset[6:].lstrip("-") or None)
     if preset == "batch":
         return batch_main(plat)
+    if preset == "moe":
+        return moe_main(plat)
     cfg, params = build_model(preset)
     tight_hbm = preset == "7b"
     S = 1024

@@ -133,7 +133,9 @@ _reg(ArchTraits("internlm2", ))
 _reg(ArchTraits("starcoder2", norm="ln", act="gelu", rope_mode="neox",
                 qkv_bias=True, attn_out_bias=True, ffn_bias=True,
                 norm_bias=True))
-_reg(ArchTraits("exaone", ))
+# exaone ropes NEOX (ref llama_model_rope_type: LLM_ARCH_EXAONE in the
+# GPTNEOX group)
+_reg(ArchTraits("exaone", rope_mode="neox"))
 _reg(ArchTraits("granite", ))
 _reg(ArchTraits("minicpm", ))
 _reg(ArchTraits("deepseek2", ))  # NORM rope (ref rope-type switch)
@@ -165,6 +167,16 @@ _reg(ArchTraits("bloom", norm="ln", act="gelu", rope_mode="none",
 _reg(ArchTraits("mpt", norm="ln", act="gelu", rope_mode="none", alibi=True))
 _reg(ArchTraits("gptj", norm="ln", act="gelu", norm_bias=True,
                 ffn_bias=True, parallel_blocks=True))
+# trait-only llama-shaped archs (direct-GGUF interop; per-arch traits
+# verified against the reference graph builders + rope-type table):
+_reg(ArchTraits("xverse", ))  # src/models/xverse.cpp: rms+silu, NORM rope
+_reg(ArchTraits("baichuan", ))  # src/models/baichuan.cpp (7B rope variant)
+_reg(ArchTraits("seed_oss", ))  # src/models/seed-oss.cpp: rms+silu NORM
+_reg(ArchTraits("arcee", act="relu2"))  # src/models/arcee.cpp: relu^2 FFN
+_reg(ArchTraits("orion", norm="ln", norm_bias=True, rope_mode="neox"))
+# olmo (v1): non-parametric layernorm is stored as unit weights in GGUF
+_reg(ArchTraits("olmo", norm="ln", rope_mode="neox"))
+_reg(ArchTraits("qwen", rope_mode="neox", fused_qkv=True, qkv_bias=True))
 _reg(ArchTraits("mamba", rope_mode="none", recurrent=True))
 _reg(ArchTraits("mamba2", rope_mode="none", recurrent=True))
 _reg(ArchTraits("falcon-h1", rope_mode="neox", recurrent=True,

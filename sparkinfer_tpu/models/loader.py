@@ -245,7 +245,12 @@ def load_model(
     for i in range(L):
         _cur[0] = i
         p = f"blk.{i}."
-        add("attn_norm_w", _get(r, p + "attn_norm.weight"))
+        anw = _get(r, p + "attn_norm.weight")
+        if anw is None:
+            # olmo v1: non-parametric layernorm — the GGUF carries no norm
+            # tensors at all (llama-model.cpp "norm params removed")
+            anw = np.ones(E, np.float32)
+        add("attn_norm_w", anw)
         add("attn_norm_b", _get(r, p + "attn_norm.bias"))
         add("attn_norm2_w", _get(r, p + "attn_norm_2.weight"))
         add("attn_norm2_b", _get(r, p + "attn_norm_2.bias"))
@@ -304,7 +309,10 @@ def load_model(
         add("attn_post_norm_b", _get(r, p + "attn_post_norm.bias"))
         add("ffn_post_norm_w", _get(r, p + "ffn_post_norm.weight"))
         add("ffn_post_norm_b", _get(r, p + "ffn_post_norm.bias"))
-        add("ffn_norm_w", _get(r, p + "ffn_norm.weight"))
+        fnw = _get(r, p + "ffn_norm.weight")
+        if fnw is None and not tr.parallel_blocks:
+            fnw = np.ones(E, np.float32)  # olmo non-parametric norm
+        add("ffn_norm_w", fnw)
         add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
         # MoE expert tensors (3D); canonicalized to (X, E, F)/(X, F, E)
         gi = _get(r, p + "ffn_gate_inp.weight")  # (X, E)

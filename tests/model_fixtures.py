@@ -33,6 +33,7 @@ def make_tiny_llama(
     extra_kv: dict | None = None,
     extra_tensors: dict | None = None,  # e.g. cls head for rank pooling
     extra_control_pieces: list[str] | None = None,  # extra CONTROL vocab pieces
+    fused_qkv: bool = False,  # write attn_qkv [Q;K;V] instead of q/k/v (qwen v1)
 ) -> dict[str, np.ndarray]:
     """Write a tiny llama-family GGUF; returns the raw f32 weights (llama.cpp
     orientation: weights are (out_dim, in_dim) in numpy order)."""
@@ -50,9 +51,14 @@ def make_tiny_llama(
     for i in range(n_layer):
         p = f"blk.{i}."
         tensors[p + "attn_norm.weight"] = 1.0 + w(n_embd) * 0.1
-        tensors[p + "attn_q.weight"] = w(n_head * D, n_embd)
-        tensors[p + "attn_k.weight"] = w(n_head_kv * D, n_embd)
-        tensors[p + "attn_v.weight"] = w(n_head_kv * D, n_embd)
+        if fused_qkv:
+            assert n_head_kv == n_head, "fused fixture supports MHA concat only"
+            tensors[p + "attn_qkv.weight"] = w((n_head + 2 * n_head_kv) * D, n_embd)
+            tensors[p + "attn_qkv.bias"] = w((n_head + 2 * n_head_kv) * D)
+        else:
+            tensors[p + "attn_q.weight"] = w(n_head * D, n_embd)
+            tensors[p + "attn_k.weight"] = w(n_head_kv * D, n_embd)
+            tensors[p + "attn_v.weight"] = w(n_head_kv * D, n_embd)
         tensors[p + "attn_output.weight"] = w(n_embd, n_head * D)
         tensors[p + "ffn_norm.weight"] = 1.0 + w(n_embd) * 0.1
         if moe:

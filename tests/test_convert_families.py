@@ -215,7 +215,9 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
 
 
 @pytest.mark.parametrize("arch", ["internlm2", "minicpm", "exaone",
-                                  "smollm", "tinyllama", "olmo2"])
+                                  "smollm", "tinyllama", "olmo2",
+                                  "xverse", "baichuan", "seed_oss",
+                                  "arcee", "orion", "olmo", "qwen"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
@@ -226,7 +228,12 @@ def test_direct_gguf_arch_smoke(arch, tmp_path):
     from model_fixtures import make_tiny_llama
 
     p = tmp_path / f"{arch}.gguf"
-    make_tiny_llama(p, arch=arch)
+    from sparkinfer_tpu.models.config import ARCH_REGISTRY
+    tr = ARCH_REGISTRY[arch]
+    kw = {}
+    if tr.fused_qkv:  # qwen v1: fused [Q;K;V] projection
+        kw = dict(fused_qkv=True, n_head_kv=4, n_head=4)
+    make_tiny_llama(p, arch=arch, **kw)
     model = load_model(str(p), dtype=jnp.float32)
     assert model.config.arch == arch
     fwd = jax.jit(make_forward(model.config))
