@@ -35,6 +35,13 @@ SLOW_MODULES = {
     "test_engine_newarch",
     "test_mtmd",
     "test_pp",
+    # round-2 continuation: hybrid families + TTS (quick tier keeps
+    # test_mamba2/test_self_extend as representatives)
+    "test_jamba",
+    "test_falcon_h1",
+    "test_granite_hybrid",
+    "test_lfm2",
+    "test_tts",
 }
 
 
