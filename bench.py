@@ -531,11 +531,20 @@ def moe_main(plat):
         rows_layers.pop(kk)
     params_rows = dict(params) | {"layers": rows_layers}
 
+    t0 = time.time()
     dense = Path("moe_dense", dense_fwd, params, cfg, S)
+    print(json.dumps({"phase": "dense_prefill_ok", "t": round(time.time() - t0, 1)}),
+          file=sys.stderr, flush=True)
     pallas = Path("moe_pallas", pallas_fwd, params_rows, cfg, S,
                   prefill_fwd=pallas_fwd)
+    print(json.dumps({"phase": "pallas_prefill_ok", "t": round(time.time() - t0, 1)}),
+          file=sys.stderr, flush=True)
     dense.run_chunk()
+    print(json.dumps({"phase": "dense_decode_ok", "t": round(time.time() - t0, 1)}),
+          file=sys.stderr, flush=True)
     pallas.run_chunk()
+    print(json.dumps({"phase": "pallas_decode_ok", "t": round(time.time() - t0, 1)}),
+          file=sys.stderr, flush=True)
     d_t, p_t, ratios = [], [], []
     for _ in range(n_trials):
         dt = dense.run_chunk()

@@ -42,6 +42,11 @@ SLOW_MODULES = {
     "test_granite_hybrid",
     "test_lfm2",
     "test_tts",
+    # serving e2e (quick tier keeps test_tools_api + test_sampling)
+    "test_scheduler",
+    "test_server",
+    "test_lookup_extras",
+    "test_cli_sparse_flags",
 }
 
 
