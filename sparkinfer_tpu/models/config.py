@@ -171,7 +171,7 @@ _reg(ArchTraits("gptj", norm="ln", act="gelu", norm_bias=True,
 # verified against the reference graph builders + rope-type table):
 _reg(ArchTraits("xverse", ))  # src/models/xverse.cpp: rms+silu, NORM rope
 _reg(ArchTraits("baichuan", ))  # src/models/baichuan.cpp (7B rope variant)
-_reg(ArchTraits("seed_oss", ))  # src/models/seed-oss.cpp: rms+silu NORM
+_reg(ArchTraits("seed_oss", qkv_bias=True))  # src/models/seed-oss.cpp: NORM rope, attn bias
 _reg(ArchTraits("arcee", act="relu2"))  # src/models/arcee.cpp: relu^2 FFN
 _reg(ArchTraits("orion", norm="ln", norm_bias=True, rope_mode="neox"))
 # olmo (v1): non-parametric layernorm is stored as unit weights in GGUF

@@ -462,6 +462,13 @@ _MOE_ROUTER_T = {
 
 _FAMILIES: dict[str, dict] = {
     "Qwen3ForCausalLM": dict(arch="qwen3", tmap=_QNORM_T),
+    # olmo v1: non-parametric layernorm (the checkpoint has NO norm
+    # tensors; the loader synthesizes unit weights), NEOX rope
+    "OlmoForCausalLM": dict(arch="olmo"),
+    # arcee (AFM): gateless relu^2 FFN, NORM rope
+    "ArceeForCausalLM": dict(arch="arcee"),
+    # seed-oss: qkv bias, wide head_dim, NORM rope
+    "SeedOssForCausalLM": dict(arch="seed_oss"),
     "GemmaForCausalLM": dict(arch="gemma", norm_plus_one=True),
     "Gemma2ForCausalLM": dict(arch="gemma2", tmap=_GEMMA2_T,
                               norm_plus_one=True, kv=_kv_gemma2),

@@ -80,6 +80,14 @@ def _families():
         "smollm3": (T.SmolLM3ForCausalLM, _cfg(
             T.SmolLM3Config, num_hidden_layers=4, pad_token_id=0)),
         "ernie4_5": (T.Ernie4_5ForCausalLM, _cfg(T.Ernie4_5Config)),
+        # olmo v1: non-parametric layernorm (checkpoint carries no norm
+        # tensors), NEOX rope
+        "olmo": (T.OlmoForCausalLM, _cfg(T.OlmoConfig)),
+        # arcee (AFM): gateless relu^2 FFN
+        "arcee": (T.ArceeForCausalLM, _cfg(T.ArceeConfig)),
+        # seed-oss: attention bias + wide head_dim
+        "seed_oss": (T.SeedOssForCausalLM, _cfg(
+            T.SeedOssConfig, head_dim=16, attention_bias=True)),
         "gpt-oss": (T.GptOssForCausalLM, _cfg(
             T.GptOssConfig, head_dim=16, num_local_experts=4,
             num_experts_per_tok=2, sliding_window=16, rope_scaling=None,
