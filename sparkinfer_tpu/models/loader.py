@@ -211,7 +211,10 @@ def load_model(
             params["tok_norm_b"] = put("tok_norm_b", _as_jnp(tnb, jnp.float32))
     if tr.pos_embd:
         params["pos_embd"] = put("pos_embd", _as_jnp(_get(r, "position_embd.weight"), dtype))
-    params["output_norm_w"] = put("output_norm_w", _as_jnp(_get(r, "output_norm.weight"), jnp.float32))
+    onw = _get(r, "output_norm.weight")
+    if onw is None:
+        onw = np.ones(E, np.float32)  # olmo v1 non-parametric final norm
+    params["output_norm_w"] = put("output_norm_w", _as_jnp(onw, jnp.float32))
     onb = _get(r, "output_norm.bias")
     if onb is not None:
         params["output_norm_b"] = put("output_norm_b", _as_jnp(onb, jnp.float32))
@@ -246,9 +249,10 @@ def load_model(
         _cur[0] = i
         p = f"blk.{i}."
         anw = _get(r, p + "attn_norm.weight")
-        if anw is None:
+        if anw is None and _get(r, p + "attn_post_norm.weight") is None:
             # olmo v1: non-parametric layernorm — the GGUF carries no norm
-            # tensors at all (llama-model.cpp "norm params removed")
+            # tensors at all (llama-model.cpp "norm params removed").
+            # post-norm-only archs (olmo2) keep attn_norm absent on purpose.
             anw = np.ones(E, np.float32)
         add("attn_norm_w", anw)
         add("attn_norm_b", _get(r, p + "attn_norm.bias"))
@@ -310,7 +314,7 @@ def load_model(
         add("ffn_post_norm_w", _get(r, p + "ffn_post_norm.weight"))
         add("ffn_post_norm_b", _get(r, p + "ffn_post_norm.bias"))
         fnw = _get(r, p + "ffn_norm.weight")
-        if fnw is None and not tr.parallel_blocks:
+        if fnw is None and not tr.parallel_blocks and                 _get(r, p + "ffn_post_norm.weight") is None:
             fnw = np.ones(E, np.float32)  # olmo non-parametric norm
         add("ffn_norm_w", fnw)
         add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
