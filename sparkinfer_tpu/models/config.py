@@ -154,6 +154,10 @@ _reg(ArchTraits("granitemoe", ))
 _reg(ArchTraits("gpt-oss", rope_mode="neox", swa_pattern=2,
                 act="swiglu_oai"))
 _reg(ArchTraits("glm4", swa_pattern=0))
+# GLM-4.5 MoE: NEOX partial rope, optional qkv bias + per-head qk norm,
+# sigmoid-routed MoE with score-correction bias + shared expert
+# (ref src/models/glm4-moe.cpp)
+_reg(ArchTraits("glm4moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("nemotron", norm="ln", act="relu2", norm_bias=True,
                 rope_mode="neox"))
 _reg(ArchTraits("ernie4_5", ))

@@ -369,6 +369,33 @@ def _kv_deepseek2(w, a, c):
              np.uint32(2 if c.get("scoring_func") == "sigmoid" else 1))
 
 
+_GLM4MOE_T = {
+    **_QNORM_T,
+    "model.layers.{i}.mlp.gate.weight": "blk.{i}.ffn_gate_inp.weight",
+    "model.layers.{i}.mlp.gate.e_score_correction_bias": "blk.{i}.exp_probs_b.bias",
+    "model.layers.{i}.mlp.shared_experts.gate_proj.weight": "blk.{i}.ffn_gate_shexp.weight",
+    "model.layers.{i}.mlp.shared_experts.up_proj.weight": "blk.{i}.ffn_up_shexp.weight",
+    "model.layers.{i}.mlp.shared_experts.down_proj.weight": "blk.{i}.ffn_down_shexp.weight",
+}
+
+
+def _kv_glm4moe(w, a, c):
+    """GLM-4.5-MoE: sigmoid router + score-correction bias + shared expert
+    + leading dense layers (ref src/models/glm4-moe.cpp; Glm4MoeTopkRouter
+    in transformers is the deepseek3-style gating)."""
+    w.add_kv(f"{a}.leading_dense_block_count",
+             np.uint32(c.get("first_k_dense_replace", 0)))
+    w.add_kv(f"{a}.expert_count", np.uint32(c["n_routed_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["num_experts_per_tok"]))
+    w.add_kv(f"{a}.expert_feed_forward_length",
+             np.uint32(c["moe_intermediate_size"]))
+    w.add_kv(f"{a}.expert_shared_count", np.uint32(c.get("n_shared_experts", 0)))
+    w.add_kv(f"{a}.expert_weights_scale",
+             np.float32(c.get("routed_scaling_factor", 1.0)))
+    w.add_kv(f"{a}.expert_weights_norm", bool(c.get("norm_topk_prob", True)))
+    w.add_kv(f"{a}.expert_gating_func", np.uint32(2))  # sigmoid
+
+
 def _split_granitemoe(templ, data, cfgj):
     """granitemoe fuses [gate; up] per expert in input_linear (X, 2F, E)."""
     if templ.endswith("block_sparse_moe.input_linear.weight"):
@@ -559,6 +586,9 @@ _FAMILIES: dict[str, dict] = {
         head_dim=lambda c: c["qk_nope_head_dim"] + c["qk_rope_head_dim"],
         rope_dim=lambda c: c["qk_rope_head_dim"]),
     "Ernie4_5ForCausalLM": dict(arch="ernie4_5"),
+    "Glm4MoeForCausalLM": dict(
+        arch="glm4moe", moe="qwen2moe", kv=_kv_glm4moe, tmap=_GLM4MOE_T,
+        rope_dim=_rope_partial(0.5)),
 }
 
 # kind letter -> (gguf suffix); mixtral w1=gate, w2=down, w3=up

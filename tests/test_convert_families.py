@@ -88,6 +88,15 @@ def _families():
         # seed-oss: attention bias + wide head_dim
         "seed_oss": (T.SeedOssForCausalLM, _cfg(
             T.SeedOssConfig, head_dim=16, attention_bias=True)),
+        # glm-4.5 MoE: sigmoid router + correction bias, shared expert,
+        # dense lead, qk-norm, partial rope, attention bias
+        "glm4moe": (T.Glm4MoeForCausalLM, _cfg(
+            T.Glm4MoeConfig, head_dim=16, num_hidden_layers=3,
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48, n_shared_experts=1,
+            first_k_dense_replace=1, use_qk_norm=True,
+            attention_bias=True, partial_rotary_factor=0.5,
+            routed_scaling_factor=1.5, pad_token_id=0)),
         "gpt-oss": (T.GptOssForCausalLM, _cfg(
             T.GptOssConfig, head_dim=16, num_local_experts=4,
             num_experts_per_tok=2, sliding_window=16, rope_scaling=None,
