@@ -194,6 +194,11 @@ _reg(ArchTraits("granitehybrid", rope_mode="none", recurrent=True,
 # (ref src/models/lfm2.cpp); lfm2moe adds sigma-gated MoE past the
 # leading dense blocks
 _reg(ArchTraits("lfm2", rope_mode="neox", recurrent=True, ssm_hybrid=True))
+# qwen3next: gated-delta-net linear attention (3 of every 4 layers) +
+# gated full attention, qwen3moe-style MoE with shared expert
+# (ref src/models/qwen3next.cpp)
+_reg(ArchTraits("qwen3next", rope_mode="neox", recurrent=True,
+                ssm_hybrid=True))
 _reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,

@@ -54,6 +54,73 @@ def _shortconv_step(lp, u, conv_state, ssm_state, cfg):
     return out, window[:, 1:, :], ssm_state
 
 
+def _deltanet_step(lp, u, conv_state, ssm_state, cfg):
+    """One token of a qwen3next gated delta net block (ref
+    src/models/qwen3next.cpp build_delta_net_recurrent + HF
+    torch_recurrent_gated_delta_rule). State: conv window over the
+    concatenated [q;k;v] projections + S (nv, hk, hv) fast weights."""
+    B = u.shape[0]
+    hk = cfg.ssm_d_state
+    nk = cfg.ssm_n_group
+    nv = cfg.ssm_dt_rank
+    hv = cfg.ssm_d_inner // nv
+    rep = nv // nk
+    key_dim, value_dim = hk * nk, hv * nv
+
+    qkvz = u @ lp["ssm_in"]  # (B, 2*key_dim + 2*value_dim)
+    # interleaved per k-head: [q_hk | k_hk | v rep*hv | z rep*hv]
+    # (HF fix_query_key_value_ordering)
+    qkvz = qkvz.reshape(B, nk, 2 * hk + 2 * rep * hv)
+    q = qkvz[:, :, :hk]
+    k = qkvz[:, :, hk : 2 * hk]
+    v = qkvz[:, :, 2 * hk : 2 * hk + rep * hv].reshape(B, nv, hv)
+    z = qkvz[:, :, 2 * hk + rep * hv :].reshape(B, nv, hv)
+    ba = (u @ lp["ssm_ba"]).reshape(B, nk, 2 * rep)  # (b | a) per k-head
+    b = ba[:, :, :rep].reshape(B, nv)
+    a = ba[:, :, rep:].reshape(B, nv)
+
+    # causal conv over the concatenated [q;k;v] flat dims, silu
+    mixed = jnp.concatenate(
+        [q.reshape(B, key_dim), k.reshape(B, key_dim), v.reshape(B, value_dim)],
+        axis=-1)
+    window = jnp.concatenate([conv_state, mixed[:, None, :]], axis=1)
+    mixed = jnp.einsum("bcd,cd->bd", window, lp["conv_w"])
+    if "conv_b" in lp:
+        mixed = mixed + lp["conv_b"]
+    new_conv = window[:, 1:, :]
+    mixed = jax.nn.silu(mixed.astype(jnp.float32))
+    q = mixed[:, :key_dim].reshape(B, nk, hk)
+    k = mixed[:, key_dim : 2 * key_dim].reshape(B, nk, hk)
+    v = mixed[:, 2 * key_dim :].reshape(B, nv, hv)
+
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))  # (B, nv)
+    # g = A * softplus(a + dt_bias); ssm_a already holds A = -exp(A_log)
+    g = lp["ssm_a"] * jax.nn.softplus(a.astype(jnp.float32) + lp["ssm_dt_b"])
+
+    def l2n(x):
+        return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + 1e-6)
+
+    q = l2n(q.astype(jnp.float32)) * (hk ** -0.5)
+    k = l2n(k.astype(jnp.float32))
+    q = jnp.repeat(q, rep, axis=1)  # (B, nv, hk)
+    k = jnp.repeat(k, rep, axis=1)
+
+    S = ssm_state.reshape(B, nv, hk, hv) * jnp.exp(g)[:, :, None, None]
+    kv_mem = jnp.einsum("bhkv,bhk->bhv", S, k)
+    delta = (v.astype(jnp.float32) - kv_mem) * beta[:, :, None]
+    S = S + k[:, :, :, None] * delta[:, :, None, :]
+    out = jnp.einsum("bhkv,bhk->bhv", S, q)  # (B, nv, hv)
+
+    # gated per-head RMS norm: norm BEFORE the silu(z) gate
+    # (Qwen3NextRMSNormGated; weight used as-is — no +1)
+    var = jnp.mean(out * out, axis=-1, keepdims=True)
+    out = out * jax.lax.rsqrt(var + cfg.norm_eps) * lp["ssm_norm"]
+    out = out * jax.nn.silu(z.astype(jnp.float32))
+
+    y = out.reshape(B, value_dim).astype(u.dtype) @ lp["ssm_out"]
+    return y, new_conv, S.reshape(B, cfg.ssm_d_inner, hk)
+
+
 def _layer_kinds(cfg):
     """(attn_layer_indices, recurrent_layer_indices) from the per-layer
     kv-head array; a layer is recurrent iff n_head_kv(il) == 0
@@ -73,7 +140,12 @@ def _layer_kinds(cfg):
 def init_hybrid_cache(cfg, batch: int, max_seq: int,
                       dtype=jnp.bfloat16) -> HybridCache:
     attn, rec = _layer_kinds(cfg)
-    if cfg.shortconv_l_cache > 0:  # lfm2: conv over n_embd, no ssm state
+    if cfg.arch == "qwen3next":
+        # delta net: conv over [q;k;v], fast-weight state (d_inner, hk)
+        d_conv = cfg.ssm_d_conv
+        width = 2 * cfg.ssm_d_state * cfg.ssm_n_group + cfg.ssm_d_inner
+        ssm_shape = (len(rec), batch, cfg.ssm_d_inner, cfg.ssm_d_state)
+    elif cfg.shortconv_l_cache > 0:  # lfm2: conv over n_embd, no ssm state
         d_conv, width = cfg.shortconv_l_cache, cfg.n_embd
         ssm_shape = (len(rec), batch, 0, 0)
     else:
@@ -110,7 +182,9 @@ def make_hybrid_forward(cfg):
         _moe = make_moe_ffn(cfg, mode="dense",
                             norm_topk=False if cfg.arch == "jamba" else None)
 
-    if cfg.shortconv_l_cache > 0:
+    if cfg.arch == "qwen3next":
+        mamba_step = _deltanet_step
+    elif cfg.shortconv_l_cache > 0:
         mamba_step = _shortconv_step
     elif cfg.ssm_n_group > 0:
         mamba_step = _layer_step2
@@ -200,19 +274,53 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
             # gguf numpy order is (out, in); compute uses x @ w -> (in, out)
             return jnp.asarray(np.ascontiguousarray(g(n).T), dtype)
 
+        fn = g("ffn_norm.weight", required=False)
+        if fn is None:  # qwen3next names the pre-FFN norm attn_post_norm
+            fn = g("attn_post_norm.weight")
         lp: dict = {"attn_norm_w": jnp.asarray(g("attn_norm.weight"), jnp.float32),
-                    "ffn_norm_w": jnp.asarray(g("ffn_norm.weight"), jnp.float32)}
-        if i in attn_set:
+                    "ffn_norm_w": jnp.asarray(fn, jnp.float32)}
+        if i in attn_set and cfg.arch == "qwen3next":
+            # wq packs [q | gate] interleaved per head (2*D cols per head,
+            # llama-model.cpp QWEN3NEXT wq {n_embd, head*2})
+            wq2 = g("attn_q.weight").T  # (E, H*2D)
+            E2 = wq2.shape[0]
+            H, D = cfg.n_head, cfg.head_dim
+            wq2 = wq2.reshape(E2, H, 2 * D)
+            lp["wq"] = jnp.asarray(
+                np.ascontiguousarray(wq2[:, :, :D].reshape(E2, H * D)), dtype)
+            lp["w_attn_gate"] = jnp.asarray(
+                np.ascontiguousarray(wq2[:, :, D:].reshape(E2, H * D)), dtype)
+            lp["wk"] = lin("attn_k.weight")
+            lp["wv"] = lin("attn_v.weight")
+            lp["wo"] = lin("attn_output.weight")
+        elif i in attn_set:
             lp["wq"] = lin("attn_q.weight")
             lp["wk"] = lin("attn_k.weight")
             lp["wv"] = lin("attn_v.weight")
             lp["wo"] = lin("attn_output.weight")
+        if i in attn_set:
             for hf_n, key in (("attn_q_norm.weight", "attn_q_norm_w"),
                               ("attn_k_norm.weight", "attn_k_norm_w")):
-                t = g(hf_n, required=False)  # lfm2 per-head qk norms
+                t = g(hf_n, required=False)  # per-head qk norms (lfm2/qwen3next)
                 if t is not None:
                     lp[key] = jnp.asarray(t, jnp.float32)
-        if i in rec_set and cfg.shortconv_l_cache > 0:
+        if i in rec_set and cfg.arch == "qwen3next":
+            # gated delta net tensors (llama-model.cpp QWEN3NEXT table)
+            lp["ssm_in"] = jnp.asarray(np.ascontiguousarray(g("ssm_in.weight").T),
+                                       jnp.float32)
+            lp["ssm_ba"] = jnp.asarray(
+                np.ascontiguousarray(g("ssm_beta_alpha.weight").T), jnp.float32)
+            cw = g("ssm_conv1d.weight")  # (conv_dim, d_conv) numpy order
+            lp["conv_w"] = jnp.asarray(np.ascontiguousarray(cw.T), jnp.float32)
+            cb = g("ssm_conv1d.bias", required=False)
+            if cb is not None:
+                lp["conv_b"] = jnp.asarray(cb, jnp.float32)
+            lp["ssm_dt_b"] = jnp.asarray(g("ssm_dt.bias"), jnp.float32)
+            lp["ssm_a"] = jnp.asarray(g("ssm_a").reshape(-1), jnp.float32)
+            lp["ssm_norm"] = jnp.asarray(g("ssm_norm.weight"), jnp.float32)
+            lp["ssm_out"] = jnp.asarray(np.ascontiguousarray(g("ssm_out.weight").T),
+                                        jnp.float32)
+        elif i in rec_set and cfg.shortconv_l_cache > 0:
             # lfm2 shortconv (blk.i.shortconv.* — llama-arch.cpp:2340-2342)
             lp["sc_in"] = jnp.asarray(
                 np.ascontiguousarray(g("shortconv.in_proj.weight").T), jnp.float32)
@@ -263,8 +371,11 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
                               ("ffn_gate_shexp.weight", "w_gate_shexp"),
                               ("ffn_down_shexp.weight", "w_down_shexp")):
                 t = g(hf_n, required=False)
-                if t is not None:  # granite-hybrid shared expert
+                if t is not None:  # shared expert (granite-hybrid/qwen3next)
                     lp[key] = jnp.asarray(np.ascontiguousarray(t.T), dtype)
+            sg = g("ffn_gate_inp_shexp.weight", required=False)
+            if sg is not None:  # qwen2moe-style scalar shared gate (1, E)
+                lp["w_gate_inp_shexp"] = jnp.asarray(sg.reshape(-1), dtype)
             lp["w_up_exps"] = jnp.asarray(
                 np.ascontiguousarray(np.swapaxes(g("ffn_up_exps.weight"), 1, 2)),
                 dtype)

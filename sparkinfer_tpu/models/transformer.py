@@ -166,6 +166,11 @@ def attention(
         out = _chunk_causal_attention(q, k, v, H, Hkv, D, causal=causal,
                                       scale=scale)
         out = out.reshape(B, T, H * D)
+        if "w_attn_gate" in lp:
+            # qwen3next output gate: sigmoid(x @ Wg) elementwise on the
+            # attention output before o_proj (Qwen3NextAttention)
+            gt = mm(x, lp["w_attn_gate"]).astype(jnp.float32)
+            out = (out.astype(jnp.float32) * jax.nn.sigmoid(gt)).astype(out.dtype)
         out = mm(out, lp["wo"])
         if "bo" in lp:
             out = out + lp["bo"].astype(out.dtype)
@@ -217,6 +222,9 @@ def attention(
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, vals)
     out = out.reshape(B, T, H * D)
+    if "w_attn_gate" in lp:
+        gt = mm(x, lp["w_attn_gate"]).astype(jnp.float32)
+        out = (out.astype(jnp.float32) * jax.nn.sigmoid(gt)).astype(out.dtype)
     out = mm(out, lp["wo"])
     if "bo" in lp:
         out = out + lp["bo"].astype(out.dtype)

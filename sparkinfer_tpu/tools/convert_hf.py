@@ -46,6 +46,7 @@ _ARCH_MAP = {
     "FalconH1ForCausalLM": "falcon-h1",
     "GraniteMoeHybridForCausalLM": "granitehybrid",
     "Lfm2ForCausalLM": "lfm2",
+    "Qwen3NextForCausalLM": "qwen3next",
     "GPT2LMHeadModel": "gpt2",
     "Rwkv6ForCausalLM": "rwkv6",
     "RwkvForCausalLM": "rwkv6",  # HF arch tag on some v6 world checkpoints
@@ -997,6 +998,8 @@ def convert(
         return _convert_granite_hybrid(model_dir, out_path, cfgj, out_type)
     if arch == "lfm2":
         return _convert_lfm2(model_dir, out_path, cfgj, out_type)
+    if arch == "qwen3next":
+        return _convert_qwen3next(model_dir, out_path, cfgj, out_type)
     if arch == "rwkv6":
         return _convert_rwkv6(model_dir, out_path, cfgj, out_type)
     if arch == "opt":
@@ -1848,6 +1851,133 @@ def _convert_granite_hybrid(model_dir: Path, out_path: str, cfgj: dict,
     _write_tokenizer(w, model_dir)
     w.write()
     return {"arch": "granitehybrid", "n_tensors": n, "n_layer": L}
+
+
+def _convert_qwen3next(model_dir: Path, out_path: str, cfgj: dict,
+                       out_type: str) -> dict:
+    """Qwen3-Next (gated delta net + gated attention hybrid MoE) -> GGUF
+    (ref: convert_hf_to_gguf.py Qwen3NextModel:4346-4373 — ssm KVs carry
+    the linear-attention geometry, norm weights are zero-centered (+1
+    baked) EXCEPT linear_attn.norm, A_log -> -exp)."""
+    L = cfgj["num_hidden_layers"]
+    E = cfgj["hidden_size"]
+    V = cfgj["vocab_size"]
+    H = cfgj["num_attention_heads"]
+    D = cfgj.get("head_dim") or E // H
+    hk = cfgj["linear_key_head_dim"]
+    hv = cfgj["linear_value_head_dim"]
+    nk = cfgj["linear_num_key_heads"]
+    nv = cfgj["linear_num_value_heads"]
+    d_conv = cfgj["linear_conv_kernel_dim"]
+    layer_types = cfgj.get("layer_types") or [
+        "full_attention" if (i + 1) % 4 == 0 else "linear_attention"
+        for i in range(L)]
+    n_kv = cfgj["num_key_value_heads"]
+    kv_vec = [n_kv if t == "full_attention" else 0 for t in layer_types]
+    X = cfgj["num_experts"]
+
+    a = "qwen3next"
+    w = GGUFWriter(out_path, a)
+    w.add_kv(f"{a}.block_count", np.uint32(L))
+    w.add_kv(f"{a}.embedding_length", np.uint32(E))
+    w.add_kv(f"{a}.vocab_size", np.uint32(V))
+    w.add_kv(f"{a}.context_length",
+             np.uint32(cfgj.get("max_position_embeddings", 2**18)))
+    w.add_kv(f"{a}.feed_forward_length", np.uint32(cfgj["intermediate_size"]))
+    w.add_kv(f"{a}.attention.head_count", np.uint32(H))
+    w.add_array(f"{a}.attention.head_count_kv", np.asarray(kv_vec, np.uint32))
+    w.add_kv(f"{a}.attention.key_length", np.uint32(D))
+    w.add_kv(f"{a}.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{a}.rope.freq_base", np.float32(cfgj.get("rope_theta", 1e7)))
+    w.add_kv(f"{a}.rope.dimension_count",
+             np.uint32(int(D * cfgj.get("partial_rotary_factor", 0.25))))
+    w.add_kv(f"{a}.ssm.conv_kernel", np.uint32(d_conv))
+    w.add_kv(f"{a}.ssm.state_size", np.uint32(hk))
+    w.add_kv(f"{a}.ssm.group_count", np.uint32(nk))
+    w.add_kv(f"{a}.ssm.time_step_rank", np.uint32(nv))
+    w.add_kv(f"{a}.ssm.inner_size", np.uint32(nv * hv))
+    w.add_kv(f"{a}.expert_count", np.uint32(X))
+    w.add_kv(f"{a}.expert_used_count",
+             np.uint32(cfgj.get("num_experts_per_tok", 8)))
+    w.add_kv(f"{a}.expert_feed_forward_length",
+             np.uint32(cfgj["moe_intermediate_size"]))
+    w.add_kv(f"{a}.expert_weights_norm",
+             bool(cfgj.get("norm_topk_prob", True)))
+
+    _Q3N_SUFFIX = {
+        "input_layernorm.weight": ("attn_norm.weight", True),
+        "post_attention_layernorm.weight": ("attn_post_norm.weight", True),
+        "self_attn.q_proj.weight": ("attn_q.weight", False),
+        "self_attn.k_proj.weight": ("attn_k.weight", False),
+        "self_attn.v_proj.weight": ("attn_v.weight", False),
+        "self_attn.o_proj.weight": ("attn_output.weight", False),
+        "self_attn.q_norm.weight": ("attn_q_norm.weight", True),
+        "self_attn.k_norm.weight": ("attn_k_norm.weight", True),
+        "linear_attn.in_proj_qkvz.weight": ("ssm_in.weight", False),
+        "linear_attn.in_proj_ba.weight": ("ssm_beta_alpha.weight", False),
+        "linear_attn.conv1d.weight": ("ssm_conv1d.weight", False),
+        "linear_attn.conv1d.bias": ("ssm_conv1d.bias", False),
+        "linear_attn.dt_bias": ("ssm_dt.bias", False),
+        "linear_attn.A_log": ("ssm_a", False),
+        "linear_attn.norm.weight": ("ssm_norm.weight", False),  # NOT +1
+        "linear_attn.out_proj.weight": ("ssm_out.weight", False),
+        "mlp.gate.weight": ("ffn_gate_inp.weight", False),
+        "mlp.shared_expert.gate_proj.weight": ("ffn_gate_shexp.weight", False),
+        "mlp.shared_expert.up_proj.weight": ("ffn_up_shexp.weight", False),
+        "mlp.shared_expert.down_proj.weight": ("ffn_down_shexp.weight", False),
+        "mlp.shared_expert_gate.weight": ("ffn_gate_inp_shexp.weight", False),
+    }
+    experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+    n = 0
+
+    def emit(gname, data):
+        nonlocal n
+        w.add_tensor(gname, np.ascontiguousarray(np.asarray(data, np.float32)),
+                     GGMLType.F32)
+        n += 1
+
+    for name, data in _iter_hf_tensors(model_dir):
+        if name.startswith("mtp"):
+            continue  # multi-token-prediction head (reference skips too)
+        if name == "model.embed_tokens.weight":
+            emit("token_embd.weight", data)
+            continue
+        if name == "model.norm.weight":
+            emit("output_norm.weight", np.asarray(data, np.float32) + 1.0)
+            continue
+        if name == "lm_head.weight":
+            emit("output.weight", data)
+            continue
+        if not name.startswith("model.layers."):
+            continue
+        parts = name.split(".")
+        i = int(parts[2])
+        suffix = ".".join(parts[3:])
+        if ".experts." in suffix:
+            j = int(parts[5])
+            kind = parts[6].split("_")[0]
+            experts.setdefault((i, kind), {})[j] = np.asarray(data, np.float32)
+            continue
+        ent = _Q3N_SUFFIX.get(suffix)
+        if ent is None:
+            continue
+        gname, plus_one = ent
+        data = np.asarray(data, np.float32)
+        if plus_one:
+            data = data + 1.0  # zero-centered RMSNorm -> standard weights
+        if gname == "ssm_conv1d.weight" and data.ndim == 3:
+            data = data[:, 0, :]
+        if gname == "ssm_a":
+            data = -np.exp(data)
+        emit(f"blk.{i}.{gname}", data)
+
+    for (i, kind), by_j in sorted(experts.items()):
+        emit(f"blk.{i}.ffn_{kind}_exps.weight",
+             np.stack([by_j[j] for j in sorted(by_j)]))
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": "qwen3next", "n_tensors": n, "n_layer": L}
 
 
 def _convert_lfm2(model_dir: Path, out_path: str, cfgj: dict, out_type: str) -> dict:
