@@ -55,6 +55,12 @@ class ArchTraits:
     # and their outputs sum (src/models/falcon-h1.cpp:26-72)
     hybrid_parallel: bool = False
     wkv_version: int = 0  # RWKV family: 6 | 7 (0 = not RWKV)
+    # encoder-style post-norm: LayerNorm over each residual SUM
+    # (bert attn_output_norm / layer_output_norm — ref src/models/bert.cpp)
+    post_norm: bool = False
+    # encoder-only (bidirectional attention, no causal mask — bert/WPM
+    # embedding models; ref llama.cpp causal_attn=false for BERT)
+    non_causal: bool = False
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -201,6 +207,13 @@ _reg(ArchTraits("qwen3next", rope_mode="neox", recurrent=True,
                 ssm_hybrid=True))
 _reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
+# bert: encoder-only WPM embedding family — post-norm LayerNorm blocks,
+# learned absolute positions, token-type embeddings, bidirectional
+# attention, erf-GELU FFN (ref src/models/bert.cpp; HF BertModel oracle)
+_reg(ArchTraits("bert", norm="ln", act="gelu_erf", rope_mode="none",
+                qkv_bias=True, attn_out_bias=True, ffn_bias=True,
+                norm_bias=True, pos_embd=True, post_norm=True,
+                non_causal=True))
 _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))
 _reg(ArchTraits("rwkv7", norm="ln", rope_mode="none", recurrent=True,

@@ -211,13 +211,19 @@ def load_model(
             params["tok_norm_b"] = put("tok_norm_b", _as_jnp(tnb, jnp.float32))
     if tr.pos_embd:
         params["pos_embd"] = put("pos_embd", _as_jnp(_get(r, "position_embd.weight"), dtype))
+    tte = _get(r, "token_types.weight")  # bert segment embeddings
+    if tte is not None:
+        params["type_embd"] = put("type_embd", _as_jnp(tte, dtype))
     onw = _get(r, "output_norm.weight")
-    if onw is None:
+    if onw is None and not tr.post_norm:
         onw = np.ones(E, np.float32)  # olmo v1 non-parametric final norm
-    params["output_norm_w"] = put("output_norm_w", _as_jnp(onw, jnp.float32))
-    onb = _get(r, "output_norm.bias")
-    if onb is not None:
-        params["output_norm_b"] = put("output_norm_b", _as_jnp(onb, jnp.float32))
+    if onw is not None:
+        # post-norm encoders (bert) carry no final norm at all: the last
+        # block's layer_output_norm already normalized the stream
+        params["output_norm_w"] = put("output_norm_w", _as_jnp(onw, jnp.float32))
+        onb = _get(r, "output_norm.bias")
+        if onb is not None:
+            params["output_norm_b"] = put("output_norm_b", _as_jnp(onb, jnp.float32))
     out_w = _lin("output.weight", E, cfg.n_vocab)
     if out_w is None:
         out_w = np.ascontiguousarray(tok.T)  # tied embeddings
@@ -248,14 +254,22 @@ def load_model(
     for i in range(L):
         _cur[0] = i
         p = f"blk.{i}."
-        anw = _get(r, p + "attn_norm.weight")
-        if anw is None and _get(r, p + "attn_post_norm.weight") is None:
-            # olmo v1: non-parametric layernorm — the GGUF carries no norm
-            # tensors at all (llama-model.cpp "norm params removed").
-            # post-norm-only archs (olmo2) keep attn_norm absent on purpose.
-            anw = np.ones(E, np.float32)
-        add("attn_norm_w", anw)
-        add("attn_norm_b", _get(r, p + "attn_norm.bias"))
+        if tr.post_norm:
+            # bert: attn_output_norm / layer_output_norm ride the
+            # attn_norm / ffn_norm slots (post-SUM semantics in the body)
+            add("attn_norm_w", _get(r, p + "attn_output_norm.weight"))
+            add("attn_norm_b", _get(r, p + "attn_output_norm.bias"))
+            anw = None
+        else:
+            anw = _get(r, p + "attn_norm.weight")
+            if anw is None and _get(r, p + "attn_post_norm.weight") is None:
+                # olmo v1: non-parametric layernorm — the GGUF carries no
+                # norm tensors at all (llama-model.cpp "norm params
+                # removed"). post-norm-only archs (olmo2) keep attn_norm
+                # absent on purpose.
+                anw = np.ones(E, np.float32)
+            add("attn_norm_w", anw)
+            add("attn_norm_b", _get(r, p + "attn_norm.bias"))
         add("attn_norm2_w", _get(r, p + "attn_norm_2.weight"))
         add("attn_norm2_b", _get(r, p + "attn_norm_2.bias"))
         if cfg.kv_lora_rank > 0:
@@ -313,11 +327,15 @@ def load_model(
         add("attn_post_norm_b", _get(r, p + "attn_post_norm.bias"))
         add("ffn_post_norm_w", _get(r, p + "ffn_post_norm.weight"))
         add("ffn_post_norm_b", _get(r, p + "ffn_post_norm.bias"))
-        fnw = _get(r, p + "ffn_norm.weight")
-        if fnw is None and not tr.parallel_blocks and                 _get(r, p + "ffn_post_norm.weight") is None:
-            fnw = np.ones(E, np.float32)  # olmo non-parametric norm
-        add("ffn_norm_w", fnw)
-        add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
+        if tr.post_norm:
+            add("ffn_norm_w", _get(r, p + "layer_output_norm.weight"))
+            add("ffn_norm_b", _get(r, p + "layer_output_norm.bias"))
+        else:
+            fnw = _get(r, p + "ffn_norm.weight")
+            if fnw is None and not tr.parallel_blocks and                 _get(r, p + "ffn_post_norm.weight") is None:
+                fnw = np.ones(E, np.float32)  # olmo non-parametric norm
+            add("ffn_norm_w", fnw)
+            add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
         # MoE expert tensors (3D); canonicalized to (X, E, F)/(X, F, E)
         gi = _get(r, p + "ffn_gate_inp.weight")  # (X, E)
         if gi is not None:

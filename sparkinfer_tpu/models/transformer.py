@@ -163,8 +163,11 @@ def attention(
         # of the S-sized cache — O(T^2) not O(T*S), and on TPU the fused
         # flash kernel (GGML_OP_FLASH_ATTN_EXT analogue) applies. causal=False
         # (diffusion LMs: Dream/LLaDA full-window denoising) drops the mask.
+        # non_causal encoders (bert) flag padding slots with position -1,
+        # which must be excluded from every token's bidirectional attention.
+        kvalid = (positions >= 0) if tr.non_causal else None
         out = _chunk_causal_attention(q, k, v, H, Hkv, D, causal=causal,
-                                      scale=scale)
+                                      scale=scale, key_valid=kvalid)
         out = out.reshape(B, T, H * D)
         if "w_attn_gate" in lp:
             # qwen3next output gate: sigmoid(x @ Wg) elementwise on the
@@ -303,10 +306,12 @@ def attention_mla(
     return mm(out, lp["wo"]), kc, vc, ks, vs
 
 
-def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None):
+def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None,
+                            key_valid=None):
     """q (B,T,H,D), k/v (B,T,Hkv,D) -> (B,T,H,D); causal within chunk
     (bidirectional when causal=False). Uses the Pallas TPU flash kernel
-    when on TPU and shapes permit."""
+    when on TPU and shapes permit. key_valid (B,T) bool masks out padding
+    keys (bidirectional encoders) and forces the einsum path."""
     B, T = q.shape[0], q.shape[1]
     g = H // Hkv
     if scale is None:
@@ -315,7 +320,7 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None):
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu and T >= 128 and D % 128 == 0:
+    if on_tpu and T >= 128 and D % 128 == 0 and key_valid is None:
         from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
 
         kk = jnp.repeat(k, g, axis=2) if g > 1 else k
@@ -335,6 +340,8 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None):
         t_idx = jnp.arange(T, dtype=jnp.int32)
         mask = t_idx[:, None] >= t_idx[None, :]  # (t, s): query t sees key s<=t
         scores = jnp.where(mask[None, None, None, :, :], scores, NEG_INF)
+    if key_valid is not None:
+        scores = jnp.where(key_valid[:, None, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v)
     return out.reshape(B, T, H, D)
@@ -370,6 +377,7 @@ def make_forward(
     consumes the selection computed at il-1, so its weight fetch has no
     data dependence on this layer's activations)."""
     tr = cfg.traits
+    causal = causal and not tr.non_causal  # bert-family encoders
     rp = rope_params(cfg)
     if ffn_fn is None and cfg.n_expert > 0:
         from ..sparse.moe import make_moe_ffn
@@ -415,6 +423,10 @@ def make_forward(
             x = x * jnp.asarray(cfg.embd_scale, x.dtype)
         if tr.pos_embd:
             x = x + params["pos_embd"][positions + tr.pos_embd_offset]
+        if "type_embd" in params:
+            # bert token-type (segment) embeddings; single-sequence use is
+            # always segment 0 (ref bert graph: get_rows(token_types, 0))
+            x = x + params["type_embd"][0].astype(x.dtype)
         if "tok_norm_w" in params:  # bloom post-embedding LayerNorm
             x = _norm(x, params["tok_norm_w"], params.get("tok_norm_b"),
                       tr.norm, eps)
@@ -442,7 +454,7 @@ def make_forward(
             # pre-norm when present (post-norm-only archs like olmo2 have no
             # attn_norm/ffn_norm tensors — attention reads the raw residual)
             h = (_norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
-                 if "attn_norm_w" in lp else x)
+                 if "attn_norm_w" in lp and not tr.post_norm else x)
             if cfg.kv_lora_rank > 0:
                 attn_out, kc, vc, ks, vs = attention_mla(
                     cfg, lp, h, positions, kc, vc, ks, vs, rp)
@@ -475,6 +487,15 @@ def make_forward(
                     h2 = h
                 y, fs2 = run_ffn(h2)
                 x = x + attn_out + y
+            elif tr.post_norm:
+                # encoder post-norm (bert): LayerNorm over each residual SUM
+                # (attn_output_norm rides the attn_norm slot,
+                # layer_output_norm the ffn_norm slot)
+                x = _norm(x + attn_out, lp["attn_norm_w"],
+                          lp.get("attn_norm_b"), tr.norm, eps)
+                y, fs2 = run_ffn(x)
+                x = _norm(x + y, lp["ffn_norm_w"], lp.get("ffn_norm_b"),
+                          tr.norm, eps)
             else:
                 x = x + attn_out
                 h2 = (_norm(x, lp["ffn_norm_w"], lp.get("ffn_norm_b"), tr.norm, eps)
@@ -574,7 +595,11 @@ def make_forward(
         else:
             new_cache = KVCache(k=k_new, v=v_new)
 
-        x = _norm(x, params["output_norm_w"], params.get("output_norm_b"), tr.norm, eps)
+        if "output_norm_w" in params:
+            # post-norm encoders (bert) have no final norm: the last block's
+            # layer_output_norm already normalized the stream
+            x = _norm(x, params["output_norm_w"], params.get("output_norm_b"),
+                      tr.norm, eps)
         hidden = x
         out_w = params["output"]
         if hasattr(out_w, "kind"):  # QuantTensor

@@ -71,6 +71,12 @@ def _gelu(u):
     return jax.nn.gelu(u.astype(jnp.float32), approximate=True).astype(u.dtype)
 
 
+def _gelu_erf(u):
+    """Exact (erf) GELU — bert-family encoders (HF hidden_act='gelu';
+    ggml analogue GGML_UNARY_OP_GELU_ERF)."""
+    return jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(u.dtype)
+
+
 def act_fn(name: str, fatrelu_threshold: float = 0.0):
     """Returns (gated, fn). gated=True -> fn(gate, up); else fn(up)."""
     table = {
@@ -78,6 +84,7 @@ def act_fn(name: str, fatrelu_threshold: float = 0.0):
         "swiglu": (True, _silu_gate),
         "swiglu_oai": (True, _swiglu_oai),
         "gelu": (False, _gelu),
+        "gelu_erf": (False, _gelu_erf),
         "geglu": (True, _gelu_gate),
         "relu": (False, _relu),
         "relu2": (False, _relu2),

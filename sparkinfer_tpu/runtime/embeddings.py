@@ -34,7 +34,11 @@ class Embedder:
             Tpad = bucket_len(n)
             toks = np.zeros((1, Tpad), np.int32)
             toks[0, :n] = ids
-            pos = np.arange(Tpad, dtype=np.int32)[None]
+            pos = np.arange(Tpad, dtype=np.int32)[None].copy()
+            if getattr(self.cfg.traits, "non_causal", False):
+                # bidirectional encoders (bert): padding slots carry
+                # position -1 so every real token's attention excludes them
+                pos[0, n:] = -1
             cache = init_cache(self.cfg, 1, max(Tpad, 8), jnp.float32)
             _, _, hidden = self._fwd(
                 self.model.params, jnp.asarray(toks), jnp.asarray(pos), cache

@@ -488,7 +488,46 @@ _MOE_ROUTER_T = {
     "model.layers.{i}.mlp.shared_expert_gate.weight": "blk.{i}.ffn_gate_inp_shexp.weight",
 }
 
+# bert encoder layout (HF BertModel; prefixed variants cover
+# BertForMaskedLM's bert.* names). GGUF names follow the reference's
+# bert tensor table (src/llama-arch.cpp LLM_ARCH_BERT: token_types,
+# attn_output_norm, layer_output_norm).
+_BERT_T = {
+    "embeddings.word_embeddings.weight": "token_embd.weight",
+    "embeddings.position_embeddings.weight": "position_embd.weight",
+    "embeddings.token_type_embeddings.weight": "token_types.weight",
+    "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+    "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+    "encoder.layer.{i}.attention.self.query.weight": "blk.{i}.attn_q.weight",
+    "encoder.layer.{i}.attention.self.query.bias": "blk.{i}.attn_q.bias",
+    "encoder.layer.{i}.attention.self.key.weight": "blk.{i}.attn_k.weight",
+    "encoder.layer.{i}.attention.self.key.bias": "blk.{i}.attn_k.bias",
+    "encoder.layer.{i}.attention.self.value.weight": "blk.{i}.attn_v.weight",
+    "encoder.layer.{i}.attention.self.value.bias": "blk.{i}.attn_v.bias",
+    "encoder.layer.{i}.attention.output.dense.weight": "blk.{i}.attn_output.weight",
+    "encoder.layer.{i}.attention.output.dense.bias": "blk.{i}.attn_output.bias",
+    "encoder.layer.{i}.attention.output.LayerNorm.weight": "blk.{i}.attn_output_norm.weight",
+    "encoder.layer.{i}.attention.output.LayerNorm.bias": "blk.{i}.attn_output_norm.bias",
+    "encoder.layer.{i}.intermediate.dense.weight": "blk.{i}.ffn_up.weight",
+    "encoder.layer.{i}.intermediate.dense.bias": "blk.{i}.ffn_up.bias",
+    "encoder.layer.{i}.output.dense.weight": "blk.{i}.ffn_down.weight",
+    "encoder.layer.{i}.output.dense.bias": "blk.{i}.ffn_down.bias",
+    "encoder.layer.{i}.output.LayerNorm.weight": "blk.{i}.layer_output_norm.weight",
+    "encoder.layer.{i}.output.LayerNorm.bias": "blk.{i}.layer_output_norm.bias",
+}
+_BERT_T.update({"bert." + k: v for k, v in list(_BERT_T.items())})
+# the generic llama templates must not leak into the bert map
+_BERT_T = {**{k: None for k in _LLAMA_TENSORS}, **_BERT_T}
+
+_BERT_FAM = dict(
+    arch="bert", permute=False, tmap=_BERT_T,
+    cfg_adapt=lambda c: dict(
+        num_key_value_heads=c["num_attention_heads"]))
+
 _FAMILIES: dict[str, dict] = {
+    "BertModel": _BERT_FAM,
+    "BertForMaskedLM": _BERT_FAM,
+    "BertForSequenceClassification": _BERT_FAM,
     "Qwen3ForCausalLM": dict(arch="qwen3", tmap=_QNORM_T),
     # olmo v1: non-parametric layernorm (the checkpoint has NO norm
     # tensors; the loader synthesizes unit weights), NEOX rope
@@ -605,7 +644,7 @@ _MOE_RE = {
 }
 
 
-_LAYER_RE = re.compile(r"^(.*?\.(?:layers|h|blocks)\.)(\d+)\.(.*)$")
+_LAYER_RE = re.compile(r"^(.*?\.(?:layers|layer|h|blocks)\.)(\d+)\.(.*)$")
 
 
 def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,

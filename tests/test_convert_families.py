@@ -182,6 +182,68 @@ def test_family_logit_parity(family, tmp_path):
     np.testing.assert_allclose(got, ref, rtol=4e-3, atol=4e-3)
 
 
+def test_bert_encoder_parity(tmp_path):
+    """bert (encoder-only, post-norm, bidirectional, WPM family — ref
+    src/models/bert.cpp): hidden states must match HF BertModel exactly,
+    including with right-padding excluded via position -1 masking."""
+    import transformers as T
+
+    torch.manual_seed(0)
+    cfg_hf = T.BertConfig(
+        vocab_size=160, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, hidden_act="gelu")
+    hf = T.BertModel(cfg_hf)
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "m.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "bert"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.traits.non_causal and cfg.traits.post_norm
+
+    rng = np.random.default_rng(1)
+    n_tok = 9
+    toks = rng.integers(0, 160, n_tok).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).last_hidden_state[0].numpy()
+
+    fwd = jax.jit(make_forward(cfg, with_hidden=True))
+    _, _, hidden = fwd(
+        model.params,
+        jnp.asarray(toks, jnp.int32)[None],
+        jnp.arange(n_tok, dtype=jnp.int32)[None],
+        init_cache(cfg, 1, 16, jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(hidden)[0], ref,
+                               rtol=4e-3, atol=4e-3)
+
+    # right-padding with position -1 must not perturb the real tokens
+    # (bidirectional attention would otherwise read the pad keys)
+    Tpad = 16
+    toks_p = np.zeros((1, Tpad), np.int32)
+    toks_p[0, :n_tok] = toks
+    pos_p = np.arange(Tpad, dtype=np.int32)[None].copy()
+    pos_p[0, n_tok:] = -1
+    _, _, hidden_p = fwd(model.params, jnp.asarray(toks_p),
+                         jnp.asarray(pos_p),
+                         init_cache(cfg, 1, Tpad, jnp.float32))
+    np.testing.assert_allclose(np.asarray(hidden_p)[0, :n_tok], ref,
+                               rtol=4e-3, atol=4e-3)
+
+    # Embedder pooling path end-to-end
+    from sparkinfer_tpu.runtime.embeddings import Embedder
+
+    emb = Embedder(model, max_seq=32, pooling="mean")
+    v = emb.embed_tokens([list(map(int, toks))])
+    want = ref.mean(0)
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(v[0], want, rtol=4e-3, atol=4e-3)
+
+
 def test_mla_latent_cache_decode_and_memory(tmp_path):
     """The absorbed MLA cache (one R+Dr latent slot per token, no per-head
     K/V) must decode stepwise exactly like full-sequence prefill, and be
