@@ -58,6 +58,9 @@ class ArchTraits:
     # encoder-style post-norm: LayerNorm over each residual SUM
     # (bert attn_output_norm / layer_output_norm — ref src/models/bert.cpp)
     post_norm: bool = False
+    # encoder-decoder family (t5 — ref src/models/t5-enc.cpp/t5-dec.cpp):
+    # loaded/driven by models/t5.py + runtime/seq2seq.py
+    enc_dec: bool = False
     # encoder-only (bidirectional attention, no causal mask — bert/WPM
     # embedding models; ref llama.cpp causal_attn=false for BERT)
     non_causal: bool = False
@@ -207,6 +210,13 @@ _reg(ArchTraits("qwen3next", rope_mode="neox", recurrent=True,
                 ssm_hybrid=True))
 _reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
+# t5: encoder-decoder with shared relative-position-bucket attention bias,
+# RMS pre-norm, unscaled attention (scale=1.0), relu (v1.0) or gated-gelu
+# (v1.1/flan) FFN (ref src/models/t5-enc.cpp, t5-dec.cpp)
+_reg(ArchTraits("t5", act="relu", rope_mode="none", enc_dec=True))
+# t5encoder: encoder-only half (ref LLM_ARCH_T5ENCODER) for embeddings
+_reg(ArchTraits("t5encoder", act="relu", rope_mode="none", enc_dec=True,
+                non_causal=True))
 # bert: encoder-only WPM embedding family — post-norm LayerNorm blocks,
 # learned absolute positions, token-type embeddings, bidirectional
 # attention, erf-GELU FFN (ref src/models/bert.cpp; HF BertModel oracle)
@@ -279,6 +289,13 @@ class ModelConfig:
     # RWKV geometry (ref GGUF keys {arch}.wkv.head_size,
     # {arch}.time_mix_extra_dim, {arch}.time_decay_extra_dim,
     # {arch}.rescale_every_n_layers, {arch}.token_shift_count)
+    # T5 encoder-decoder geometry (ref llama-hparams.h dec_n_layer,
+    # n_rel_attn_bkts; GGUF keys {arch}.decoder_block_count,
+    # {arch}.attention.relative_buckets_count, {arch}.decoder_start_token_id)
+    dec_n_layer: int = 0
+    n_rel_attn_bkts: int = 0
+    rel_attn_max_dist: int = 128
+    dec_start_token_id: int = -1
     wkv_head_size: int = 0
     time_mix_extra_dim: int = 0
     time_decay_extra_dim: int = 0
@@ -396,6 +413,10 @@ class ModelConfig:
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),
             ssm_dt_rank=int(g("ssm.time_step_rank", 0)),
+            dec_n_layer=int(g("decoder_block_count", 0) or 0),
+            n_rel_attn_bkts=int(g("attention.relative_buckets_count", 0) or 0),
+            rel_attn_max_dist=int(g("attention.relative_max_distance", 128)),
+            dec_start_token_id=int(g("decoder_start_token_id", -1)),
             wkv_head_size=int(g("wkv.head_size", 0)),
             time_mix_extra_dim=int(g("time_mix_extra_dim", 0)),
             time_decay_extra_dim=int(g("time_decay_extra_dim", 0)),

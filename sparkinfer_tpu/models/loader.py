@@ -151,6 +151,19 @@ def load_model(
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r)
     tr = cfg.traits
+    if tr.enc_dec:
+        from .t5 import load_t5
+
+        model = LoadedModel(config=cfg, params=load_t5(r, cfg, dtype))
+        try:
+            from ..tokenizer import Vocab
+
+            if "tokenizer.ggml.tokens" in r.kv:
+                model.vocab = Vocab.from_gguf(r)
+        except Exception:
+            pass
+        r.close()
+        return model
     if tr.recurrent:
         tok = _get(r, "token_embd.weight")
         params: Params = {

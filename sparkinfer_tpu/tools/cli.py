@@ -238,6 +238,33 @@ def main(argv=None) -> int:
         print("need -p/--prompt or -f/--prompt-file", file=sys.stderr)
         return 1
 
+    if model.config.traits.enc_dec:
+        # t5-family: encode the prompt, decode from decoder_start_token
+        # (the analogue of llama_encode + decoder seeding in tools/main)
+        from ..runtime.sampling import SamplerConfig
+        from ..runtime.seq2seq import Seq2SeqEngine
+
+        s2s = Seq2SeqEngine(model, max_seq=args.ctx_size,
+                            sampler=SamplerConfig(
+                                temp=args.temp, top_k=args.top_k,
+                                top_p=args.top_p, min_p=args.min_p,
+                                seed=args.seed))
+        if model.vocab is not None:
+            from ..tokenizer import build_tokenizer
+
+            tk = build_tokenizer(model.vocab)
+            ids = tk.encode(prompt, add_special=True)
+            eos = model.vocab.eos_id if model.vocab.eos_id is not None else 1
+            out = s2s.generate(ids, max_new_tokens=args.n_predict,
+                               eos_id=eos, seed=args.seed)
+            print(tk.decode(out))
+        else:
+            ids = [int(x) for x in prompt.split()]
+            out = s2s.generate(ids, max_new_tokens=args.n_predict,
+                               seed=args.seed)
+            print(" ".join(map(str, out)))
+        return 0
+
     eng = make_engine(args, model)
     drafter = None
     if args.draft_mode != "none":

@@ -1005,6 +1005,100 @@ def _convert_whisper_mmproj(model_dir: Path, out_path: str, cfgj: dict) -> dict:
             "n_layer": cfgj["encoder_layers"]}
 
 
+# HF T5 sub-layer names -> GGUF suffixes (ref llama-arch.cpp LLM_ARCH_T5)
+_T5_ATTN = {"q": "attn_q", "k": "attn_k", "v": "attn_v", "o": "attn_o"}
+_T5_CROSS = {"q": "cross_attn_q", "k": "cross_attn_k",
+             "v": "cross_attn_v", "o": "cross_attn_o"}
+_T5_FFN = {"wi": "ffn_up", "wi_0": "ffn_gate", "wi_1": "ffn_up",
+           "wo": "ffn_down"}
+
+_T5_BLK_RE = re.compile(
+    r"^(encoder|decoder)\.block\.(\d+)\.layer\.(\d)\.(.+)$")
+
+
+def _convert_t5(model_dir: Path, out_path: str, cfgj: dict, out_type: str,
+                enc_only: bool = False) -> dict:
+    """T5ForConditionalGeneration / T5EncoderModel -> GGUF using the
+    reference's t5/t5encoder tensor names (src/llama-arch.cpp) and KVs
+    (decoder_block_count, attention.relative_buckets_count,
+    decoder_start_token_id — llama-model.cpp:1772-1780)."""
+    arch = "t5encoder" if enc_only else "t5"
+    L = cfgj["num_layers"]
+    Ld = cfgj.get("num_decoder_layers", L)
+    E = cfgj["d_model"]
+    H = cfgj["num_heads"]
+    D = cfgj.get("d_kv", E // H)
+    F = cfgj["d_ff"]
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    w = GGUFWriter(out_path, arch)
+    w.add_kv(f"{arch}.block_count", np.uint32(L))
+    if not enc_only:
+        w.add_kv(f"{arch}.decoder_block_count", np.uint32(Ld))
+        w.add_kv(f"{arch}.decoder_start_token_id",
+                 np.uint32(cfgj.get("decoder_start_token_id")
+                           or cfgj.get("pad_token_id") or 0))
+    w.add_kv(f"{arch}.embedding_length", np.uint32(E))
+    w.add_kv(f"{arch}.attention.head_count", np.uint32(H))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.uint32(H))
+    w.add_kv(f"{arch}.attention.key_length", np.uint32(D))
+    w.add_kv(f"{arch}.feed_forward_length", np.uint32(F))
+    w.add_kv(f"{arch}.vocab_size", np.uint32(cfgj["vocab_size"]))
+    w.add_kv(f"{arch}.context_length", np.uint32(512))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             np.float32(cfgj.get("layer_norm_epsilon", 1e-6)))
+    w.add_kv(f"{arch}.attention.relative_buckets_count",
+             np.uint32(cfgj.get("relative_attention_num_buckets", 32)))
+    w.add_kv(f"{arch}.attention.relative_max_distance",
+             np.uint32(cfgj.get("relative_attention_max_distance", 128)))
+
+    n = 0
+    seen: set[str] = set()
+    for name, data in _iter_hf_tensors(model_dir):
+        gname = None
+        if name in ("shared.weight", "encoder.embed_tokens.weight") \
+                and "token_embd.weight" not in seen:
+            gname = "token_embd.weight"
+        elif name == "lm_head.weight":
+            gname = "output.weight"
+        elif name == "encoder.final_layer_norm.weight":
+            gname = "enc.output_norm.weight"
+        elif name == "decoder.final_layer_norm.weight":
+            gname = "dec.output_norm.weight"
+        else:
+            m = _T5_BLK_RE.match(name)
+            if m:
+                side = "enc" if m.group(1) == "encoder" else "dec"
+                i, sub, rest = int(m.group(2)), int(m.group(3)), m.group(4)
+                is_dec = side == "dec"
+                if rest == "layer_norm.weight":
+                    gname = {0: "attn_norm",
+                             1: "cross_attn_norm" if is_dec else "ffn_norm",
+                             2: "ffn_norm"}[sub] + ".weight"
+                elif rest.endswith("relative_attention_bias.weight"):
+                    gname = "attn_rel_b.weight"
+                elif sub == 0 and rest.startswith("SelfAttention."):
+                    gname = _T5_ATTN[rest.split(".")[1]] + ".weight"
+                elif is_dec and sub == 1 and rest.startswith("EncDecAttention."):
+                    gname = _T5_CROSS[rest.split(".")[1]] + ".weight"
+                elif rest.startswith("DenseReluDense."):
+                    gname = _T5_FFN[rest.split(".")[1]] + ".weight"
+                if gname:
+                    gname = f"{side}.blk.{i}.{gname}"
+        if gname is None or gname in seen:
+            continue
+        seen.add(gname)
+        tt = gtype if data.ndim == 2 and "norm" not in gname \
+            and "rel_b" not in gname else GGMLType.F32
+        w.add_tensor(gname, data, tt)
+        n += 1
+
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": arch, "n_tensors": n, "n_layer": L}
+
+
 def convert(
     model_dir: str,
     out_path: str,
@@ -1019,6 +1113,11 @@ def convert(
         return _convert_llava(model_dir, out_path, cfgj, out_type)
     if hf_arch in ("WhisperModel", "WhisperForConditionalGeneration"):
         return _convert_whisper_mmproj(model_dir, out_path, cfgj)
+    if hf_arch in ("T5ForConditionalGeneration",
+                   "MT5ForConditionalGeneration"):
+        return _convert_t5(model_dir, out_path, cfgj, out_type)
+    if hf_arch == "T5EncoderModel":
+        return _convert_t5(model_dir, out_path, cfgj, out_type, enc_only=True)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)
