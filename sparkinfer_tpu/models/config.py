@@ -29,6 +29,9 @@ class ArchTraits:
     rope_mode: str = "norm"  # "norm" | "neox" | "none"
     parallel_blocks: bool = False  # falcon: attn and FFN in parallel
     fused_qkv: bool = False  # falcon: blk.i.attn_qkv
+    # fused qkv is a plain [Q;K;V] concat even under GQA/MQA (starcoder's
+    # single-kv-head c_attn), not falcon's per-group interleave
+    fused_qkv_concat: bool = False
     qkv_bias: bool = False  # qwen2
     attn_out_bias: bool = False
     ffn_bias: bool = False  # opt
@@ -139,6 +142,16 @@ _reg(ArchTraits("smollm", ))
 _reg(ArchTraits("tinyllama", ))
 # internlm2 ropes NORM-style (ref llama-model.cpp rope-type switch)
 _reg(ArchTraits("internlm2", ))
+# dbrx: bias-less LayerNorm, fused concat Wqkv with qkv clamping,
+# softmax-routed swiglu MoE (ref src/models/dbrx.cpp)
+_reg(ArchTraits("dbrx", norm="ln", rope_mode="neox", fused_qkv=True,
+                fused_qkv_concat=True))
+# starcoder v1 (GPTBigCode): MQA (1 kv head), learned absolute positions,
+# fused [Q;K;V] c_attn, LN + gelu (ref src/models/starcoder.cpp)
+_reg(ArchTraits("starcoder", norm="ln", act="gelu", rope_mode="none",
+                fused_qkv=True, fused_qkv_concat=True, qkv_bias=True,
+                attn_out_bias=True, ffn_bias=True, norm_bias=True,
+                pos_embd=True))
 _reg(ArchTraits("starcoder2", norm="ln", act="gelu", rope_mode="neox",
                 qkv_bias=True, attn_out_bias=True, ffn_bias=True,
                 norm_bias=True))
@@ -170,6 +183,12 @@ _reg(ArchTraits("glm4moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("nemotron", norm="ln", act="relu2", norm_bias=True,
                 rope_mode="neox"))
 _reg(ArchTraits("ernie4_5", ))
+# ernie 4.5 MoE: softmax router with selection-only correction bias,
+# fused shared expert, leading dense layers (ref src/models/ernie4-5-moe.cpp)
+_reg(ArchTraits("ernie4_5-moe", ))
+# dots1: qwen3-style per-head qk-norm + deepseek3-style sigmoid-routed MoE
+# with correction bias and shared experts (ref src/models/dots1.cpp)
+_reg(ArchTraits("dots1", rope_mode="neox"))
 _reg(ArchTraits("exaone4", rope_mode="neox"))
 _reg(ArchTraits("gptneox", norm="ln", act="gelu", rope_mode="neox",
                 norm_bias=True, qkv_bias=True, attn_out_bias=True,
@@ -265,6 +284,9 @@ class ModelConfig:
     logit_scale: float = 1.0
     residual_scale: float = 1.0
     attn_scale: float = 0.0  # 0 = default 1/sqrt(head_dim)
+    # dbrx/mpt clip_qkv: clamp q/k/v projections to [-c, c]
+    # (ref llama-hparams.h f_clamp_kqv, src/models/dbrx.cpp:41)
+    clamp_kqv: float = 0.0
     # rope base for sliding-window layers when it differs from full layers
     # (gemma3: 10k local / 1M global; 0 = same base everywhere)
     rope_freq_base_swa: float = 0.0
@@ -399,6 +421,7 @@ class ModelConfig:
             logit_scale=float(g("logit_scale", 1.0)),
             residual_scale=float(g("residual_scale", 1.0)),
             attn_scale=float(g("attention.scale", 0.0)),
+            clamp_kqv=float(g("attention.clamp_kqv", 0.0)),
             rope_freq_base_swa=float(g("rope.freq_base_swa", 0.0)),
             nope_layers=tuple(
                 int(x) for x in (g("nope_layers") if g("nope_layers") is not None else ())

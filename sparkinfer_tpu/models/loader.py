@@ -111,7 +111,7 @@ def _split_fused_qkv(
     g = H // Hkv
     total = (H + 2 * Hkv) * D
     assert wqkv.shape == (E, total), wqkv.shape
-    if Hkv == H:
+    if Hkv == H or cfg.traits.fused_qkv_concat:
         # plain concat [Q;K;V]
         wq = wqkv[:, : H * D]
         wk = wqkv[:, H * D : (H + Hkv) * D]

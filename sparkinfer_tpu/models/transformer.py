@@ -112,6 +112,12 @@ def attention(
         q = q + lp["bq"].astype(q.dtype).reshape(H, D)
         k = k + lp["bk"].astype(k.dtype).reshape(Hkv, D)
         v = v + lp["bv"].astype(v.dtype).reshape(Hkv, D)
+    if cfg.clamp_kqv > 0.0:
+        # dbrx/mpt clip_qkv (ref src/models/dbrx.cpp:41 ggml_clamp)
+        c = cfg.clamp_kqv
+        q = jnp.clip(q, -c, c)
+        k = jnp.clip(k, -c, c)
+        v = jnp.clip(v, -c, c)
     if "attn_q_norm_w" in lp:
         # q/k norms (qwen3/gemma3/olmo2/cohere — llama-model.cpp
         # attn_q_norm/attn_k_norm): per-head when the weight is head_dim

@@ -397,6 +397,41 @@ def _kv_glm4moe(w, a, c):
     w.add_kv(f"{a}.expert_gating_func", np.uint32(2))  # sigmoid
 
 
+def _kv_ernie_moe(w, a, c):
+    """Ernie 4.5 MoE (Ernie4_5_MoeSparseMoeBlock): softmax gating,
+    correction bias for selection only, leading dense layers."""
+    w.add_kv(f"{a}.leading_dense_block_count",
+             np.uint32(c.get("moe_layer_start_index", 0)))
+    w.add_kv(f"{a}.expert_count", np.uint32(c["moe_num_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["moe_k"]))
+    w.add_kv(f"{a}.expert_feed_forward_length",
+             np.uint32(c["moe_intermediate_size"]))
+    w.add_kv(f"{a}.expert_shared_count",
+             np.uint32(c.get("moe_num_shared_experts", 0)))
+    w.add_kv(f"{a}.expert_weights_norm", True)
+
+
+def _split_squeeze_bias(templ, data, cfgj):
+    # ernie moe_statics bias ships as (1, n_experts)
+    if templ.endswith("e_score_correction_bias"):
+        return [(templ, data.reshape(-1))]
+    return [(templ, data)]
+
+
+def _kv_dots1(w, a, c):
+    w.add_kv(f"{a}.leading_dense_block_count",
+             np.uint32(c.get("first_k_dense_replace", 0)))
+    w.add_kv(f"{a}.expert_count", np.uint32(c["n_routed_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["num_experts_per_tok"]))
+    w.add_kv(f"{a}.expert_feed_forward_length",
+             np.uint32(c["moe_intermediate_size"]))
+    w.add_kv(f"{a}.expert_shared_count", np.uint32(c.get("n_shared_experts", 0)))
+    w.add_kv(f"{a}.expert_weights_scale",
+             np.float32(c.get("routed_scaling_factor", 1.0)))
+    w.add_kv(f"{a}.expert_weights_norm", bool(c.get("norm_topk_prob", True)))
+    w.add_kv(f"{a}.expert_gating_func", np.uint32(2))  # sigmoid scores
+
+
 def _split_granitemoe(templ, data, cfgj):
     """granitemoe fuses [gate; up] per expert in input_linear (X, 2F, E)."""
     if templ.endswith("block_sparse_moe.input_linear.weight"):
@@ -524,7 +559,90 @@ _BERT_FAM = dict(
     cfg_adapt=lambda c: dict(
         num_key_value_heads=c["num_attention_heads"]))
 
+# starcoder v1 (GPTBigCode): transformer.h.{i} layout, fused c_attn
+_STARCODER_T = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.wpe.weight": "position_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
+    "transformer.h.{i}.ln_1.weight": "blk.{i}.attn_norm.weight",
+    "transformer.h.{i}.ln_1.bias": "blk.{i}.attn_norm.bias",
+    "transformer.h.{i}.attn.c_attn.weight": "blk.{i}.attn_qkv.weight",
+    "transformer.h.{i}.attn.c_attn.bias": "blk.{i}.attn_qkv.bias",
+    "transformer.h.{i}.attn.c_proj.weight": "blk.{i}.attn_output.weight",
+    "transformer.h.{i}.attn.c_proj.bias": "blk.{i}.attn_output.bias",
+    "transformer.h.{i}.ln_2.weight": "blk.{i}.ffn_norm.weight",
+    "transformer.h.{i}.ln_2.bias": "blk.{i}.ffn_norm.bias",
+    "transformer.h.{i}.mlp.c_fc.weight": "blk.{i}.ffn_up.weight",
+    "transformer.h.{i}.mlp.c_fc.bias": "blk.{i}.ffn_up.bias",
+    "transformer.h.{i}.mlp.c_proj.weight": "blk.{i}.ffn_down.weight",
+    "transformer.h.{i}.mlp.c_proj.bias": "blk.{i}.ffn_down.bias",
+}
+_STARCODER_T = {**{k: None for k in _LLAMA_TENSORS}, **_STARCODER_T}
+
+# dbrx: transformer.blocks.{i} layout; norm_2 is the FFN pre-norm
+# (llama.cpp calls it attn_out_norm); experts are FLAT fused tensors
+# (moe_num_experts*F, E) reshaped by _split_dbrx
+_DBRX_T = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.norm_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+    "transformer.blocks.{i}.norm_attn_norm.norm_1.weight": "blk.{i}.attn_norm.weight",
+    "transformer.blocks.{i}.norm_attn_norm.attn.Wqkv.weight": "blk.{i}.attn_qkv.weight",
+    "transformer.blocks.{i}.norm_attn_norm.attn.out_proj.weight": "blk.{i}.attn_output.weight",
+    "transformer.blocks.{i}.norm_attn_norm.norm_2.weight": "blk.{i}.ffn_norm.weight",
+    "transformer.blocks.{i}.ffn.router.layer.weight": "blk.{i}.ffn_gate_inp.weight",
+    "transformer.blocks.{i}.ffn.experts.mlp.w1": "blk.{i}.ffn_gate_exps.weight",
+    "transformer.blocks.{i}.ffn.experts.mlp.v1": "blk.{i}.ffn_up_exps.weight",
+    "transformer.blocks.{i}.ffn.experts.mlp.w2": "blk.{i}.ffn_down_exps.weight",
+}
+_DBRX_T = {**{k: None for k in _LLAMA_TENSORS}, **_DBRX_T}
+
+
+def _split_dbrx(templ, data, cfgj):
+    """Reshape dbrx's flat expert tensors (X*F, E) into stacked 3D:
+    w1 -> gate (X,F,E), v1 -> up (X,F,E), w2 -> down (X,E,F)."""
+    if templ.endswith((".mlp.w1", ".mlp.v1", ".mlp.w2")):
+        X = cfgj["ffn_config"]["moe_num_experts"]
+        F = cfgj["ffn_config"]["ffn_hidden_size"]
+        E = cfgj["d_model"]
+        t = data.reshape(X, F, E)
+        if templ.endswith("w2"):
+            t = np.ascontiguousarray(np.swapaxes(t, 1, 2))  # (X, E, F)
+        return [(templ, t)]
+    return [(templ, data)]
+
+
+def _kv_dbrx(w, a, c):
+    fc, ac = c["ffn_config"], c["attn_config"]
+    w.add_kv(f"{a}.expert_count", np.uint32(fc["moe_num_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(fc["moe_top_k"]))
+    w.add_kv(f"{a}.attention.clamp_kqv", np.float32(ac.get("clip_qkv") or 0.0))
+
+
 _FAMILIES: dict[str, dict] = {
+    "DbrxForCausalLM": dict(
+        arch="dbrx", permute=False, tmap=_DBRX_T, split=_split_dbrx,
+        kv=_kv_dbrx,
+        cfg_adapt=lambda c: dict(
+            num_hidden_layers=c["n_layers"], hidden_size=c["d_model"],
+            num_attention_heads=c["n_heads"],
+            num_key_value_heads=c["attn_config"]["kv_n_heads"],
+            intermediate_size=c["ffn_config"]["ffn_hidden_size"],
+            max_position_embeddings=c.get("max_seq_len", 2048),
+            rope_theta=c["attn_config"].get("rope_theta", 10000.0),
+            vocab_size=c["vocab_size"])),
+    "GPTBigCodeForCausalLM": dict(
+        arch="starcoder", permute=False, tmap=_STARCODER_T,
+        cfg_adapt=lambda c: dict(
+            num_hidden_layers=c["n_layer"], hidden_size=c["n_embd"],
+            num_attention_heads=c["n_head"],
+            num_key_value_heads=1 if c.get("multi_query", True)
+            else c["n_head"],
+            intermediate_size=c.get("n_inner") or 4 * c["n_embd"],
+            max_position_embeddings=c.get("n_positions", 2048),
+            vocab_size=c["vocab_size"])),
     "BertModel": _BERT_FAM,
     "BertForMaskedLM": _BERT_FAM,
     "BertForSequenceClassification": _BERT_FAM,
@@ -625,7 +743,44 @@ _FAMILIES: dict[str, dict] = {
         permute=False,
         head_dim=lambda c: c["qk_nope_head_dim"] + c["qk_rope_head_dim"],
         rope_dim=lambda c: c["qk_rope_head_dim"]),
-    "Ernie4_5ForCausalLM": dict(arch="ernie4_5"),
+    # permute=False: ernie rope is interleaved-NATIVE in the HF layout
+    # (modeling_ernie4_5 rotate_half works on 0::2/1::2 pairs; the
+    # reference converter likewise does not permute, convert_hf_to_gguf.py
+    # Ernie4_5Model)
+    "Ernie4_5ForCausalLM": dict(arch="ernie4_5", permute=False),
+    # ernie 4.5 MoE: softmax gating, correction bias used for SELECTION
+    # only (Ernie4_5_MoeStatics), fused shared expert, leading dense
+    # layers via moe_layer_start_index (ref src/models/ernie4-5-moe.cpp)
+    "Ernie4_5_MoeForCausalLM": dict(
+        arch="ernie4_5-moe", moe="qwen2moe", kv=_kv_ernie_moe,
+        split=_split_squeeze_bias, permute=False,
+        tmap={
+            "model.layers.{i}.mlp.gate.weight": "blk.{i}.ffn_gate_inp.weight",
+            "model.layers.{i}.mlp.moe_statics.e_score_correction_bias":
+                "blk.{i}.exp_probs_b.bias",
+            "model.layers.{i}.mlp.shared_experts.gate_proj.weight":
+                "blk.{i}.ffn_gate_shexp.weight",
+            "model.layers.{i}.mlp.shared_experts.up_proj.weight":
+                "blk.{i}.ffn_up_shexp.weight",
+            "model.layers.{i}.mlp.shared_experts.down_proj.weight":
+                "blk.{i}.ffn_down_shexp.weight",
+        }),
+    # dots1: per-head qk-norm + deepseek3-style sigmoid router with
+    # correction bias, shared experts, dense lead (ref src/models/dots1.cpp)
+    "Dots1ForCausalLM": dict(
+        arch="dots1", moe="qwen2moe", kv=_kv_dots1,
+        tmap={
+            **_QNORM_T,
+            "model.layers.{i}.mlp.gate.weight": "blk.{i}.ffn_gate_inp.weight",
+            "model.layers.{i}.mlp.gate.e_score_correction_bias":
+                "blk.{i}.exp_probs_b.bias",
+            "model.layers.{i}.mlp.shared_experts.gate_proj.weight":
+                "blk.{i}.ffn_gate_shexp.weight",
+            "model.layers.{i}.mlp.shared_experts.up_proj.weight":
+                "blk.{i}.ffn_up_shexp.weight",
+            "model.layers.{i}.mlp.shared_experts.down_proj.weight":
+                "blk.{i}.ffn_down_shexp.weight",
+        }),
     "Glm4MoeForCausalLM": dict(
         arch="glm4moe", moe="qwen2moe", kv=_kv_glm4moe, tmap=_GLM4MOE_T,
         rope_dim=_rope_partial(0.5)),
@@ -761,7 +916,7 @@ def _convert_family(fam: dict, model_dir: Path, out_path: str, cfgj: dict,
     # stacked expert tensors: (n_expert, F_e, E) up/gate, (n_expert, E, F_e) down
     if moe_buf:
         X = (cfgj.get("num_local_experts") or cfgj.get("num_experts")
-             or cfgj.get("n_routed_experts"))
+             or cfgj.get("n_routed_experts") or cfgj.get("moe_num_experts"))
         for (i, kind), by_e in sorted(moe_buf.items()):
             assert len(by_e) == X, f"layer {i} {kind}: {len(by_e)} != {X} experts"
             stacked = np.stack([by_e[e] for e in range(X)])

@@ -115,6 +115,33 @@ def _families():
             first_k_dense_replace=1, moe_layer_freq=1,
             routed_scaling_factor=1.5, topk_method="greedy", n_group=1,
             topk_group=1, rope_scaling=None, attention_bias=False)),
+        # ernie 4.5 moe: softmax router + selection-only correction bias,
+        # fused shared expert, leading dense layer
+        "ernie4_5-moe": (T.Ernie4_5_MoeForCausalLM, _cfg(
+            T.Ernie4_5_MoeConfig, num_hidden_layers=3,
+            moe_num_experts=4, moe_k=2, moe_intermediate_size=48,
+            moe_num_shared_experts=1, moe_layer_start_index=1,
+            moe_layer_interval=1, pad_token_id=0)),
+        # dots1: per-head qk-norm + sigmoid-routed MoE w/ correction bias
+        "dots1": (T.Dots1ForCausalLM, _cfg(
+            T.Dots1Config, head_dim=16, num_hidden_layers=3,
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=48, n_shared_experts=1,
+            first_k_dense_replace=1, n_group=1, topk_group=1,
+            routed_scaling_factor=1.5, norm_topk_prob=True,
+            pad_token_id=0)),
+        # dbrx: bias-less LN, fused clamped Wqkv, flat fused expert tensors
+        "dbrx": (T.DbrxForCausalLM, T.DbrxConfig(
+            d_model=64, n_heads=4, n_layers=2, max_seq_len=128,
+            vocab_size=160,
+            attn_config={"kv_n_heads": 2, "clip_qkv": 8.0,
+                         "rope_theta": 10000.0},
+            ffn_config={"ffn_hidden_size": 48, "moe_num_experts": 4,
+                        "moe_top_k": 2})),
+        # starcoder v1 (GPTBigCode): MQA, learned positions, fused c_attn
+        "starcoder": (T.GPTBigCodeForCausalLM, T.GPTBigCodeConfig(
+            vocab_size=160, n_positions=128, n_embd=64, n_layer=2, n_head=4,
+            n_inner=96, multi_query=True)),
         "gptneox": (T.GPTNeoXForCausalLM, _cfg(
             T.GPTNeoXConfig, rotary_pct=0.5, use_parallel_residual=True,
             num_key_value_heads=4)),  # gptneox is MHA-only
