@@ -67,6 +67,9 @@ class ArchTraits:
     # encoder-only (bidirectional attention, no causal mask — bert/WPM
     # embedding models; ref llama.cpp causal_attn=false for BERT)
     non_causal: bool = False
+    # hunyuan: per-head qk-norm applied AFTER rope
+    # (ref src/models/hunyuan-dense.cpp)
+    qk_norm_after_rope: bool = False
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -189,7 +192,21 @@ _reg(ArchTraits("ernie4_5-moe", ))
 # dots1: qwen3-style per-head qk-norm + deepseek3-style sigmoid-routed MoE
 # with correction bias and shared experts (ref src/models/dots1.cpp)
 _reg(ArchTraits("dots1", rope_mode="neox"))
-_reg(ArchTraits("exaone4", rope_mode="neox"))
+# exaone4: 3 sliding:1 global hybrid; global layers are NoPE
+# (nope_layers from the converter), per-head qk-norm
+# (ref src/models/exaone4.cpp)
+_reg(ArchTraits("exaone4", rope_mode="neox", swa_pattern=4))
+# hunyuan v1: per-head qk-norm AFTER rope (src/models/hunyuan-dense.cpp);
+# the moe variant adds softmax top-k experts + an always-on ungated
+# shared MLP (src/models/hunyuan-moe.cpp)
+_reg(ArchTraits("hunyuan-dense", rope_mode="neox", qk_norm_after_rope=True))
+_reg(ArchTraits("hunyuan-moe", rope_mode="neox", qk_norm_after_rope=True))
+# apertus: ungated xIELU FFN with per-layer learned coefficients,
+# per-head qk-norm (ref src/models/apertus.cpp, ggml_xielu)
+_reg(ArchTraits("apertus", rope_mode="neox"))
+# bitnet b1.58: rms sub-norms before o_proj and down_proj, gated relu^2
+# (ref src/models/bitnet.cpp attn_sub_norm/ffn_sub_norm)
+_reg(ArchTraits("bitnet", act="relu2_glu"))
 _reg(ArchTraits("gptneox", norm="ln", act="gelu", rope_mode="neox",
                 norm_bias=True, qkv_bias=True, attn_out_bias=True,
                 ffn_bias=True, parallel_blocks=True))
@@ -311,6 +328,12 @@ class ModelConfig:
     # RWKV geometry (ref GGUF keys {arch}.wkv.head_size,
     # {arch}.time_mix_extra_dim, {arch}.time_decay_extra_dim,
     # {arch}.rescale_every_n_layers, {arch}.token_shift_count)
+    # apertus xIELU per-layer coefficients (raw/pre-softplus, as stored
+    # by the reference converter: gguf add_xielu_alpha_n/p)
+    xielu_alpha_n: tuple = ()
+    xielu_alpha_p: tuple = ()
+    xielu_beta: tuple = ()
+    xielu_eps: tuple = ()
     # T5 encoder-decoder geometry (ref llama-hparams.h dec_n_layer,
     # n_rel_attn_bkts; GGUF keys {arch}.decoder_block_count,
     # {arch}.attention.relative_buckets_count, {arch}.decoder_start_token_id)
@@ -436,6 +459,10 @@ class ModelConfig:
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),
             ssm_dt_rank=int(g("ssm.time_step_rank", 0)),
+            xielu_alpha_n=tuple(float(x) for x in (g("xielu_alpha_n") if g("xielu_alpha_n") is not None else ())),
+            xielu_alpha_p=tuple(float(x) for x in (g("xielu_alpha_p") if g("xielu_alpha_p") is not None else ())),
+            xielu_beta=tuple(float(x) for x in (g("xielu_beta") if g("xielu_beta") is not None else ())),
+            xielu_eps=tuple(float(x) for x in (g("xielu_eps") if g("xielu_eps") is not None else ())),
             dec_n_layer=int(g("decoder_block_count", 0) or 0),
             n_rel_attn_bkts=int(g("attention.relative_buckets_count", 0) or 0),
             rel_attn_max_dist=int(g("attention.relative_max_distance", 128)),

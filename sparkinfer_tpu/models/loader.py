@@ -335,6 +335,18 @@ def load_model(
         wo_in = H * (cfg.v_head_dim or D) if cfg.kv_lora_rank > 0 else H * D
         add("wo", _lin(p + "attn_output.weight", wo_in, E))
         add("bo", _get(r, p + "attn_output.bias"))
+        # bitnet sub-norms (pre-o_proj / pre-down_proj rms)
+        add("attn_sub_norm_w", _get(r, p + "attn_sub_norm.weight"))
+        add("ffn_sub_norm_w", _get(r, p + "ffn_sub_norm.weight"))
+        # apertus xIELU per-layer coefficients (softplus applied here so
+        # the kernel uses effective alphas: a_p = sp(raw), a_n = b + sp(raw))
+        if cfg.xielu_alpha_p:
+            b = cfg.xielu_beta[i] if cfg.xielu_beta else 0.5
+            add("xielu_ap", np.logaddexp(0.0, np.float32(cfg.xielu_alpha_p[i]))[None].astype(np.float32))
+            add("xielu_an", (b + np.logaddexp(0.0, np.float32(cfg.xielu_alpha_n[i])))[None].astype(np.float32))
+            add("xielu_beta", np.asarray([b], np.float32))
+            add("xielu_eps", np.asarray(
+                [cfg.xielu_eps[i] if cfg.xielu_eps else -1e-6], np.float32))
         # post-norms (gemma2 sandwich, olmo2 post-norm-only)
         add("attn_post_norm_w", _get(r, p + "attn_post_norm.weight"))
         add("attn_post_norm_b", _get(r, p + "attn_post_norm.bias"))
@@ -419,6 +431,7 @@ def load_model(
             ))
         stacked = np.stack(arrs)
         want = (jnp.float32 if ("norm" in k or k.startswith("b")
+                                or k.startswith("xielu")
                                 or k in ("router_bias", "attn_sinks"))
                 else dtype)
         return put(f"layers.{k}", _as_jnp(stacked, want))

@@ -70,13 +70,23 @@ def dense_ffn(cfg: ModelConfig):
         up = mm(x, lp["w_up"])
         if "b_up" in lp:
             up = up + lp["b_up"].astype(up.dtype)
-        if gated and "w_gate" in lp:
+        if "xielu_ap" in lp:
+            # apertus xIELU with per-layer learned coefficients
+            # (ref src/models/apertus.cpp ggml_xielu; loader pre-softplusses)
+            from ..ops.activations import xielu
+
+            hidden = xielu(up, lp["xielu_ap"], lp["xielu_an"],
+                           lp["xielu_beta"], lp["xielu_eps"])
+        elif gated and "w_gate" in lp:
             hidden = f(mm(x, lp["w_gate"]), up)
         elif gated:
             # gated act but model has no gate proj: act on up alone
             hidden = f(up, jnp.ones_like(up))
         else:
             hidden = f(up)
+        if "ffn_sub_norm_w" in lp:  # bitnet pre-down_proj sub-norm
+            hidden = _norm(hidden, lp["ffn_sub_norm_w"], None,
+                           cfg.traits.norm, cfg.norm_eps)
         out = mm(hidden, lp["w_down"])
         if "b_down" in lp:
             out = out + lp["b_down"].astype(out.dtype)
@@ -118,7 +128,7 @@ def attention(
         q = jnp.clip(q, -c, c)
         k = jnp.clip(k, -c, c)
         v = jnp.clip(v, -c, c)
-    if "attn_q_norm_w" in lp:
+    def _qk_norms(q, k):
         # q/k norms (qwen3/gemma3/olmo2/cohere — llama-model.cpp
         # attn_q_norm/attn_k_norm): per-head when the weight is head_dim
         # wide, full-width (olmo2) otherwise
@@ -131,6 +141,10 @@ def attention(
                       tr.norm, eps).reshape(B, T, H, D)
             k = _norm(k.reshape(B, T, Hkv * D), kw, lp.get("attn_k_norm_b"),
                       tr.norm, eps).reshape(B, T, Hkv, D)
+        return q, k
+
+    if "attn_q_norm_w" in lp and not tr.qk_norm_after_rope:
+        q, k = _qk_norms(q, k)
     # per-layer SWA flag (0.0/1.0 scalar riding the layer scan)
     swa_flag = lp.get("swa_flag")
     q0, k0 = q, k
@@ -150,6 +164,10 @@ def attention(
         skip = nope_flag > 0.5
         q = jnp.where(skip, q0, q)
         k = jnp.where(skip, k0, k)
+    if "attn_q_norm_w" in lp and tr.qk_norm_after_rope:
+        # hunyuan: per-head qk-norm applied AFTER rope
+        # (src/models/hunyuan-dense.cpp order: rope, then norm)
+        q, k = _qk_norms(q, k)
 
     # iSWA ring cache: this layer's cache holds only the last ring_width
     # key slots; slot j of the ring holds the key written at absolute
@@ -180,6 +198,8 @@ def attention(
             # attention output before o_proj (Qwen3NextAttention)
             gt = mm(x, lp["w_attn_gate"]).astype(jnp.float32)
             out = (out.astype(jnp.float32) * jax.nn.sigmoid(gt)).astype(out.dtype)
+        if "attn_sub_norm_w" in lp:  # bitnet pre-o_proj sub-norm
+            out = _norm(out, lp["attn_sub_norm_w"], None, tr.norm, eps)
         out = mm(out, lp["wo"])
         if "bo" in lp:
             out = out + lp["bo"].astype(out.dtype)
@@ -234,6 +254,8 @@ def attention(
     if "w_attn_gate" in lp:
         gt = mm(x, lp["w_attn_gate"]).astype(jnp.float32)
         out = (out.astype(jnp.float32) * jax.nn.sigmoid(gt)).astype(out.dtype)
+    if "attn_sub_norm_w" in lp:  # bitnet pre-o_proj sub-norm
+        out = _norm(out, lp["attn_sub_norm_w"], None, tr.norm, eps)
     out = mm(out, lp["wo"])
     if "bo" in lp:
         out = out + lp["bo"].astype(out.dtype)

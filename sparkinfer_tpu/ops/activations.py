@@ -77,6 +77,26 @@ def _gelu_erf(u):
     return jax.nn.gelu(u.astype(jnp.float32), approximate=False).astype(u.dtype)
 
 
+def _relu2_glu(g, u):
+    """relu(gate)^2 * up (bitnet b1.58 — ref src/models/bitnet.cpp)."""
+    r = jnp.maximum(g, 0)
+    return r * r * u
+
+
+def xielu(x, alpha_p, alpha_n, beta, eps):
+    """xIELU (arXiv:2411.13010; ref ggml_xielu / src/models/apertus.cpp):
+    x>0: a_p*x^2 + beta*x; x<=0: (expm1(min(x, eps)) - x)*a_n + beta*x.
+    alpha_p/alpha_n arrive already softplus'd (loader)."""
+    xf = x.astype(jnp.float32)
+    ap = alpha_p.astype(jnp.float32)
+    an = alpha_n.astype(jnp.float32)
+    b = beta.astype(jnp.float32)
+    e = eps.astype(jnp.float32)
+    pos = ap * xf * xf + b * xf
+    neg = (jnp.expm1(jnp.minimum(xf, e)) - xf) * an + b * xf
+    return jnp.where(xf > 0, pos, neg).astype(x.dtype)
+
+
 def act_fn(name: str, fatrelu_threshold: float = 0.0):
     """Returns (gated, fn). gated=True -> fn(gate, up); else fn(up)."""
     table = {
@@ -85,6 +105,7 @@ def act_fn(name: str, fatrelu_threshold: float = 0.0):
         "swiglu_oai": (True, _swiglu_oai),
         "gelu": (False, _gelu),
         "gelu_erf": (False, _gelu_erf),
+        "relu2_glu": (True, _relu2_glu),
         "geglu": (True, _gelu_gate),
         "relu": (False, _relu),
         "relu2": (False, _relu2),

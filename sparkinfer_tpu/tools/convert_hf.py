@@ -418,6 +418,37 @@ def _split_squeeze_bias(templ, data, cfgj):
     return [(templ, data)]
 
 
+def _kv_hunyuan_moe(w, a, c):
+    topk = c.get("moe_topk", 1)
+    if isinstance(topk, (list, tuple)):
+        topk = topk[0]
+    ne = c.get("num_experts")
+    if isinstance(ne, (list, tuple)):
+        ne = ne[0]
+    w.add_kv(f"{a}.expert_count", np.uint32(ne))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(topk))
+    w.add_kv(f"{a}.expert_shared_count", np.uint32(1))
+    w.add_kv(f"{a}.expert_weights_norm", True)
+
+
+def _kv_exaone4(w, a, c):
+    # global (full-attention) layers skip rope entirely (Exaone4Attention:
+    # rope only when is_sliding); emit them as NoPE flags
+    lt = c.get("layer_types")
+    L = c["num_hidden_layers"]
+    pat = c.get("sliding_window_pattern", 4)
+    if lt is None and c.get("sliding_window"):
+        if isinstance(pat, str):  # "LLLG"
+            lt = ["sliding_attention" if ch == "L" else "full_attention"
+                  for ch in (pat * L)[:L]]
+        else:
+            lt = ["sliding_attention" if ((i + 1) % pat) else "full_attention"
+                  for i in range(L)]
+    if lt and c.get("sliding_window"):
+        w.add_array(f"{a}.nope_layers", np.asarray(
+            [0 if t == "sliding_attention" else 1 for t in lt], np.uint32))
+
+
 def _kv_dots1(w, a, c):
     w.add_kv(f"{a}.leading_dense_block_count",
              np.uint32(c.get("first_k_dense_replace", 0)))
@@ -764,6 +795,55 @@ _FAMILIES: dict[str, dict] = {
                 "blk.{i}.ffn_up_shexp.weight",
             "model.layers.{i}.mlp.shared_experts.down_proj.weight":
                 "blk.{i}.ffn_down_shexp.weight",
+        }),
+    # hunyuan v1 dense: per-head qk-norm applied AFTER rope
+    # (ref src/models/hunyuan-dense.cpp)
+    "HunYuanDenseV1ForCausalLM": dict(
+        arch="hunyuan-dense", permute=False,
+        tmap={
+            "model.layers.{i}.self_attn.query_layernorm.weight":
+                "blk.{i}.attn_q_norm.weight",
+            "model.layers.{i}.self_attn.key_layernorm.weight":
+                "blk.{i}.attn_k_norm.weight",
+        }),
+    # hunyuan v1 moe: + softmax top-k experts and an always-on ungated
+    # shared MLP (ref src/models/hunyuan-moe.cpp)
+    "HunYuanMoEV1ForCausalLM": dict(
+        arch="hunyuan-moe", permute=False, moe="qwen2moe", kv=_kv_hunyuan_moe,
+        tmap={
+            "model.layers.{i}.self_attn.query_layernorm.weight":
+                "blk.{i}.attn_q_norm.weight",
+            "model.layers.{i}.self_attn.key_layernorm.weight":
+                "blk.{i}.attn_k_norm.weight",
+            "model.layers.{i}.mlp.gate.wg.weight": "blk.{i}.ffn_gate_inp.weight",
+            "model.layers.{i}.mlp.shared_mlp.gate_proj.weight":
+                "blk.{i}.ffn_gate_shexp.weight",
+            "model.layers.{i}.mlp.shared_mlp.up_proj.weight":
+                "blk.{i}.ffn_up_shexp.weight",
+            "model.layers.{i}.mlp.shared_mlp.down_proj.weight":
+                "blk.{i}.ffn_down_shexp.weight",
+        }),
+    # bitnet b1.58: rms sub-norms before o_proj/down_proj, gated relu^2
+    # (ref src/models/bitnet.cpp)
+    "BitNetForCausalLM": dict(
+        arch="bitnet",
+        tmap={
+            "model.layers.{i}.self_attn.attn_sub_norm.weight":
+                "blk.{i}.attn_sub_norm.weight",
+            "model.layers.{i}.mlp.ffn_sub_norm.weight":
+                "blk.{i}.ffn_sub_norm.weight",
+        }),
+    # exaone4: 3 sliding:1 global, global layers NoPE, per-head qk-norm,
+    # olmo2-style post-norm-only blocks (ref src/models/exaone4.cpp)
+    "Exaone4ForCausalLM": dict(
+        arch="exaone4", permute=False, kv=_kv_exaone4,
+        tmap={
+            **_QNORM_T,
+            "model.layers.{i}.input_layernorm.weight": None,
+            "model.layers.{i}.post_attention_layernorm.weight":
+                "blk.{i}.attn_post_norm.weight",
+            "model.layers.{i}.post_feedforward_layernorm.weight":
+                "blk.{i}.ffn_post_norm.weight",
         }),
     # dots1: per-head qk-norm + deepseek3-style sigmoid router with
     # correction bias, shared experts, dense lead (ref src/models/dots1.cpp)
@@ -1160,6 +1240,48 @@ def _convert_whisper_mmproj(model_dir: Path, out_path: str, cfgj: dict) -> dict:
             "n_layer": cfgj["encoder_layers"]}
 
 
+_APERTUS_ACT_RE = re.compile(
+    r"^model\.layers\.(\d+)\.mlp\.act_fn\.(alpha_n|alpha_p|beta|eps)$")
+
+
+def _convert_apertus(model_dir: Path, out_path: str, cfgj: dict,
+                     out_type: str) -> dict:
+    """Apertus (xIELU): per-layer act_fn.{alpha_n,alpha_p,beta,eps} scalar
+    tensors become KV arrays, matching the reference converter
+    (convert_hf_to_gguf.py ApertusModel add_xielu_*; raw pre-softplus
+    values — the loader applies softplus)."""
+    acc: dict[str, dict[int, float]] = {
+        "alpha_n": {}, "alpha_p": {}, "beta": {}, "eps": {}}
+    for name, data in _iter_hf_tensors(model_dir):
+        m = _APERTUS_ACT_RE.match(name)
+        if m:
+            acc[m.group(2)][int(m.group(1))] = float(
+                np.asarray(data).reshape(-1)[0])
+
+    def kv(w, a, c):
+        for key, d in (("xielu_alpha_n", acc["alpha_n"]),
+                       ("xielu_alpha_p", acc["alpha_p"]),
+                       ("xielu_beta", acc["beta"]),
+                       ("xielu_eps", acc["eps"])):
+            if d:
+                w.add_array(f"{a}.{key}",
+                            np.asarray([d[i] for i in sorted(d)], np.float32))
+
+    fam = dict(arch="apertus", permute=False, kv=kv, tmap={
+        **_QNORM_T,
+        "model.layers.{i}.attention_layernorm.weight": "blk.{i}.attn_norm.weight",
+        "model.layers.{i}.feedforward_layernorm.weight": "blk.{i}.ffn_norm.weight",
+        "model.layers.{i}.input_layernorm.weight": None,
+        "model.layers.{i}.post_attention_layernorm.weight": None,
+    })
+
+    def rename(n):
+        return None if ".mlp.act_fn." in n else n
+
+    return _convert_family(fam, model_dir, out_path, cfgj, out_type,
+                           rename=rename)
+
+
 # HF T5 sub-layer names -> GGUF suffixes (ref llama-arch.cpp LLM_ARCH_T5)
 _T5_ATTN = {"q": "attn_q", "k": "attn_k", "v": "attn_v", "o": "attn_o"}
 _T5_CROSS = {"q": "cross_attn_q", "k": "cross_attn_k",
@@ -1273,6 +1395,8 @@ def convert(
         return _convert_t5(model_dir, out_path, cfgj, out_type)
     if hf_arch == "T5EncoderModel":
         return _convert_t5(model_dir, out_path, cfgj, out_type, enc_only=True)
+    if hf_arch == "ApertusForCausalLM":
+        return _convert_apertus(model_dir, out_path, cfgj, out_type)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)

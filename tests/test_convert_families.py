@@ -115,6 +115,22 @@ def _families():
             first_k_dense_replace=1, moe_layer_freq=1,
             routed_scaling_factor=1.5, topk_method="greedy", n_group=1,
             topk_group=1, rope_scaling=None, attention_bias=False)),
+        # hunyuan v1: per-head qk-norm applied AFTER rope
+        "hunyuan-dense": (T.HunYuanDenseV1ForCausalLM, _cfg(
+            T.HunYuanDenseV1Config, head_dim=16, pad_token_id=0)),
+        "hunyuan-moe": (T.HunYuanMoEV1ForCausalLM, _cfg(
+            T.HunYuanMoEV1Config, head_dim=16, num_experts=4, moe_topk=2,
+            pad_token_id=0)),
+        # bitnet b1.58: sub-norms + gated relu^2
+        "bitnet": (T.BitNetForCausalLM, _cfg(T.BitNetConfig, pad_token_id=0)),
+        # apertus: xIELU with per-layer learned coefficients, qk-norm
+        "apertus": (T.ApertusForCausalLM, _cfg(T.ApertusConfig,
+                                               rope_scaling=None,
+                                               pad_token_id=0)),
+        # exaone4: 3 sliding:1 global, global layers NoPE, qk-norm
+        "exaone4": (T.Exaone4ForCausalLM, _cfg(
+            T.Exaone4Config, head_dim=16, num_hidden_layers=4,
+            sliding_window=16, sliding_window_pattern=4, pad_token_id=0)),
         # ernie 4.5 moe: softmax router + selection-only correction bias,
         # fused shared expert, leading dense layer
         "ernie4_5-moe": (T.Ernie4_5_MoeForCausalLM, _cfg(
