@@ -141,6 +141,9 @@ _reg(ArchTraits("phi2", norm="ln", act="gelu", rope_mode="neox", qkv_bias=True,
                 parallel_blocks=True))
 _reg(ArchTraits("phi3", rope_mode="neox"))
 _reg(ArchTraits("olmo2", rope_mode="neox"))
+# olmo3: olmo2 post-norm blocks + full-width qk-norm + 3:1 sliding/full
+# pattern; full layers keep rope (scaled), sliding layers unscaled
+_reg(ArchTraits("olmo3", rope_mode="neox", swa_pattern=4))
 _reg(ArchTraits("smollm", ))
 _reg(ArchTraits("tinyllama", ))
 # internlm2 ropes NORM-style (ref llama-model.cpp rope-type switch)
@@ -320,6 +323,9 @@ class ModelConfig:
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     n_head_kv_arr: tuple = ()  # per-layer kv heads (hybrid stacks; 0 = recurrent)
     ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count; 0 = mamba1)
+    # falcon-mamba: weightless RMS over dt/B/C (ref llama-hparams.h
+    # ssm_dt_b_c_rms, graph-context-mamba.cpp:94)
+    ssm_dt_b_c_rms: bool = False
     shortconv_l_cache: int = 0  # lfm2 gated short-conv kernel length
     ssm_d_conv: int = 0
     ssm_d_inner: int = 0
@@ -454,6 +460,7 @@ class ModelConfig:
             v_head_dim=int(g("attention.value_length", 0) or 0),
             n_dense_lead=int(g("leading_dense_block_count", 0) or 0),
             ssm_n_group=int(g("ssm.group_count", 0)),
+            ssm_dt_b_c_rms=bool(g("ssm.dt_b_c_rms", False)),
             shortconv_l_cache=int(g("shortconv.l_cache", 0)),
             ssm_d_conv=int(g("ssm.conv_kernel", 0)),
             ssm_d_inner=int(g("ssm.inner_size", 0)),

@@ -235,4 +235,11 @@ def load_mamba_layers(r, cfg) -> dict:
         add("ssm_a", g("ssm_a"))
         add("ssm_d", g("ssm_d"))
         add("ssm_out", np.ascontiguousarray(g("ssm_out.weight").T))
+        if cfg.ssm_dt_b_c_rms:
+            # falcon-mamba: weightless RMS over dt/B/C (the GGUF carries
+            # only the ssm.dt_b_c_rms flag — synthesize unit weights;
+            # ref graph-context-mamba.cpp:94, llama-model.cpp:1403)
+            add("ssm_dt_norm_w", np.ones(cfg.ssm_dt_rank, np.float32))
+            add("ssm_b_norm_w", np.ones(cfg.ssm_d_state, np.float32))
+            add("ssm_c_norm_w", np.ones(cfg.ssm_d_state, np.float32))
     return {k: jnp.asarray(np.stack(v), jnp.float32) for k, v in per.items()}

@@ -41,6 +41,7 @@ _ARCH_MAP = {
     "FalconForCausalLM": "falcon",
     "RWForCausalLM": "falcon",
     "MambaForCausalLM": "mamba",
+    "FalconMambaForCausalLM": "mamba",  # + ssm.dt_b_c_rms flag
     "JambaForCausalLM": "jamba",
     "Mamba2ForCausalLM": "mamba2",
     "FalconH1ForCausalLM": "falcon-h1",
@@ -478,7 +479,22 @@ _GRANITEMOE_T = {
     "model.layers.{i}.block_sparse_moe.gate_split.weight": "blk.{i}.ffn_gate_exps.weight",
     "model.layers.{i}.block_sparse_moe.up_split.weight": "blk.{i}.ffn_up_exps.weight",
     "model.layers.{i}.block_sparse_moe.output_linear.weight": "blk.{i}.ffn_down_exps.weight",
+    # granitemoeshared always-on MLP (same fused [gate;up] layout)
+    "model.layers.{i}.shared_mlp.gate_split.weight": "blk.{i}.ffn_gate_shexp.weight",
+    "model.layers.{i}.shared_mlp.up_split.weight": "blk.{i}.ffn_up_shexp.weight",
+    "model.layers.{i}.shared_mlp.output_linear.weight": "blk.{i}.ffn_down_shexp.weight",
 }
+
+
+def _split_granitemoeshared(templ, data, cfgj):
+    """granitemoeshared: expert input_linear fused as in granitemoe, plus
+    a shared MLP whose input_linear fuses [gate; up] on dim 0 (2F, E)."""
+    if templ.endswith("shared_mlp.input_linear.weight"):
+        F = cfgj.get("shared_intermediate_size") or data.shape[0] // 2
+        base = templ.rsplit("input_linear", 1)[0]
+        return [(base + "gate_split.weight", np.ascontiguousarray(data[:F])),
+                (base + "up_split.weight", np.ascontiguousarray(data[F:]))]
+    return _split_granitemoe(templ, data, cfgj)
 
 
 def _kv_granitemoe(w, a, c):
@@ -699,6 +715,20 @@ _FAMILIES: dict[str, dict] = {
             "model.layers.{i}.post_feedforward_layernorm.weight": "blk.{i}.ffn_post_norm.weight",
         },
     ),
+    # olmo3: olmo2 post-norm blocks + full-width qk-norm + 3:1 swa pattern
+    # (sliding layers keep the unscaled rope via rope_freq_base_swa == base)
+    "Olmo3ForCausalLM": dict(
+        arch="olmo3",
+        tmap={
+            **_QNORM_T,
+            "model.layers.{i}.input_layernorm.weight": None,
+            "model.layers.{i}.post_attention_layernorm.weight": "blk.{i}.attn_post_norm.weight",
+            "model.layers.{i}.post_feedforward_layernorm.weight": "blk.{i}.ffn_post_norm.weight",
+        }),
+    # granitemoe + an always-on fused shared MLP (input_linear = [gate;up])
+    "GraniteMoeSharedForCausalLM": dict(
+        arch="granitemoe", tmap=_GRANITEMOE_T, split=_split_granitemoeshared,
+        kv=_kv_granitemoe),
     "CohereForCausalLM": dict(arch="command-r", permute=False, kv=_kv_cohere),
     "GraniteForCausalLM": dict(arch="granite", kv=_kv_granite),
     "Phi3ForCausalLM": dict(arch="phi3", split=_split_phi3),
@@ -1404,6 +1434,8 @@ def convert(
         raise NotImplementedError(f"HF arch {hf_arch} not supported")
     arch = _ARCH_MAP[hf_arch]
     if arch == "mamba":
+        if hf_arch == "FalconMambaForCausalLM":
+            cfgj = {**cfgj, "_dt_b_c_rms": True}
         return _convert_mamba(model_dir, out_path, cfgj, out_type)
     if arch == "jamba":
         return _convert_jamba(model_dir, out_path, cfgj, out_type)
@@ -1921,6 +1953,10 @@ def _convert_mamba(model_dir: Path, out_path: str, cfgj: dict, out_type: str) ->
     w.add_kv("mamba.ssm.time_step_rank", np.uint32(dt_rank))
     w.add_kv("mamba.attention.layer_norm_rms_epsilon",
              np.float32(cfgj.get("layer_norm_epsilon", 1e-5)))
+    if cfgj.get("_dt_b_c_rms"):
+        # falcon-mamba (ref convert_hf_to_gguf FalconMambaModel:
+        # add_ssm_dt_b_c_rms; llama.cpp reads LLM_KV_SSM_DT_B_C_RMS)
+        w.add_kv("mamba.ssm.dt_b_c_rms", True)
 
     n = 0
     for name, data in _iter_hf_tensors(model_dir):

@@ -115,6 +115,16 @@ def _families():
             first_k_dense_replace=1, moe_layer_freq=1,
             routed_scaling_factor=1.5, topk_method="greedy", n_group=1,
             topk_group=1, rope_scaling=None, attention_bias=False)),
+        # olmo3: olmo2 post-norm + full-width qk-norm + 3:1 swa pattern
+        "olmo3": (T.Olmo3ForCausalLM, _cfg(
+            T.Olmo3Config, num_hidden_layers=4, sliding_window=16,
+            rope_scaling=None, pad_token_id=0)),
+        # granitemoe + always-on fused shared MLP
+        "granitemoeshared": (T.GraniteMoeSharedForCausalLM, _cfg(
+            T.GraniteMoeSharedConfig, num_local_experts=4,
+            num_experts_per_tok=2, shared_intermediate_size=48,
+            embedding_multiplier=2.0, residual_multiplier=0.5,
+            logits_scaling=4.0, attention_multiplier=0.1)),
         # hunyuan v1: per-head qk-norm applied AFTER rope
         "hunyuan-dense": (T.HunYuanDenseV1ForCausalLM, _cfg(
             T.HunYuanDenseV1Config, head_dim=16, pad_token_id=0)),
@@ -201,7 +211,8 @@ def test_family_logit_parity(family, tmp_path):
 
     out = tmp_path / "m.gguf"
     info = convert(str(d), str(out), out_type="f32")
-    assert info["arch"] == family.replace("deepseek3", "deepseek2")
+    alias = {"deepseek3": "deepseek2", "granitemoeshared": "granitemoe"}
+    assert info["arch"] == alias.get(family, family)
 
     model = load_model(str(out), dtype=jnp.float32)
     cfg = model.config

@@ -121,3 +121,36 @@ def test_padding_does_not_corrupt_state(hf_mamba, tmp_path):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cache_b.conv), np.asarray(cache_a.conv),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_falcon_mamba_parity(tmp_path):
+    """falcon-mamba: mamba-1 + weightless RMS over dt/B/C (ref
+    llama-hparams.h ssm_dt_b_c_rms; graph-context-mamba.cpp:94)."""
+    from transformers import FalconMambaConfig, FalconMambaForCausalLM
+
+    torch.manual_seed(0)
+    cfg_hf = FalconMambaConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128, state_size=8,
+        num_hidden_layers=2, conv_kernel=4, time_step_rank=4, use_cache=False)
+    hf = FalconMambaForCausalLM(cfg_hf)
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "fm.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "mamba"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.ssm_dt_b_c_rms
+    assert "ssm_dt_norm_w" in model.params["layers"]
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 160, 6).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).logits[0].numpy()
+    fwd = jax.jit(make_mamba_forward(cfg))
+    cache = init_mamba_cache(cfg, 1)
+    logits, _ = fwd(model.params, jnp.asarray(toks, jnp.int32)[None],
+                    jnp.arange(6, dtype=jnp.int32)[None], cache)
+    np.testing.assert_allclose(np.asarray(logits)[0], ref, rtol=3e-3, atol=3e-3)
