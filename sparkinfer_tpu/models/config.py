@@ -70,6 +70,9 @@ class ArchTraits:
     # hunyuan: per-head qk-norm applied AFTER rope
     # (ref src/models/hunyuan-dense.cpp)
     qk_norm_after_rope: bool = False
+    # gemma3n: AltUp multi-stream stack + laurel + per-layer embeddings
+    # (ref src/models/gemma3n-iswa.cpp; models/gemma3n.py here)
+    altup: bool = False
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -129,6 +132,13 @@ _reg(ArchTraits("gemma2", rope_mode="neox", act="geglu", embd_scale_sqrt=True,
                 swa_pattern=2))
 _reg(ArchTraits("gemma3", rope_mode="neox", act="geglu", embd_scale_sqrt=True,
                 swa_pattern=6))
+# gemma3n: AltUp + laurel + per-layer embeddings + KV sharing + FFN
+# activation sparsity (ref src/models/gemma3n-iswa.cpp); swa pattern 5,
+# softcap 30, scale=1.0 attention. Per-layer types may override the
+# pattern via the swa_layers KV array.
+_reg(ArchTraits("gemma3n", rope_mode="neox", act="geglu",
+                embd_scale_sqrt=True, final_logit_softcap=30.0,
+                swa_pattern=5, altup=True))
 _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # broader llama-family coverage: these archs are trait-compatible with the
 # generic forward (ref: per-arch builders in src/models/*.cpp that differ
@@ -334,6 +344,15 @@ class ModelConfig:
     # RWKV geometry (ref GGUF keys {arch}.wkv.head_size,
     # {arch}.time_mix_extra_dim, {arch}.time_decay_extra_dim,
     # {arch}.rescale_every_n_layers, {arch}.token_shift_count)
+    # gemma3n AltUp geometry (ref gguf-py KV keys altup.num_inputs,
+    # altup.active_idx, embedding_length_per_layer_input,
+    # attention.shared_kv_layers, activation_sparsity_scale)
+    n_altup: int = 0
+    i_altup_act: int = 0
+    n_embd_altup: int = 0
+    n_kv_shared: int = 0
+    act_sparsity_scale: tuple = ()  # per-layer gaussian-topk std multipliers
+    swa_layers_arr: tuple = ()  # explicit per-layer sliding flags (override)
     # apertus xIELU per-layer coefficients (raw/pre-softplus, as stored
     # by the reference converter: gguf add_xielu_alpha_n/p)
     xielu_alpha_n: tuple = ()
@@ -361,7 +380,10 @@ class ModelConfig:
     def swa_layers(self) -> tuple[bool, ...]:
         """Per-layer sliding-window flags (ref: llama-hparams.h
         set_swa_pattern: il %% pattern < pattern-1 -> SWA; last of each
-        pattern block is full attention). Uniform when swa_pattern == 0."""
+        pattern block is full attention). Uniform when swa_pattern == 0.
+        An explicit per-layer array (gemma3n layer_types) wins."""
+        if self.swa_layers_arr:
+            return self.swa_layers_arr
         if self.sliding_window <= 0:
             return (False,) * self.n_layer
         p = self.traits.swa_pattern
@@ -466,6 +488,16 @@ class ModelConfig:
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),
             ssm_dt_rank=int(g("ssm.time_step_rank", 0)),
+            n_altup=int(g("altup.num_inputs", 0) or 0),
+            i_altup_act=int(g("altup.active_idx", 0) or 0),
+            n_embd_altup=int(g("embedding_length_per_layer_input", 0) or 0),
+            n_kv_shared=int(g("attention.shared_kv_layers", 0) or 0),
+            act_sparsity_scale=tuple(
+                float(x) for x in (g("activation_sparsity_scale")
+                                   if g("activation_sparsity_scale") is not None else ())),
+            swa_layers_arr=tuple(
+                bool(x) for x in (g("swa_layers")
+                                  if g("swa_layers") is not None else ())),
             xielu_alpha_n=tuple(float(x) for x in (g("xielu_alpha_n") if g("xielu_alpha_n") is not None else ())),
             xielu_alpha_p=tuple(float(x) for x in (g("xielu_alpha_p") if g("xielu_alpha_p") is not None else ())),
             xielu_beta=tuple(float(x) for x in (g("xielu_beta") if g("xielu_beta") is not None else ())),

@@ -151,10 +151,13 @@ def load_model(
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r)
     tr = cfg.traits
-    if tr.enc_dec:
-        from .t5 import load_t5
+    if tr.altup or tr.enc_dec:
+        if tr.altup:
+            from .gemma3n import load_gemma3n as _load
+        else:
+            from .t5 import load_t5 as _load
 
-        model = LoadedModel(config=cfg, params=load_t5(r, cfg, dtype))
+        model = LoadedModel(config=cfg, params=_load(r, cfg, dtype))
         try:
             from ..tokenizer import Vocab
 

@@ -174,6 +174,14 @@ class Engine:
             else:
                 decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
+        elif self.cfg.traits.altup:
+            # gemma3n: AltUp stack forward (models/gemma3n.py); standard
+            # KV cache, shared layers read earlier layers' slots
+            from ..models.gemma3n import make_gemma3n_forward
+
+            self.fwd = make_gemma3n_forward(self.cfg)
+            self.fwd_prefill = self.fwd
+            self.fwd_decode = self.fwd
         elif self.cfg.traits.recurrent:
             if self.cfg.traits.ssm_hybrid:
                 from ..models.hybrid import make_hybrid_forward

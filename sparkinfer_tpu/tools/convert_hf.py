@@ -1270,6 +1270,141 @@ def _convert_whisper_mmproj(model_dir: Path, out_path: str, cfgj: dict) -> dict:
             "n_layer": cfgj["encoder_layers"]}
 
 
+# gemma3n per-layer sub-module -> GGUF suffix (llama-arch.cpp GEMMA3N)
+_G3N_BLK = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "attn_post_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "ffn_post_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "altup.correct_output_scale": "altup_correct_scale.weight",
+    "altup.correction_coefs.weight": "altup_correct_coef.weight",
+    "altup.prediction_coefs.weight": "altup_predict_coef.weight",
+    "altup.modality_router.weight": "altup_router.weight",
+    "altup.router_norm.weight": "altup_router_norm.weight",
+    "laurel.linear_left.weight": "laurel_l.weight",
+    "laurel.linear_right.weight": "laurel_r.weight",
+    "laurel.post_laurel_norm.weight": "laurel_post_norm.weight",
+    "per_layer_input_gate.weight": "inp_gate.weight",
+    "per_layer_projection.weight": "proj.weight",
+    "post_per_layer_input_norm.weight": "post_norm.weight",
+}
+_G3N_TOP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.embed_tokens_per_layer.weight": "per_layer_token_embd.weight",
+    "model.per_layer_model_projection.weight": "per_layer_model_proj.weight",
+    "model.per_layer_projection_norm.weight": "per_layer_proj_norm.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+
+
+def _convert_gemma3n(model_dir: Path, out_path: str, cfgj: dict,
+                     out_type: str) -> dict:
+    """Gemma3nForCausalLM -> GGUF (ref llama-arch.cpp LLM_ARCH_GEMMA3N;
+    KV keys from gguf-py: altup.num_inputs/active_idx,
+    embedding_length_per_layer_input, attention.shared_kv_layers,
+    activation_sparsity_scale). Stacks the altup (un)embed projections
+    into single 3D tensors, as the reference converter does."""
+    from statistics import NormalDist
+
+    tc = cfgj.get("text_config", cfgj)
+    arch = "gemma3n"
+    L = tc["num_hidden_layers"]
+    E = tc["hidden_size"]
+    H = tc["num_attention_heads"]
+    Hkv = tc.get("num_key_value_heads", H)
+    D = tc.get("head_dim") or E // H
+    F = tc["intermediate_size"]
+    if isinstance(F, (list, tuple)):
+        assert len(set(F)) == 1, "per-layer FFN widths not supported"
+        F = F[0]
+    gtype = {"f32": GGMLType.F32, "f16": GGMLType.F16, "bf16": GGMLType.BF16,
+             "q8_0": GGMLType.Q8_0}[out_type]
+
+    w = GGUFWriter(out_path, arch)
+    w.add_kv(f"{arch}.block_count", np.uint32(L))
+    w.add_kv(f"{arch}.embedding_length", np.uint32(E))
+    w.add_kv(f"{arch}.attention.head_count", np.uint32(H))
+    w.add_kv(f"{arch}.attention.head_count_kv", np.uint32(Hkv))
+    w.add_kv(f"{arch}.attention.key_length", np.uint32(D))
+    w.add_kv(f"{arch}.feed_forward_length", np.uint32(F))
+    w.add_kv(f"{arch}.vocab_size", np.uint32(tc["vocab_size"]))
+    w.add_kv(f"{arch}.context_length",
+             np.uint32(tc.get("max_position_embeddings", 32768)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             np.float32(tc.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.rope.freq_base",
+             np.float32(tc.get("rope_theta", 1000000.0)))
+    w.add_kv(f"{arch}.rope.freq_base_swa",
+             np.float32(tc.get("rope_local_base_freq", 10000.0)))
+    w.add_kv(f"{arch}.rope.dimension_count", np.uint32(D))
+    w.add_kv(f"{arch}.attention.sliding_window",
+             np.uint32(tc.get("sliding_window", 512)))
+    w.add_kv(f"{arch}.altup.num_inputs",
+             np.uint32(tc.get("altup_num_inputs", 4)))
+    w.add_kv(f"{arch}.altup.active_idx",
+             np.uint32(tc.get("altup_active_idx", 0)))
+    w.add_kv(f"{arch}.embedding_length_per_layer_input",
+             np.uint32(tc["hidden_size_per_layer_input"]))
+    w.add_kv(f"{arch}.attention.shared_kv_layers",
+             np.uint32(tc.get("num_kv_shared_layers", 0)))
+    pat = tc.get("activation_sparsity_pattern") or [0.0] * L
+    nd = NormalDist()
+    w.add_array(f"{arch}.activation_sparsity_scale", np.asarray(
+        [nd.inv_cdf(p) if p > 0.0 else 0.0 for p in pat], np.float32))
+    lt = tc.get("layer_types")
+    if lt:
+        w.add_array(f"{arch}.swa_layers", np.asarray(
+            [1 if t == "sliding_attention" else 0 for t in lt], np.uint32))
+
+    altup_proj: dict[int, np.ndarray] = {}
+    altup_unembd: dict[int, np.ndarray] = {}
+    blk_re = re.compile(r"^model\.layers\.(\d+)\.(.+)$")
+    proj_re = re.compile(
+        r"^model\.altup_(projections|unembed_projections)\.(\d+)\.weight$")
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        # HF saves Gemma3nForCausalLM with a "model." -> "model.language_model"
+        # key remap that also mangles interior names
+        # ("per_layer_model.language_model_projection"); reverse it globally
+        name = name.replace("model.language_model", "model")
+        m = proj_re.match(name)
+        if m:
+            tgt = altup_proj if m.group(1) == "projections" else altup_unembd
+            tgt[int(m.group(2))] = data
+            continue
+        gname = _G3N_TOP.get(name)
+        if gname is None:
+            m = blk_re.match(name)
+            if m and m.group(2) in _G3N_BLK:
+                gname = f"blk.{m.group(1)}." + _G3N_BLK[m.group(2)]
+        if gname is None:
+            continue
+        tt = gtype if data.ndim == 2 and "norm" not in gname \
+            and "coef" not in gname and "router" not in gname else GGMLType.F32
+        w.add_tensor(gname, np.ascontiguousarray(data), tt)
+        n += 1
+    for key, d in (("altup_proj.weight", altup_proj),
+                   ("altup_unembd_proj.weight", altup_unembd)):
+        if d:
+            w.add_tensor(key, np.stack([d[i] for i in sorted(d)]),
+                         GGMLType.F32)
+            n += 1
+
+    _write_tokenizer(w, model_dir)
+    w.write()
+    return {"arch": arch, "n_tensors": n, "n_layer": L}
+
+
 _APERTUS_ACT_RE = re.compile(
     r"^model\.layers\.(\d+)\.mlp\.act_fn\.(alpha_n|alpha_p|beta|eps)$")
 
@@ -1427,6 +1562,8 @@ def convert(
         return _convert_t5(model_dir, out_path, cfgj, out_type, enc_only=True)
     if hf_arch == "ApertusForCausalLM":
         return _convert_apertus(model_dir, out_path, cfgj, out_type)
+    if hf_arch in ("Gemma3nForCausalLM", "Gemma3nForConditionalGeneration"):
+        return _convert_gemma3n(model_dir, out_path, cfgj, out_type)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)

@@ -42,6 +42,9 @@ SLOW_MODULES = {
     "test_granite_hybrid",
     "test_lfm2",
     "test_tts",
+    # round-2 close: heavy new-family e2e (quick tier keeps test_t5 +
+    # test_mamba as representatives of the new classes)
+    "test_gemma3n",
     # serving e2e (quick tier keeps test_tools_api + test_sampling)
     "test_scheduler",
     "test_server",
