@@ -92,6 +92,9 @@ _reg(ArchTraits("bamboo", act="drelu", sparse_act="drelu"))
 _reg(ArchTraits("mistral"))
 _reg(ArchTraits("qwen2", rope_mode="neox", qkv_bias=True, sparse_act="drelu"))
 _reg(ArchTraits("qwen3", rope_mode="neox"))
+# qwen2-vl text stack: qwen2 + M-RoPE (3-section multimodal rope;
+# ref src/models/qwen2vl.cpp, ggml_rope_multi)
+_reg(ArchTraits("qwen2vl", rope_mode="neox", qkv_bias=True))
 # diffusion LMs (examples/diffusion): denoised via runtime/diffusion.py
 # with non-causal attention; dream is qwen2-flavoured, llada llama-flavoured
 _reg(ArchTraits("dream", rope_mode="neox", qkv_bias=True))
@@ -344,6 +347,8 @@ class ModelConfig:
     # RWKV geometry (ref GGUF keys {arch}.wkv.head_size,
     # {arch}.time_mix_extra_dim, {arch}.time_decay_extra_dim,
     # {arch}.rescale_every_n_layers, {arch}.token_shift_count)
+    # qwen2vl M-RoPE section widths (rope.dimension_sections)
+    mrope_sections: tuple = ()
     # gemma3n AltUp geometry (ref gguf-py KV keys altup.num_inputs,
     # altup.active_idx, embedding_length_per_layer_input,
     # attention.shared_kv_layers, activation_sparsity_scale)
@@ -488,6 +493,10 @@ class ModelConfig:
             ssm_d_inner=int(g("ssm.inner_size", 0)),
             ssm_d_state=int(g("ssm.state_size", 0)),
             ssm_dt_rank=int(g("ssm.time_step_rank", 0)),
+            mrope_sections=tuple(
+                int(x) for x in (g("rope.dimension_sections")
+                                 if g("rope.dimension_sections") is not None
+                                 else ()) if int(x) > 0),
             n_altup=int(g("altup.num_inputs", 0) or 0),
             i_altup_act=int(g("altup.active_idx", 0) or 0),
             n_embd_altup=int(g("embedding_length_per_layer_input", 0) or 0),

@@ -109,6 +109,7 @@ def attention(
     causal: bool = True,
     rp_swa: RopeParams | None = None,
     ring_width: int = 0,
+    mrope_pos: jnp.ndarray | None = None,  # (3, B, T) qwen2vl M-RoPE
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray | None, jnp.ndarray | None]:
     B, T, _ = x.shape
     tr = cfg.traits
@@ -155,6 +156,13 @@ def attention(
                       apply_rope(q, positions, rp))
         k = jnp.where(is_swa, apply_rope(k, positions, rp_swa),
                       apply_rope(k, positions, rp))
+    elif mrope_pos is not None:
+        # qwen2vl M-RoPE: rope positions are the 3-stream multimodal ids,
+        # independent of the cache slot positions
+        from ..ops.rope import apply_mrope
+
+        q = apply_mrope(q, mrope_pos, cfg.mrope_sections, rp)
+        k = apply_mrope(k, mrope_pos, cfg.mrope_sections, rp)
     else:
         q = apply_rope(q, positions, rp)
         k = apply_rope(k, positions, rp)
@@ -441,7 +449,7 @@ def make_forward(
             [1.0 if s else 0.0 for s in cfg.nope_layers], jnp.float32)
 
     def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache,
-            fstate=None):
+            fstate=None, mrope_pos=None):
         # inputs_embeds: `tokens` is already (B, T, E) float (multimodal
         # splicing — the analogue of llama_batch.embd)
         x = tokens if inputs_embeds else params["tok_embd"][tokens]
@@ -490,7 +498,8 @@ def make_forward(
                 attn_out, kc, vc, ks, vs = attention(cfg, lp, h, positions, kc, vc, ks, vs, rp,
                                                      fresh_prefill=fresh_prefill,
                                                      causal=causal, rp_swa=rp_swa,
-                                                     ring_width=ring_w)
+                                                     ring_width=ring_w,
+                                                     mrope_pos=mrope_pos)
             if ks is None:
                 ks, vs = empty_ks, empty_vs
             if "attn_post_norm_w" in lp:  # gemma2 sandwich / olmo2 post-norm

@@ -15,6 +15,7 @@ import dataclasses
 import math
 
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +60,39 @@ def rope_freqs(p: RopeParams) -> tuple[jnp.ndarray, float]:
     else:
         inv_freq = inv_freq * p.freq_scale
     return inv_freq, float(mscale)
+
+
+def apply_mrope(
+    x: jnp.ndarray,  # (B, T, H, D)
+    pos3: jnp.ndarray,  # (3, B, T) — temporal / height / width streams
+    sections: tuple[int, ...],  # per-stream half-dim widths (sum == D/2)
+    p: RopeParams,
+) -> jnp.ndarray:
+    """Qwen2-VL multimodal rope (M-RoPE): the rotary half-dims are split
+    into 3 sections, each rotated by a different position stream
+    (ref: LLM_KV_ROPE_DIMENSION_SECTIONS llama-arch.cpp:217,
+    ggml_rope_multi; HF apply_multimodal_rotary_pos_emb). With all three
+    streams equal this reduces exactly to neox rope."""
+    inv_freq, mscale = rope_freqs(p)
+    half = p.dim // 2
+    # stream index per half-dim
+    sel = np.concatenate([np.full(s, i, np.int32)
+                          for i, s in enumerate(sections)])
+    assert sel.shape[0] == half, (sections, half)
+    theta3 = pos3[..., None].astype(jnp.float32) * inv_freq  # (3, B, T, half)
+    # theta[b,t,k] = theta3[sel[k], b, t, k]
+    theta = theta3[jnp.asarray(sel), :, :, jnp.arange(half)]  # (half, B, T)
+    theta = jnp.moveaxis(theta, 0, -1)  # (B, T, half)
+    cos = (jnp.cos(theta) * mscale)[..., :, None, :]
+    sin = (jnp.sin(theta) * mscale)[..., :, None, :]
+    rot, rest = x[..., : p.dim], x[..., p.dim:]
+    rf = rot.astype(jnp.float32)
+    x1 = rf[..., :half]
+    x2 = rf[..., half:]
+    o1 = x1 * cos - x2 * sin
+    o2 = x1 * sin + x2 * cos
+    out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+    return jnp.concatenate([out, rest], axis=-1) if rest.shape[-1] else out
 
 
 def apply_rope(

@@ -1405,6 +1405,103 @@ def _convert_gemma3n(model_dir: Path, out_path: str, cfgj: dict,
     return {"arch": arch, "n_tensors": n, "n_layer": L}
 
 
+def _kv_qwen2vl(w, a, c):
+    rs = c.get("rope_scaling") or {}
+    sec = rs.get("mrope_section")
+    if sec:
+        w.add_array(f"{a}.rope.dimension_sections",
+                    np.asarray(list(sec) + [0] * (4 - len(sec)), np.uint32))
+
+
+_Q2VL_VBLK = {
+    "norm1.weight": "ln1.weight", "norm1.bias": "ln1.bias",
+    "norm2.weight": "ln2.weight", "norm2.bias": "ln2.bias",
+    "attn.proj.weight": "attn_out.weight", "attn.proj.bias": "attn_out.bias",
+    "mlp.fc1.weight": "ffn_up.weight", "mlp.fc1.bias": "ffn_up.bias",
+    "mlp.fc2.weight": "ffn_down.weight", "mlp.fc2.bias": "ffn_down.bias",
+}
+
+
+def _convert_qwen2vl(model_dir: Path, out_path: str, cfgj: dict,
+                     out_type: str) -> dict:
+    """Qwen2VLForConditionalGeneration -> text GGUF (arch qwen2vl, M-RoPE
+    sections KV — ref llama-arch.cpp LLM_KV_ROPE_DIMENSION_SECTIONS) +
+    <out>.mmproj.gguf vision tower (clip.cpp qwen2vl_merger layout)."""
+    tc = cfgj.get("text_config", cfgj)
+    vc = cfgj["vision_config"]
+
+    def strip(name):
+        name = name.replace("model.language_model.", "model.")
+        if name.startswith(("visual.", "model.visual.")):
+            return None
+        return name
+
+    fam = dict(arch="qwen2vl", permute=False, kv=_kv_qwen2vl)
+    info = _convert_family(fam, model_dir, out_path, {**cfgj, **tc},
+                           out_type, rename=strip)
+
+    mm_path = str(out_path) + ".mmproj.gguf"
+    E = vc["embed_dim"]
+    w = GGUFWriter(mm_path, "clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.vision.patch_size", np.uint32(vc["patch_size"]))
+    w.add_kv("clip.vision.temporal_patch_size",
+             np.uint32(vc.get("temporal_patch_size", 2)))
+    w.add_kv("clip.vision.spatial_merge_size",
+             np.uint32(vc.get("spatial_merge_size", 2)))
+    w.add_kv("clip.vision.embedding_length", np.uint32(E))
+    w.add_kv("clip.vision.attention.head_count", np.uint32(vc["num_heads"]))
+    w.add_kv("clip.vision.feed_forward_length",
+             np.uint32(int(E * vc.get("mlp_ratio", 4))))
+    w.add_kv("clip.vision.block_count", np.uint32(vc["depth"]))
+    w.add_kv("clip.vision.projection_dim", np.uint32(tc["hidden_size"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", np.float32(1e-6))
+
+    n = 0
+    vblk_re = re.compile(r"^(?:model\.)?visual\.blocks\.(\d+)\.(.+)$")
+    for name, data in _iter_hf_tensors(model_dir):
+        if name.startswith("model.visual."):
+            name = name[len("model."):]
+        if not name.startswith("visual."):
+            continue
+        rest = name[len("visual."):]
+        gname = None
+        if rest == "patch_embed.proj.weight":
+            gname, data = "v.patch_embd.weight", data.reshape(E, -1)
+        elif rest == "merger.ln_q.weight":
+            gname = "v.post_ln.weight"
+        elif rest == "merger.ln_q.bias":
+            gname = "v.post_ln.bias"
+        elif rest.startswith("merger.mlp."):
+            j, kind = rest.split(".")[2:4]
+            gname = f"mm.{j}.{kind}"
+        else:
+            m = vblk_re.match(name)
+            if m:
+                i, sub = m.group(1), m.group(2)
+                if sub in _Q2VL_VBLK:
+                    gname = f"v.blk.{i}." + _Q2VL_VBLK[sub]
+                elif sub in ("attn.qkv.weight", "attn.qkv.bias"):
+                    # split the fused [q; k; v] projection
+                    kind = sub.split(".")[-1]
+                    q, k, v = np.split(data, 3, axis=0)
+                    for nm2, d2 in (("attn_q", q), ("attn_k", k),
+                                    ("attn_v", v)):
+                        w.add_tensor(f"v.blk.{i}.{nm2}.{kind}",
+                                     np.ascontiguousarray(d2), GGMLType.F32)
+                        n += 1
+                    continue
+        if gname is None:
+            continue
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+    w.write()
+    info["mmproj"] = mm_path
+    info["n_mmproj_tensors"] = n
+    return info
+
+
 _APERTUS_ACT_RE = re.compile(
     r"^model\.layers\.(\d+)\.mlp\.act_fn\.(alpha_n|alpha_p|beta|eps)$")
 
@@ -1550,7 +1647,15 @@ def convert(
 ) -> dict:
     model_dir = Path(model_dir)
     cfgj = json.loads((model_dir / "config.json").read_text())
-    hf_arch = (cfgj.get("architectures") or ["LlamaForCausalLM"])[0]
+    hf_arch = (cfgj.get("architectures") or [None])[0]
+    if hf_arch is None:
+        # composite configs saved without `architectures` — derive from
+        # model_type (mirrors transformers' AutoModel mapping)
+        hf_arch = {
+            "qwen2_vl": "Qwen2VLForConditionalGeneration",
+            "llava": "LlavaForConditionalGeneration",
+            "gemma3n": "Gemma3nForConditionalGeneration",
+        }.get(cfgj.get("model_type"), "LlamaForCausalLM")
     if hf_arch in ("LlavaForConditionalGeneration",):
         return _convert_llava(model_dir, out_path, cfgj, out_type)
     if hf_arch in ("WhisperModel", "WhisperForConditionalGeneration"):
@@ -1564,6 +1669,8 @@ def convert(
         return _convert_apertus(model_dir, out_path, cfgj, out_type)
     if hf_arch in ("Gemma3nForCausalLM", "Gemma3nForConditionalGeneration"):
         return _convert_gemma3n(model_dir, out_path, cfgj, out_type)
+    if hf_arch == "Qwen2VLForConditionalGeneration":
+        return _convert_qwen2vl(model_dir, out_path, cfgj, out_type)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)

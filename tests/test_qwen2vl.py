@@ -1,0 +1,140 @@
+"""Qwen2-VL parity vs transformers: vision tower (2D rotary ViT + 2x2
+merger — ref tools/mtmd/clip.cpp build_qwen2vl) and the M-RoPE LLM
+(ref src/models/qwen2vl.cpp, ggml_rope_multi), end-to-end through the
+converted GGUF + mmproj pair."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+import jax.numpy as jnp
+
+from sparkinfer_tpu.models.loader import load_model
+from sparkinfer_tpu.models.transformer import make_forward
+from sparkinfer_tpu.mtmd.qwen2vl import (Qwen2VLPipeline,
+                                         load_qwen2vl_mmproj,
+                                         make_qwen2vl_vision_forward,
+                                         mrope_positions)
+from sparkinfer_tpu.runtime.kv_cache import init_cache
+from sparkinfer_tpu.tools.convert_hf import convert
+
+GRID = (1, 4, 4)  # 16 patches -> 4 merged tokens
+IMG_TOK = 150
+VSTART = 149
+
+
+@pytest.fixture(scope="module")
+def hf_qwen2vl(tmp_path_factory):
+    import transformers as T
+
+    torch.manual_seed(0)
+    cfg = T.Qwen2VLConfig(
+        text_config=dict(
+            vocab_size=160, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+        vision_config=dict(
+            depth=2, embed_dim=32, hidden_size=64, num_heads=4, mlp_ratio=2,
+            in_channels=3, patch_size=4, temporal_patch_size=2,
+            spatial_merge_size=2),
+        image_token_id=IMG_TOK, video_token_id=151, vision_start_token_id=VSTART,
+        vision_end_token_id=148)
+    hf = T.Qwen2VLForConditionalGeneration(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("hf") / "tiny-q2vl"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    return d, hf
+
+
+def test_qwen2vl_multimodal_logit_parity(hf_qwen2vl, tmp_path):
+    d, hf = hf_qwen2vl
+    out = tmp_path / "q2vl.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "qwen2vl"
+    assert info["n_mmproj_tensors"] > 0
+
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.mrope_sections == (2, 3, 3)
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(16, 3 * 2 * 4 * 4)).astype(np.float32)
+    ids_before = [5, 7, VSTART]
+    ids_after = [9, 11]
+    input_ids = ids_before + [IMG_TOK] * 4 + ids_after
+
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(input_ids)[None],
+                 pixel_values=torch.tensor(px),
+                 image_grid_thw=torch.tensor([list(GRID)])).logits[0].numpy()
+
+    # vision tower
+    vcfg, vparams = load_qwen2vl_mmproj(info["mmproj"], jnp.float32)
+    vfwd = jax.jit(make_qwen2vl_vision_forward(vcfg, GRID))
+    img = np.asarray(vfwd(vparams, jnp.asarray(px)))
+    with torch.no_grad():
+        vref = hf.model.visual(torch.tensor(px),
+                               grid_thw=torch.tensor([list(GRID)])).numpy()
+    np.testing.assert_allclose(img, vref, rtol=4e-3, atol=4e-3)
+
+    # spliced multimodal forward with M-RoPE
+    tok_embd = np.asarray(model.params["tok_embd"], np.float32)
+    embeds = np.concatenate([tok_embd[np.asarray(ids_before)], img,
+                             tok_embd[np.asarray(ids_after)]], 0)
+    pos3, _ = mrope_positions(len(ids_before), GRID, 2, len(ids_after))
+    fwd = jax.jit(make_forward(cfg, inputs_embeds=True))
+    T_ = embeds.shape[0]
+    logits, _ = fwd(model.params, jnp.asarray(embeds)[None],
+                    jnp.arange(T_, dtype=jnp.int32)[None],
+                    init_cache(cfg, 1, 16, jnp.float32),
+                    mrope_pos=jnp.asarray(pos3)[:, None, :])
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=4e-3, atol=4e-3)
+
+
+def test_qwen2vl_pipeline_greedy(hf_qwen2vl, tmp_path):
+    d, hf = hf_qwen2vl
+    out = tmp_path / "q2vl.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    model = load_model(str(out), dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    px = rng.normal(size=(16, 3 * 2 * 4 * 4)).astype(np.float32)
+    ids_before = [5, 7, VSTART]
+    ids_after = [9, 11]
+    input_ids = ids_before + [IMG_TOK] * 4 + ids_after
+
+    pipe = Qwen2VLPipeline(model, info["mmproj"], max_seq=64)
+    got = pipe.generate(ids_before, px, GRID, ids_after, max_new_tokens=6)
+
+    with torch.no_grad():
+        want = hf.generate(
+            input_ids=torch.tensor(input_ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(GRID)]),
+            max_new_tokens=6, do_sample=False)[0][len(input_ids):].tolist()
+    assert got == want
+
+
+def test_qwen2vl_text_only_engine(hf_qwen2vl, tmp_path):
+    """Text-only decode reduces M-RoPE to plain neox rope — the standard
+    Engine path must match HF exactly."""
+    d, hf = hf_qwen2vl
+    out = tmp_path / "q2vl.gguf"
+    convert(str(d), str(out), out_type="f32")
+    model = load_model(str(out), dtype=jnp.float32)
+
+    from sparkinfer_tpu.runtime import SamplerConfig
+    from sparkinfer_tpu.runtime.engine import Engine
+
+    toks = [5, 9, 3, 17, 2]
+    eng = Engine(model, max_seq=32, sampler=SamplerConfig(temp=0.0),
+                 kv_dtype=jnp.float32)
+    got = eng.generate(toks, max_new_tokens=6)
+    with torch.no_grad():
+        want = hf.generate(torch.tensor(toks)[None], max_new_tokens=6,
+                           do_sample=False)[0][len(toks):].tolist()
+    assert got == want
