@@ -70,6 +70,9 @@ class ArchTraits:
     # hunyuan: per-head qk-norm applied AFTER rope
     # (ref src/models/hunyuan-dense.cpp)
     qk_norm_after_rope: bool = False
+    # qk-norm kind when it differs from the body norm (chameleon: LN
+    # stats over head_dim with per-head affine — ChameleonLayerNorm)
+    qk_norm_kind: str = ""
     # gemma3n: AltUp multi-stream stack + laurel + per-layer embeddings
     # (ref src/models/gemma3n-iswa.cpp; models/gemma3n.py here)
     altup: bool = False
@@ -161,6 +164,10 @@ _reg(ArchTraits("smollm", ))
 _reg(ArchTraits("tinyllama", ))
 # internlm2 ropes NORM-style (ref llama-model.cpp rope-type switch)
 _reg(ArchTraits("internlm2", ))
+# chameleon: per-head LayerNorm on q/k with (H, D) affine
+# (ref src/models/chameleon.cpp; HF ChameleonLayerNorm). neox layout —
+# the HF weights are used unpermuted, unlike the reference converter.
+_reg(ArchTraits("chameleon", rope_mode="neox", qk_norm_kind="ln"))
 # dbrx: bias-less LayerNorm, fused concat Wqkv with qkv clamping,
 # softmax-routed swiglu MoE (ref src/models/dbrx.cpp)
 _reg(ArchTraits("dbrx", norm="ln", rope_mode="neox", fused_qkv=True,

@@ -132,16 +132,27 @@ def attention(
     def _qk_norms(q, k):
         # q/k norms (qwen3/gemma3/olmo2/cohere — llama-model.cpp
         # attn_q_norm/attn_k_norm): per-head when the weight is head_dim
-        # wide, full-width (olmo2) otherwise
+        # wide, full-width (olmo2) otherwise; chameleon carries (H, D)
+        # per-head affine with stats over D (ChameleonLayerNorm)
         qw, kw = lp["attn_q_norm_w"], lp["attn_k_norm_w"]
+        kind = tr.qk_norm_kind or tr.norm
+        if qw.ndim == 2:
+            ones = jnp.ones((D,), jnp.float32)
+            qb, kb = lp.get("attn_q_norm_b"), lp.get("attn_k_norm_b")
+            q = _norm(q, ones, None, kind, eps) * qw[None, None]
+            k = _norm(k, ones, None, kind, eps) * kw[None, None]
+            if qb is not None:
+                q = q + qb[None, None]
+                k = k + kb[None, None]
+            return q, k
         if qw.shape[-1] == D:
-            q = _norm(q, qw, lp.get("attn_q_norm_b"), tr.norm, eps)
-            k = _norm(k, kw, lp.get("attn_k_norm_b"), tr.norm, eps)
+            q = _norm(q, qw, lp.get("attn_q_norm_b"), kind, eps)
+            k = _norm(k, kw, lp.get("attn_k_norm_b"), kind, eps)
         else:
             q = _norm(q.reshape(B, T, H * D), qw, lp.get("attn_q_norm_b"),
-                      tr.norm, eps).reshape(B, T, H, D)
+                      kind, eps).reshape(B, T, H, D)
             k = _norm(k.reshape(B, T, Hkv * D), kw, lp.get("attn_k_norm_b"),
-                      tr.norm, eps).reshape(B, T, Hkv, D)
+                      kind, eps).reshape(B, T, Hkv, D)
         return q, k
 
     if "attn_q_norm_w" in lp and not tr.qk_norm_after_rope:

@@ -729,6 +729,17 @@ _FAMILIES: dict[str, dict] = {
     "GraniteMoeSharedForCausalLM": dict(
         arch="granitemoe", tmap=_GRANITEMOE_T, split=_split_granitemoeshared,
         kv=_kv_granitemoe),
+    # chameleon: per-head LN on q/k with (H, D) affine; weights kept in
+    # the HF layout (neox rope) — the reference converter permutes
+    # instead (convert_hf_to_gguf.py ChameleonModel); vqmodel skipped
+    "ChameleonForConditionalGeneration": dict(
+        arch="chameleon", permute=False,
+        tmap={
+            "model.layers.{i}.self_attn.q_norm.weight": "blk.{i}.attn_q_norm.weight",
+            "model.layers.{i}.self_attn.q_norm.bias": "blk.{i}.attn_q_norm.bias",
+            "model.layers.{i}.self_attn.k_norm.weight": "blk.{i}.attn_k_norm.weight",
+            "model.layers.{i}.self_attn.k_norm.bias": "blk.{i}.attn_k_norm.bias",
+        }),
     "CohereForCausalLM": dict(arch="command-r", permute=False, kv=_kv_cohere),
     "GraniteForCausalLM": dict(arch="granite", kv=_kv_granite),
     "Phi3ForCausalLM": dict(arch="phi3", split=_split_phi3),

@@ -115,6 +115,13 @@ def _families():
             first_k_dense_replace=1, moe_layer_freq=1,
             routed_scaling_factor=1.5, topk_method="greedy", n_group=1,
             topk_group=1, rope_scaling=None, attention_bias=False)),
+        # chameleon: per-head LN qk-norm with (H, D) affine
+        "chameleon": (T.ChameleonForConditionalGeneration, _cfg(
+            T.ChameleonConfig, vocabulary_map={"a": 1}, pad_token_id=0,
+            vq_config=dict(embed_dim=8, num_embeddings=16,
+                           latent_channels=32, base_channels=32,
+                           channel_multiplier=[1], num_res_blocks=1,
+                           resolution=32))),
         # olmo3: olmo2 post-norm + full-width qk-norm + 3:1 swa pattern
         "olmo3": (T.Olmo3ForCausalLM, _cfg(
             T.Olmo3Config, num_hidden_layers=4, sliding_window=16,
