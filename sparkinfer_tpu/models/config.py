@@ -187,6 +187,23 @@ _reg(ArchTraits("exaone", rope_mode="neox"))
 _reg(ArchTraits("granite", ))
 _reg(ArchTraits("minicpm", ))
 _reg(ArchTraits("deepseek2", ))  # NORM rope (ref rope-type switch)
+# deepseek v1: llama-style attention + MoE with shared experts and
+# unnormalized top-k weights (ref src/models/deepseek.cpp)
+_reg(ArchTraits("deepseek", ))
+# minicpm3: MLA with q-lora (ref src/models/minicpm3.cpp; NEOX rope group)
+_reg(ArchTraits("minicpm3", rope_mode="neox"))
+# jais: LN + ALiBi + fused [Q;K;V] + gated silu FFN with biases
+# (ref src/models/jais.cpp; rope NONE group)
+_reg(ArchTraits("jais", norm="ln", norm_bias=True, rope_mode="none",
+                alibi=True, fused_qkv=True, fused_qkv_concat=True,
+                qkv_bias=True, attn_out_bias=True, ffn_bias=True))
+# codeshell: gpt2-family MQA with NEOX rope (ref src/models/codeshell.cpp)
+_reg(ArchTraits("codeshell", norm="ln", act="gelu", rope_mode="neox",
+                norm_bias=True, fused_qkv=True, fused_qkv_concat=True,
+                qkv_bias=True, attn_out_bias=True, ffn_bias=True))
+# refact: rms + gated silu FFN + ALiBi, no rope
+# (ref src/models/refact.cpp; rope NONE group with MPT/OPT)
+_reg(ArchTraits("refact", rope_mode="none", alibi=True))
 # command-r/cohere2: parallel attn+FFN sharing one pre-LN, NORM rope
 # WITHOUT the llama q/k permute (HF cohere is natively interleaved), and
 # a logit_scale multiplier (ref src/models/command-r.cpp, cohere2.cpp)

@@ -119,10 +119,10 @@ def make_tiny_llama(
         wr.add_kv("tokenizer.ggml.bos_token_id", np.uint32(1))
         wr.add_kv("tokenizer.ggml.eos_token_id", np.uint32(2))
         wr.add_kv("tokenizer.ggml.unknown_token_id", np.uint32(0))
-        for k, v in (extra_kv or {}).items():
-            wr.add_kv(k, np.uint32(v) if isinstance(v, int) else v)
         if chat_template:
             wr.add_kv("tokenizer.chat_template", chat_template)
+    for k, v in (extra_kv or {}).items():
+        wr.add_kv(k, np.uint32(v) if isinstance(v, int) else v)
     wr.add_kv(f"{arch}.block_count", np.uint32(n_layer))
     wr.add_kv(f"{arch}.embedding_length", np.uint32(n_embd))
     wr.add_kv(f"{arch}.attention.head_count", np.uint32(n_head))

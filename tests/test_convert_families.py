@@ -243,6 +243,68 @@ def test_family_logit_parity(family, tmp_path):
     np.testing.assert_allclose(got, ref, rtol=4e-3, atol=4e-3)
 
 
+def test_minicpm3_mla_smoke(tmp_path):
+    """minicpm3 (ref src/models/minicpm3.cpp): MLA with q-lora through the
+    absorbed latent cache — direct GGUF, stepwise == full-sequence."""
+    from sparkinfer_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(0)
+    E, H, qr, R, Dn, Dr, Dv, F, L, V = 64, 4, 24, 32, 16, 8, 16, 96, 2, 160
+    Dk = Dn + Dr
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.08).astype(np.float32)
+
+    wr = GGUFWriter(str(tmp_path / "m3.gguf"), "minicpm3")
+    for k, v in (("block_count", L), ("embedding_length", E),
+                 ("attention.head_count", H), ("attention.head_count_kv", H),
+                 ("feed_forward_length", F), ("vocab_size", V),
+                 ("context_length", 128), ("attention.key_length", Dk),
+                 ("rope.dimension_count", Dr),
+                 ("attention.q_lora_rank", qr),
+                 ("attention.kv_lora_rank", R),
+                 ("attention.value_length", Dv)):
+        wr.add_kv(f"minicpm3.{k}", np.uint32(v))
+    wr.add_kv("minicpm3.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    wr.add_kv("minicpm3.rope.freq_base", np.float32(10000.0))
+    wr.add_tensor("token_embd.weight", w(V, E))
+    wr.add_tensor("output_norm.weight", 1.0 + 0.1 * w(E))
+    wr.add_tensor("output.weight", w(V, E))
+    for i in range(L):
+        p = f"blk.{i}."
+        wr.add_tensor(p + "attn_norm.weight", 1.0 + 0.1 * w(E))
+        wr.add_tensor(p + "attn_q_a.weight", w(qr, E))
+        wr.add_tensor(p + "attn_q_a_norm.weight", 1.0 + 0.1 * w(qr))
+        wr.add_tensor(p + "attn_q_b.weight", w(H * Dk, qr))
+        wr.add_tensor(p + "attn_kv_a_mqa.weight", w(R + Dr, E))
+        wr.add_tensor(p + "attn_kv_a_norm.weight", 1.0 + 0.1 * w(R))
+        wr.add_tensor(p + "attn_kv_b.weight", w(H * (Dn + Dv), R))
+        wr.add_tensor(p + "attn_output.weight", w(E, H * Dv))
+        wr.add_tensor(p + "ffn_norm.weight", 1.0 + 0.1 * w(E))
+        wr.add_tensor(p + "ffn_up.weight", w(F, E))
+        wr.add_tensor(p + "ffn_gate.weight", w(F, E))
+        wr.add_tensor(p + "ffn_down.weight", w(E, F))
+    wr.write()
+
+    model = load_model(str(tmp_path / "m3.gguf"), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.q_lora_rank == qr and cfg.kv_lora_rank == R
+    fwd = jax.jit(make_forward(cfg))
+    toks = np.random.default_rng(1).integers(0, V, 6).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(6, dtype=jnp.int32)[None],
+                  init_cache(cfg, 1, 8, jnp.float32))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_cache(cfg, 1, 8, jnp.float32)
+    outs = []
+    for t, tok in enumerate(toks):
+        lg, cache = fwd(model.params, jnp.asarray([[tok]], jnp.int32),
+                        jnp.full((1, 1), t, jnp.int32), cache)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_bert_encoder_parity(tmp_path):
     """bert (encoder-only, post-norm, bidirectional, WPM family — ref
     src/models/bert.cpp): hidden states must match HF BertModel exactly,
@@ -357,7 +419,9 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
 @pytest.mark.parametrize("arch", ["internlm2", "minicpm", "exaone",
                                   "smollm", "tinyllama", "olmo2",
                                   "xverse", "baichuan", "seed_oss",
-                                  "arcee", "orion", "olmo", "qwen"])
+                                  "arcee", "orion", "olmo", "qwen",
+                                  "jais", "codeshell", "refact",
+                                  "deepseek"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
@@ -371,8 +435,10 @@ def test_direct_gguf_arch_smoke(arch, tmp_path):
     from sparkinfer_tpu.models.config import ARCH_REGISTRY
     tr = ARCH_REGISTRY[arch]
     kw = {}
-    if tr.fused_qkv:  # qwen v1: fused [Q;K;V] projection
+    if tr.fused_qkv:  # qwen v1 / jais / codeshell: fused [Q;K;V]
         kw = dict(fused_qkv=True, n_head_kv=4, n_head=4)
+    if arch == "deepseek":  # v1 MoE: softmax top-k, unnormalized weights
+        kw = dict(n_expert=4, n_expert_used=2)
     make_tiny_llama(p, arch=arch, **kw)
     model = load_model(str(p), dtype=jnp.float32)
     assert model.config.arch == arch
