@@ -597,6 +597,14 @@ _BERT_T = {
     "encoder.layer.{i}.output.LayerNorm.weight": "blk.{i}.layer_output_norm.weight",
     "encoder.layer.{i}.output.LayerNorm.bias": "blk.{i}.layer_output_norm.bias",
 }
+# rank-pooling head (ref llama-model.cpp cls/cls.output -> build_pooling
+# LLAMA_POOLING_TYPE_RANK): BertForSequenceClassification's pooler+classifier
+_BERT_T.update({
+    "pooler.dense.weight": "cls.weight",
+    "pooler.dense.bias": "cls.bias",
+    "classifier.weight": "cls.output.weight",
+    "classifier.bias": "cls.output.bias",
+})
 _BERT_T.update({"bert." + k: v for k, v in list(_BERT_T.items())})
 # the generic llama templates must not leak into the bert map
 _BERT_T = {**{k: None for k in _LLAMA_TENSORS}, **_BERT_T}

@@ -367,6 +367,39 @@ def test_bert_encoder_parity(tmp_path):
     np.testing.assert_allclose(v[0], want, rtol=4e-3, atol=4e-3)
 
 
+def test_bert_reranker_parity(tmp_path):
+    """BertForSequenceClassification -> cls/cls.output rank head: the
+    Embedder 'rank' pooling must match HF classification logits (the
+    /rerank endpoint's scoring path; ref build_pooling RANK)."""
+    import transformers as T
+
+    torch.manual_seed(0)
+    cfg_hf = T.BertConfig(
+        vocab_size=160, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, hidden_act="gelu", num_labels=1)
+    hf = T.BertForSequenceClassification(cfg_hf)
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "m.gguf"
+    convert(str(d), str(out), out_type="f32")
+
+    model = load_model(str(out), dtype=jnp.float32)
+    assert "cls_w" in model.params and "cls_out_w" in model.params
+
+    from sparkinfer_tpu.runtime.embeddings import Embedder
+
+    emb = Embedder(model, max_seq=32, pooling="rank")
+    rng = np.random.default_rng(4)
+    toks = [list(map(int, rng.integers(0, 160, n))) for n in (5, 9)]
+    scores = [float(emb.embed_tokens([t], normalize=False)[0][0])
+              for t in toks]
+    with torch.no_grad():
+        want = [float(hf(torch.tensor(t)[None]).logits[0, 0]) for t in toks]
+    np.testing.assert_allclose(scores, want, rtol=4e-3, atol=4e-3)
+
+
 def test_mla_latent_cache_decode_and_memory(tmp_path):
     """The absorbed MLA cache (one R+Dr latent slot per token, no per-head
     K/V) must decode stepwise exactly like full-sequence prefill, and be
