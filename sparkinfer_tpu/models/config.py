@@ -304,6 +304,13 @@ _reg(ArchTraits("rwkv6", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=6))
 _reg(ArchTraits("rwkv7", norm="ln", rope_mode="none", recurrent=True,
                 norm_bias=True, wkv_version=7))
+# rwkv6qwen2 (qrwkv): rwkv6 time-mix in a qwen2-shaped block — RMS
+# pre-norms, GQA kv heads, sigmoid gate, gated linear attention, gated
+# silu FFN (ref src/models/rwkv6qwen2.cpp + rwkv6-base.cpp is_qrwkv)
+_reg(ArchTraits("rwkv6qwen2", rope_mode="none", recurrent=True,
+                wkv_version=6))
+# arwkv7: rwkv7 time-mix in a qwen-shaped block (ref src/models/arwkv7.cpp)
+_reg(ArchTraits("arwkv7", rope_mode="none", recurrent=True, wkv_version=7))
 
 
 @dataclasses.dataclass

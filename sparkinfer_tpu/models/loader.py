@@ -180,7 +180,16 @@ def load_model(
         params["output"] = _as_jnp(
             out_w if out_w is not None else np.ascontiguousarray(tok.T), dtype
         )
-        if tr.wkv_version in (6, 7):
+        if cfg.arch == "rwkv6qwen2":
+            # qrwkv: no post-embedding LN, rms-normed qwen2-shaped blocks
+            from .rwkv6 import load_rwkv6qwen2_layers
+
+            params["layers"] = load_rwkv6qwen2_layers(r, cfg, dtype)
+        elif cfg.arch == "arwkv7":
+            from .rwkv7 import load_arwkv7_layers
+
+            params["layers"] = load_arwkv7_layers(r, cfg, dtype)
+        elif tr.wkv_version in (6, 7):
             if tr.wkv_version == 6:
                 from .rwkv6 import load_rwkv6_layers as load_wkv_layers
             else:

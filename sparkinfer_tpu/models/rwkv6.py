@@ -278,3 +278,182 @@ def load_rwkv6_layers(r, cfg, dtype=jnp.float32) -> dict:
             "tm_decay", "tm_first")) else dtype
         out[k] = jnp.asarray(np.stack(arrs), want)
     return out
+
+
+# ---------------------------------------------------------------------------
+# rwkv6qwen2 (qrwkv): rwkv6 time-mix inside a qwen2-shaped block
+# (ref src/models/rwkv6qwen2.cpp + the is_qrwkv branches of
+# rwkv6-base.cpp:48-157 — sigmoid gate, GQA k/v repeat, k *= (1-w),
+# ggml_gated_linear_attn with head_size^-0.5 scale, no bonus/groupnorm,
+# RMS pre-norms, gated-silu FFN, no channel mix)
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return ((xf * jax.lax.rsqrt(ms + eps)) * w).astype(x.dtype)
+
+
+def _gla_scan(r, k, v, w, state0, valid, scale):
+    """Gated linear attention (ggml_gated_linear_attn):
+    S' = S*w + k⊗v; out = scale * r·S'."""
+
+    def step(S, inp):
+        r_t, k_t, v_t, w_t, valid_t = inp
+        kv = k_t[..., :, None] * v_t[..., None, :]
+        S_new = S * w_t[..., :, None] + kv
+        out = scale * jnp.einsum("bhi,bhij->bhj", r_t, S_new)
+        S = jnp.where(valid_t[:, None, None, None], S_new, S)
+        return S, out
+
+    xs = tuple(jnp.swapaxes(a, 0, 1) for a in (r, k, v, w)) + (
+        jnp.swapaxes(valid, 0, 1),)
+    state, out = jax.lax.scan(step, state0, xs)
+    return jnp.swapaxes(out, 0, 1), state
+
+
+def make_rwkv6qwen2_forward(cfg):
+    """fwd(params, tokens, positions-ignored, cache) -> (logits, cache)."""
+    eps = cfg.norm_eps
+    E = cfg.n_embd
+    N = cfg.wkv_head_size
+    H = E // N
+    Hkv = cfg.n_head_kv if cfg.n_head_kv > 0 else H
+    rep = H // Hkv
+    ed = cfg.time_mix_extra_dim
+
+    def time_mix(lp, xn, x_prev, state0, valid):
+        B, T, _ = xn.shape
+        sx = x_prev - xn
+        xxx = xn + sx * lp["tm_lerp_x"]
+        tm = jnp.tanh(xxx @ lp["tm_w1"]).reshape(B, T, 5, ed)
+        deltas = jnp.einsum("btme,med->btmd", tm, lp["tm_w2"])
+        xm = xn[:, :, None, :] + sx[:, :, None, :] * (
+            deltas + lp["tm_lerp_fused"])
+        xw, xk, xv, xr, xg = [xm[:, :, m] for m in range(5)]
+
+        r = xr @ lp["tm_r"]
+        k = xk @ lp["tm_k"]
+        v = xv @ lp["tm_v"]
+        if "tm_r_b" in lp:
+            r = r + lp["tm_r_b"]
+        if "tm_k_b" in lp:
+            k = k + lp["tm_k_b"]
+        if "tm_v_b" in lp:
+            v = v + lp["tm_v_b"]
+        g = jax.nn.sigmoid((xg @ lp["tm_g"]).astype(jnp.float32))
+
+        dec = jnp.tanh(xw @ lp["tm_decay_w1"]) @ lp["tm_decay_w2"]
+        dec = dec + lp["tm_decay"]
+        w = jnp.exp(-jnp.exp(dec.astype(jnp.float32)))  # (B, T, E)
+
+        # GQA: repeat kv heads consecutively (ggml repeat over the
+        # group dim; matches HF repeat_kv ordering)
+        k = jnp.repeat(k.reshape(B, T, Hkv, N), rep, axis=2)
+        v = jnp.repeat(v.reshape(B, T, Hkv, N), rep, axis=2)
+        wf = w.reshape(B, T, H, N)
+        k = k.astype(jnp.float32) * (1.0 - wf)  # ref rwkv6-base.cpp:131
+        out, state = _gla_scan(
+            r.astype(jnp.float32).reshape(B, T, H, N), k,
+            v.astype(jnp.float32), wf, state0, valid, N ** -0.5)
+        y = out.reshape(B, T, E) * g
+        return y.astype(xn.dtype) @ lp["tm_out"], state
+
+    def fwd(params, tokens, positions, cache: RWKV6Cache):
+        del positions
+        valid = tokens >= 0
+        any_valid = jnp.any(valid, axis=1)
+        last_idx = jnp.maximum(jnp.sum(valid.astype(jnp.int32), axis=1) - 1, 0)
+        x = params["tok_embd"][jnp.maximum(tokens, 0)]
+        B, T, _ = x.shape
+        bidx = jnp.arange(B)
+
+        def layer(x, t):
+            lp, shift0, wkv0 = t
+            att_norm = _rms(x, lp["ln1_w"], eps)
+            x_prev = jnp.concatenate(
+                [shift0[:, 0][:, None].astype(x.dtype), att_norm[:, :-1]],
+                axis=1)
+            att, wkv1 = time_mix(lp, att_norm, x_prev, wkv0, valid)
+            x = x + att
+            h = _rms(x, lp["ln2_w"], eps)
+            up = h @ lp["w_up"]
+            gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+            x = x + (gate.astype(h.dtype) * up) @ lp["w_down"]
+            shift1 = jnp.stack(
+                [att_norm[bidx, last_idx],
+                 jnp.zeros_like(att_norm[bidx, last_idx])], axis=1
+            ).astype(jnp.float32)
+            shift1 = jnp.where(any_valid[:, None, None], shift1, shift0)
+            return x, (shift1, wkv1)
+
+        x, (shift_new, wkv_new) = jax.lax.scan(
+            layer, x, (params["layers"], cache.shift, cache.wkv))
+        x = _rms(x, params["output_norm_w"], eps)
+        logits = jnp.einsum("bte,ev->btv", x, params["output"],
+                            preferred_element_type=jnp.float32)
+        return logits, RWKV6Cache(shift=shift_new, wkv=wkv_new)
+
+    return fwd
+
+
+def load_rwkv6qwen2_layers(r, cfg, dtype=jnp.float32) -> dict:
+    """Per-layer tensors (L-stacked) from an rwkv6qwen2 GGUF (tensor table:
+    llama-arch.cpp LLM_ARCH_RWKV6QWEN2 — no first/ln/channel-mix)."""
+    L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
+    N = cfg.wkv_head_size
+    H = E // N
+    Hkv = cfg.n_head_kv if cfg.n_head_kv > 0 else H
+    ed = cfg.time_mix_extra_dim
+    dd = cfg.time_decay_extra_dim
+    per: dict[str, list[np.ndarray]] = {}
+
+    def add(k, a):
+        if a is not None:
+            per.setdefault(k, []).append(a)
+
+    def lin(name, i, o):
+        w = r.tensors.get(name)
+        if w is None:
+            return None
+        w = w.to_f32()
+        if w.shape == (o, i):
+            return np.ascontiguousarray(w.T)
+        assert w.shape == (i, o), (name, w.shape)
+        return w
+
+    for i in range(L):
+        p = f"blk.{i}."
+        g = lambda n: (
+            r.tensors[p + n].to_f32() if p + n in r.tensors else None)
+        add("ln1_w", g("attn_norm.weight"))
+        add("ln2_w", g("ffn_norm.weight"))
+        add("tm_lerp_x", g("time_mix_lerp_x.weight").reshape(E))
+        add("tm_lerp_fused", g("time_mix_lerp_fused.weight").reshape(5, E))
+        add("tm_w1", np.ascontiguousarray(g("time_mix_w1.weight").T))
+        add("tm_w2", np.ascontiguousarray(
+            np.swapaxes(g("time_mix_w2.weight"), 1, 2)))
+        add("tm_decay_w1", np.ascontiguousarray(
+            g("time_mix_decay_w1.weight").T))
+        add("tm_decay_w2", np.ascontiguousarray(
+            g("time_mix_decay_w2.weight").T))
+        add("tm_decay", g("time_mix_decay.weight").reshape(E))
+        add("tm_r", lin(p + "time_mix_receptance.weight", E, H * N))
+        add("tm_k", lin(p + "time_mix_key.weight", E, Hkv * N))
+        add("tm_v", lin(p + "time_mix_value.weight", E, Hkv * N))
+        add("tm_g", lin(p + "time_mix_gate.weight", E, E))
+        add("tm_r_b", g("time_mix_receptance.bias"))
+        add("tm_k_b", g("time_mix_key.bias"))
+        add("tm_v_b", g("time_mix_value.bias"))
+        add("tm_out", lin(p + "time_mix_output.weight", E, E))
+        add("w_up", lin(p + "ffn_up.weight", E, F))
+        add("w_gate", lin(p + "ffn_gate.weight", E, F))
+        add("w_down", lin(p + "ffn_down.weight", F, E))
+
+    out = {}
+    for k, arrs in per.items():
+        assert len(arrs) == L, f"{k}: {len(arrs)} != {L}"
+        want = jnp.float32 if ("ln" in k or "lerp" in k
+                               or k == "tm_decay") else dtype
+        out[k] = jnp.asarray(np.stack(arrs), want)
+    return out

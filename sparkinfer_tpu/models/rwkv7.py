@@ -56,11 +56,10 @@ def _wkv7_scan(r, w, k, v, a, b, state0, valid):
     return jnp.moveaxis(outs, 0, 1), state  # (B, T, H, N)
 
 
-def make_rwkv7_forward(cfg):
-    """fwd(params, tokens (B,T), positions-ignored, cache) ->
-    (logits (B,T,V) f32, RWKV7Cache). Same call shape as the transformer
-    forward so the Engine/Scheduler drive it unchanged."""
-    eps = cfg.norm_eps
+def _build_time_mix(cfg):
+    """rwkv7 time-mix shared by rwkv7 and arwkv7 (ref rwkv7-base.cpp
+    build_rwkv7_time_mix): groupnorm and gating apply only when their
+    tensors exist (arwkv7 may omit time_mix_ln)."""
     E = cfg.n_embd
     N = cfg.wkv_head_size
     H = E // N
@@ -114,9 +113,13 @@ def make_rwkv7_forward(cfg):
             state0,
             valid,
         )
-        # per-head groupnorm then scale/shift with time_mix_ln (ref :115-123)
-        y = _ln(out, 1.0, 0.0, GROUPNORM_EPS).reshape(B, T, E)
-        y = y * lp["tm_ln_w"] + lp["tm_ln_b"]
+        # per-head groupnorm then scale/shift with time_mix_ln
+        # (ref :115-123; skipped when the tensors are absent — arwkv7)
+        if "tm_ln_w" in lp:
+            y = _ln(out, 1.0, 0.0, GROUPNORM_EPS).reshape(B, T, E)
+            y = y * lp["tm_ln_w"] + lp["tm_ln_b"]
+        else:
+            y = out.reshape(B, T, E)
         # bonus term: y += v * sum_head(r*k*r_k) (ref :124-127)
         rk = (
             (r.astype(jnp.float32).reshape(shp) * kf.reshape(shp))
@@ -125,6 +128,17 @@ def make_rwkv7_forward(cfg):
         y = y + (v.astype(jnp.float32).reshape(shp) * rk).reshape(B, T, E)
         y = y.astype(xn.dtype) * g.astype(xn.dtype)
         return y @ lp["tm_out"], state, v_first
+
+    return time_mix
+
+
+def make_rwkv7_forward(cfg):
+    """fwd(params, tokens (B,T), positions-ignored, cache) ->
+    (logits (B,T,V) f32, RWKV7Cache). Same call shape as the transformer
+    forward so the Engine/Scheduler drive it unchanged."""
+    eps = cfg.norm_eps
+    E = cfg.n_embd
+    time_mix = _build_time_mix(cfg)
 
     def channel_mix(lp, xn, x_prev):
         # ref rwkv7-base.cpp:7-26: k = relu(xk@Wk)^2, no receptance
@@ -263,4 +277,136 @@ def load_rwkv7_layers(r, cfg, dtype=jnp.float32) -> dict:
     for k, arrs in per.items():
         assert len(arrs) == L, f"{k}: {len(arrs)} != {L}"
         out[k] = jnp.asarray(np.stack(arrs), dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# arwkv7: rwkv7 time-mix inside a qwen-shaped block (ref
+# src/models/arwkv7.cpp — RMS pre-norms, gated-silu FFN, no channel mix;
+# time-mix shared with rwkv7, groupnorm only if time_mix_ln present)
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return ((xf * jax.lax.rsqrt(ms + eps)) * w).astype(x.dtype)
+
+
+def make_arwkv7_forward(cfg):
+    eps = cfg.norm_eps
+    E = cfg.n_embd
+    time_mix = _build_time_mix(cfg)
+
+    def fwd(params, tokens, positions, cache: RWKV7Cache):
+        del positions
+        valid = tokens >= 0
+        any_valid = jnp.any(valid, axis=1)
+        last_idx = jnp.maximum(jnp.sum(valid.astype(jnp.int32), axis=1) - 1, 0)
+        x = params["tok_embd"][jnp.maximum(tokens, 0)]
+        B, T, _ = x.shape
+        bidx = jnp.arange(B)
+
+        def layer(carry, t):
+            x, v_first = carry
+            lp, shift0, wkv0, il = t
+            att_norm = _rms(x, lp["ln1_w"], eps)
+            x_prev = jnp.concatenate(
+                [shift0[:, 0][:, None].astype(x.dtype), att_norm[:, :-1]],
+                axis=1)
+            att, wkv1, v_first = time_mix(
+                lp, att_norm, x_prev, wkv0, valid, v_first, il)
+            x = x + att
+            h = _rms(x, lp["ln2_w"], eps)
+            up = h @ lp["w_up"]
+            gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32))
+            x = x + (gate.astype(h.dtype) * up) @ lp["w_down"]
+            shift1 = jnp.stack(
+                [att_norm[bidx, last_idx],
+                 jnp.zeros_like(att_norm[bidx, last_idx])], axis=1
+            ).astype(jnp.float32)
+            shift1 = jnp.where(any_valid[:, None, None], shift1, shift0)
+            return (x, v_first), (shift1, wkv1)
+
+        il_arr = jnp.arange(cfg.n_layer)
+        v_first0 = jnp.zeros((B, T, E), x.dtype)
+        (x, _), (shift_new, wkv_new) = jax.lax.scan(
+            layer, (x, v_first0),
+            (params["layers"], cache.shift, cache.wkv, il_arr))
+        x = _rms(x, params["output_norm_w"], eps)
+        logits = jnp.einsum("bte,ev->btv", x, params["output"],
+                            preferred_element_type=jnp.float32)
+        return logits, RWKV7Cache(shift=shift_new, wkv=wkv_new)
+
+    return fwd
+
+
+def load_arwkv7_layers(r, cfg, dtype=jnp.float32) -> dict:
+    """arwkv7 GGUF layers (llama-arch.cpp LLM_ARCH_ARWKV7: rwkv7 time-mix
+    tensors, rms attn/ffn norms, qwen ffn, no channel mix / time_mix_ln)."""
+    L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
+    per: dict[str, list[np.ndarray]] = {}
+
+    def add(k, a):
+        if a is not None:
+            per.setdefault(k, []).append(a)
+
+    def lin(name, i, o):
+        w = r.tensors.get(name)
+        if w is None:
+            return None
+        w = w.to_f32()
+        if w.shape == (o, i):
+            return np.ascontiguousarray(w.T)
+        assert w.shape == (i, o), (name, w.shape)
+        return w
+
+    def lora(p, stem):
+        w1 = r.tensors[p + f"time_mix_{stem}1.weight"].to_f32()
+        w2 = r.tensors[p + f"time_mix_{stem}2.weight"].to_f32()
+        rank = w1.shape[0]
+        assert w1.shape == (rank, E) and w2.shape == (E, rank)
+        return np.ascontiguousarray(w1.T), np.ascontiguousarray(w2.T)
+
+    for i in range(L):
+        p = f"blk.{i}."
+        g = lambda n: (r.tensors[p + n].to_f32() if p + n in r.tensors
+                       else None)
+        add("ln1_w", g("attn_norm.weight"))
+        add("ln2_w", g("ffn_norm.weight"))
+        add("lerp_fused", g("time_mix_lerp_fused.weight").reshape(6, E))
+        add("tm_w0", g("time_mix_w0.weight").reshape(E))
+        w1, w2 = lora(p, "w")
+        add("tm_w1", w1)
+        add("tm_w2", w2)
+        add("tm_a0", g("time_mix_a0.weight").reshape(E))
+        a1, a2 = lora(p, "a")
+        add("tm_a1", a1)
+        add("tm_a2", a2)
+        add("tm_v0", g("time_mix_v0.weight").reshape(E))
+        v1, v2 = lora(p, "v")
+        add("tm_v1", v1)
+        add("tm_v2", v2)
+        g1, g2 = lora(p, "g")
+        add("tm_g1", g1)
+        add("tm_g2", g2)
+        add("tm_k_k", g("time_mix_k_k.weight").reshape(E))
+        add("tm_k_a", g("time_mix_k_a.weight").reshape(E))
+        add("tm_r_k", g("time_mix_r_k.weight").reshape(E))
+        add("tm_r", lin(p + "time_mix_receptance.weight", E, E))
+        add("tm_k", lin(p + "time_mix_key.weight", E, E))
+        add("tm_v", lin(p + "time_mix_value.weight", E, E))
+        add("tm_ln_w", g("time_mix_ln.weight"))
+        add("tm_ln_b", g("time_mix_ln.bias"))
+        add("tm_out", lin(p + "time_mix_output.weight", E, E))
+        add("w_up", lin(p + "ffn_up.weight", E, F))
+        add("w_gate", lin(p + "ffn_gate.weight", E, F))
+        add("w_down", lin(p + "ffn_down.weight", F, E))
+
+    out = {}
+    for k, arrs in per.items():
+        assert len(arrs) == L, f"{k}: {len(arrs)} != {L}"
+        want = jnp.float32 if ("ln" in k or "lerp" in k or k in (
+            "tm_w0", "tm_a0", "tm_v0", "tm_k_k", "tm_k_a", "tm_r_k")
+        ) else dtype
+        out[k] = jnp.asarray(np.stack(arrs), want)
     return out

@@ -187,10 +187,18 @@ class Engine:
                 from ..models.hybrid import make_hybrid_forward
 
                 self.fwd = make_hybrid_forward(self.cfg)
+            elif self.cfg.arch == "rwkv6qwen2":
+                from ..models.rwkv6 import make_rwkv6qwen2_forward
+
+                self.fwd = make_rwkv6qwen2_forward(self.cfg)
             elif self.cfg.traits.wkv_version == 6:
                 from ..models.rwkv6 import make_rwkv6_forward
 
                 self.fwd = make_rwkv6_forward(self.cfg)
+            elif self.cfg.arch == "arwkv7":
+                from ..models.rwkv7 import make_arwkv7_forward
+
+                self.fwd = make_arwkv7_forward(self.cfg)
             elif self.cfg.traits.wkv_version == 7:
                 from ..models.rwkv7 import make_rwkv7_forward
 
