@@ -286,6 +286,12 @@ _reg(ArchTraits("qwen3next", rope_mode="neox", recurrent=True,
                 ssm_hybrid=True))
 _reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
+# nemotron-h: single-block hybrid — each layer is exactly ONE of
+# {mamba2, NoPE attention, relu^2 FFN with biases}, one residual
+# (ref src/models/nemotron-h.cpp; layer type from per-layer kv-head and
+# ffn-width arrays)
+_reg(ArchTraits("nemotron-h", rope_mode="none", recurrent=True,
+                ssm_hybrid=True, act="relu2", ffn_bias=True))
 # t5: encoder-decoder with shared relative-position-bucket attention bias,
 # RMS pre-norm, unscaled attention (scale=1.0), relu (v1.0) or gated-gelu
 # (v1.1/flan) FFN (ref src/models/t5-enc.cpp, t5-dec.cpp)
@@ -366,6 +372,8 @@ class ModelConfig:
     fatrelu_threshold: float = 0.0
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     n_head_kv_arr: tuple = ()  # per-layer kv heads (hybrid stacks; 0 = recurrent)
+    # per-layer FFN widths (nemotron-h: mamba/attention layers carry 0)
+    n_ff_arr: tuple = ()
     ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count; 0 = mamba1)
     # falcon-mamba: weightless RMS over dt/B/C (ref llama-hparams.h
     # ssm_dt_b_c_rms, graph-context-mamba.cpp:94)
@@ -466,6 +474,14 @@ class ModelConfig:
         n_vocab = int(g("vocab_size", len(tokens) if tokens is not None else 0))
         pred = g("pred_lora")
         pred_lora = tuple(int(x) for x in pred) if pred is not None else ()
+        ff_raw = g("feed_forward_length", 0)
+        n_ff_arr: tuple = ()
+        if isinstance(ff_raw, (list, tuple, np.ndarray)):
+            # per-layer widths (nemotron-h: 0 on mamba/attention layers)
+            n_ff_arr = tuple(int(x) for x in ff_raw)
+            n_ff = max(n_ff_arr)
+        else:
+            n_ff = int(ff_raw or 0)
         scaling_type = g("rope.scaling.type", "none")
         factor = float(g("rope.scaling.factor", 1.0))
         has_output = "output.weight" in r.tensors
@@ -476,7 +492,8 @@ class ModelConfig:
             n_head=n_head,
             n_head_kv=n_head_kv,
             n_head_kv_arr=n_head_kv_arr,
-            n_ff=int(g("feed_forward_length", 0) or 0),
+            n_ff=n_ff,
+            n_ff_arr=n_ff_arr,
             n_vocab=n_vocab,
             head_dim=head_dim,
             n_ctx_train=int(g("context_length", 4096)),

@@ -134,6 +134,11 @@ def _layer_kinds(cfg):
         cfg.n_head_kv for _ in range(cfg.n_layer))
     attn = [i for i, h in enumerate(arr) if h > 0]
     rec = [i for i, h in enumerate(arr) if h == 0]
+    if cfg.arch == "nemotron-h" and cfg.n_ff_arr:
+        # single-block stack: kv==0 covers BOTH mamba and ffn-only layers;
+        # ffn layers are the ones with a nonzero per-layer width
+        # (ref nemotron-h.cpp: is_recurrent / n_ff(il)==0 / else)
+        rec = [i for i in rec if cfg.n_ff_arr[i] == 0]
     return attn, rec
 
 
@@ -231,15 +236,20 @@ def make_hybrid_forward(cfg):
                 ssm_all = ssm_all.at[ri].set(ssm1)
                 # parallel hybrids sum attention + ssm (falcon-h1.cpp:70-72)
                 out = rec_out if out is None else out + rec_out
+            if out is None:
+                # nemotron-h ffn-only layer: the pre-norm stream feeds the
+                # FFN directly, ONE residual for the whole block
+                out = _moe(lp, h) if "w_router" in lp else _dense(lp, h)
             if rscale != 1.0:  # granite residual multiplier
                 out = out * jnp.asarray(rscale, out.dtype)
             x = x + out
 
-            hf = rms_norm(x, lp["ffn_norm_w"], eps)
-            ffn_out = _moe(lp, hf) if "w_router" in lp else _dense(lp, hf)
-            if rscale != 1.0:
-                ffn_out = ffn_out * jnp.asarray(rscale, ffn_out.dtype)
-            x = x + ffn_out
+            if "ffn_norm_w" in lp:
+                hf = rms_norm(x, lp["ffn_norm_w"], eps)
+                ffn_out = _moe(lp, hf) if "w_router" in lp else _dense(lp, hf)
+                if rscale != 1.0:
+                    ffn_out = ffn_out * jnp.asarray(rscale, ffn_out.dtype)
+                x = x + ffn_out
 
         x = rms_norm(x, params["output_norm_w"], eps)
         logits = jnp.einsum("bte,ev->btv", x, params["output"],
@@ -274,11 +284,23 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
             # gguf numpy order is (out, in); compute uses x @ w -> (in, out)
             return jnp.asarray(np.ascontiguousarray(g(n).T), dtype)
 
-        fn = g("ffn_norm.weight", required=False)
-        if fn is None:  # qwen3next names the pre-FFN norm attn_post_norm
-            fn = g("attn_post_norm.weight")
-        lp: dict = {"attn_norm_w": jnp.asarray(g("attn_norm.weight"), jnp.float32),
-                    "ffn_norm_w": jnp.asarray(fn, jnp.float32)}
+        lp: dict = {"attn_norm_w": jnp.asarray(g("attn_norm.weight"), jnp.float32)}
+        if cfg.arch == "nemotron-h":
+            # single-block stack: no per-layer FFN sub-block; ffn-only
+            # layers carry relu^2 up/down (+biases) after attn_norm
+            if i not in attn_set and i not in rec_set:
+                lp["w_up"] = lin("ffn_up.weight")
+                lp["w_down"] = lin("ffn_down.weight")
+                for nm, key in (("ffn_up.bias", "b_up"),
+                                ("ffn_down.bias", "b_down")):
+                    t = g(nm, required=False)
+                    if t is not None:
+                        lp[key] = jnp.asarray(t, jnp.float32)
+        else:
+            fn = g("ffn_norm.weight", required=False)
+            if fn is None:  # qwen3next names the pre-FFN norm attn_post_norm
+                fn = g("attn_post_norm.weight")
+            lp["ffn_norm_w"] = jnp.asarray(fn, jnp.float32)
         if i in attn_set and cfg.arch == "qwen3next":
             # wq packs [q | gate] interleaved per head (2*D cols per head,
             # llama-model.cpp QWEN3NEXT wq {n_embd, head*2})
@@ -365,6 +387,18 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
                 t = g(nm + ".weight", required=False)
                 if t is not None:
                     lp[key] = jnp.asarray(t, jnp.float32)
+        if cfg.arch == "nemotron-h":
+            # single-block layers already fully read above; attention
+            # layers may carry q/k/v/o biases
+            if i in attn_set:
+                for nm, key in (("attn_q.bias", "bq"), ("attn_k.bias", "bk"),
+                                ("attn_v.bias", "bv"),
+                                ("attn_output.bias", "bo")):
+                    t = g(nm, required=False)
+                    if t is not None:
+                        lp[key] = jnp.asarray(t, jnp.float32)
+            layers.append(lp)
+            continue
         if r.tensors.get(p + "ffn_gate_inp.weight") is not None:
             lp["w_router"] = lin("ffn_gate_inp.weight")
             for hf_n, key in (("ffn_up_shexp.weight", "w_up_shexp"),
