@@ -187,6 +187,17 @@ _reg(ArchTraits("exaone", rope_mode="neox"))
 _reg(ArchTraits("granite", ))
 _reg(ArchTraits("minicpm", ))
 _reg(ArchTraits("deepseek2", ))  # NORM rope (ref rope-type switch)
+# diffusion MoE variants (examples/diffusion): llada-moe (qwen3moe-ish,
+# unnormalized top-k) and rnd1 (qwen3moe-based); both NEOX rope
+_reg(ArchTraits("llada-moe", rope_mode="neox"))
+_reg(ArchTraits("rnd1", rope_mode="neox"))
+# bailingmoe (Ling): NORM rope MoE with shared experts + weight norm/scale
+# (ref src/models/bailingmoe.cpp)
+_reg(ArchTraits("bailingmoe", ))
+# pangu-embedded: llama-like with q/k/v/o biases (ref
+# src/models/pangu-embedded.cpp; NEOX rope group)
+_reg(ArchTraits("pangu-embedded", rope_mode="neox", qkv_bias=True,
+                attn_out_bias=True))
 # deepseek v1: llama-style attention + MoE with shared experts and
 # unnormalized top-k weights (ref src/models/deepseek.cpp)
 _reg(ArchTraits("deepseek", ))
