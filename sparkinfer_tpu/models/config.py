@@ -194,6 +194,12 @@ _reg(ArchTraits("rnd1", rope_mode="neox"))
 # bailingmoe (Ling): NORM rope MoE with shared experts + weight norm/scale
 # (ref src/models/bailingmoe.cpp)
 _reg(ArchTraits("bailingmoe", ))
+# minimax-m2: per-head qk-norm + sigmoid-routed MoE w/ correction bias
+# (ref src/models/minimax-m2.cpp; NEOX rope group)
+_reg(ArchTraits("minimax-m2", rope_mode="neox"))
+# neo-bert: non-causal rms encoder with rope + swiglu
+# (ref src/models/neo-bert.cpp; NORM rope group)
+_reg(ArchTraits("neo-bert", non_causal=True))
 # pangu-embedded: llama-like with q/k/v/o biases (ref
 # src/models/pangu-embedded.cpp; NEOX rope group)
 _reg(ArchTraits("pangu-embedded", rope_mode="neox", qkv_bias=True,

@@ -455,7 +455,8 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
                                   "arcee", "orion", "olmo", "qwen",
                                   "jais", "codeshell", "refact",
                                   "deepseek", "llada-moe", "rnd1",
-                                  "bailingmoe", "pangu-embedded"])
+                                  "bailingmoe", "pangu-embedded",
+                                  "minimax-m2", "neo-bert"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
@@ -471,7 +472,8 @@ def test_direct_gguf_arch_smoke(arch, tmp_path):
     kw = {}
     if tr.fused_qkv:  # qwen v1 / jais / codeshell: fused [Q;K;V]
         kw = dict(fused_qkv=True, n_head_kv=4, n_head=4)
-    if arch in ("deepseek", "llada-moe", "rnd1", "bailingmoe"):
+    if arch in ("deepseek", "llada-moe", "rnd1", "bailingmoe",
+                "minimax-m2"):
         kw = dict(n_expert=4, n_expert_used=2)
     make_tiny_llama(p, arch=arch, **kw)
     model = load_model(str(p), dtype=jnp.float32)
