@@ -200,6 +200,9 @@ _reg(ArchTraits("minimax-m2", rope_mode="neox"))
 # neo-bert: non-causal rms encoder with rope + swiglu
 # (ref src/models/neo-bert.cpp; NORM rope group)
 _reg(ArchTraits("neo-bert", non_causal=True))
+# plamo v1: parallel attention+FFN sharing one pre-norm
+# (ref src/models/plamo.cpp; NEOX rope)
+_reg(ArchTraits("plamo", rope_mode="neox", parallel_blocks=True))
 # pangu-embedded: llama-like with q/k/v/o biases (ref
 # src/models/pangu-embedded.cpp; NEOX rope group)
 _reg(ArchTraits("pangu-embedded", rope_mode="neox", qkv_bias=True,

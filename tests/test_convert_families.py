@@ -456,7 +456,7 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
                                   "jais", "codeshell", "refact",
                                   "deepseek", "llada-moe", "rnd1",
                                   "bailingmoe", "pangu-embedded",
-                                  "minimax-m2", "neo-bert"])
+                                  "minimax-m2", "neo-bert", "plamo"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
