@@ -138,6 +138,11 @@ _reg(ArchTraits("gemma2", rope_mode="neox", act="geglu", embd_scale_sqrt=True,
                 swa_pattern=2))
 _reg(ArchTraits("gemma3", rope_mode="neox", act="geglu", embd_scale_sqrt=True,
                 swa_pattern=6))
+# gemma-embedding: gemma3 stack as a bidirectional encoder — SYMMETRIC
+# sliding windows (|Δpos| <= n_swa/2), causal_attn=false
+# (ref llama-model.cpp LLM_ARCH_GEMMA_EMBEDDING, llama-hparams.cpp:218)
+_reg(ArchTraits("gemma-embedding", rope_mode="neox", act="geglu",
+                embd_scale_sqrt=True, swa_pattern=6, non_causal=True))
 # gemma3n: AltUp + laurel + per-layer embeddings + KV sharing + FFN
 # activation sparsity (ref src/models/gemma3n-iswa.cpp); swa pattern 5,
 # softcap 30, scale=1.0 attention. Per-layer types may override the
@@ -212,6 +217,12 @@ _reg(ArchTraits("pangu-embedded", rope_mode="neox", qkv_bias=True,
 _reg(ArchTraits("deepseek", ))
 # minicpm3: MLA with q-lora (ref src/models/minicpm3.cpp; NEOX rope group)
 _reg(ArchTraits("minicpm3", rope_mode="neox"))
+# plm: deepseek2-lite MLA (direct q) + ungated relu^2 FFN
+# (ref src/models/plm.cpp)
+_reg(ArchTraits("plm", rope_mode="neox", act="relu2"))
+# bailingmoe2 (Ling v2): per-head qk-norm + grouped sigmoid MoE with
+# dense lead and shared experts (ref src/models/bailingmoe2.cpp)
+_reg(ArchTraits("bailingmoe2", rope_mode="neox"))
 # jais: LN + ALiBi + fused [Q;K;V] + gated silu FFN with biases
 # (ref src/models/jais.cpp; rope NONE group)
 _reg(ArchTraits("jais", norm="ln", norm_bias=True, rope_mode="none",

@@ -199,7 +199,8 @@ def attention(
     softcap = tr.attn_logit_softcap
     sinks = lp.get("attn_sinks")
 
-    if (fresh_prefill or not causal) and cfg.sliding_window <= 0 \
+    if (fresh_prefill or not causal) \
+            and (cfg.sliding_window <= 0 or not causal) \
             and softcap == 0.0 and sinks is None and not tr.alibi:
         # prompt-from-scratch: every relevant key IS in this chunk
         # (positions are 0..T-1), so attend over the chunk directly instead
@@ -207,10 +208,22 @@ def attention(
         # flash kernel (GGML_OP_FLASH_ATTN_EXT analogue) applies. causal=False
         # (diffusion LMs: Dream/LLaDA full-window denoising) drops the mask.
         # non_causal encoders (bert) flag padding slots with position -1,
-        # which must be excluded from every token's bidirectional attention.
-        kvalid = (positions >= 0) if tr.non_causal else None
+        # which must be excluded from every token's bidirectional attention;
+        # gemma-embedding adds a SYMMETRIC window (|Δpos| <= n_swa/2 —
+        # ref llama-hparams.cpp LLAMA_SWA_TYPE_SYMMETRIC) on SWA layers.
+        pair = None
+        if tr.non_causal:
+            kvalid = positions >= 0
+            pair = jnp.broadcast_to(kvalid[:, None, :], (B, T, T))
+            if cfg.sliding_window > 0:
+                half = cfg.sliding_window // 2
+                diff = positions[:, None, :] - positions[:, :, None]
+                band = (diff >= -half) & (diff <= half)
+                if swa_flag is not None:
+                    band = band | (swa_flag <= 0.5)
+                pair = pair & band
         out = _chunk_causal_attention(q, k, v, H, Hkv, D, causal=causal,
-                                      scale=scale, key_valid=kvalid)
+                                      scale=scale, pair_mask=pair)
         out = out.reshape(B, T, H * D)
         if "w_attn_gate" in lp:
             # qwen3next output gate: sigmoid(x @ Wg) elementwise on the
@@ -354,11 +367,12 @@ def attention_mla(
 
 
 def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None,
-                            key_valid=None):
+                            pair_mask=None):
     """q (B,T,H,D), k/v (B,T,Hkv,D) -> (B,T,H,D); causal within chunk
     (bidirectional when causal=False). Uses the Pallas TPU flash kernel
-    when on TPU and shapes permit. key_valid (B,T) bool masks out padding
-    keys (bidirectional encoders) and forces the einsum path."""
+    when on TPU and shapes permit. pair_mask (B,T,S) bool masks invalid
+    query/key pairs (bidirectional encoders: padding keys, symmetric
+    windows) and forces the einsum path."""
     B, T = q.shape[0], q.shape[1]
     g = H // Hkv
     if scale is None:
@@ -367,7 +381,7 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None,
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         on_tpu = False
-    if on_tpu and T >= 128 and D % 128 == 0 and key_valid is None:
+    if on_tpu and T >= 128 and D % 128 == 0 and pair_mask is None:
         from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
 
         kk = jnp.repeat(k, g, axis=2) if g > 1 else k
@@ -387,8 +401,8 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None,
         t_idx = jnp.arange(T, dtype=jnp.int32)
         mask = t_idx[:, None] >= t_idx[None, :]  # (t, s): query t sees key s<=t
         scores = jnp.where(mask[None, None, None, :, :], scores, NEG_INF)
-    if key_valid is not None:
-        scores = jnp.where(key_valid[:, None, None, None, :], scores, NEG_INF)
+    if pair_mask is not None:
+        scores = jnp.where(pair_mask[:, None, None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhgts,bshd->bthgd", probs, v)
     return out.reshape(B, T, H, D)

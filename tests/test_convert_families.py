@@ -243,19 +243,23 @@ def test_family_logit_parity(family, tmp_path):
     np.testing.assert_allclose(got, ref, rtol=4e-3, atol=4e-3)
 
 
-def test_minicpm3_mla_smoke(tmp_path):
-    """minicpm3 (ref src/models/minicpm3.cpp): MLA with q-lora through the
-    absorbed latent cache — direct GGUF, stepwise == full-sequence."""
+@pytest.mark.parametrize("mla_arch", ["minicpm3", "plm"])
+def test_mla_arch_smoke(mla_arch, tmp_path):
+    """minicpm3 (MLA + q-lora) and plm (MLA direct-q + relu^2 FFN) through
+    the absorbed latent cache — direct GGUF, stepwise == full-sequence
+    (ref src/models/minicpm3.cpp, src/models/plm.cpp)."""
     from sparkinfer_tpu.gguf.writer import GGUFWriter
 
     rng = np.random.default_rng(0)
     E, H, qr, R, Dn, Dr, Dv, F, L, V = 64, 4, 24, 32, 16, 8, 16, 96, 2, 160
     Dk = Dn + Dr
+    if mla_arch == "plm":
+        qr = 0  # direct q projection
 
     def w(*shape):
         return (rng.standard_normal(shape) * 0.08).astype(np.float32)
 
-    wr = GGUFWriter(str(tmp_path / "m3.gguf"), "minicpm3")
+    wr = GGUFWriter(str(tmp_path / "m3.gguf"), mla_arch)
     for k, v in (("block_count", L), ("embedding_length", E),
                  ("attention.head_count", H), ("attention.head_count_kv", H),
                  ("feed_forward_length", F), ("vocab_size", V),
@@ -264,25 +268,30 @@ def test_minicpm3_mla_smoke(tmp_path):
                  ("attention.q_lora_rank", qr),
                  ("attention.kv_lora_rank", R),
                  ("attention.value_length", Dv)):
-        wr.add_kv(f"minicpm3.{k}", np.uint32(v))
-    wr.add_kv("minicpm3.attention.layer_norm_rms_epsilon", np.float32(1e-5))
-    wr.add_kv("minicpm3.rope.freq_base", np.float32(10000.0))
+        wr.add_kv(f"{mla_arch}.{k}", np.uint32(v))
+    wr.add_kv(f"{mla_arch}.attention.layer_norm_rms_epsilon",
+              np.float32(1e-5))
+    wr.add_kv(f"{mla_arch}.rope.freq_base", np.float32(10000.0))
     wr.add_tensor("token_embd.weight", w(V, E))
     wr.add_tensor("output_norm.weight", 1.0 + 0.1 * w(E))
     wr.add_tensor("output.weight", w(V, E))
     for i in range(L):
         p = f"blk.{i}."
         wr.add_tensor(p + "attn_norm.weight", 1.0 + 0.1 * w(E))
-        wr.add_tensor(p + "attn_q_a.weight", w(qr, E))
-        wr.add_tensor(p + "attn_q_a_norm.weight", 1.0 + 0.1 * w(qr))
-        wr.add_tensor(p + "attn_q_b.weight", w(H * Dk, qr))
+        if qr > 0:
+            wr.add_tensor(p + "attn_q_a.weight", w(qr, E))
+            wr.add_tensor(p + "attn_q_a_norm.weight", 1.0 + 0.1 * w(qr))
+            wr.add_tensor(p + "attn_q_b.weight", w(H * Dk, qr))
+        else:
+            wr.add_tensor(p + "attn_q.weight", w(H * Dk, E))
         wr.add_tensor(p + "attn_kv_a_mqa.weight", w(R + Dr, E))
         wr.add_tensor(p + "attn_kv_a_norm.weight", 1.0 + 0.1 * w(R))
         wr.add_tensor(p + "attn_kv_b.weight", w(H * (Dn + Dv), R))
         wr.add_tensor(p + "attn_output.weight", w(E, H * Dv))
         wr.add_tensor(p + "ffn_norm.weight", 1.0 + 0.1 * w(E))
         wr.add_tensor(p + "ffn_up.weight", w(F, E))
-        wr.add_tensor(p + "ffn_gate.weight", w(F, E))
+        if mla_arch != "plm":  # plm: ungated relu^2
+            wr.add_tensor(p + "ffn_gate.weight", w(F, E))
         wr.add_tensor(p + "ffn_down.weight", w(E, F))
     wr.write()
 
@@ -456,7 +465,8 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
                                   "jais", "codeshell", "refact",
                                   "deepseek", "llada-moe", "rnd1",
                                   "bailingmoe", "pangu-embedded",
-                                  "minimax-m2", "neo-bert", "plamo"])
+                                  "minimax-m2", "neo-bert", "plamo",
+                                  "bailingmoe2", "gemma-embedding"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
@@ -473,8 +483,11 @@ def test_direct_gguf_arch_smoke(arch, tmp_path):
     if tr.fused_qkv:  # qwen v1 / jais / codeshell: fused [Q;K;V]
         kw = dict(fused_qkv=True, n_head_kv=4, n_head=4)
     if arch in ("deepseek", "llada-moe", "rnd1", "bailingmoe",
-                "minimax-m2"):
+                "minimax-m2", "bailingmoe2"):
         kw = dict(n_expert=4, n_expert_used=2)
+    if arch == "gemma-embedding":
+        kw = dict(extra_kv={"gemma-embedding.attention.sliding_window": 8,
+                            "gemma-embedding.rope.freq_base_swa": 10000.0})
     make_tiny_llama(p, arch=arch, **kw)
     model = load_model(str(p), dtype=jnp.float32)
     assert model.config.arch == arch
