@@ -1438,14 +1438,23 @@ _Q2VL_VBLK = {
     "attn.proj.weight": "attn_out.weight", "attn.proj.bias": "attn_out.bias",
     "mlp.fc1.weight": "ffn_up.weight", "mlp.fc1.bias": "ffn_up.bias",
     "mlp.fc2.weight": "ffn_down.weight", "mlp.fc2.bias": "ffn_down.bias",
+    # qwen2.5-vl gated MLP
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.gate_proj.bias": "ffn_gate.bias",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.up_proj.bias": "ffn_up.bias",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "mlp.down_proj.bias": "ffn_down.bias",
 }
 
 
 def _convert_qwen2vl(model_dir: Path, out_path: str, cfgj: dict,
-                     out_type: str) -> dict:
-    """Qwen2VLForConditionalGeneration -> text GGUF (arch qwen2vl, M-RoPE
-    sections KV — ref llama-arch.cpp LLM_KV_ROPE_DIMENSION_SECTIONS) +
-    <out>.mmproj.gguf vision tower (clip.cpp qwen2vl_merger layout)."""
+                     out_type: str, v25: bool = False) -> dict:
+    """Qwen2VL / Qwen2.5-VL -> text GGUF (arch qwen2vl, M-RoPE sections KV
+    — ref llama-arch.cpp LLM_KV_ROPE_DIMENSION_SECTIONS) +
+    <out>.mmproj.gguf vision tower (clip.cpp qwen2vl_merger /
+    qwen2.5vl_merger layouts; 2.5 adds rms norms, gated MLP, window
+    attention with fullatt_block_indexes)."""
     tc = cfgj.get("text_config", cfgj)
     vc = cfgj["vision_config"]
 
@@ -1460,10 +1469,11 @@ def _convert_qwen2vl(model_dir: Path, out_path: str, cfgj: dict,
                            out_type, rename=strip)
 
     mm_path = str(out_path) + ".mmproj.gguf"
-    E = vc["embed_dim"]
+    E = vc["hidden_size"] if v25 else vc["embed_dim"]
     w = GGUFWriter(mm_path, "clip")
     w.add_kv("clip.has_vision_encoder", True)
-    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.projector_type",
+             "qwen2.5vl_merger" if v25 else "qwen2vl_merger")
     w.add_kv("clip.vision.patch_size", np.uint32(vc["patch_size"]))
     w.add_kv("clip.vision.temporal_patch_size",
              np.uint32(vc.get("temporal_patch_size", 2)))
@@ -1472,10 +1482,16 @@ def _convert_qwen2vl(model_dir: Path, out_path: str, cfgj: dict,
     w.add_kv("clip.vision.embedding_length", np.uint32(E))
     w.add_kv("clip.vision.attention.head_count", np.uint32(vc["num_heads"]))
     w.add_kv("clip.vision.feed_forward_length",
-             np.uint32(int(E * vc.get("mlp_ratio", 4))))
+             np.uint32(vc["intermediate_size"] if v25
+                       else int(E * vc.get("mlp_ratio", 4))))
     w.add_kv("clip.vision.block_count", np.uint32(vc["depth"]))
-    w.add_kv("clip.vision.projection_dim", np.uint32(tc["hidden_size"]))
+    w.add_kv("clip.vision.projection_dim",
+             np.uint32(vc["out_hidden_size"] if v25 else tc["hidden_size"]))
     w.add_kv("clip.vision.attention.layer_norm_epsilon", np.float32(1e-6))
+    if v25:
+        w.add_kv("clip.vision.window_size", np.uint32(vc["window_size"]))
+        w.add_array("clip.vision.fullatt_block_indexes", np.asarray(
+            vc.get("fullatt_block_indexes", []), np.uint32))
 
     n = 0
     vblk_re = re.compile(r"^(?:model\.)?visual\.blocks\.(\d+)\.(.+)$")
@@ -1672,6 +1688,7 @@ def convert(
         # model_type (mirrors transformers' AutoModel mapping)
         hf_arch = {
             "qwen2_vl": "Qwen2VLForConditionalGeneration",
+            "qwen2_5_vl": "Qwen2_5_VLForConditionalGeneration",
             "llava": "LlavaForConditionalGeneration",
             "gemma3n": "Gemma3nForConditionalGeneration",
         }.get(cfgj.get("model_type"), "LlamaForCausalLM")
@@ -1690,6 +1707,9 @@ def convert(
         return _convert_gemma3n(model_dir, out_path, cfgj, out_type)
     if hf_arch == "Qwen2VLForConditionalGeneration":
         return _convert_qwen2vl(model_dir, out_path, cfgj, out_type)
+    if hf_arch == "Qwen2_5_VLForConditionalGeneration":
+        return _convert_qwen2vl(model_dir, out_path, cfgj, out_type,
+                                v25=True)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)

@@ -138,3 +138,83 @@ def test_qwen2vl_text_only_engine(hf_qwen2vl, tmp_path):
         want = hf.generate(torch.tensor(toks)[None], max_new_tokens=6,
                            do_sample=False)[0][len(toks):].tolist()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL: windowed-attention vision tower (rms blocks, gated MLP)
+
+
+GRID25 = (1, 8, 8)  # 64 patches -> 16 merged tokens; 4 attention windows
+
+
+@pytest.fixture(scope="module")
+def hf_qwen25vl(tmp_path_factory):
+    import transformers as T
+
+    torch.manual_seed(0)
+    cfg = T.Qwen2_5_VLConfig(
+        text_config=dict(
+            vocab_size=160, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+            rope_theta=10000.0,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+        vision_config=dict(
+            depth=4, hidden_size=32, out_hidden_size=64,
+            intermediate_size=48, num_heads=4, in_channels=3, patch_size=4,
+            temporal_patch_size=2, spatial_merge_size=2, window_size=16,
+            fullatt_block_indexes=[2]),
+        image_token_id=IMG_TOK, video_token_id=151,
+        vision_start_token_id=VSTART, vision_end_token_id=148)
+    hf = T.Qwen2_5_VLForConditionalGeneration(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("hf") / "tiny-q25vl"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    return d, hf
+
+
+def test_qwen25vl_vision_and_logit_parity(hf_qwen25vl, tmp_path):
+    from sparkinfer_tpu.mtmd.qwen2vl import (load_qwen25vl_mmproj,
+                                             make_qwen25vl_vision_forward)
+
+    d, hf = hf_qwen25vl
+    out = tmp_path / "q25vl.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == "qwen2vl"
+
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.mrope_sections == (2, 3, 3)
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(64, 3 * 2 * 4 * 4)).astype(np.float32)
+
+    vcfg, vparams = load_qwen25vl_mmproj(info["mmproj"], jnp.float32)
+    assert vcfg.window_size == 16 and vcfg.fullatt_idx == (2,)
+    vfwd = jax.jit(make_qwen25vl_vision_forward(vcfg, GRID25))
+    img = np.asarray(vfwd(vparams, jnp.asarray(px)))
+    with torch.no_grad():
+        vref = hf.model.visual(torch.tensor(px),
+                               grid_thw=torch.tensor([list(GRID25)])).numpy()
+    np.testing.assert_allclose(img, vref, rtol=4e-3, atol=4e-3)
+
+    # spliced multimodal logits
+    ids_before = [5, 7, VSTART]
+    ids_after = [9, 11]
+    input_ids = ids_before + [IMG_TOK] * 16 + ids_after
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(input_ids)[None],
+                 pixel_values=torch.tensor(px),
+                 image_grid_thw=torch.tensor([list(GRID25)])).logits[0].numpy()
+    tok_embd = np.asarray(model.params["tok_embd"], np.float32)
+    embeds = np.concatenate([tok_embd[np.asarray(ids_before)], img,
+                             tok_embd[np.asarray(ids_after)]], 0)
+    pos3, _ = mrope_positions(len(ids_before), GRID25, 2, len(ids_after))
+    fwd = jax.jit(make_forward(cfg, inputs_embeds=True))
+    T_ = embeds.shape[0]
+    logits, _ = fwd(model.params, jnp.asarray(embeds)[None],
+                    jnp.arange(T_, dtype=jnp.int32)[None],
+                    init_cache(cfg, 1, 32, jnp.float32),
+                    mrope_pos=jnp.asarray(pos3)[:, None, :])
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=4e-3, atol=4e-3)
