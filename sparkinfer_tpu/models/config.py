@@ -98,6 +98,10 @@ _reg(ArchTraits("qwen3", rope_mode="neox"))
 # qwen2-vl text stack: qwen2 + M-RoPE (3-section multimodal rope;
 # ref src/models/qwen2vl.cpp, ggml_rope_multi)
 _reg(ArchTraits("qwen2vl", rope_mode="neox", qkv_bias=True))
+# qwen3-vl text stacks: qwen3(+moe) with INTERLEAVED M-RoPE
+# (ref src/models/qwen3vl.cpp / qwen3vl-moe.cpp)
+_reg(ArchTraits("qwen3vl", rope_mode="neox"))
+_reg(ArchTraits("qwen3vl-moe", rope_mode="neox"))
 # diffusion LMs (examples/diffusion): denoised via runtime/diffusion.py
 # with non-causal attention; dream is qwen2-flavoured, llada llama-flavoured
 _reg(ArchTraits("dream", rope_mode="neox", qkv_bias=True))
@@ -419,6 +423,8 @@ class ModelConfig:
     # {arch}.rescale_every_n_layers, {arch}.token_shift_count)
     # qwen2vl M-RoPE section widths (rope.dimension_sections)
     mrope_sections: tuple = ()
+    # qwen3vl interleaved M-RoPE layout (T everywhere, H/W at strided dims)
+    mrope_interleaved: bool = False
     # gemma3n AltUp geometry (ref gguf-py KV keys altup.num_inputs,
     # altup.active_idx, embedding_length_per_layer_input,
     # attention.shared_kv_layers, activation_sparsity_scale)
@@ -576,6 +582,7 @@ class ModelConfig:
                 int(x) for x in (g("rope.dimension_sections")
                                  if g("rope.dimension_sections") is not None
                                  else ()) if int(x) > 0),
+            mrope_interleaved=bool(g("rope.mrope_interleaved", False)),
             n_altup=int(g("altup.num_inputs", 0) or 0),
             i_altup_act=int(g("altup.active_idx", 0) or 0),
             n_embd_altup=int(g("embedding_length_per_layer_input", 0) or 0),

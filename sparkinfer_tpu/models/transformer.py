@@ -172,8 +172,10 @@ def attention(
         # independent of the cache slot positions
         from ..ops.rope import apply_mrope
 
-        q = apply_mrope(q, mrope_pos, cfg.mrope_sections, rp)
-        k = apply_mrope(k, mrope_pos, cfg.mrope_sections, rp)
+        q = apply_mrope(q, mrope_pos, cfg.mrope_sections, rp,
+                        interleaved=cfg.mrope_interleaved)
+        k = apply_mrope(k, mrope_pos, cfg.mrope_sections, rp,
+                        interleaved=cfg.mrope_interleaved)
     else:
         q = apply_rope(q, positions, rp)
         k = apply_rope(k, positions, rp)

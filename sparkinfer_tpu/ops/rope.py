@@ -67,17 +67,27 @@ def apply_mrope(
     pos3: jnp.ndarray,  # (3, B, T) — temporal / height / width streams
     sections: tuple[int, ...],  # per-stream half-dim widths (sum == D/2)
     p: RopeParams,
+    interleaved: bool = False,
 ) -> jnp.ndarray:
     """Qwen2-VL multimodal rope (M-RoPE): the rotary half-dims are split
     into 3 sections, each rotated by a different position stream
     (ref: LLM_KV_ROPE_DIMENSION_SECTIONS llama-arch.cpp:217,
     ggml_rope_multi; HF apply_multimodal_rotary_pos_emb). With all three
-    streams equal this reduces exactly to neox rope."""
+    streams equal this reduces exactly to neox rope.
+
+    interleaved=True uses the qwen3vl layout (Qwen3VLTextRotaryEmbedding
+    .apply_interleaved_mrope): T everywhere, then H at dims 1,4,7,… and
+    W at dims 2,5,8,… within their section spans."""
     inv_freq, mscale = rope_freqs(p)
     half = p.dim // 2
     # stream index per half-dim
-    sel = np.concatenate([np.full(s, i, np.int32)
-                          for i, s in enumerate(sections)])
+    if interleaved:
+        sel = np.zeros(half, np.int32)
+        for stream, off in ((1, 1), (2, 2)):
+            sel[off:sections[stream] * 3:3] = stream
+    else:
+        sel = np.concatenate([np.full(s, i, np.int32)
+                              for i, s in enumerate(sections)])
     assert sel.shape[0] == half, (sections, half)
     theta3 = pos3[..., None].astype(jnp.float32) * inv_freq  # (3, B, T, half)
     # theta[b,t,k] = theta3[sel[k], b, t, k]

@@ -1424,6 +1424,72 @@ def _convert_gemma3n(model_dir: Path, out_path: str, cfgj: dict,
     return {"arch": arch, "n_tensors": n, "n_layer": L}
 
 
+def _kv_qwen3vl(w, a, c):
+    rs = c.get("rope_scaling") or {}
+    sec = rs.get("mrope_section")
+    if sec:
+        w.add_array(f"{a}.rope.dimension_sections",
+                    np.asarray(list(sec) + [0] * (4 - len(sec)), np.uint32))
+    w.add_kv(f"{a}.rope.mrope_interleaved",
+             bool(rs.get("mrope_interleaved", True)))
+
+
+def _split_qwen3vlmoe(templ, data, cfgj):
+    """qwen3vl-moe fused experts: gate_up_proj (X, E, 2F) -> gate/up
+    (X, F, E); down_proj (X, F, E) -> (X, E, F)."""
+    if templ.endswith(".mlp.experts.gate_up_proj"):
+        F = cfgj["moe_intermediate_size"]
+        base = templ.rsplit("gate_up_proj", 1)[0]
+        gate = np.ascontiguousarray(np.swapaxes(data[:, :, :F], 1, 2))
+        up = np.ascontiguousarray(np.swapaxes(data[:, :, F:], 1, 2))
+        return [(base + "gate_split", gate), (base + "up_split", up)]
+    if templ.endswith(".mlp.experts.down_proj"):
+        return [(templ, np.ascontiguousarray(np.swapaxes(data, 1, 2)))]
+    return [(templ, data)]
+
+
+def _kv_qwen3vlmoe(w, a, c):
+    _kv_qwen3vl(w, a, c)
+    w.add_kv(f"{a}.expert_count", np.uint32(c["num_experts"]))
+    w.add_kv(f"{a}.expert_used_count", np.uint32(c["num_experts_per_tok"]))
+    w.add_kv(f"{a}.expert_feed_forward_length",
+             np.uint32(c["moe_intermediate_size"]))
+    w.add_kv(f"{a}.expert_weights_norm", bool(c.get("norm_topk_prob", True)))
+
+
+_Q3VL_MOE_T = {
+    **_QNORM_T,
+    "model.layers.{i}.mlp.gate.weight": "blk.{i}.ffn_gate_inp.weight",
+    "model.layers.{i}.mlp.experts.gate_split": "blk.{i}.ffn_gate_exps.weight",
+    "model.layers.{i}.mlp.experts.up_split": "blk.{i}.ffn_up_exps.weight",
+    "model.layers.{i}.mlp.experts.down_proj": "blk.{i}.ffn_down_exps.weight",
+}
+
+
+def _convert_qwen3vl(model_dir: Path, out_path: str, cfgj: dict,
+                     out_type: str, moe: bool = False) -> dict:
+    """Qwen3VL(-Moe)ForConditionalGeneration -> text GGUF with interleaved
+    M-RoPE KVs (ref src/models/qwen3vl.cpp). The vision tower (deepstack)
+    is not converted yet — text-only decode is exact (equal position
+    streams reduce interleaved M-RoPE to plain neox rope)."""
+    tc = cfgj.get("text_config", cfgj)
+
+    def strip(name):
+        name = name.replace("model.language_model.", "model.")
+        if name.startswith(("visual.", "model.visual.")):
+            return None
+        return name
+
+    if moe:
+        fam = dict(arch="qwen3vl-moe", permute=False, tmap=_Q3VL_MOE_T,
+                   split=_split_qwen3vlmoe, kv=_kv_qwen3vlmoe)
+    else:
+        fam = dict(arch="qwen3vl", permute=False, tmap=_QNORM_T,
+                   kv=_kv_qwen3vl)
+    return _convert_family(fam, model_dir, out_path, {**cfgj, **tc},
+                           out_type, rename=strip)
+
+
 def _kv_qwen2vl(w, a, c):
     rs = c.get("rope_scaling") or {}
     sec = rs.get("mrope_section")
@@ -1689,6 +1755,8 @@ def convert(
         hf_arch = {
             "qwen2_vl": "Qwen2VLForConditionalGeneration",
             "qwen2_5_vl": "Qwen2_5_VLForConditionalGeneration",
+            "qwen3_vl": "Qwen3VLForConditionalGeneration",
+            "qwen3_vl_moe": "Qwen3VLMoeForConditionalGeneration",
             "llava": "LlavaForConditionalGeneration",
             "gemma3n": "Gemma3nForConditionalGeneration",
         }.get(cfgj.get("model_type"), "LlamaForCausalLM")
@@ -1710,6 +1778,12 @@ def convert(
     if hf_arch == "Qwen2_5_VLForConditionalGeneration":
         return _convert_qwen2vl(model_dir, out_path, cfgj, out_type,
                                 v25=True)
+    if hf_arch in ("Qwen3VLForConditionalGeneration", "Qwen3VLForCausalLM"):
+        return _convert_qwen3vl(model_dir, out_path, cfgj, out_type)
+    if hf_arch in ("Qwen3VLMoeForConditionalGeneration",
+                   "Qwen3VLMoeForCausalLM"):
+        return _convert_qwen3vl(model_dir, out_path, cfgj, out_type,
+                                moe=True)
     if hf_arch in _FAMILIES:
         return _convert_family(_FAMILIES[hf_arch], model_dir, out_path, cfgj,
                                out_type)

@@ -218,3 +218,75 @@ def test_qwen25vl_vision_and_logit_parity(hf_qwen25vl, tmp_path):
                     mrope_pos=jnp.asarray(pos3)[:, None, :])
     np.testing.assert_allclose(np.asarray(logits)[0], ref,
                                rtol=4e-3, atol=4e-3)
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-VL text stacks: INTERLEAVED M-RoPE (vision/deepstack not converted)
+
+
+def _q3vl_cfg(T, moe=False):
+    tc = dict(vocab_size=160, hidden_size=64, intermediate_size=96,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, head_dim=16,
+              max_position_embeddings=128, rope_theta=10000.0,
+              rope_scaling={"rope_type": "default", "mrope_section": [2, 3, 3],
+                            "mrope_interleaved": True})
+    if moe:
+        tc.update(num_experts=4, num_experts_per_tok=2,
+                  moe_intermediate_size=48, decoder_sparse_step=1,
+                  mlp_only_layers=[])
+    vc = dict(depth=2, hidden_size=32, out_hidden_size=64,
+              intermediate_size=48, num_heads=4, in_channels=3,
+              patch_size=4, temporal_patch_size=2, spatial_merge_size=2,
+              num_position_embeddings=16, deepstack_visual_indexes=[0])
+    cls = T.Qwen3VLMoeConfig if moe else T.Qwen3VLConfig
+    return cls(text_config=tc, vision_config=vc, image_token_id=IMG_TOK,
+               video_token_id=151, vision_start_token_id=VSTART,
+               vision_end_token_id=148)
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_qwen3vl_text_parity(moe, tmp_path):
+    import transformers as T
+
+    torch.manual_seed(0)
+    cls = (T.Qwen3VLMoeForConditionalGeneration if moe
+           else T.Qwen3VLForConditionalGeneration)
+    hf = cls(_q3vl_cfg(T, moe))
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "q3vl.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["arch"] == ("qwen3vl-moe" if moe else "qwen3vl")
+
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.mrope_interleaved and cfg.mrope_sections == (2, 3, 3)
+
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 160, 9).astype(np.int64)
+    # text-only: equal streams reduce interleaved M-RoPE to plain rope
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)[None]).logits[0].numpy()
+    fwd = jax.jit(make_forward(cfg))
+    logits, _ = fwd(model.params, jnp.asarray(toks, jnp.int32)[None],
+                    jnp.arange(9, dtype=jnp.int32)[None],
+                    init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=4e-3, atol=4e-3)
+
+    # unequal streams exercise the INTERLEAVED layout itself
+    pos3 = np.stack([np.arange(9), np.arange(9) // 2, np.arange(9) // 3]
+                    ).astype(np.int64)
+    with torch.no_grad():
+        ref3 = hf(torch.tensor(toks)[None],
+                  position_ids=torch.tensor(pos3)[:, None, :]
+                  ).logits[0].numpy()
+    fwd3 = jax.jit(make_forward(cfg))
+    logits3, _ = fwd3(model.params, jnp.asarray(toks, jnp.int32)[None],
+                      jnp.arange(9, dtype=jnp.int32)[None],
+                      init_cache(cfg, 1, 16, jnp.float32),
+                      mrope_pos=jnp.asarray(pos3, jnp.int32)[:, None, :])
+    np.testing.assert_allclose(np.asarray(logits3)[0], ref3,
+                               rtol=4e-3, atol=4e-3)
