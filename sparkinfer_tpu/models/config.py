@@ -160,6 +160,10 @@ _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # only in norm/act/rope/bias choices)
 _reg(ArchTraits("qwen2moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("qwen3moe", rope_mode="neox"))
+# grok-1: gelu MoE, post-attn/post-ffn norms, logit scale + softcap
+# (ref src/models/grok.cpp; NEOX rope)
+_reg(ArchTraits("grok", rope_mode="neox", act="geglu",
+                final_logit_softcap=30.0))
 _reg(ArchTraits("mixtral"))  # HF converts as llama; kept for direct GGUFs
 _reg(ArchTraits("phi2", norm="ln", act="gelu", rope_mode="neox", qkv_bias=True,
                 attn_out_bias=True, ffn_bias=True, norm_bias=True,
