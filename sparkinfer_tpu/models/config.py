@@ -213,6 +213,10 @@ _reg(ArchTraits("minimax-m2", rope_mode="neox"))
 # neo-bert: non-causal rms encoder with rope + swiglu
 # (ref src/models/neo-bert.cpp; NORM rope group)
 _reg(ArchTraits("neo-bert", non_causal=True))
+# deci (Llama-3.1-Nemotron NAS): per-layer q/kv head counts, some layers
+# attention-free (n_head==0: block output = ffn(norm2(norm1(x))) +
+# norm1(x) — ref src/models/deci.cpp:32-38,92-112)
+_reg(ArchTraits("deci", ))
 # plamo v1: parallel attention+FFN sharing one pre-norm
 # (ref src/models/plamo.cpp; NEOX rope)
 _reg(ArchTraits("plamo", rope_mode="neox", parallel_blocks=True))
@@ -411,6 +415,8 @@ class ModelConfig:
     fatrelu_threshold: float = 0.0
     # SSM (mamba) geometry (ref: mamba.ssm.* GGUF keys)
     n_head_kv_arr: tuple = ()  # per-layer kv heads (hybrid stacks; 0 = recurrent)
+    # per-layer q heads (deci/openelm NAS stacks; 0 = attention-free layer)
+    n_head_arr: tuple = ()
     # per-layer FFN widths (nemotron-h: mamba/attention layers carry 0)
     n_ff_arr: tuple = ()
     ssm_n_group: int = 0  # mamba2 B/C group count (ssm.group_count; 0 = mamba1)
@@ -494,7 +500,14 @@ class ModelConfig:
             return r.kv.get(f"{arch}.{key}", default)
 
         n_embd = int(g("embedding_length"))
-        n_head = int(g("attention.head_count", 0) or 0)
+        nh_raw = g("attention.head_count", 0)
+        n_head_arr: tuple = ()
+        if isinstance(nh_raw, (list, tuple, np.ndarray)):
+            # per-layer q heads (deci NAS stacks; 0 = attention-free)
+            n_head_arr = tuple(int(x) for x in nh_raw)
+            n_head = max(n_head_arr)
+        else:
+            n_head = int(nh_raw or 0)
         if n_head == 0:  # recurrent archs carry no attention heads
             n_head = 1
         hkv_raw = g("attention.head_count_kv", n_head)
@@ -533,6 +546,7 @@ class ModelConfig:
             n_head=n_head,
             n_head_kv=n_head_kv,
             n_head_kv_arr=n_head_kv_arr,
+            n_head_arr=n_head_arr,
             n_ff=n_ff,
             n_ff_arr=n_ff_arr,
             n_vocab=n_vocab,

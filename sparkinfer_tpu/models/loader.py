@@ -279,6 +279,11 @@ def load_model(
     for i in range(L):
         _cur[0] = i
         p = f"blk.{i}."
+        # per-layer NAS dims (deci): head counts and ffn widths vary;
+        # attention-free layers (H_i == 0) carry no attention tensors
+        H_i = cfg.n_head_arr[i] if cfg.n_head_arr else H
+        Hkv_i = cfg.n_head_kv_arr[i] if cfg.n_head_kv_arr else Hkv
+        F_i = cfg.n_ff_arr[i] if cfg.n_ff_arr else F
         if tr.post_norm:
             # bert: attn_output_norm / layer_output_norm ride the
             # attn_norm / ffn_norm slots (post-SUM semantics in the body)
@@ -325,9 +330,9 @@ def load_model(
             bqkv = _get(r, p + "attn_qkv.bias")
             wq, wk, wv, bq, bk, bv = _split_fused_qkv(wqkv, bqkv, cfg)
         else:
-            wq = _lin(p + "attn_q.weight", E, H * D)
-            wk = _lin(p + "attn_k.weight", E, Hkv * D)
-            wv = _lin(p + "attn_v.weight", E, Hkv * D)
+            wq = _lin(p + "attn_q.weight", E, H_i * D)
+            wk = _lin(p + "attn_k.weight", E, Hkv_i * D)
+            wv = _lin(p + "attn_v.weight", E, Hkv_i * D)
             bq = _get(r, p + "attn_q.bias")
             bk = _get(r, p + "attn_k.bias")
             bv = _get(r, p + "attn_v.bias")
@@ -344,7 +349,7 @@ def load_model(
         add("attn_k_norm_b", _get(r, p + "attn_k_norm.bias"))
         # gpt-oss learned attention sinks (per-head logits)
         add("attn_sinks", _get(r, p + "attn_sinks.weight"))
-        wo_in = H * (cfg.v_head_dim or D) if cfg.kv_lora_rank > 0 else H * D
+        wo_in = H * (cfg.v_head_dim or D) if cfg.kv_lora_rank > 0 else H_i * D
         add("wo", _lin(p + "attn_output.weight", wo_in, E))
         add("bo", _get(r, p + "attn_output.bias"))
         # bitnet sub-norms (pre-o_proj / pre-down_proj rms)
@@ -407,11 +412,11 @@ def load_model(
             gis = _get(r, p + "ffn_gate_inp_shexp.weight")  # (1, E)
             if gis is not None:  # qwen2moe sigmoid gate on the shared expert
                 add("w_gate_inp_shexp", np.ascontiguousarray(gis.reshape(-1)))
-        add("w_up", _lin(p + "ffn_up.weight", E, F))
+        add("w_up", _lin(p + "ffn_up.weight", E, F_i))
         add("b_up", _get(r, p + "ffn_up.bias"))
-        add("w_gate", _lin(p + "ffn_gate.weight", E, F))
+        add("w_gate", _lin(p + "ffn_gate.weight", E, F_i))
         # ffn_down: sparse GGUFs store it transposed; _linear canonicalizes
-        add("w_down", _lin(p + "ffn_down.weight", F, E))
+        add("w_down", _lin(p + "ffn_down.weight", F_i, E))
         add("b_down", _get(r, p + "ffn_down.bias"))
         # predictors (low-rank ReLU MLP), zero-padded to max rank
         pu = _linear(r, p + "ffn_pred_up.weight", E, cfg.pred_lora[i] if cfg.pred_lora else 0)

@@ -115,6 +115,16 @@ def attention(
     tr = cfg.traits
     eps = cfg.norm_eps
     H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+    kc_pad = vc_pad = None
+    if cfg.n_head_arr:
+        # deci NAS stacks: per-layer head counts derived from the weight
+        # shapes (static per heterogeneous segment). The cache is sized
+        # for max(Hkv); slice this layer's slab and re-attach after.
+        H = lp["wq"].shape[-1] // D
+        Hkv = lp["wk"].shape[-1] // D
+        if kc.shape[2] != Hkv:
+            kc_pad, vc_pad = kc[:, :, Hkv:], vc[:, :, Hkv:]
+            kc, vc = kc[:, :, :Hkv], vc[:, :, :Hkv]
     S = kc.shape[1]
     q = mm(x, lp["wq"]).reshape(B, T, H, D)
     k = mm(x, lp["wk"]).reshape(B, T, Hkv, D)
@@ -197,6 +207,12 @@ def attention(
     kc, ks = write_layer(kc, ks, k, wpos)
     vc, vs = write_layer(vc, vs, v, wpos)
 
+    def _reattach(kc, vc):
+        if kc_pad is not None:
+            return (jnp.concatenate([kc, kc_pad], 2),
+                    jnp.concatenate([vc, vc_pad], 2))
+        return kc, vc
+
     scale = cfg.attn_scale if cfg.attn_scale else D ** -0.5
     softcap = tr.attn_logit_softcap
     sinks = lp.get("attn_sinks")
@@ -237,6 +253,7 @@ def attention(
         out = mm(out, lp["wo"])
         if "bo" in lp:
             out = out + lp["bo"].astype(out.dtype)
+        kc, vc = _reattach(kc, vc)
         return out, kc, vc, ks, vs
 
     keys = read_layer(kc, ks, q.dtype)  # (B, S, Hkv, D)
@@ -293,6 +310,7 @@ def attention(
     out = mm(out, lp["wo"])
     if "bo" in lp:
         out = out + lp["bo"].astype(out.dtype)
+    kc, vc = _reattach(kc, vc)
     return out, kc, vc, ks, vs
 
 
@@ -518,6 +536,19 @@ def make_forward(
             # attn_norm/ffn_norm tensors — attention reads the raw residual)
             h = (_norm(x, lp["attn_norm_w"], lp.get("attn_norm_b"), tr.norm, eps)
                  if "attn_norm_w" in lp and not tr.post_norm else x)
+            if cfg.n_head_arr and "wq" not in lp:
+                # deci attention-free layer (src/models/deci.cpp:32-38,
+                # 92-112): the block consumes norm(x) directly and its
+                # output REPLACES the stream: ffn(ffn_norm(h)) + h
+                h2 = (_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"),
+                            tr.norm, eps) if "ffn_norm_w" in lp else h)
+                lpf = ({**lp, **flat, "flat_il": il}
+                       if flat is not None else lp)
+                if stateful_ffn or ffn_carry_init is not None:
+                    y, fs2 = ffn(lpf, h2, fs, il)
+                else:
+                    y, fs2 = ffn(lpf, h2), fs
+                return h + y, (kc, vc, empty_ks, empty_vs, fs2)
             if cfg.kv_lora_rank > 0:
                 attn_out, kc, vc, ks, vs = attention_mla(
                     cfg, lp, h, positions, kc, vc, ks, vs, rp)

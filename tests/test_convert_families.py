@@ -496,3 +496,71 @@ def test_direct_gguf_arch_smoke(arch, tmp_path):
     lg, _ = fwd(model.params, toks, jnp.arange(3, dtype=jnp.int32)[None],
                 init_cache(model.config, 1, 8, jnp.float32))
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_deci_nas_smoke(tmp_path):
+    """deci (ref src/models/deci.cpp): per-layer NAS head counts — one
+    GQA layer, one ATTENTION-FREE layer, one MQA layer with a narrower
+    FFN; direct GGUF, stepwise == full through the sliced KV cache."""
+    from sparkinfer_tpu.gguf.constants import GGMLType
+    from sparkinfer_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(0)
+    E, D, V = 64, 16, 120
+    heads = [4, 0, 4]
+    kv = [2, 0, 1]
+    ffs = [96, 48, 96]
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+    wr = GGUFWriter(str(tmp_path / "deci.gguf"), "deci")
+    wr.add_kv("deci.block_count", np.uint32(3))
+    wr.add_kv("deci.embedding_length", np.uint32(E))
+    wr.add_array("deci.attention.head_count", np.asarray(heads, np.uint32))
+    wr.add_array("deci.attention.head_count_kv", np.asarray(kv, np.uint32))
+    wr.add_array("deci.feed_forward_length", np.asarray(ffs, np.uint32))
+    wr.add_kv("deci.vocab_size", np.uint32(V))
+    wr.add_kv("deci.context_length", np.uint32(128))
+    wr.add_kv("deci.attention.key_length", np.uint32(D))
+    wr.add_kv("deci.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    wr.add_kv("deci.rope.freq_base", np.float32(10000.0))
+    wr.add_kv("deci.rope.dimension_count", np.uint32(D))
+    wr.add_tensor("token_embd.weight", w(V, E), GGMLType.F32)
+    wr.add_tensor("output_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+    wr.add_tensor("output.weight", w(V, E), GGMLType.F32)
+    for i in range(3):
+        p = f"blk.{i}."
+        wr.add_tensor(p + "attn_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+        if heads[i] > 0:
+            wr.add_tensor(p + "attn_q.weight", w(heads[i] * D, E), GGMLType.F32)
+            wr.add_tensor(p + "attn_k.weight", w(kv[i] * D, E), GGMLType.F32)
+            wr.add_tensor(p + "attn_v.weight", w(kv[i] * D, E), GGMLType.F32)
+            wr.add_tensor(p + "attn_output.weight", w(E, heads[i] * D),
+                          GGMLType.F32)
+        wr.add_tensor(p + "ffn_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_up.weight", w(ffs[i], E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_gate.weight", w(ffs[i], E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_down.weight", w(E, ffs[i]), GGMLType.F32)
+    wr.write()
+
+    model = load_model(str(tmp_path / "deci.gguf"), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.n_head_arr == (4, 0, 4) and cfg.n_head_kv_arr == (2, 0, 1)
+    assert cfg.n_ff_arr == (96, 48, 96)
+    assert "layer_segments" in model.params  # heterogeneous stacks
+
+    fwd = jax.jit(make_forward(cfg))
+    toks = np.random.default_rng(1).integers(0, 120, 6).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(6, dtype=jnp.int32)[None],
+                  init_cache(cfg, 1, 8, jnp.float32))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_cache(cfg, 1, 8, jnp.float32)
+    outs = []
+    for t, tok in enumerate(toks):
+        lg, cache = fwd(model.params, jnp.asarray([[tok]], jnp.int32),
+                        jnp.full((1, 1), t, jnp.int32), cache)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=2e-4, atol=2e-4)
