@@ -213,6 +213,10 @@ _reg(ArchTraits("minimax-m2", rope_mode="neox"))
 # neo-bert: non-causal rms encoder with rope + swiglu
 # (ref src/models/neo-bert.cpp; NORM rope group)
 _reg(ArchTraits("neo-bert", non_causal=True))
+# openelm: per-layer head counts + ffn widths, per-head qk-norm
+# (ref src/models/openelm.cpp; converter-split q/k/v — the reference's
+# fused per-layer attn_qkv GGUFs are not read directly yet)
+_reg(ArchTraits("openelm", rope_mode="neox"))
 # deci (Llama-3.1-Nemotron NAS): per-layer q/kv head counts, some layers
 # attention-free (n_head==0: block output = ffn(norm2(norm1(x))) +
 # norm1(x) — ref src/models/deci.cpp:32-38,92-112)
