@@ -438,6 +438,7 @@ def make_forward(
     causal: bool = True,
     inputs_embeds: bool = False,
     moe_mode: str = "dense",  # "dense" | "pallas" (fused row-streaming)
+    deepstack_slice: tuple | None = None,  # qwen3vl (start, end) image span
 ) -> Callable:
     """Build the jittable forward: (params, tokens, positions, cache) ->
     (logits_f32 (B,T,V), cache). `positions` must be the absolute sequence
@@ -494,7 +495,7 @@ def make_forward(
             [1.0 if s else 0.0 for s in cfg.nope_layers], jnp.float32)
 
     def fwd(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cache: KVCache,
-            fstate=None, mrope_pos=None):
+            fstate=None, mrope_pos=None, deepstack=None):
         # inputs_embeds: `tokens` is already (B, T, E) float (multimodal
         # splicing — the analogue of llama_batch.embd)
         x = tokens if inputs_embeds else params["tok_embd"][tokens]
@@ -513,6 +514,11 @@ def make_forward(
                       tr.norm, eps)
 
         layers = params["layers"]
+        if deepstack is not None:
+            # qwen3vl DeepStack: per-layer visual features (zeros past the
+            # tapped layers) added at the image positions after each layer
+            # (Qwen3VLTextModel._deepstack_process)
+            layers = dict(layers, deepstack_embeds=deepstack)
         if swa_flags is not None:
             layers = dict(layers, swa_flag=swa_flags)
         if nope_flags is not None:
@@ -604,6 +610,10 @@ def make_forward(
                 x = x + y
             if "cvec" in lp:  # control vector (llama_adapter_cvec)
                 x = x + lp["cvec"].astype(x.dtype)
+            if deepstack_slice is not None and "deepstack_embeds" in lp:
+                ds_s, ds_e = deepstack_slice
+                x = x.at[:, ds_s:ds_e].add(
+                    lp["deepstack_embeds"][None].astype(x.dtype))
             return x, (kc, vc, ks, vs, fs2)
 
         L = cfg.n_layer

@@ -1486,8 +1486,98 @@ def _convert_qwen3vl(model_dir: Path, out_path: str, cfgj: dict,
     else:
         fam = dict(arch="qwen3vl", permute=False, tmap=_QNORM_T,
                    kv=_kv_qwen3vl)
-    return _convert_family(fam, model_dir, out_path, {**cfgj, **tc},
+    info = _convert_family(fam, model_dir, out_path, {**cfgj, **tc},
                            out_type, rename=strip)
+
+    vc = cfgj.get("vision_config")
+    if not vc:
+        return info
+    mm_path = str(out_path) + ".mmproj.gguf"
+    E = vc["hidden_size"]
+    w = GGUFWriter(mm_path, "clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "qwen3vl_merger")
+    w.add_kv("clip.vision.patch_size", np.uint32(vc["patch_size"]))
+    w.add_kv("clip.vision.temporal_patch_size",
+             np.uint32(vc.get("temporal_patch_size", 2)))
+    w.add_kv("clip.vision.spatial_merge_size",
+             np.uint32(vc.get("spatial_merge_size", 2)))
+    w.add_kv("clip.vision.embedding_length", np.uint32(E))
+    w.add_kv("clip.vision.attention.head_count", np.uint32(vc["num_heads"]))
+    w.add_kv("clip.vision.feed_forward_length",
+             np.uint32(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", np.uint32(vc["depth"]))
+    w.add_kv("clip.vision.projection_dim", np.uint32(vc["out_hidden_size"]))
+    w.add_kv("clip.vision.num_position_embeddings",
+             np.uint32(vc["num_position_embeddings"]))
+    w.add_array("clip.vision.deepstack_visual_indexes", np.asarray(
+        vc.get("deepstack_visual_indexes", []), np.uint32))
+
+    vblk_re = re.compile(r"^(?:model\.)?visual\.blocks\.(\d+)\.(.+)$")
+    ds_re = re.compile(
+        r"^(?:model\.)?visual\.deepstack_merger_list\.(\d+)\.(.+)$")
+    sub = {"norm1.weight": "ln1.weight", "norm1.bias": "ln1.bias",
+           "norm2.weight": "ln2.weight", "norm2.bias": "ln2.bias",
+           "attn.proj.weight": "attn_out.weight",
+           "attn.proj.bias": "attn_out.bias",
+           "mlp.linear_fc1.weight": "ffn_up.weight",
+           "mlp.linear_fc1.bias": "ffn_up.bias",
+           "mlp.linear_fc2.weight": "ffn_down.weight",
+           "mlp.linear_fc2.bias": "ffn_down.bias"}
+    mm_map = {"norm.weight": "mm.norm.weight", "norm.bias": "mm.norm.bias",
+              "linear_fc1.weight": "mm.0.weight",
+              "linear_fc1.bias": "mm.0.bias",
+              "linear_fc2.weight": "mm.2.weight",
+              "linear_fc2.bias": "mm.2.bias"}
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        if name.startswith("model.visual."):
+            name = name[len("model."):]
+        if not name.startswith("visual."):
+            continue
+        rest = name[len("visual."):]
+        gname = None
+        if rest == "patch_embed.proj.weight":
+            gname, data = "v.patch_embd.weight", data.reshape(E, -1)
+        elif rest == "patch_embed.proj.bias":
+            gname = "v.patch_embd.bias"
+        elif rest == "pos_embed.weight":
+            gname = "v.pos_embd.weight"
+        elif rest.startswith("merger."):
+            key = mm_map.get(rest[len("merger."):])
+            gname = key
+        else:
+            m = ds_re.match(name)
+            if m:
+                key = mm_map.get(m.group(2))
+                if key:
+                    gname = f"ds.{m.group(1)}." + key.replace(
+                        "mm.norm", "norm").replace("mm.0", "fc1").replace(
+                        "mm.2", "fc2")
+            else:
+                m = vblk_re.match(name)
+                if m:
+                    i, s2 = m.group(1), m.group(2)
+                    if s2 in sub:
+                        gname = f"v.blk.{i}." + sub[s2]
+                    elif s2 in ("attn.qkv.weight", "attn.qkv.bias"):
+                        kind = s2.split(".")[-1]
+                        q3, k3, v3 = np.split(data, 3, axis=0)
+                        for nm2, d2 in (("attn_q", q3), ("attn_k", k3),
+                                        ("attn_v", v3)):
+                            w.add_tensor(f"v.blk.{i}.{nm2}.{kind}",
+                                         np.ascontiguousarray(d2),
+                                         GGMLType.F32)
+                            n += 1
+                        continue
+        if gname is None:
+            continue
+        w.add_tensor(gname, np.ascontiguousarray(data), GGMLType.F32)
+        n += 1
+    w.write()
+    info["mmproj"] = mm_path
+    info["n_mmproj_tensors"] = n
+    return info
 
 
 def _kv_qwen2vl(w, a, c):

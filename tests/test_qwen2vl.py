@@ -290,3 +290,89 @@ def test_qwen3vl_text_parity(moe, tmp_path):
                       mrope_pos=jnp.asarray(pos3, jnp.int32)[:, None, :])
     np.testing.assert_allclose(np.asarray(logits3)[0], ref3,
                                rtol=4e-3, atol=4e-3)
+
+
+def test_qwen3vl_multimodal_deepstack_parity(tmp_path):
+    """Full qwen3vl multimodal path: interpolated-pos ViT + deepstack
+    mergers + per-layer injection + interleaved M-RoPE vs HF."""
+    import transformers as T
+
+    from sparkinfer_tpu.mtmd.qwen3vl import (Qwen3VLPipeline,
+                                             load_qwen3vl_mmproj,
+                                             make_qwen3vl_vision_forward,
+                                             prepare_vision)
+
+    torch.manual_seed(0)
+    hf = T.Qwen3VLForConditionalGeneration(_q3vl_cfg(T))
+    hf.eval()
+    d = tmp_path / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = tmp_path / "q3vl.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["n_mmproj_tensors"] > 0
+
+    model = load_model(str(out), dtype=jnp.float32)
+    cfg = model.config
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(16, 3 * 2 * 4 * 4)).astype(np.float32)
+    grid = (1, 4, 4)
+
+    # vision tower + deepstack taps
+    vcfg, vparams = load_qwen3vl_mmproj(info["mmproj"], jnp.float32)
+    assert vcfg.deepstack_idx == (0,)
+    vp = prepare_vision(vcfg, vparams, grid)
+    vfwd = jax.jit(make_qwen3vl_vision_forward(vcfg, grid))
+    img, ds = vfwd(vp, jnp.asarray(px))
+    with torch.no_grad():
+        vref, ds_ref = hf.model.visual(torch.tensor(px),
+                                       grid_thw=torch.tensor([list(grid)]))
+    np.testing.assert_allclose(np.asarray(img), vref.numpy(),
+                               rtol=4e-3, atol=4e-3)
+    np.testing.assert_allclose(np.asarray(ds)[0], ds_ref[0].numpy(),
+                               rtol=4e-3, atol=4e-3)
+
+    # spliced logits incl. the per-layer deepstack injection
+    ids_before = [5, 7, VSTART]
+    ids_after = [9, 11]
+    input_ids = ids_before + [IMG_TOK] * 4 + ids_after
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(input_ids)[None],
+                 pixel_values=torch.tensor(px),
+                 image_grid_thw=torch.tensor([list(grid)])).logits[0].numpy()
+
+    pipe = Qwen3VLPipeline(model, info["mmproj"], max_seq=32)
+    # reuse the pipeline's prefill plumbing for a logits check
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.mtmd.qwen2vl import mrope_positions
+    from sparkinfer_tpu.runtime.kv_cache import init_cache
+
+    s, e = len(ids_before), len(ids_before) + 4
+    tok_embd = np.asarray(model.params["tok_embd"], np.float32)
+    embeds = np.concatenate([tok_embd[np.asarray(ids_before)],
+                             np.asarray(img),
+                             tok_embd[np.asarray(ids_after)]], 0)
+    pos3, _ = mrope_positions(s, grid, 2, len(ids_after))
+    L = cfg.n_layer
+    ds_all = np.zeros((L, 4, embeds.shape[1]), np.float32)
+    ds_all[:1] = np.asarray(ds)
+    fwd = jax.jit(make_forward(cfg, inputs_embeds=True,
+                               deepstack_slice=(s, e)))
+    T_ = embeds.shape[0]
+    logits, _ = fwd(model.params, jnp.asarray(embeds)[None],
+                    jnp.arange(T_, dtype=jnp.int32)[None],
+                    init_cache(cfg, 1, 16, jnp.float32),
+                    mrope_pos=jnp.asarray(pos3)[:, None, :],
+                    deepstack=jnp.asarray(ds_all))
+    np.testing.assert_allclose(np.asarray(logits)[0], ref,
+                               rtol=4e-3, atol=4e-3)
+
+    # pipeline greedy vs HF generate
+    got = pipe.generate(ids_before, px, grid, ids_after, max_new_tokens=5)
+    with torch.no_grad():
+        want = hf.generate(
+            input_ids=torch.tensor(input_ids)[None],
+            pixel_values=torch.tensor(px),
+            image_grid_thw=torch.tensor([list(grid)]),
+            max_new_tokens=5, do_sample=False)[0][len(input_ids):].tolist()
+    assert got == want
