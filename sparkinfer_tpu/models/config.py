@@ -76,6 +76,9 @@ class ArchTraits:
     # gemma3n: AltUp multi-stream stack + laurel + per-layer embeddings
     # (ref src/models/gemma3n-iswa.cpp; models/gemma3n.py here)
     altup: bool = False
+    # arctic: dense FFN in the block + a PARALLEL residual MoE fed by a
+    # second norm over the layer input (ref src/models/arctic.cpp)
+    parallel_moe: bool = False
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -160,6 +163,9 @@ _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # only in norm/act/rope/bias choices)
 _reg(ArchTraits("qwen2moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("qwen3moe", rope_mode="neox"))
+# arctic (snowflake): dense FFN + parallel residual MoE off the layer
+# input via ffn_norm_exps (ref src/models/arctic.cpp)
+_reg(ArchTraits("arctic", parallel_moe=True))
 # grok-1: gelu MoE, post-attn/post-ffn norms, logit scale + softcap
 # (ref src/models/grok.cpp; NEOX rope)
 _reg(ArchTraits("grok", rope_mode="neox", act="geglu",

@@ -378,6 +378,8 @@ def load_model(
                 fnw = np.ones(E, np.float32)  # olmo non-parametric norm
             add("ffn_norm_w", fnw)
             add("ffn_norm_b", _get(r, p + "ffn_norm.bias"))
+        # arctic: second pre-MoE norm over the layer input
+        add("ffn_norm_exps_w", _get(r, p + "ffn_norm_exps.weight"))
         # MoE expert tensors (3D); canonicalized to (X, E, F)/(X, F, E)
         gi = _get(r, p + "ffn_gate_inp.weight")  # (X, E)
         if gi is not None:

@@ -461,16 +461,23 @@ def make_forward(
     tr = cfg.traits
     causal = causal and not tr.non_causal  # bert-family encoders
     rp = rope_params(cfg)
+    _moe_ref = None
     if ffn_fn is None and cfg.n_expert > 0:
         from ..sparse.moe import make_moe_ffn
 
         _moe_f = make_moe_ffn(cfg, mode=moe_mode)
         _dense_f = dense_ffn(cfg)
+        if tr.parallel_moe:
+            _moe_ref = _moe_f  # arctic: body adds the MoE residual itself
 
         def ffn(lp, x):
             # per-segment dispatch: deepseek2-style leading dense layers
             # (first_k_dense_replace) carry plain FFN tensors, the rest MoE;
-            # moe_mode="pallas" expects moe_layout-transformed layer params
+            # moe_mode="pallas" expects moe_layout-transformed layer params.
+            # arctic keeps the DENSE ffn in-block (the MoE rides a parallel
+            # residual handled in the body).
+            if tr.parallel_moe and "w_up" in lp:
+                return _dense_f(lp, x)
             return _moe_f(lp, x) if "w_router" in lp else _dense_f(lp, x)
     else:
         ffn = ffn_fn or dense_ffn(cfg)
@@ -535,6 +542,7 @@ def make_forward(
         def body(x, lp, kc, vc, ks, vs, fs, il, ring_w=0):
             # unpack the zero-size placeholders lax.scan required (None can't
             # ride in xs/ys); shapes are static so this resolves at trace time
+            x_in = x  # layer input (arctic parallel-MoE residual source)
             empty_ks, empty_vs = ks, vs
             if ks is not None and ks.shape[-1] == 0:
                 ks = vs = None
@@ -608,6 +616,11 @@ def make_forward(
                 if cfg.residual_scale != 1.0:
                     y = y * jnp.asarray(cfg.residual_scale, y.dtype)
                 x = x + y
+            if _moe_ref is not None and "ffn_norm_exps_w" in lp:
+                # arctic parallel MoE residual off the LAYER INPUT
+                # (src/models/arctic.cpp:64-72)
+                hm = _norm(x_in, lp["ffn_norm_exps_w"], None, tr.norm, eps)
+                x = x + _moe_ref(lp, hm)
             if "cvec" in lp:  # control vector (llama_adapter_cvec)
                 x = x + lp["cvec"].astype(x.dtype)
             if deepstack_slice is not None and "deepstack_embeds" in lp:

@@ -565,3 +565,50 @@ def test_deci_nas_smoke(tmp_path):
         outs.append(np.asarray(lg[0, 0]))
     np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_arctic_parallel_moe_smoke(tmp_path):
+    """arctic (ref src/models/arctic.cpp): dense FFN in-block + a parallel
+    residual MoE over ffn_norm_exps(layer input) — direct GGUF smoke,
+    stepwise == full."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama
+
+    rng = np.random.default_rng(7)
+    E, F = 64, 96
+    extra = {}
+    for i in range(2):
+        p = f"blk.{i}."
+        extra[p + "ffn_norm_exps.weight"] = (
+            1.0 + 0.1 * rng.standard_normal(E)).astype(np.float32)
+        extra[p + "ffn_up.weight"] = (
+            0.08 * rng.standard_normal((F, E))).astype(np.float32)
+        extra[p + "ffn_gate.weight"] = (
+            0.08 * rng.standard_normal((F, E))).astype(np.float32)
+        extra[p + "ffn_down.weight"] = (
+            0.08 * rng.standard_normal((E, F))).astype(np.float32)
+    p = tmp_path / "arctic.gguf"
+    make_tiny_llama(p, arch="arctic", n_expert=4, n_expert_used=2,
+                    extra_tensors=extra)
+    model = load_model(str(p), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.traits.parallel_moe and cfg.n_expert == 4
+    lp0 = model.params["layers"]
+    assert "ffn_norm_exps_w" in lp0 and "w_up" in lp0 and "w_router" in lp0
+
+    fwd = jax.jit(make_forward(cfg))
+    toks = np.random.default_rng(1).integers(0, 199, 6).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(6, dtype=jnp.int32)[None],
+                  init_cache(cfg, 1, 8, jnp.float32))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_cache(cfg, 1, 8, jnp.float32)
+    outs = []
+    for t, tok in enumerate(toks):
+        lg, cache = fwd(model.params, jnp.asarray([[tok]], jnp.int32),
+                        jnp.full((1, 1), t, jnp.int32), cache)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=2e-4, atol=2e-4)
