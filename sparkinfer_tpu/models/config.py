@@ -79,6 +79,9 @@ class ArchTraits:
     # arctic: dense FFN in the block + a PARALLEL residual MoE fed by a
     # second norm over the layer input (ref src/models/arctic.cpp)
     parallel_moe: bool = False
+    # smallthinker: router logits from the RAW layer input before
+    # attention (lookahead routing — src/models/smallthinker.cpp:22)
+    moe_router_on_input: bool = False
     # sparse-FFN activation used when predictors present
     # (ref: src/llama-graph.cpp:1063-1094)
     sparse_act: str = "fatrelu"
@@ -163,6 +166,10 @@ _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # only in norm/act/rope/bias choices)
 _reg(ArchTraits("qwen2moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("qwen3moe", rope_mode="neox"))
+# smallthinker: lookahead MoE router (logits off the pre-attention
+# stream) + relu-gated experts (ref src/models/smallthinker.cpp)
+_reg(ArchTraits("smallthinker", rope_mode="neox", act="reglu",
+                moe_router_on_input=True))
 # arctic (snowflake): dense FFN + parallel residual MoE off the layer
 # input via ffn_norm_exps (ref src/models/arctic.cpp)
 _reg(ArchTraits("arctic", parallel_moe=True))

@@ -543,6 +543,11 @@ def make_forward(
             # unpack the zero-size placeholders lax.scan required (None can't
             # ride in xs/ys); shapes are static so this resolves at trace time
             x_in = x  # layer input (arctic parallel-MoE residual source)
+            if tr.moe_router_on_input and "w_router" in lp:
+                # smallthinker lookahead routing: router logits computed
+                # BEFORE attention from the raw layer input
+                lp = dict(lp, router_logits=(
+                    x_in @ lp["w_router"].astype(x_in.dtype)))
             empty_ks, empty_vs = ks, vs
             if ks is not None and ks.shape[-1] == 0:
                 ks = vs = None

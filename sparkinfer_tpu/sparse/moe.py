@@ -67,7 +67,12 @@ def route(cfg: ModelConfig, lp: dict, xt: jnp.ndarray, norm_topk: bool | None = 
     (expert_weights_scale)."""
     if norm_topk is None:
         norm_topk = cfg.norm_topk_prob
-    logits = (xt @ lp["w_router"].astype(xt.dtype)).astype(jnp.float32)  # (N, X)
+    if "router_logits" in lp:
+        # smallthinker lookahead routing: logits precomputed from the
+        # LAYER INPUT before attention (src/models/smallthinker.cpp:22)
+        logits = lp["router_logits"].reshape(-1, cfg.n_expert).astype(jnp.float32)
+    else:
+        logits = (xt @ lp["w_router"].astype(xt.dtype)).astype(jnp.float32)  # (N, X)
     if "w_router_b" in lp:  # gpt-oss router bias (applied to the logits)
         logits = logits + lp["w_router_b"].astype(jnp.float32)
     if cfg.expert_gating == "sigmoid":

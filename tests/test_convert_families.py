@@ -467,7 +467,7 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
                                   "bailingmoe", "pangu-embedded",
                                   "minimax-m2", "neo-bert", "plamo",
                                   "bailingmoe2", "gemma-embedding", "grok",
-                                  "openelm"])
+                                  "openelm", "smallthinker"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
@@ -484,7 +484,7 @@ def test_direct_gguf_arch_smoke(arch, tmp_path):
     if tr.fused_qkv:  # qwen v1 / jais / codeshell: fused [Q;K;V]
         kw = dict(fused_qkv=True, n_head_kv=4, n_head=4)
     if arch in ("deepseek", "llada-moe", "rnd1", "bailingmoe",
-                "minimax-m2", "bailingmoe2", "grok"):
+                "minimax-m2", "bailingmoe2", "grok", "smallthinker"):
         kw = dict(n_expert=4, n_expert_used=2)
     if arch == "gemma-embedding":
         kw = dict(extra_kv={"gemma-embedding.attention.sliding_window": 8,
