@@ -166,6 +166,10 @@ _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # only in norm/act/rope/bias choices)
 _reg(ArchTraits("qwen2moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("qwen3moe", rope_mode="neox"))
+# afmoe: sigmoid attention gate off the normed stream, per-head qk-norm,
+# NoPE every n-th layer, post-norms, dense-lead sigmoid MoE with shared
+# experts (ref src/models/afmoe.cpp; NEOX rope group)
+_reg(ArchTraits("afmoe", rope_mode="neox", embd_scale_sqrt=True))
 # smallthinker: lookahead MoE router (logits off the pre-attention
 # stream) + relu-gated experts (ref src/models/smallthinker.cpp)
 _reg(ArchTraits("smallthinker", rope_mode="neox", act="reglu",

@@ -349,6 +349,8 @@ def load_model(
         add("attn_k_norm_b", _get(r, p + "attn_k_norm.bias"))
         # gpt-oss learned attention sinks (per-head logits)
         add("attn_sinks", _get(r, p + "attn_sinks.weight"))
+        # afmoe sigmoid attention gate (pre-o_proj, from the normed stream)
+        add("w_attn_gate", _lin(p + "attn_gate.weight", E, H_i * D))
         wo_in = H * (cfg.v_head_dim or D) if cfg.kv_lora_rank > 0 else H_i * D
         add("wo", _lin(p + "attn_output.weight", wo_in, E))
         add("bo", _get(r, p + "attn_output.bias"))

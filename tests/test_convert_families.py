@@ -612,3 +612,87 @@ def test_arctic_parallel_moe_smoke(tmp_path):
         outs.append(np.asarray(lg[0, 0]))
     np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_afmoe_smoke(tmp_path):
+    """afmoe (ref src/models/afmoe.cpp): sigmoid attention gate off the
+    normed stream, qk-norm, NoPE layers, post-norms, dense-lead sigmoid
+    MoE with shared experts — direct GGUF, stepwise == full."""
+    from sparkinfer_tpu.gguf.constants import GGMLType
+    from sparkinfer_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(0)
+    E, H, Hkv, D, F, Fx, X, V, L = 64, 4, 2, 16, 96, 48, 4, 120, 3
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+    wr = GGUFWriter(str(tmp_path / "afmoe.gguf"), "afmoe")
+    for k, v in (("block_count", L), ("embedding_length", E),
+                 ("attention.head_count", H),
+                 ("attention.head_count_kv", Hkv),
+                 ("feed_forward_length", F), ("vocab_size", V),
+                 ("context_length", 128), ("attention.key_length", D),
+                 ("rope.dimension_count", D),
+                 ("leading_dense_block_count", 1), ("expert_count", X),
+                 ("expert_used_count", 2), ("expert_feed_forward_length", Fx),
+                 ("expert_shared_count", 1), ("expert_gating_func", 2)):
+        wr.add_kv(f"afmoe.{k}", np.uint32(v))
+    wr.add_kv("afmoe.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    wr.add_kv("afmoe.rope.freq_base", np.float32(10000.0))
+    wr.add_kv("afmoe.expert_weights_scale", np.float32(2.826))
+    wr.add_array("afmoe.nope_layers", np.asarray([0, 0, 1], np.uint32))
+    wr.add_tensor("token_embd.weight", w(V, E), GGMLType.F32)
+    wr.add_tensor("output_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+    wr.add_tensor("output.weight", w(V, E), GGMLType.F32)
+    for i in range(L):
+        p = f"blk.{i}."
+        wr.add_tensor(p + "attn_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+        wr.add_tensor(p + "attn_q.weight", w(H * D, E), GGMLType.F32)
+        wr.add_tensor(p + "attn_k.weight", w(Hkv * D, E), GGMLType.F32)
+        wr.add_tensor(p + "attn_v.weight", w(Hkv * D, E), GGMLType.F32)
+        wr.add_tensor(p + "attn_gate.weight", w(H * D, E), GGMLType.F32)
+        wr.add_tensor(p + "attn_q_norm.weight", 1.0 + 0.1 * w(D), GGMLType.F32)
+        wr.add_tensor(p + "attn_k_norm.weight", 1.0 + 0.1 * w(D), GGMLType.F32)
+        wr.add_tensor(p + "attn_output.weight", w(E, H * D), GGMLType.F32)
+        wr.add_tensor(p + "attn_post_norm.weight", 1.0 + 0.1 * w(E),
+                      GGMLType.F32)
+        wr.add_tensor(p + "ffn_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_post_norm.weight", 1.0 + 0.1 * w(E),
+                      GGMLType.F32)
+        if i == 0:  # dense lead
+            wr.add_tensor(p + "ffn_up.weight", w(F, E), GGMLType.F32)
+            wr.add_tensor(p + "ffn_gate.weight", w(F, E), GGMLType.F32)
+            wr.add_tensor(p + "ffn_down.weight", w(E, F), GGMLType.F32)
+        else:
+            wr.add_tensor(p + "ffn_gate_inp.weight", w(X, E), GGMLType.F32)
+            wr.add_tensor(p + "exp_probs_b.bias", w(X), GGMLType.F32)
+            wr.add_tensor(p + "ffn_up_exps.weight", w(X, Fx, E), GGMLType.F32)
+            wr.add_tensor(p + "ffn_gate_exps.weight", w(X, Fx, E),
+                          GGMLType.F32)
+            wr.add_tensor(p + "ffn_down_exps.weight", w(X, E, Fx),
+                          GGMLType.F32)
+            wr.add_tensor(p + "ffn_up_shexp.weight", w(Fx, E), GGMLType.F32)
+            wr.add_tensor(p + "ffn_gate_shexp.weight", w(Fx, E), GGMLType.F32)
+            wr.add_tensor(p + "ffn_down_shexp.weight", w(E, Fx), GGMLType.F32)
+    wr.write()
+
+    model = load_model(str(tmp_path / "afmoe.gguf"), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.expert_gating == "sigmoid" and cfg.n_dense_lead == 1
+    assert cfg.nope_layers == (0, 0, 1)
+
+    fwd = jax.jit(make_forward(cfg))
+    toks = np.random.default_rng(1).integers(0, V, 6).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(6, dtype=jnp.int32)[None],
+                  init_cache(cfg, 1, 8, jnp.float32))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_cache(cfg, 1, 8, jnp.float32)
+    outs = []
+    for t, tok in enumerate(toks):
+        lg, cache = fwd(model.params, jnp.asarray([[tok]], jnp.int32),
+                        jnp.full((1, 1), t, jnp.int32), cache)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=2e-4, atol=2e-4)
