@@ -166,6 +166,9 @@ _reg(ArchTraits("stablelm", rope_mode="neox", norm="ln", norm_bias=True))
 # only in norm/act/rope/bias choices)
 _reg(ArchTraits("qwen2moe", rope_mode="neox", qkv_bias=True))
 _reg(ArchTraits("qwen3moe", rope_mode="neox"))
+# grovemoe: softmax MoE + adjugate chunk experts applied to the routed
+# output with expert id // experts_per_group (ref src/models/grovemoe.cpp)
+_reg(ArchTraits("grovemoe", rope_mode="neox"))
 # afmoe: sigmoid attention gate off the normed stream, per-head qk-norm,
 # NoPE every n-th layer, post-norms, dense-lead sigmoid MoE with shared
 # experts (ref src/models/afmoe.cpp; NEOX rope group)
@@ -409,6 +412,10 @@ class ModelConfig:
     n_expert_shared: int = 0  # shared (always-on) experts (qwen2moe/deepseek2)
     n_ff_exp: int = 0  # per-expert FF width when it differs from n_ff
     expert_weights_scale: float = 0.0  # deepseek2 routed_scaling_factor
+    # grovemoe adjugate chunk experts (ref src/models/grovemoe.cpp;
+    # llama-graph.cpp:1286-1289 maps expert id -> id // n_group_experts)
+    n_group_experts: int = 0
+    expert_group_scale: float = 0.0
     expert_gating: str = "softmax"  # "softmax" | "sigmoid" (deepseek3-style)
     norm_topk_prob: bool = True  # renormalize selected expert weights
     sliding_window: int = 0
@@ -591,6 +598,8 @@ class ModelConfig:
             n_expert_shared=int(g("expert_shared_count", 0)),
             n_ff_exp=int(g("expert_feed_forward_length", 0)),
             expert_weights_scale=float(g("expert_weights_scale", 0.0)),
+            n_group_experts=int(g("experts_per_group", 0) or 0),
+            expert_group_scale=float(g("expert_group_scale", 0.0)),
             # ref llama-hparams.h: 1=softmax, 2=sigmoid (deepseek3),
             # 3=softmax over the SELECTED top-k logits (gpt-oss)
             expert_gating={2: "sigmoid", 3: "softmax_topk"}.get(

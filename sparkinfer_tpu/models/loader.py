@@ -400,6 +400,13 @@ def load_model(
             add("w_down_exps", np.ascontiguousarray(np.swapaxes(de, -1, -2)))
             # deepseek3 router score-correction bias (selection only)
             add("router_bias", _get(r, p + "exp_probs_b.bias"))
+            # grovemoe adjugate chunk experts (same orientation as exps)
+            for nm, key in (("ffn_up_chexps.weight", "w_up_chexps"),
+                            ("ffn_gate_chexps.weight", "w_gate_chexps"),
+                            ("ffn_down_chexps.weight", "w_down_chexps")):
+                ce = _get(r, p + nm)
+                if ce is not None:
+                    add(key, np.ascontiguousarray(np.swapaxes(ce, -1, -2)))
             # shared (always-on) experts — qwen2moe/deepseek2 ffn_*_shexp;
             # orient by n_embd since the shexp width differs from n_ff
             for nm, key in (("ffn_up_shexp.weight", "w_up_shexp"),

@@ -154,6 +154,22 @@ def make_moe_ffn(cfg: ModelConfig, group_size: int = 128, mode: str = "pallas",
         if "w_down_exps_b" in lp:
             out = out + jnp.take(lp["w_down_exps_b"], idx, axis=0).astype(out.dtype)
         out = (out * w[..., None].astype(out.dtype)).sum(1)
+        if "w_up_chexps" in lp and cfg.n_group_experts > 0:
+            # grovemoe adjugate experts: the routed OUTPUT feeds chunk
+            # experts selected by expert_id // experts_per_group with the
+            # SAME router weights, scaled by expert_group_scale
+            # (ref src/models/grovemoe.cpp; llama-graph.cpp:1286-1289)
+            cidx = idx // cfg.n_group_experts  # (N, k)
+            cu = jnp.take(lp["w_up_chexps"], cidx, axis=0)
+            cg = jnp.take(lp["w_gate_chexps"], cidx, axis=0)
+            cd = jnp.take(lp["w_down_chexps"], cidx, axis=0)
+            xo = out.astype(xt.dtype)
+            aup = jnp.einsum("ne,nkef->nkf", xo, cu.astype(xo.dtype))
+            agt = jnp.einsum("ne,nkef->nkf", xo, cg.astype(xo.dtype))
+            ah = actf(agt, aup) if gated else actf(aup)
+            adj = jnp.einsum("nkf,nkfe->nke", ah, cd.astype(ah.dtype))
+            adj = (adj * w[..., None].astype(adj.dtype)).sum(1)
+            out = out + cfg.expert_group_scale * adj
         if "w_up_shexp" in lp:
             out = out + _shared_expert(cfg, lp, xt, act).astype(out.dtype)
         return out.reshape(B, T, E).astype(x.dtype)

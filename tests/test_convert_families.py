@@ -696,3 +696,48 @@ def test_afmoe_smoke(tmp_path):
         outs.append(np.asarray(lg[0, 0]))
     np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_grovemoe_smoke(tmp_path):
+    """grovemoe (ref src/models/grovemoe.cpp): adjugate chunk experts on
+    the routed output, expert id // experts_per_group, group scale."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama
+
+    rng = np.random.default_rng(9)
+    E, Fx, X, Xc = 64, 96, 4, 2
+    extra = {}
+    for i in range(2):
+        p = f"blk.{i}."
+        for nm, shape in (("ffn_up_chexps.weight", (Xc, Fx, E)),
+                          ("ffn_gate_chexps.weight", (Xc, Fx, E)),
+                          ("ffn_down_chexps.weight", (Xc, E, Fx))):
+            extra[p + nm] = (0.08 * rng.standard_normal(shape)).astype(
+                np.float32)
+    p = tmp_path / "grove.gguf"
+    make_tiny_llama(p, arch="grovemoe", n_expert=X, n_expert_used=2,
+                    extra_tensors=extra,
+                    extra_kv={"grovemoe.experts_per_group": 2,
+                              "grovemoe.expert_group_scale": np.float32(0.05)})
+    model = load_model(str(p), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.n_group_experts == 2 and cfg.expert_group_scale > 0
+    assert "w_up_chexps" in model.params["layers"]
+
+    fwd = jax.jit(make_forward(cfg))
+    toks = np.random.default_rng(1).integers(0, 199, 6).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(6, dtype=jnp.int32)[None],
+                  init_cache(cfg, 1, 8, jnp.float32))
+    assert np.isfinite(np.asarray(full)).all()
+    # the adjugate path must actually contribute
+    cfg0 = cfg
+    import dataclasses as dc
+
+    lg0, _ = jax.jit(make_forward(dc.replace(cfg0, expert_group_scale=0.0)))(
+        model.params, jnp.asarray(toks)[None],
+        jnp.arange(6, dtype=jnp.int32)[None],
+        init_cache(cfg, 1, 8, jnp.float32))
+    assert np.abs(np.asarray(full) - np.asarray(lg0)).max() > 1e-6
