@@ -353,6 +353,9 @@ _reg(ArchTraits("qwen3next", rope_mode="neox", recurrent=True,
                 ssm_hybrid=True))
 _reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
+# plamo2: mamba(per-head dt/B/C-normed) + attention hybrid with
+# post-norms around both blocks (ref src/models/plamo2.cpp)
+_reg(ArchTraits("plamo2", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 # nemotron-h: single-block hybrid — each layer is exactly ONE of
 # {mamba2, NoPE attention, relu^2 FFN with biases}, one residual
 # (ref src/models/nemotron-h.cpp; layer type from per-layer kv-head and

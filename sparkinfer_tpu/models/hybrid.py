@@ -121,6 +121,51 @@ def _deltanet_step(lp, u, conv_state, ssm_state, cfg):
     return y, new_conv, S.reshape(B, cfg.ssm_d_inner, hk)
 
 
+def _plamo2_step(lp, u, conv_state, ssm_state, cfg):
+    """One token of a PLaMo2 mamba block (ref src/models/plamo2.cpp
+    build_plamo2_mamba_layer): per-head-interleaved [z; x] in-proj, conv
+    over x only, B/C/dt from a post-conv projection with rms norms, dt
+    through a low-rank head projection, mamba2-style per-head scan,
+    silu(z)-gated output."""
+    B = u.shape[0]
+    d_in = cfg.ssm_d_inner
+    ds = cfg.ssm_d_state
+    nh = cfg.ssm_dt_rank  # head count (time_step_rank carries n_head)
+    hd = d_in // nh
+
+    zx = (u @ lp["ssm_in"]).reshape(B, nh, 2 * hd)
+    z = zx[:, :, :hd].reshape(B, d_in)
+    x = zx[:, :, hd:].reshape(B, d_in)
+
+    window = jnp.concatenate([conv_state, x[:, None, :]], axis=1)
+    x = jnp.einsum("bcd,cd->bd", window, lp["conv_w"])
+    if "conv_b" in lp:
+        x = x + lp["conv_b"]
+    new_conv = window[:, 1:, :]
+    x = jax.nn.silu(x.astype(jnp.float32))
+
+    bcdt = x.astype(u.dtype) @ lp["ssm_x"]  # (B, 2*ds + dt_dim)
+    Bm = rms_norm(bcdt[:, :ds], lp["ssm_b_norm_w"], cfg.norm_eps)
+    Cm = rms_norm(bcdt[:, ds: 2 * ds], lp["ssm_c_norm_w"], cfg.norm_eps)
+    dtr = rms_norm(bcdt[:, 2 * ds:], lp["ssm_dt_norm_w"], cfg.norm_eps)
+    dt = dtr @ lp["ssm_dt"] + lp["ssm_dt_b"]  # (B, nh)
+    dt_sp = jax.nn.softplus(dt.astype(jnp.float32))
+    A = lp["ssm_a"].reshape(nh)  # -exp(A_log), scalar per head
+    dA = jnp.exp(dt_sp * A)
+
+    xh = x.reshape(B, nh, hd)
+    h0 = ssm_state.reshape(B, nh, hd, ds)
+    xdt = xh * dt_sp[:, :, None]
+    Bf = Bm.astype(jnp.float32)
+    Cf = Cm.astype(jnp.float32)
+    h = dA[:, :, None, None] * h0 + xdt[..., None] * Bf[:, None, None, :]
+    y = jnp.einsum("bhds,bs->bhd", h, Cf)
+    y = y + lp["ssm_d"].reshape(nh)[None, :, None] * xh
+    y = y.reshape(B, d_in) * jax.nn.silu(z.astype(jnp.float32))
+    out = y.astype(u.dtype) @ lp["ssm_out"]
+    return out, new_conv, h.reshape(B, d_in, ds)
+
+
 def _layer_kinds(cfg):
     """(attn_layer_indices, recurrent_layer_indices) from the per-layer
     kv-head array; a layer is recurrent iff n_head_kv(il) == 0
@@ -153,6 +198,9 @@ def init_hybrid_cache(cfg, batch: int, max_seq: int,
     elif cfg.shortconv_l_cache > 0:  # lfm2: conv over n_embd, no ssm state
         d_conv, width = cfg.shortconv_l_cache, cfg.n_embd
         ssm_shape = (len(rec), batch, 0, 0)
+    elif cfg.arch == "plamo2":  # conv over d_inner only
+        d_conv, width = cfg.ssm_d_conv, cfg.ssm_d_inner
+        ssm_shape = (len(rec), batch, cfg.ssm_d_inner, cfg.ssm_d_state)
     else:
         d_conv, width = cfg.ssm_d_conv, _conv_width(cfg)
         ssm_shape = (len(rec), batch, cfg.ssm_d_inner, cfg.ssm_d_state)
@@ -189,6 +237,8 @@ def make_hybrid_forward(cfg):
 
     if cfg.arch == "qwen3next":
         mamba_step = _deltanet_step
+    elif cfg.arch == "plamo2":
+        mamba_step = _plamo2_step
     elif cfg.shortconv_l_cache > 0:
         mamba_step = _shortconv_step
     elif cfg.ssm_n_group > 0:
@@ -216,6 +266,8 @@ def make_hybrid_forward(cfg):
                     cfg, lp, h, positions, k_all[ai], v_all[ai], None, None, rp)
                 k_all = k_all.at[ai].set(kc)
                 v_all = v_all.at[ai].set(vc)
+                if "attn_post_norm_w" in lp:  # plamo2 post-attn norm
+                    out = rms_norm(out, lp["attn_post_norm_w"], eps)
             if il in r_of:
                 ri = r_of[il]
 
@@ -232,6 +284,8 @@ def make_hybrid_forward(cfg):
                     time_step, (conv_all[ri], ssm_all[ri]),
                     (jnp.swapaxes(h, 0, 1), jnp.swapaxes(valid, 0, 1)))
                 rec_out = jnp.swapaxes(rec_out, 0, 1).astype(x.dtype)
+                if "attn_post_norm_w" in lp and il not in a_of:
+                    rec_out = rms_norm(rec_out, lp["attn_post_norm_w"], eps)
                 conv_all = conv_all.at[ri].set(conv1)
                 ssm_all = ssm_all.at[ri].set(ssm1)
                 # parallel hybrids sum attention + ssm (falcon-h1.cpp:70-72)
@@ -247,6 +301,8 @@ def make_hybrid_forward(cfg):
             if "ffn_norm_w" in lp:
                 hf = rms_norm(x, lp["ffn_norm_w"], eps)
                 ffn_out = _moe(lp, hf) if "w_router" in lp else _dense(lp, hf)
+                if "ffn_post_norm_w" in lp:  # plamo2 post-ffn norm
+                    ffn_out = rms_norm(ffn_out, lp["ffn_post_norm_w"], eps)
                 if rscale != 1.0:
                     ffn_out = ffn_out * jnp.asarray(rscale, ffn_out.dtype)
                 x = x + ffn_out
@@ -301,6 +357,11 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
             if fn is None:  # qwen3next names the pre-FFN norm attn_post_norm
                 fn = g("attn_post_norm.weight")
             lp["ffn_norm_w"] = jnp.asarray(fn, jnp.float32)
+            if cfg.arch == "plamo2":  # post-norms around both blocks
+                lp["attn_post_norm_w"] = jnp.asarray(
+                    g("attn_post_norm.weight"), jnp.float32)
+                lp["ffn_post_norm_w"] = jnp.asarray(
+                    g("ffn_post_norm.weight"), jnp.float32)
         if i in attn_set and cfg.arch == "qwen3next":
             # wq packs [q | gate] interleaved per head (2*D cols per head,
             # llama-model.cpp QWEN3NEXT wq {n_embd, head*2})
@@ -314,6 +375,17 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
                 np.ascontiguousarray(wq2[:, :, D:].reshape(E2, H * D)), dtype)
             lp["wk"] = lin("attn_k.weight")
             lp["wv"] = lin("attn_v.weight")
+            lp["wo"] = lin("attn_output.weight")
+        elif i in attn_set and cfg.arch == "plamo2":
+            # fused [Q;K;V] concat (plamo2.cpp wqkv views)
+            wqkv = g("attn_qkv.weight").T  # (E, total)
+            H, Hkv, D = cfg.n_head, cfg.n_head_kv, cfg.head_dim
+            lp["wq"] = jnp.asarray(
+                np.ascontiguousarray(wqkv[:, : H * D]), dtype)
+            lp["wk"] = jnp.asarray(np.ascontiguousarray(
+                wqkv[:, H * D: (H + Hkv) * D]), dtype)
+            lp["wv"] = jnp.asarray(np.ascontiguousarray(
+                wqkv[:, (H + Hkv) * D:]), dtype)
             lp["wo"] = lin("attn_output.weight")
         elif i in attn_set:
             lp["wq"] = lin("attn_q.weight")
@@ -350,6 +422,28 @@ def load_hybrid_layers(r, cfg, dtype=jnp.bfloat16) -> list[dict]:
             lp["sc_conv"] = jnp.asarray(np.ascontiguousarray(sck.T), jnp.float32)
             lp["sc_out"] = jnp.asarray(
                 np.ascontiguousarray(g("shortconv.out_proj.weight").T), jnp.float32)
+        elif i in rec_set and cfg.arch == "plamo2":
+            # plamo2 mamba tensors (src/models/plamo2.cpp)
+            lp["ssm_in"] = jnp.asarray(
+                np.ascontiguousarray(g("ssm_in.weight").T), jnp.float32)
+            cw = g("ssm_conv1d.weight")  # (d_inner, d_conv) numpy order
+            lp["conv_w"] = jnp.asarray(np.ascontiguousarray(cw.T), jnp.float32)
+            cb = g("ssm_conv1d.bias", required=False)
+            if cb is not None:
+                lp["conv_b"] = jnp.asarray(cb, jnp.float32)
+            lp["ssm_x"] = jnp.asarray(
+                np.ascontiguousarray(g("ssm_x.weight").T), jnp.float32)
+            lp["ssm_dt"] = jnp.asarray(
+                np.ascontiguousarray(g("ssm_dt.weight").T), jnp.float32)
+            lp["ssm_dt_b"] = jnp.asarray(g("ssm_dt.bias"), jnp.float32)
+            lp["ssm_a"] = jnp.asarray(g("ssm_a").reshape(-1), jnp.float32)
+            lp["ssm_d"] = jnp.asarray(g("ssm_d").reshape(-1), jnp.float32)
+            lp["ssm_out"] = jnp.asarray(
+                np.ascontiguousarray(g("ssm_out.weight").T), jnp.float32)
+            for nm, key in (("ssm_dt_norm", "ssm_dt_norm_w"),
+                            ("ssm_b_norm", "ssm_b_norm_w"),
+                            ("ssm_c_norm", "ssm_c_norm_w")):
+                lp[key] = jnp.asarray(g(nm + ".weight"), jnp.float32)
         elif i in rec_set and cfg.ssm_n_group > 0:
             # mamba2 block (falcon-h1/granite-hybrid style)
             lp["ssm_in"] = jnp.asarray(np.ascontiguousarray(g("ssm_in.weight").T),

@@ -741,3 +741,90 @@ def test_grovemoe_smoke(tmp_path):
         jnp.arange(6, dtype=jnp.int32)[None],
         init_cache(cfg, 1, 8, jnp.float32))
     assert np.abs(np.asarray(full) - np.asarray(lg0)).max() > 1e-6
+
+
+def test_plamo2_hybrid_smoke(tmp_path):
+    """plamo2 (ref src/models/plamo2.cpp): per-head mamba with post-conv
+    B/C/dt norms + fused-qkv attention, post-norms around both blocks —
+    direct GGUF, stepwise == full."""
+    from sparkinfer_tpu.gguf.constants import GGMLType
+    from sparkinfer_tpu.gguf.writer import GGUFWriter
+    from sparkinfer_tpu.models.hybrid import (init_hybrid_cache,
+                                              make_hybrid_forward)
+
+    rng = np.random.default_rng(0)
+    E, H, Hkv, D, F, V = 64, 4, 2, 16, 96, 120
+    DIN, DS, NH, DC, DTD = 64, 8, 8, 4, 64  # dt_dim = max(64, E/16)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+    wr = GGUFWriter(str(tmp_path / "plamo2.gguf"), "plamo2")
+    wr.add_kv("plamo2.block_count", np.uint32(2))
+    wr.add_kv("plamo2.embedding_length", np.uint32(E))
+    wr.add_kv("plamo2.attention.head_count", np.uint32(H))
+    wr.add_array("plamo2.attention.head_count_kv",
+                 np.asarray([0, Hkv], np.uint32))  # [mamba, attention]
+    wr.add_kv("plamo2.feed_forward_length", np.uint32(F))
+    wr.add_kv("plamo2.vocab_size", np.uint32(V))
+    wr.add_kv("plamo2.context_length", np.uint32(128))
+    wr.add_kv("plamo2.attention.key_length", np.uint32(D))
+    wr.add_kv("plamo2.attention.layer_norm_rms_epsilon", np.float32(1e-5))
+    wr.add_kv("plamo2.rope.freq_base", np.float32(10000.0))
+    wr.add_kv("plamo2.rope.dimension_count", np.uint32(D))
+    wr.add_kv("plamo2.ssm.inner_size", np.uint32(DIN))
+    wr.add_kv("plamo2.ssm.state_size", np.uint32(DS))
+    wr.add_kv("plamo2.ssm.conv_kernel", np.uint32(DC))
+    wr.add_kv("plamo2.ssm.time_step_rank", np.uint32(NH))
+    wr.add_tensor("token_embd.weight", w(V, E), GGMLType.F32)
+    wr.add_tensor("output_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+    wr.add_tensor("output.weight", w(V, E), GGMLType.F32)
+    for i in range(2):
+        p = f"blk.{i}."
+        wr.add_tensor(p + "attn_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+        wr.add_tensor(p + "attn_post_norm.weight", 1.0 + 0.1 * w(E),
+                      GGMLType.F32)
+        wr.add_tensor(p + "ffn_norm.weight", 1.0 + 0.1 * w(E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_post_norm.weight", 1.0 + 0.1 * w(E),
+                      GGMLType.F32)
+        wr.add_tensor(p + "ffn_up.weight", w(F, E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_gate.weight", w(F, E), GGMLType.F32)
+        wr.add_tensor(p + "ffn_down.weight", w(E, F), GGMLType.F32)
+    p = "blk.0."
+    wr.add_tensor(p + "ssm_in.weight", w(2 * DIN, E), GGMLType.F32)
+    wr.add_tensor(p + "ssm_conv1d.weight", w(DIN, DC), GGMLType.F32)
+    wr.add_tensor(p + "ssm_x.weight", w(2 * DS + DTD, DIN), GGMLType.F32)
+    wr.add_tensor(p + "ssm_dt.weight", w(NH, DTD), GGMLType.F32)
+    wr.add_tensor(p + "ssm_dt.bias", w(NH), GGMLType.F32)
+    wr.add_tensor(p + "ssm_a", -np.exp(w(NH)), GGMLType.F32)
+    wr.add_tensor(p + "ssm_d", 1.0 + 0.1 * w(NH), GGMLType.F32)
+    wr.add_tensor(p + "ssm_dt_norm.weight", 1.0 + 0.1 * w(DTD), GGMLType.F32)
+    wr.add_tensor(p + "ssm_b_norm.weight", 1.0 + 0.1 * w(DS), GGMLType.F32)
+    wr.add_tensor(p + "ssm_c_norm.weight", 1.0 + 0.1 * w(DS), GGMLType.F32)
+    wr.add_tensor(p + "ssm_out.weight", w(E, DIN), GGMLType.F32)
+    p = "blk.1."
+    wr.add_tensor(p + "attn_qkv.weight", w((H + 2 * Hkv) * D, E),
+                  GGMLType.F32)
+    wr.add_tensor(p + "attn_q_norm.weight", 1.0 + 0.1 * w(D), GGMLType.F32)
+    wr.add_tensor(p + "attn_k_norm.weight", 1.0 + 0.1 * w(D), GGMLType.F32)
+    wr.add_tensor(p + "attn_output.weight", w(E, H * D), GGMLType.F32)
+    wr.write()
+
+    model = load_model(str(tmp_path / "plamo2.gguf"), dtype=jnp.float32)
+    cfg = model.config
+    assert cfg.arch == "plamo2" and cfg.n_head_kv_arr == (0, 2)
+
+    fwd = jax.jit(make_hybrid_forward(cfg))
+    toks = np.random.default_rng(1).integers(0, V, 6).astype(np.int32)
+    full, _ = fwd(model.params, jnp.asarray(toks)[None],
+                  jnp.arange(6, dtype=jnp.int32)[None],
+                  init_hybrid_cache(cfg, 1, 16, jnp.float32))
+    assert np.isfinite(np.asarray(full)).all()
+    cache = init_hybrid_cache(cfg, 1, 16, jnp.float32)
+    outs = []
+    for t, tok in enumerate(toks):
+        lg, cache = fwd(model.params, jnp.asarray([[tok]], jnp.int32),
+                        jnp.full((1, 1), t, jnp.int32), cache)
+        outs.append(np.asarray(lg[0, 0]))
+    np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
+                               rtol=2e-4, atol=2e-4)
