@@ -353,6 +353,12 @@ _reg(ArchTraits("qwen3next", rope_mode="neox", recurrent=True,
                 ssm_hybrid=True))
 _reg(ArchTraits("lfm2moe", rope_mode="neox", recurrent=True, ssm_hybrid=True))
 _reg(ArchTraits("jamba", rope_mode="none", recurrent=True, ssm_hybrid=True))
+# cogvlm: text-expert stream (fused [Q;K;V], rms+silu). The parallel
+# vision-expert weights (vis_attn_qkv/vis_gate/...) select per-ubatch in
+# the reference (src/models/cogvlm.cpp:14-34); image-batch evaluation is
+# not wired (no vision tower oracle in this env)
+_reg(ArchTraits("cogvlm", rope_mode="neox", fused_qkv=True,
+                fused_qkv_concat=True))
 # plamo2: mamba(per-head dt/B/C-normed) + attention hybrid with
 # post-norms around both blocks (ref src/models/plamo2.cpp)
 _reg(ArchTraits("plamo2", rope_mode="neox", recurrent=True, ssm_hybrid=True))

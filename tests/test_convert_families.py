@@ -467,7 +467,8 @@ def test_mla_latent_cache_decode_and_memory(tmp_path):
                                   "bailingmoe", "pangu-embedded",
                                   "minimax-m2", "neo-bert", "plamo",
                                   "bailingmoe2", "gemma-embedding", "grok",
-                                  "openelm", "smallthinker"])
+                                  "openelm", "smallthinker",
+                                  "cogvlm"])
 def test_direct_gguf_arch_smoke(arch, tmp_path):
     """Trait-only (llama-shaped) archs load and run from a direct GGUF —
     no converter needed (llama.cpp-produced GGUFs of these archs use the
