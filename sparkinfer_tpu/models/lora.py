@@ -94,6 +94,27 @@ def apply_lora(params: dict, cfg: ModelConfig, path: str, scale: float = 1.0) ->
     return out
 
 
+def load_control_vector(path: str, n_layer: int, n_embd: int) -> np.ndarray:
+    """Read a control-vector GGUF (`direction.{l}` tensors, as written by
+    tools/cvector_generator.py and the reference's cvector-generator) into
+    an (n_layer, n_embd) array; absent layers stay zero (ref:
+    llama_adapter_cvec pads missing directions)."""
+    r = GGUFReader(path)
+    cv = np.zeros((n_layer, n_embd), np.float32)
+    found = False
+    for name, t in r.tensors.items():
+        if not name.startswith("direction."):
+            continue
+        l = int(name.split(".")[1])
+        if 0 <= l < n_layer:
+            cv[l] = t.to_f32().reshape(-1)[:n_embd]
+            found = True
+    r.close()
+    if not found:
+        raise ValueError(f"{path}: no direction.* tensors found")
+    return cv
+
+
 def apply_control_vector(params: dict, cfg: ModelConfig, vectors: np.ndarray,
                          scale: float = 1.0) -> dict:
     """vectors (L, E): per-layer bias added to the residual stream (ref:

@@ -1,29 +1,58 @@
-"""python -m sparkinfer_tpu.server — llama-server analogue entry point."""
+"""python -m sparkinfer_tpu.server — llama-server analogue entry point.
+
+Flags come from the shared declarative table (sparkinfer_tpu/common/args.py,
+the analogue of the reference's common/arg.cpp); the server scope adds
+--host/--port/-np/--alias/--api-key/--models plus the full sampler-default
+and SparkInfer sparse surfaces.
+"""
 
 from __future__ import annotations
 
-import argparse
-
 
 def main(argv=None) -> int:
-    ap = argparse.ArgumentParser(prog="sparkinfer-server")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("-np", "--n-slots", type=int, default=4)
-    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
-    ap.add_argument("-ctk", "--cache-type-k", choices=["f32", "bf16", "int8"],
-                    default="bf16")
-    ap.add_argument("--chat-template", default=None)
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--alias", default="sparkinfer-tpu")
+    from ..common.args import (
+        adapters_from_args,
+        build_parser,
+        sampler_from_args,
+    )
+
+    ap = build_parser("server", prog="sparkinfer-server", description=__doc__)
     args = ap.parse_args(argv)
+    if args.model is None and args.hf_repo:
+        from ..tools.hf import resolve_hf_gguf
+
+        args.model = resolve_hf_gguf(args.hf_repo)
+    if args.model is None:
+        ap.error("need -m/--model or -hf/--hf-repo")
 
     from ..models.loader import load_model
-    from ..runtime.sampling import SamplerConfig
     from .app import ServerConfig, SparkServer
 
     model = load_model(args.model)
+
+    sparse = None
+    if (args.sparse or model.config.has_predictors) and not args.dense \
+            and model.config.has_predictors:
+        from ..sparse.config import SparseConfig
+        from ..tools.cli import hbm_budget_to_hot_groups
+
+        hot = args.hot_groups
+        if not hot and args.hbm_budget:
+            hot = hbm_budget_to_hot_groups(args.hbm_budget, model.config,
+                                           args.group_size)
+        sparse = SparseConfig(group_size=args.group_size,
+                              capacity_groups=args.capacity_groups,
+                              hot_groups=hot)
+
+    extra_models = None
+    if args.models:
+        extra_models = {}
+        for spec in args.models:
+            name, _, path = spec.partition("=")
+            if not path:
+                ap.error(f"--models expects NAME=GGUF, got {spec!r}")
+            extra_models[name] = path
+
     srv = SparkServer(
         model,
         ServerConfig(
@@ -32,10 +61,17 @@ def main(argv=None) -> int:
             n_slots=args.n_slots,
             max_seq=args.ctx_size,
             model_name=args.alias,
-            kv_dtype=args.cache_type_k,
+            kv_dtype={"q8": "int8"}.get(args.cache_type_k, args.cache_type_k),
             chat_template=args.chat_template,
+            slot_save_path=args.slot_save_path,
+            api_key=args.api_key,
+            lora=adapters_from_args(args) or None,
+            extra_models=extra_models,
+            sparse=sparse,
+            split=args.split,
+            rebalance_every=args.rebalance_every,
         ),
-        sampler=SamplerConfig(temp=args.temp),
+        sampler=sampler_from_args(args),
     )
     print(f"listening on http://{args.host}:{args.port} "
           f"({args.n_slots} slots, ctx {args.ctx_size})")

@@ -45,6 +45,13 @@ class ServerConfig:
     # multi-model router (ref server-models.cpp): name -> GGUF path,
     # selected per request by the OpenAI "model" field, loaded lazily
     extra_models: dict | None = None
+    # bearer-token auth on API routes, /health stays open (ref:
+    # tools/server middleware_validate_api_key)
+    api_key: str | None = None
+    # SparkInfer sparse serving (predictor-gated; tiered when hot_groups>0)
+    sparse: object | None = None  # SparseConfig
+    split: object | None = None  # ModelSplit | path (offline profile)
+    rebalance_every: int = 1
 
 
 class SparkServer:
@@ -65,6 +72,9 @@ class SparkServer:
             kv_quantized=self.cfg.kv_dtype == "int8",
             ffn_fn=ffn_fn,
             tokenizer=self.tokenizer,
+            sparse=self.cfg.sparse,
+            split=self.cfg.split,
+            rebalance_every=self.cfg.rebalance_every,
         )
         self.template = self.cfg.chat_template or detect_template(
             model.vocab.chat_template
@@ -438,7 +448,23 @@ def _make_handler(srv: SparkServer):
             except json.JSONDecodeError:
                 return {}
 
+        def _authed(self) -> bool:
+            """Bearer-token check (ref: server middleware_validate_api_key;
+            /health and the web UI stay open like the reference's public
+            paths)."""
+            key = srv.cfg.api_key
+            if not key or self.path in ("/health", "/", "/index.html"):
+                return True
+            got = self.headers.get("Authorization", "")
+            if got == f"Bearer {key}":
+                return True
+            self._json(401, {"error": {"message": "invalid api key",
+                                       "type": "authentication_error"}})
+            return False
+
         def do_GET(self):
+            if not self._authed():
+                return
             if self.path in ("/", "/index.html"):
                 from .webui import INDEX_HTML
 
@@ -479,6 +505,8 @@ def _make_handler(srv: SparkServer):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
+            if not self._authed():
+                return
             body = self._body()
             try:
                 if self.path == "/tokenize":

@@ -15,65 +15,27 @@ this framework, including the SparkInfer additions:
   --cold-mode          host|drop
   -nps/--n-bench-prompts  batch-bench mode (ref tools/main/main.cpp:439,185)
   -ctk/--cache-type-k  f32|bf16|q8 KV cache type (ref arg.cpp:1665)
-Env mirrors (ref .set_env pattern): SPIF_MS, SPIF_VB.
+plus grammar (--grammar/--grammar-file/-j), adapters (--lora/
+--control-vector), the full sampler chain, --kv-iswa, --moe-mode.
+The flag table itself lives in sparkinfer_tpu/common/args.py (the
+analogue of the reference's declarative common/arg.cpp table) with
+SPARK_ARG_*/SPIF_* env mirrors resolved env-as-default, CLI-wins.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
 
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(prog="sparkinfer-cli", description=__doc__)
-    ap.add_argument("-m", "--model", default=None)
-    ap.add_argument("-hf", "--hf-repo", default=None,
-                    help="resolve model from the LOCAL HF hub cache: "
-                    "user/repo[:quant] (offline; ref common/arg.cpp -hf)")
-    ap.add_argument("-p", "--prompt", default=None)
-    ap.add_argument("-f", "--prompt-file", default=None)
-    ap.add_argument("-n", "--n-predict", type=int, default=64)
-    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--top-k", type=int, default=40)
-    ap.add_argument("--top-p", type=float, default=0.95)
-    ap.add_argument("--min-p", type=float, default=0.05)
-    ap.add_argument("--repeat-penalty", type=float, default=1.0)
-    ap.add_argument("-s", "--seed", type=int, default=42)
-    ap.add_argument("--spif-ms", "--split", dest="split",
-                    default=os.environ.get("SPIF_MS"))
-    ap.add_argument("-vb", "--hbm-budget", type=float,
-                    default=float(os.environ.get("SPIF_VB", 0)) or None,
-                    help="hot-cache HBM budget in GiB")
-    ap.add_argument("--hot-groups", type=int, default=0)
-    ap.add_argument("--capacity-groups", type=int, default=0)
-    ap.add_argument("--group-size", type=int, default=128)
-    ap.add_argument("--cold-mode", choices=["host", "drop"], default="host")
-    ap.add_argument("--sparse", action="store_true",
-                    help="force sparse FFN path (auto when predictors present)")
-    ap.add_argument("--dense", action="store_true", help="force dense FFN path")
-    ap.add_argument("-ctk", "--cache-type-k", choices=["f32", "bf16", "q8"],
-                    default="bf16")
-    ap.add_argument("-nps", "--n-bench-prompts", type=int, default=0,
-                    help="bench mode: run N prompts from --prompt-file, report t/s")
-    ap.add_argument("-i", "--interactive", action="store_true",
-                    help="chat REPL (ref: llama-cli interactive mode)")
-    ap.add_argument("--chat-template", default=None)
-    ap.add_argument("--draft-mode", choices=["none", "lookup", "lookahead"],
-                    default="none", help="draft-free speculative decoding "
-                    "(greedy only; ref examples/lookup, examples/lookahead)")
-    ap.add_argument("--draft", type=int, default=5,
-                    help="draft length for --draft-mode")
-    ap.add_argument("--json", action="store_true", help="bench output as JSON")
-    ap.add_argument("-gan", "--grp-attn-n", type=int, default=1,
-                    help="self-extend group size (ref main.cpp grp_attn_n)")
-    ap.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
-                    help="self-extend window (multiple of -gan)")
-    ap.add_argument("--verbose", action="store_true")
-    return ap
+    """All flags come from the shared declarative table (ref: the
+    reference declares every flag once in common/arg.cpp)."""
+    from ..common.args import build_parser as table_parser
+
+    return table_parser("cli", prog="sparkinfer-cli", description=__doc__)
 
 
 def hbm_budget_to_hot_groups(budget_gib: float, cfg, group_size: int) -> int:
@@ -86,20 +48,13 @@ def hbm_budget_to_hot_groups(budget_gib: float, cfg, group_size: int) -> int:
 def make_engine(args, model):
     import jax.numpy as jnp
 
+    from ..common.args import sampler_from_args
     from ..runtime.engine import Engine
-    from ..runtime.sampling import SamplerConfig
     from ..sparse.config import SparseConfig
 
-    sampler = SamplerConfig(
-        temp=args.temp,
-        top_k=args.top_k,
-        top_p=args.top_p,
-        min_p=args.min_p,
-        penalty_repeat=args.repeat_penalty,
-        seed=args.seed,
-    )
+    sampler = sampler_from_args(args)
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}.get(args.cache_type_k, jnp.bfloat16)
-    kv_quant = args.cache_type_k == "q8"
+    kv_quant = args.cache_type_k in ("q8", "int8")
 
     use_sparse = (args.sparse or model.config.has_predictors) and not args.dense
     sparse = None
@@ -126,10 +81,80 @@ def make_engine(args, model):
         sampler=sampler,
         kv_dtype=kv_dtype,
         kv_quantized=kv_quant,
+        kv_iswa=getattr(args, "kv_iswa", False),
         sparse=sparse,
         sparse_cold_mode=args.cold_mode,
         split=args.split,
+        rebalance_every=getattr(args, "rebalance_every", 1),
+        moe_mode=getattr(args, "moe_mode", "dense"),
     )
+
+
+def apply_adapters(args, model) -> None:
+    """Merge --lora/--lora-scaled and --control-vector* into the loaded
+    params (ref: common_init_from_params applies adapters after load,
+    common/common.cpp:1068-1085)."""
+    from ..common.args import adapters_from_args, control_vectors_from_args
+
+    loras = adapters_from_args(args)
+    cvecs = control_vectors_from_args(args)
+    if not loras and not cvecs:
+        return
+    from ..models.lora import (
+        apply_control_vector,
+        apply_lora,
+        load_control_vector,
+    )
+
+    for path, scale in loras:
+        model.params = apply_lora(model.params, model.config, path, scale)
+    for path, scale in cvecs:
+        cv = load_control_vector(path, model.config.n_layer,
+                                 model.config.n_embd)
+        model.params = apply_control_vector(model.params, model.config, cv,
+                                            scale)
+
+
+def grammar_main(args, model, gbnf: str) -> int:
+    """Grammar-constrained generation rides the Scheduler's on-device
+    logit-masking path (a 1-slot continuous-batching scheduler — the same
+    machinery the server uses; ref: grammar-first sampling in
+    common/sampling.cpp:104)."""
+    from ..common.args import sampler_from_args
+    from ..runtime.scheduler import Request, Scheduler
+    from ..tokenizer import build_tokenizer
+
+    if model.vocab is None:
+        print("--grammar needs a model with a tokenizer", file=sys.stderr)
+        return 1
+    tk = build_tokenizer(model.vocab)
+    prompt = args.prompt
+    if prompt is None and args.prompt_file:
+        prompt = open(args.prompt_file).read()
+    if prompt is None:
+        print("need -p/--prompt or -f/--prompt-file", file=sys.stderr)
+        return 1
+    sched = Scheduler(model, n_slots=1, max_seq=args.ctx_size,
+                      sampler=sampler_from_args(args), tokenizer=tk)
+    req = sched.submit(Request(
+        prompt_tokens=tk.encode(prompt, add_special=True),
+        max_new_tokens=args.n_predict,
+        grammar=gbnf,
+        seed=args.seed,
+    ))
+    sys.stdout.write(prompt)
+    sched.start()
+    try:
+        from ..server.app import _Utf8Stream
+
+        us = _Utf8Stream(tk)
+        for tok in req.stream():
+            sys.stdout.write(us.push([tok]))
+            sys.stdout.flush()
+        sys.stdout.write(us.flush() + "\n")
+    finally:
+        sched.stop()
+    return 0
 
 
 def bench_main(args, model) -> int:
@@ -225,6 +250,13 @@ def main(argv=None) -> int:
     if args.verbose:
         print(f"loaded {args.model} ({model.config.arch}) in {time.time()-t0:.1f}s",
               file=sys.stderr)
+    apply_adapters(args, model)
+
+    from ..common.args import grammar_from_args
+
+    gbnf = grammar_from_args(args)
+    if gbnf is not None:
+        return grammar_main(args, model, gbnf)
 
     if args.n_bench_prompts > 0:
         return bench_main(args, model)
