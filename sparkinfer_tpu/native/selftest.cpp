@@ -22,8 +22,8 @@ void spif_sparse_complement_f16(const float*, const uint16_t*, const uint16_t*,
                                 int32_t, int32_t, int32_t, float, float);
 int32_t spif_has_f16(void);
 void spif_dequant_q8_0(const uint8_t*, float*, int64_t);
-int32_t spif_reload_plan(const int32_t*, const int32_t*, int32_t, int32_t,
-                         int32_t*, int32_t*);
+int32_t spif_reload_plan(const int32_t*, int32_t, const int32_t*, int32_t,
+                         int32_t, int32_t*, int32_t*);
 }
 
 static float frand() { return (float)rand() / RAND_MAX - 0.5f; }
@@ -72,7 +72,7 @@ int main() {
     // reload planner: overlapping current/desired sets, tight window
     int32_t cur[4] = {0, 1, 2, 3}, want[4] = {2, 3, 9, 7};
     int32_t slots[4], groups[4];
-    int32_t n = spif_reload_plan(cur, want, 4, 2, slots, groups);
+    int32_t n = spif_reload_plan(cur, 4, want, 4, 2, slots, groups);
     if (n < 0 || n > 2) { fprintf(stderr, "plan size %d\n", n); return 1; }
 
     printf("native selftest ok\n");
