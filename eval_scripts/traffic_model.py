@@ -26,6 +26,7 @@ import sys
 
 SHAPES = {
     # name: (L, E, H, Hkv, F, V, R) — mirrors bench.py presets
+    "tiny": (2, 256, 8, 4, 512, 1024, 64),  # CPU smoke preset
     "1b": (22, 2048, 32, 4, 5632, 32000, 512),
     "3b": (26, 3200, 32, 32, 8640, 32000, 768),
     "7b": (32, 4096, 32, 32, 11008, 32000, 1024),
