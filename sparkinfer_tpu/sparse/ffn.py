@@ -445,6 +445,21 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
         wd = jnp.take(lp["w_down_rows"], idx, axis=0)
         return jnp.einsum("ncg,ncge->ne", hidden, wd.astype(hidden.dtype))
 
+    L = cfg.n_layer
+
+    def _pred(lp, il, nxt):
+        """Own (il) or next-layer ((il+1) mod L) predictor weights, from
+        either per-layer xs slices (pred_up / pred_up_nx) or one
+        loop-invariant stack (pred_up_all — the HBM-tight form that avoids
+        materializing the rolled `_nx` duplicate; see resolve_predictor)."""
+        if "pred_up_all" in lp:
+            from .predictor import resolve_predictor
+
+            return resolve_predictor(lp, (il + 1) % L if nxt else il)
+        sfx = "_nx" if nxt else ""
+        return (lp["pred_up" + sfx], lp["pred_up_b" + sfx],
+                lp["pred_down" + sfx], lp["pred_down_b" + sfx])
+
     def ffn(lp, x, carry, il):
         B, T, E = x.shape
         xt = x.reshape(B * T, E)
@@ -454,8 +469,7 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
         # every layer would pay the predictor weight read twice per step.
         idx, gp_sel = jax.lax.cond(
             il == 0,
-            lambda: _select(lp["pred_up"], lp["pred_up_b"],
-                            lp["pred_down"], lp["pred_down_b"], xt),
+            lambda: _select(*_pred(lp, il, False), xt),
             lambda: (carry["idx"], carry["gp_sel"]),
         )
 
@@ -464,8 +478,7 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
             out = out + lp["b_down"].astype(out.dtype)
 
         # selection for the NEXT layer via the pre-shifted predictor
-        nx_idx, nx_gp = _select(lp["pred_up_nx"], lp["pred_up_b_nx"],
-                                lp["pred_down_nx"], lp["pred_down_b_nx"], xt)
+        nx_idx, nx_gp = _select(*_pred(lp, il, True), xt)
         return out.reshape(B, T, E).astype(x.dtype), {"idx": nx_idx, "gp_sel": nx_gp}
 
     return ffn, carry_init

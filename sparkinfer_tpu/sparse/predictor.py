@@ -23,12 +23,37 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_predictor(lp: dict, il=None):
+    """Per-layer predictor weights from lp: either per-layer slices
+    (pred_up …, the lax.scan xs path) or loop-invariant stacks
+    (pred_up_all (L, E, R) …, indexed at `il`/lp["flat_il"]).
+
+    The stack form exists for HBM-tight models: the pipelined FFN needs
+    both layer il's and layer il+1's predictor, and materializing a rolled
+    `_nx` copy doubles predictor storage (~1 GB at 7B). Stacks ride as one
+    loop-invariant operand; the per-layer dynamic-slice fuses into the XLA
+    dots (only Pallas custom-call consumers force slice copies)."""
+    if "pred_up" in lp:
+        return (lp["pred_up"], lp["pred_up_b"],
+                lp["pred_down"], lp["pred_down_b"])
+    if il is None:
+        il = lp["flat_il"]
+
+    def f(a):
+        return jax.lax.dynamic_index_in_dim(a, il, 0, keepdims=False)
+
+    return (f(lp["pred_up_all"]), f(lp["pred_up_b_all"]),
+            f(lp["pred_down_all"]), f(lp["pred_down_b_all"]))
+
+
 def predict_activations(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     """lp carries pred_up (E, R), pred_up_b (R,), pred_down (R, F),
-    pred_down_b (F,); x (..., E) is the FFN input (already normed).
+    pred_down_b (F,) — or the `_all` stacks (see resolve_predictor);
+    x (..., E) is the FFN input (already normed).
     Returns activation probabilities (..., F) in f32."""
+    pu, pub, pd, pdb = resolve_predictor(lp)
     xf = x.astype(jnp.float32)
-    h = xf @ lp["pred_up"].astype(jnp.float32) + lp["pred_up_b"].astype(jnp.float32)
+    h = xf @ pu.astype(jnp.float32) + pub.astype(jnp.float32)
     h = jnp.maximum(h, 0.0)
-    z = h @ lp["pred_down"].astype(jnp.float32) + lp["pred_down_b"].astype(jnp.float32)
+    z = h @ pd.astype(jnp.float32) + pdb.astype(jnp.float32)
     return jax.nn.sigmoid(z)

@@ -505,3 +505,41 @@ def test_dense_prefill_from_v6_transposed_rows(sparse_model):
                  init_cache(cfg, 1, 16, jnp.float32))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pipelined_pred_stacks_match_per_layer(sparse_model):
+    """Loop-invariant predictor stacks (pred_up_all in sparse_flat; the
+    HBM-tight form that avoids the rolled `_nx` duplicate) produce
+    IDENTICAL logits to the per-layer xs form."""
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    base = {"tok_embd": model.params["tok_embd"],
+            "output_norm_w": model.params["output_norm_w"],
+            "output": model.params["output"],
+            "layers": {k: v for k, v in model.params["layers"].items()
+                       if not k.endswith("_nx")}}
+    params = prepare_pipelined_params(base, cfg, scfg)
+
+    # stack form: move predictor weights out of layers into sparse_flat
+    slayers = {k: v for k, v in params["layers"].items()
+               if not k.startswith("pred_")}
+    stacked = dict(params)
+    stacked["layers"] = slayers
+    stacked["sparse_flat"] = {
+        k + "_all": params["layers"][k]
+        for k in ("pred_up", "pred_up_b", "pred_down", "pred_down_b")}
+
+    ffn_p, carry_init = make_pipelined_sparse_ffn(cfg, scfg, mode="gather")
+    fwd = jax.jit(make_forward(cfg, ffn_fn=ffn_p, ffn_carry_init=carry_init))
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, 6).astype(np.int32))[None]
+    pos = jnp.arange(6, dtype=jnp.int32)[None]
+    a, _ = fwd(params, toks, pos, init_cache(cfg, 1, 16, jnp.float32))
+    b, _ = fwd(stacked, toks, pos, init_cache(cfg, 1, 16, jnp.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
