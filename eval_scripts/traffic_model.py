@@ -30,7 +30,12 @@ SHAPES = {
     "1b": (22, 2048, 32, 4, 5632, 32000, 512),
     "3b": (26, 3200, 32, 32, 8640, 32000, 768),
     "7b": (32, 4096, 32, 32, 11008, 32000, 1024),
+    "13b": (40, 5120, 40, 40, 13824, 32000, 1280),  # > v5e HBM: tiered only
 }
+
+# measured on-chip dense decode (BENCH_NOTES.md) for calibrating the
+# modeled-dense baseline of beyond-HBM presets
+MEASURED_DENSE_TPS = {"1b": 238.0, "3b": 73.87, "7b": 44.52}
 CTX = 1024
 CAP_FRAC = 0.25  # capacity_groups ~ 25% of groups (bench.py build_sparse)
 G = 128
