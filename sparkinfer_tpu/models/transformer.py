@@ -542,6 +542,16 @@ def make_forward(
         def body(x, lp, kc, vc, ks, vs, fs, il, ring_w=0):
             # unpack the zero-size placeholders lax.scan required (None can't
             # ride in xs/ys); shapes are static so this resolves at trace time
+            if flat is not None:
+                # merge the loop-invariant flat stores up front so ATTENTION
+                # weights can also live there (FlatQuantTensor stores bind
+                # the layer index late — the Pallas quant matmul block-
+                # indexes the flat store, no per-layer slice copy)
+                from ..ops.quant_matmul import FlatQuantTensor
+
+                lp = {**lp, **flat, "flat_il": il}
+                lp = {k: (v.with_il(il) if isinstance(v, FlatQuantTensor)
+                          else v) for k, v in lp.items()}
             x_in = x  # layer input (arctic parallel-MoE residual source)
             if tr.moe_router_on_input and "w_router" in lp:
                 # smallthinker lookahead routing: router logits computed
@@ -561,8 +571,7 @@ def make_forward(
                 # output REPLACES the stream: ffn(ffn_norm(h)) + h
                 h2 = (_norm(h, lp["ffn_norm_w"], lp.get("ffn_norm_b"),
                             tr.norm, eps) if "ffn_norm_w" in lp else h)
-                lpf = ({**lp, **flat, "flat_il": il}
-                       if flat is not None else lp)
+                lpf = lp  # flat already merged at body top
                 if stateful_ffn or ffn_carry_init is not None:
                     y, fs2 = ffn(lpf, h2, fs, il)
                 else:
@@ -586,7 +595,7 @@ def make_forward(
                 attn_out = attn_out * jnp.asarray(cfg.residual_scale, attn_out.dtype)
 
             def run_ffn(h_in):
-                lpf = {**lp, **flat, "flat_il": il} if flat is not None else lp
+                lpf = lp  # flat already merged at body top
                 if stateful_ffn:
                     return ffn(lpf, h_in, fs, il)
                 if ffn_carry_init is not None:

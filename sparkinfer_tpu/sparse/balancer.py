@@ -110,13 +110,33 @@ class Balancer:
         fj = jnp.asarray(l_idx * H + s_idx)
         # up/gate upload transposed to the v6 (E, G) block layout
         upT = np.ascontiguousarray(np.swapaxes(self.cold.up[l_idx, g_idx], -1, -2))
-        new_up = _apply_swaps(tp.hot_upT, fj, jnp.asarray(upT))
-        new_gate = None
+        gT = None
         if tp.hot_gateT is not None:
             gT = np.ascontiguousarray(np.swapaxes(self.cold.gate[l_idx, g_idx], -1, -2))
+        dn = self.cold.down[l_idx, g_idx]
+        new_s = (None, None, None)
+        if tp.quantized:
+            # Q8_0 store: quantize the entering blocks HOST-side (numpy,
+            # same ggml scale math as the store build) and scatter packed
+            # bytes + scales — the H2D rides at half the bf16 bytes
+            from ..ops.sparse_ffn_pallas import quantize_rows_q8_0
+
+            upT, su = quantize_rows_q8_0(upT, True)
+            sg = None
+            if gT is not None:
+                gT, sg = quantize_rows_q8_0(gT, True)
+            dn, sd = quantize_rows_q8_0(dn, False)
+            new_s = (
+                _apply_swaps(tp.s_upT, fj, jnp.asarray(su)),
+                None if sg is None else _apply_swaps(tp.s_gateT, fj,
+                                                     jnp.asarray(sg)),
+                _apply_swaps(tp.s_down, fj, jnp.asarray(sd)),
+            )
+        new_up = _apply_swaps(tp.hot_upT, fj, jnp.asarray(upT))
+        new_gate = None
+        if gT is not None:
             new_gate = _apply_swaps(tp.hot_gateT, fj, jnp.asarray(gT))
-        new_down = _apply_swaps(tp.hot_down, fj,
-                                jnp.asarray(self.cold.down[l_idx, g_idx]))
+        new_down = _apply_swaps(tp.hot_down, fj, jnp.asarray(dn))
 
         self.total_swaps += len(swaps)
         self.rebalances += 1
@@ -141,6 +161,7 @@ class Balancer:
             hot_down=new_down,
             group_map=jnp.asarray(gmap),
             hot_ids=jnp.asarray(hot_ids),
+            s_upT=new_s[0], s_gateT=new_s[1], s_down=new_s[2],
         )
 
     def adapt_window(self, step_s: float):

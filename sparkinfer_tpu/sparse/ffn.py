@@ -360,9 +360,9 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
     thr = scfg.threshold
 
     def _select(pu, pub, pd, pdb, xt):
-        xf = xt.astype(jnp.float32)
-        h = jnp.maximum(xf @ pu.astype(jnp.float32) + pub, 0.0)
-        probs = jax.nn.sigmoid(h @ pd.astype(jnp.float32) + pdb)
+        from .predictor import predict_from
+
+        probs = predict_from(pu, pub, pd, pdb, xt)
         idx = select_groups(probs, scfg, F)
         gp = probs.reshape(-1, ng, G)
         gp_sel = jnp.take_along_axis(gp, idx[..., None], axis=1)

@@ -42,6 +42,13 @@ def resolve_predictor(lp: dict, il=None):
     def f(a):
         return jax.lax.dynamic_index_in_dim(a, il, 0, keepdims=False)
 
+    if "pred_up_qt" in lp:
+        # Q8_0-packed predictor stacks (FlatQuantTensor): ~half the
+        # predictor HBM bytes/step — at 13B the bf16 predictor is ~13% of
+        # sparse decode traffic (VERDICT r2 item 1b). Rebind the layer
+        # index (callers may ask for (il+1) % L on the pipelined path).
+        return (lp["pred_up_qt"].with_il(il), f(lp["pred_up_b_all"]),
+                lp["pred_down_qt"].with_il(il), f(lp["pred_down_b_all"]))
     return (f(lp["pred_up_all"]), f(lp["pred_up_b_all"]),
             f(lp["pred_down_all"]), f(lp["pred_down_b_all"]))
 
@@ -52,8 +59,22 @@ def predict_activations(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
     x (..., E) is the FFN input (already normed).
     Returns activation probabilities (..., F) in f32."""
     pu, pub, pd, pdb = resolve_predictor(lp)
+    return predict_from(pu, pub, pd, pdb, x)
+
+
+def predict_from(pu, pub, pd, pdb, x):
+    """Predictor math from resolved weights; pu/pd may be plain arrays or
+    (Flat)QuantTensor packed stores (fused dequant matmul)."""
+    from ..ops.quant_matmul import quant_linear
+
     xf = x.astype(jnp.float32)
-    h = xf @ pu.astype(jnp.float32) + pub.astype(jnp.float32)
+    if hasattr(pu, "kind"):
+        h = quant_linear(xf, pu) + pub.astype(jnp.float32)
+    else:
+        h = xf @ pu.astype(jnp.float32) + pub.astype(jnp.float32)
     h = jnp.maximum(h, 0.0)
-    z = h @ pd.astype(jnp.float32) + pdb.astype(jnp.float32)
+    if hasattr(pd, "kind"):
+        z = quant_linear(h, pd) + pdb.astype(jnp.float32)
+    else:
+        z = h @ pd.astype(jnp.float32) + pdb.astype(jnp.float32)
     return jax.nn.sigmoid(z)

@@ -136,15 +136,26 @@ class TieredParams(NamedTuple):
     the same loop-invariance + v6-kernel layout as the all-HBM path (see
     prepare_pipelined_params): block row = il*H + slot."""
 
-    hot_upT: jnp.ndarray  # (L*H, E, G)
+    hot_upT: jnp.ndarray  # (L*H, E, G) bf16/f32 — int8 when s_upT is set
     hot_gateT: jnp.ndarray | None
     hot_down: jnp.ndarray  # (L*H, G, E)
     group_map: jnp.ndarray  # (L, n_g) int32: slot or -1
     hot_ids: jnp.ndarray  # (L, H) int32: slot -> group id (for debug/state io)
+    # Q8_0 per-32-sublane scales (None = unquantized store). A Q8_0 hot
+    # store holds ~2x the groups per HBM byte AND halves the sparse-FFN
+    # stream per step (fused-dequant v6q kernel) — the reference's sparse
+    # weight types include Q8_0 (src/llama-sparkinfer.cpp:178).
+    s_upT: jnp.ndarray | None = None  # (L*H, E//32, G) f32
+    s_gateT: jnp.ndarray | None = None
+    s_down: jnp.ndarray | None = None  # (L*H, G//32, E) f32
 
     @property
     def n_hot(self) -> int:
         return self.hot_ids.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.s_upT is not None
 
 
 class DFRState(NamedTuple):
@@ -161,6 +172,7 @@ def init_tiered(
     layers: dict,
     hot_groups: int,
     init_hot: np.ndarray | None = None,  # (L, H) group ids; default first H
+    quant: str | None = None,  # "q8_0" packs the hot store (v6q kernel)
 ) -> tuple[TieredParams, DFRState]:
     """Build the initial hot cache from the (stacked, row-layout) layer
     params. By default the FIRST H groups are hot — combined with the
@@ -187,13 +199,36 @@ def init_tiered(
             sel = jnp.swapaxes(sel, -1, -2)  # (L, H, E, G)
         return sel.reshape((L * H,) + sel.shape[2:])
 
-    tp = TieredParams(
-        hot_upT=gather(layers["w_up_rows"], True),
-        hot_gateT=gather(layers["w_gate_rows"], True) if "w_gate_rows" in layers else None,
-        hot_down=gather(layers["w_down_rows"], False),
-        group_map=jnp.asarray(gm),
-        hot_ids=ids,
-    )
+    if quant == "q8_0":
+        from ..ops.sparse_ffn_pallas import quantize_rows_q8_0
+
+        qu, su = quantize_rows_q8_0(gather(layers["w_up_rows"], True), True)
+        qg = sg = None
+        if "w_gate_rows" in layers:
+            qg, sg = quantize_rows_q8_0(gather(layers["w_gate_rows"], True),
+                                        True)
+        qd, sd = quantize_rows_q8_0(gather(layers["w_down_rows"], False),
+                                    False)
+        tp = TieredParams(
+            hot_upT=jnp.asarray(qu),
+            hot_gateT=None if qg is None else jnp.asarray(qg),
+            hot_down=jnp.asarray(qd),
+            group_map=jnp.asarray(gm), hot_ids=ids,
+            s_upT=jnp.asarray(su),
+            s_gateT=None if sg is None else jnp.asarray(sg),
+            s_down=jnp.asarray(sd),
+        )
+    elif quant is not None:
+        raise ValueError(f"unsupported tiered store quant {quant!r}")
+    else:
+        tp = TieredParams(
+            hot_upT=gather(layers["w_up_rows"], True),
+            hot_gateT=gather(layers["w_gate_rows"], True)
+            if "w_gate_rows" in layers else None,
+            hot_down=gather(layers["w_down_rows"], False),
+            group_map=jnp.asarray(gm),
+            hot_ids=ids,
+        )
     st = DFRState(
         dfr=jnp.zeros((L, ng), jnp.float32),
         miss=jnp.zeros((L, 1), jnp.float32),
@@ -234,7 +269,8 @@ def make_tiered_ffn(
         # the flat-store stride is the ACTUAL hot-slot count (shapes are
         # static at trace time), not the config default — init_tiered may
         # have clamped or the caller overridden it
-        H = lp["hot_upT_flat"].shape[0] // L
+        q8 = "qhot_upT_flat" in lp
+        H = lp["qhot_upT_flat" if q8 else "hot_upT_flat"].shape[0] // L
         B, T, E = x.shape
         xt = x.reshape(B * T, E)
         N = B * T
@@ -255,7 +291,20 @@ def make_tiered_ffn(
             bu_sel = jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32), idx, axis=0)
 
         slots_flat = slots_safe + il * H
-        if kernel == "pallas":
+        if kernel == "pallas" and q8:
+            from ..ops.sparse_ffn_pallas import sparse_ffn_block_v6q
+
+            out = sparse_ffn_block_v6q(
+                xt, slots_flat, gp_hot,
+                lp["qhot_upT_flat"], lp["s_hot_upT_flat"],
+                lp.get("qhot_gateT_flat"), lp.get("s_hot_gateT_flat"),
+                lp["qhot_down_flat"], lp["s_hot_down_flat"],
+                act=act_name,
+                fatrelu_threshold=cfg.fatrelu_threshold,
+                prob_threshold=thr,
+                bu_sel=bu_sel,
+            )
+        elif kernel == "pallas":
             out = sparse_ffn_block_v6(
                 xt,
                 slots_flat,
@@ -270,20 +319,35 @@ def make_tiered_ffn(
             )
         else:
             # gather math over the flat stores (CPU/tests)
-            from .ffn import _sparse_act
+            from .ffn import _dequant_sub_nd, _sparse_act
 
             act = _sparse_act(act_name, cfg.fatrelu_threshold)
-            wuT = jnp.take(lp["hot_upT_flat"], slots_flat, axis=0)  # (N,C,E,G)
+            if q8:
+                wuT = _dequant_sub_nd(
+                    jnp.take(lp["qhot_upT_flat"], slots_flat, axis=0),
+                    jnp.take(lp["s_hot_upT_flat"], slots_flat, axis=0))
+            else:
+                wuT = jnp.take(lp["hot_upT_flat"], slots_flat, axis=0)
             up = jnp.einsum("ne,nceg->ncg", xt, wuT.astype(xt.dtype))
             if bu_sel is not None:
                 up = up + bu_sel.astype(up.dtype)
             gate = None
-            if lp.get("hot_gateT_flat") is not None:
+            if q8 and lp.get("qhot_gateT_flat") is not None:
+                wgT = _dequant_sub_nd(
+                    jnp.take(lp["qhot_gateT_flat"], slots_flat, axis=0),
+                    jnp.take(lp["s_hot_gateT_flat"], slots_flat, axis=0))
+                gate = jnp.einsum("ne,nceg->ncg", xt, wgT.astype(xt.dtype))
+            elif lp.get("hot_gateT_flat") is not None:
                 wgT = jnp.take(lp["hot_gateT_flat"], slots_flat, axis=0)
                 gate = jnp.einsum("ne,nceg->ncg", xt, wgT.astype(xt.dtype))
             hidden = act(gate, up) if gate is not None else act(None, up)
             hidden = hidden * (gp_hot >= thr).astype(hidden.dtype)
-            wd = jnp.take(lp["hot_down_flat"], slots_flat, axis=0)
+            if q8:
+                wd = _dequant_sub_nd(
+                    jnp.take(lp["qhot_down_flat"], slots_flat, axis=0),
+                    jnp.take(lp["s_hot_down_flat"], slots_flat, axis=0))
+            else:
+                wd = jnp.take(lp["hot_down_flat"], slots_flat, axis=0)
             out = jnp.einsum("ncg,ncge->ne", hidden, wd.astype(hidden.dtype))
             # kill contributions of cold-selected slots entirely (their
             # gp_hot is 0 so the threshold mask already zeroes them)
@@ -337,7 +401,14 @@ def tiered_layer_params(layers: dict, tp: TieredParams) -> tuple[dict, dict]:
     the hot cache every layer, every step."""
     out = {k: v for k, v in layers.items() if not k.endswith("_rows")}
     out["group_map"] = tp.group_map
-    flat = {"hot_upT_flat": tp.hot_upT, "hot_down_flat": tp.hot_down}
-    if tp.hot_gateT is not None:
-        flat["hot_gateT_flat"] = tp.hot_gateT
+    if tp.quantized:
+        flat = {"qhot_upT_flat": tp.hot_upT, "s_hot_upT_flat": tp.s_upT,
+                "qhot_down_flat": tp.hot_down, "s_hot_down_flat": tp.s_down}
+        if tp.hot_gateT is not None:
+            flat["qhot_gateT_flat"] = tp.hot_gateT
+            flat["s_hot_gateT_flat"] = tp.s_gateT
+    else:
+        flat = {"hot_upT_flat": tp.hot_upT, "hot_down_flat": tp.hot_down}
+        if tp.hot_gateT is not None:
+            flat["hot_gateT_flat"] = tp.hot_gateT
     return out, flat
