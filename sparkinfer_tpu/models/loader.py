@@ -41,7 +41,7 @@ def _pack(w, dtype):
     if isinstance(w, tuple) and w[0] == "quant":
         from ..ops.quant_matmul import QuantTensor
 
-        return QuantTensor(jnp.asarray(w[2]), jnp.asarray(w[3]), w[1])
+        return QuantTensor.from_repack(w[2], w[3], w[1])
     return _as_jnp(w, dtype)
 
 
@@ -452,9 +452,9 @@ def load_model(
 
             kind = arrs[0][1]
             assert all(a[1] == kind for a in arrs), f"{k}: mixed quant kinds"
-            return put(f"layers.{k}", QuantTensor(
-                jnp.asarray(np.stack([a[2] for a in arrs])),
-                jnp.asarray(np.stack([a[3] for a in arrs])),
+            return put(f"layers.{k}", QuantTensor.from_repack(
+                np.stack([a[2] for a in arrs]),
+                np.stack([a[3] for a in arrs]),
                 kind,
             ))
         stacked = np.stack(arrs)

@@ -6,13 +6,21 @@ mmvq, CPU vec_dot over ggml-quants blocks): weights stay PACKED in HBM
 on the way into the MXU — HBM traffic is the packed size, which is the
 whole speedup for bandwidth-bound decode.
 
-Device layout (host-side repack at load, ops/quant_matmul.repack_*):
+Wire repack (host, at load, ops/quant_matmul.repack_*): out-major
   Q4_0: qw  (out, in/2) uint8 — SEQUENTIAL nibbles (byte j = q[2j] | q[2j+1]<<4),
         repacked from ggml's interleaved order (byte j = q[j] | q[j+16]<<4,
         ggml-common.h block_q4_0) so the kernel unpack is a cheap
         deinterleave; value = (nibble - 8) * scale
   Q8_0: qw  (out, in) int8
   both: scales (out, in/32) f32 (one per 32-weight block, ggml block size)
+
+Device layout (QuantTensor.from_repack): IN-MAJOR (transposed) —
+  qw (in/div, out), scales (in/32, out). Load-bearing for Mosaic: the
+  per-32-block scale broadcast is a reshape that splits the SUBLANE dim
+  ((in, out) -> (in/32, 32, out)), which the TPU vector layout supports;
+  the out-major orientation would need a lane-dim-splitting reshape
+  ((out, in) -> (out, in/32, 32)) that Mosaic rejects ("unsupported shape
+  cast"). IN-major is also the natural (non-transposed RHS) MXU feed.
 
 Out-of-tile-alignment shapes fall back to an XLA dequant+matmul (still
 device-resident packed storage, just no pallas tiling).
@@ -70,22 +78,27 @@ def repack_q8_0(raw: np.ndarray, out_dim: int, in_dim: int):
 
 
 # --------------------------------------------------------------------------
-# in-kernel dequant helpers
+# in-kernel dequant helpers (IN-major tiles)
 
 
-def _unpack_q4(qtile: jnp.ndarray) -> jnp.ndarray:
-    """(TO, TI/2) uint8 sequential nibbles -> (TO, TI) f32 centred values."""
+def _unpack_q4_T(qtile: jnp.ndarray) -> jnp.ndarray:
+    """(TI/2, TO) uint8 sequential nibbles -> (TI, TO) f32 centred values
+    (low nibble = even in-dim, high = odd; interleave along the SUBLANE
+    axis — the lane-dim variant is an unsupported Mosaic shape cast)."""
     b = qtile.astype(jnp.int32)
     low = (b & 15) - 8
     high = ((b >> 4) & 15) - 8
-    TO, TIH = qtile.shape
-    inter = jnp.stack([low, high], axis=-1).reshape(TO, TIH * 2)
+    TIH, TO = qtile.shape
+    inter = jnp.stack([low, high], axis=1).reshape(TIH * 2, TO)
     return inter.astype(jnp.float32)
 
 
-def _scale_rows(w: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
-    TO, TI = w.shape
-    return (w.reshape(TO, TI // QK, QK) * scales[..., None]).reshape(TO, TI)
+def _scale_cols(w: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """w (TI, TO) f32, scales (TI//QK, TO): per-32-IN-block scaling via a
+    sublane-splitting reshape (Mosaic-supported)."""
+    TI, TO = w.shape
+    w3 = w.reshape(TI // QK, QK, TO)
+    return (w3 * scales.astype(jnp.float32)[:, None, :]).reshape(TI, TO)
 
 
 # --------------------------------------------------------------------------
@@ -93,24 +106,17 @@ def _scale_rows(w: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
 
 
 def _q_matmul_kernel(kind, x_ref, qw_ref, sc_ref, out_ref):
-    j = pl.program_id(1)
+    # full-IN column stripes: each grid step owns a (IN, TO) stripe, so
+    # the scale block spans the whole IN//32 axis in one piece
     if kind == "q4_0":
-        w = _unpack_q4(qw_ref[:])
+        w = _unpack_q4_T(qw_ref[:])
     else:  # q8_0
         w = qw_ref[:].astype(jnp.float32)
-    w = _scale_rows(w, sc_ref[:])  # (TO, TI) f32
-    part = jax.lax.dot_general(
-        x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+    w = _scale_cols(w, sc_ref[:])  # (IN, TO) f32
+    out_ref[:] = jax.lax.dot_general(
+        x_ref[:], w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (N, TO)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = part
-
-    @pl.when(j > 0)
-    def _():
-        out_ref[:] = out_ref[:] + part
+    )  # (TN, TO)
 
 
 def _pick_tile(dim: int, targets=(512, 256, 128, 64, 32, 16, 8)) -> int:
@@ -120,41 +126,61 @@ def _pick_tile(dim: int, targets=(512, 256, 128, 64, 32, 16, 8)) -> int:
     return dim
 
 
+# full-IN column stripes keep VMEM bounded up to this reduction width
+# (TO=512 int8 stripe at 16384 = 8 MB, double-buffered)
+_MAX_FULL_IN = 16384
+# the dequantized f32 intermediate is IN*TO*4 bytes of scoped VMEM, well
+# past Mosaic's conservative 16 MB default at IN~14k — raise the limit
+# and cap the stripe so packed+f32+bf16 (~7 bytes/weight) stays bounded
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _pick_stripe(out: int, in_: int) -> int:
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if out % t == 0 and in_ * t * 7 <= 48 * 1024 * 1024:
+            return t
+    return _pick_tile(out)
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "interpret"))
 def quant_matmul_2d(
     x: jnp.ndarray,  # (N, in) bf16/f32
-    qw: jnp.ndarray,  # packed (out, in/2) u8 or (out, in) i8
-    scales: jnp.ndarray,  # (out, in/32) f32
+    qw: jnp.ndarray,  # packed IN-major (in/2, out) u8 or (in, out) i8
+    scales: jnp.ndarray,  # (in/32, out) f32/bf16
     *,
     kind: str,
     interpret: bool | None = None,
 ) -> jnp.ndarray:  # (N, out) f32
     N, IN = x.shape
-    OUT = qw.shape[0]
+    OUT = qw.shape[1]
     if interpret is None:
         try:
             interpret = jax.devices()[0].platform != "tpu"
         except Exception:
             interpret = True
 
-    TO = _pick_tile(OUT)
-    TI = _pick_tile(IN, (1024, 512, 256, 128, 64, 32))
-    if TI % QK != 0 or IN % TI != 0 or OUT % TO != 0:
+    TO = _pick_stripe(OUT, IN)
+    TN = _pick_tile(N, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    if (IN % QK != 0 or OUT % TO != 0 or IN > _MAX_FULL_IN
+            or ((TO % 128 != 0 or not (TN % 8 == 0 or TN == N))
+                and not interpret)):
         return _xla_fallback(x, qw, scales, kind)
 
     div = 2 if kind == "q4_0" else 1
-    grid = (OUT // TO, IN // TI)
+    grid = (N // TN, OUT // TO)
     out = pl.pallas_call(
         functools.partial(_q_matmul_kernel, kind),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((N, TI), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TO, TI // div), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TO, TI // QK), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, IN), lambda n, i: (n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN // div, TO), lambda n, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN // QK, TO), lambda n, i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, TO), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TN, TO), lambda n, i: (n, i),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, OUT), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * OUT * IN,
             bytes_accessed=qw.size + scales.size * 4 + N * IN * 2 + N * OUT * 4,
@@ -165,18 +191,20 @@ def quant_matmul_2d(
 
 
 def _xla_fallback(x, qw, scales, kind):
+    # qw/scales IN-major: (in/div, out), (in/32, out)
     if kind == "q4_0":
         b = qw.astype(jnp.int32)
         low = (b & 15) - 8
         high = ((b >> 4) & 15) - 8
-        OUT, TIH = qw.shape
-        w = jnp.stack([low, high], axis=-1).reshape(OUT, TIH * 2).astype(jnp.float32)
+        TIH, OUT = qw.shape
+        w = jnp.stack([low, high], axis=1).reshape(TIH * 2, OUT).astype(jnp.float32)
     else:
         w = qw.astype(jnp.float32)
-    OUT, IN = w.shape
-    w = (w.reshape(OUT, IN // QK, QK) * scales[..., None]).reshape(OUT, IN)
+    IN, OUT = w.shape
+    w = (w.reshape(IN // QK, QK, OUT)
+         * scales.astype(jnp.float32)[:, None, :]).reshape(IN, OUT)
     return jax.lax.dot_general(
-        x, w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        x, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -196,32 +224,23 @@ def _xla_fallback(x, qw, scales, kind):
 def _q_matmul_flat_kernel(kind, il_ref, x_ref, qw_ref, sc_ref, out_ref):
     # identical math to _q_matmul_kernel; the layer offset (il_ref, the
     # scalar-prefetch operand) lives entirely in the BlockSpec index maps
-    j = pl.program_id(1)
     if kind == "q4_0":
-        w = _unpack_q4(qw_ref[:])
+        w = _unpack_q4_T(qw_ref[:])
     else:
         w = qw_ref[:].astype(jnp.float32)
-    w = _scale_rows(w, sc_ref[:])
-    part = jax.lax.dot_general(
-        x_ref[:], w.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+    w = _scale_cols(w, sc_ref[:])
+    out_ref[:] = jax.lax.dot_general(
+        x_ref[:], w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = part
-
-    @pl.when(j > 0)
-    def _():
-        out_ref[:] = out_ref[:] + part
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kind", "out_dim", "interpret"))
 def quant_matmul_flat(
     x: jnp.ndarray,  # (N, in) bf16/f32
-    qw: jnp.ndarray,  # packed flat (L*out, in/2) u8 or (L*out, in) i8
-    scales: jnp.ndarray,  # (L*out, in/32) f32
+    qw: jnp.ndarray,  # packed IN-major flat (in/2, L*out) u8 or (in, L*out) i8
+    scales: jnp.ndarray,  # (in/32, L*out) f32/bf16
     il: jnp.ndarray,  # () int32 layer index
     *,
     kind: str,
@@ -236,38 +255,41 @@ def quant_matmul_flat(
         except Exception:
             interpret = True
 
-    TO = _pick_tile(OUT)
-    TI = _pick_tile(IN, (1024, 512, 256, 128, 64, 32))
-    if TI % QK != 0 or IN % TI != 0 or OUT % TO != 0:
+    TO = _pick_stripe(OUT, IN)
+    TN = _pick_tile(N, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    if (IN % QK != 0 or OUT % TO != 0 or IN > _MAX_FULL_IN
+            or ((TO % 128 != 0 or not (TN % 8 == 0 or TN == N))
+                and not interpret)):
         # slice fallback (CPU tests / odd shapes): dynamic-slice the layer
         # then the plain XLA dequant path — correctness only
-        row0 = il * OUT
-        qw_l = jax.lax.dynamic_slice_in_dim(qw, row0, OUT, 0)
-        sc_l = jax.lax.dynamic_slice_in_dim(scales, row0, OUT, 0)
+        col0 = il * OUT
+        qw_l = jax.lax.dynamic_slice_in_dim(qw, col0, OUT, 1)
+        sc_l = jax.lax.dynamic_slice_in_dim(scales, col0, OUT, 1)
         return _xla_fallback(x, qw_l, sc_l, kind)
 
     div = 2 if kind == "q4_0" else 1
     nbo = OUT // TO
-    grid = (nbo, IN // TI)
-    w_map = lambda i, j, il_ref: (il_ref[0] * nbo + i, j)
+    grid = (N // TN, nbo)
+    w_map = lambda n, i, il_ref: (0, il_ref[0] * nbo + i)
     out = pl.pallas_call(
         functools.partial(_q_matmul_flat_kernel, kind),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((N, TI), lambda i, j, il_ref: (0, j),
+                pl.BlockSpec((TN, IN), lambda n, i, il_ref: (n, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TO, TI // div), w_map,
+                pl.BlockSpec((IN // div, TO), w_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TO, TI // QK), w_map,
+                pl.BlockSpec((IN // QK, TO), w_map,
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((N, TO), lambda i, j, il_ref: (0, i),
+            out_specs=pl.BlockSpec((TN, TO), lambda n, i, il_ref: (n, i),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((N, OUT), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * OUT * IN,
             bytes_accessed=OUT * IN // div + OUT * (IN // QK) * 4
@@ -284,7 +306,9 @@ class FlatQuantTensor:
     invariant operand with the layer index bound late (transformer body
     calls .with_il(il) when merging params['sparse_flat'] into the layer
     dict). Logical per-layer shape is W(in, out) for x @ W; storage is
-    (L*out, in)-packed rows + per-32-block scales."""
+    IN-MAJOR: (in/div, L*out) packed + (in/32, L*out) scales (layer l =
+    column stripe l*out..(l+1)*out; see module docstring for why
+    IN-major)."""
 
     def __init__(self, q: jnp.ndarray, s: jnp.ndarray, kind: str,
                  out_dim: int, il=None):
@@ -310,23 +334,23 @@ class FlatQuantTensor:
 
     @property
     def shape(self):  # logical per-layer (in, out)
-        infeat = self.q.shape[-1] * (2 if self.kind == "q4_0" else 1)
+        infeat = self.q.shape[-2] * (2 if self.kind == "q4_0" else 1)
         return (infeat, self.out_dim)
 
 
 def flat_quantize(w_stack, kind: str = "q8_0"):
     """(L, in, out) f32/bf16 host/device array -> FlatQuantTensor with
-    (L*out, in) packed storage (q8_0 only for now; numpy, host-side)."""
+    IN-major (in, L*out) packed storage (q8_0 only; numpy, host-side)."""
     assert kind == "q8_0"
     w = np.asarray(w_stack, np.float32)
     L, IN, OUT = w.shape
-    rows = np.ascontiguousarray(w.transpose(0, 2, 1)).reshape(L * OUT, IN)
-    blk = rows.reshape(L * OUT, IN // QK, QK)
-    amax = np.abs(blk).max(-1)
+    cols = np.ascontiguousarray(w.transpose(1, 0, 2)).reshape(IN, L * OUT)
+    blk = cols.reshape(IN // QK, QK, L * OUT)
+    amax = np.abs(blk).max(1)
     s = (amax / 127.0).astype(np.float32)
     inv = np.where(s > 0, 1.0 / np.maximum(s, 1e-30), 0.0)
-    q = np.rint(blk * inv[..., None]).clip(-127, 127).astype(np.int8)
-    return FlatQuantTensor(jnp.asarray(q.reshape(L * OUT, IN)),
+    q = np.rint(blk * inv[:, None, :]).clip(-127, 127).astype(np.int8)
+    return FlatQuantTensor(jnp.asarray(q.reshape(IN, L * OUT)),
                            jnp.asarray(s), kind, OUT)
 
 
@@ -338,12 +362,24 @@ def flat_quantize(w_stack, kind: str = "q8_0"):
 class QuantTensor:
     """Packed quantized weight as a pytree node (kind is static aux data so
     it survives jit/scan). Represents W(in, out) for x @ W; storage is
-    out-major packed rows + per-block scales."""
+    IN-MAJOR: q (..., in/div, out) packed + s (..., in/32, out) scales
+    (see module docstring — Mosaic supports the sublane-splitting scale
+    broadcast only in this orientation). Build from the out-major wire
+    repack with `QuantTensor.from_repack`."""
 
     def __init__(self, q: jnp.ndarray, s: jnp.ndarray, kind: str):
         self.q = q
         self.s = s
         self.kind = kind
+
+    @classmethod
+    def from_repack(cls, qw: np.ndarray, sc: np.ndarray, kind: str):
+        """From repack_q*_0 output ((..., out, in/div) packed rows +
+        (..., out, in/32) scales): transpose to device layout (host numpy,
+        one-time at load)."""
+        qT = np.ascontiguousarray(np.swapaxes(np.asarray(qw), -1, -2))
+        sT = np.ascontiguousarray(np.swapaxes(np.asarray(sc), -1, -2))
+        return cls(jnp.asarray(qT), jnp.asarray(sT), kind)
 
     def tree_flatten(self):
         return (self.q, self.s), self.kind
@@ -354,8 +390,8 @@ class QuantTensor:
 
     @property
     def shape(self):  # logical (in, out) — trailing dims for stacked use
-        out = self.q.shape[-2]
-        infeat = self.q.shape[-1] * (2 if self.kind == "q4_0" else 1)
+        out = self.q.shape[-1]
+        infeat = self.q.shape[-2] * (2 if self.kind == "q4_0" else 1)
         return self.q.shape[:-2] + (infeat, out)
 
     @property

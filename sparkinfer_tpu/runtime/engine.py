@@ -90,10 +90,13 @@ class Engine:
         sparse_decode_mode: str = "pallas",
         sparse_pipelined: bool = True,
         sparse_cold_mode: str = "host",
+        sparse_prefill: str = "dense",  # "dense" (masked) | "sparse"
+        sparse_drop_dense: bool = False,  # keep only the row/flat layout
+        sparse_preprepared: bool = False,  # params already in sparse layout
         split=None,  # ModelSplit | path — offline profile (reorder + pattern)
         rebalance_every: int = 1,
         donate_cache: bool = True,
-        fused_chunk: int = 16,
+        fused_chunk: int = 0,
         kv_iswa: bool = False,  # dual SWA/full cache (llama-kv-cache-iswa)
         self_extend: tuple[int, int] | None = None,  # (grp_attn_n, grp_attn_w)
         moe_mode: str = "dense",  # "pallas": fused row-streaming expert FFN
@@ -122,7 +125,10 @@ class Engine:
                 if not isinstance(split, ModelSplit):
                     split = read_split(split)
                 self.model.params = apply_reorder(self.model.params, self.cfg, split.perms)
-            self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
+            if not sparse_preprepared:
+                self.model.params = prepare_sparse_params(
+                    self.model.params, self.cfg, sparse,
+                    drop_dense=sparse_drop_dense)
             prefill_ffn = make_sparse_ffn(self.cfg, sparse, mode="dense")
             self.fwd = make_forward(self.cfg, ffn_fn=prefill_ffn)
             self.fwd_prefill = make_forward(self.cfg, ffn_fn=prefill_ffn, fresh_prefill=True)
@@ -161,16 +167,29 @@ class Engine:
                 # decouples the weight fetch from this layer's activations
                 from ..sparse.ffn import make_pipelined_sparse_ffn, prepare_pipelined_params
 
-                self.model.params = prepare_pipelined_params(
-                    {k: v for k, v in self.model.params.items() if k != "layers"}
-                    | {"layers": {k: v for k, v in self.model.params["layers"].items()
-                                  if not k.endswith("_rows")}},
-                    self.cfg, sparse,
-                    layout="v6" if sparse_decode_mode == "pallas" else "v1")
+                if not sparse_preprepared:
+                    self.model.params = prepare_pipelined_params(
+                        {k: v for k, v in self.model.params.items() if k != "layers"}
+                        | {"layers": {k: v for k, v in self.model.params["layers"].items()
+                                      if not k.endswith("_rows")}},
+                        self.cfg, sparse, drop_dense=sparse_drop_dense,
+                        layout="v6" if sparse_decode_mode == "pallas" else "v1")
                 decode_ffn, carry_init = make_pipelined_sparse_ffn(
                     self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn,
                                                ffn_carry_init=carry_init)
+                if sparse_prefill == "sparse":
+                    # prefill through the sparse step itself (the reference
+                    # also runs the predictor-gated FFN over prompt tokens;
+                    # masked-dense is this framework's default because the
+                    # cross-token active-union is large — but the dense-
+                    # from-flat einsum can materialize a full-store copy
+                    # inside the prefill executable, fatal when HBM-tight)
+                    self.fwd = make_forward(self.cfg, ffn_fn=decode_ffn,
+                                            ffn_carry_init=carry_init)
+                    self.fwd_prefill = make_forward(
+                        self.cfg, ffn_fn=decode_ffn,
+                        ffn_carry_init=carry_init, fresh_prefill=True)
             else:
                 decode_ffn = make_sparse_ffn(self.cfg, sparse, mode=sparse_decode_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=decode_ffn)
@@ -247,10 +266,14 @@ class Engine:
         self.prefill_chunk = 1024  # ubatch size for long prompts (ref n_ubatch)
         self._decode = jax.jit(self._decode_impl, donate_argnums=donate)
         # fused decode: N steps inside ONE executable (lax.scan over steps,
-        # sampling on-device, sampled token fed back as the next input).
-        # Kills the per-step dispatch cost entirely — the TPU-native
-        # replacement for the reference's per-token llama_decode loop.
-        # Disabled for the tiered path (host rebalance runs between steps).
+        # sampling on-device, sampled token fed back as the next input) —
+        # OFF by default: probe #11 measured the scan-fused loop ~40%
+        # SLOWER than per-step donated dispatch on the v5e for both dense
+        # and sparse (BENCH_NOTES; the scan defeats KV-cache buffer
+        # aliasing), and the per-step loop below pipelines its token
+        # readback so dispatch cost stays hidden. Opt in (fused_chunk>1)
+        # on dispatch-bound hosts. Disabled for the tiered path regardless
+        # (host rebalance runs between steps).
         self.self_extend = None
         if self_extend is not None and self_extend[0] > 1:
             # Self-Extend group attention (ref tools/main/main.cpp:845-1010):
@@ -503,6 +526,11 @@ class Engine:
                                             max_new_tokens, stop_ids, n_keep)
             return
         se = self.self_extend
+        if se is None and not self.tiered:
+            yield from self._generate_pipelined(tok, n_past, cache, sstate,
+                                                max_new_tokens, stop_ids,
+                                                n_keep)
+            return
         if se is not None:
             from ..models.transformer import rope_params
             from .self_extend import self_extend_step
@@ -531,6 +559,57 @@ class Engine:
                 n_past -= discard
             tok, cache, sstate = self.decode_step(tok, n_past, cache, sstate)
             n_past += 1
+
+    def _generate_pipelined(self, tok, n_past, cache, sstate, max_new_tokens,
+                            stop_ids, n_keep):
+        """Unfused decode with PIPELINED token readback: the sampled token
+        stays on device and feeds the next step directly; the host reads
+        back step i-1's token while step i executes (JAX async dispatch),
+        so the per-step D2H sync never sits on the critical path — the
+        per-step analogue of what the reference gets from its synchronous
+        but sub-ms cudaMemcpy, designed for this relay's ~ms readback
+        latency. Emits the SAME token stream as the naive loop; one step
+        may be dispatched past a stop token (its KV write is beyond the
+        emitted sequence and the cache is generation-local)."""
+        if tok in stop_ids or max_new_tokens <= 0:
+            return
+        yield tok
+        emitted = 1
+        t0 = time.perf_counter()
+        steps = 0
+        tok_dev = jnp.full((self.batch, 1), tok, jnp.int32)
+        prev = None  # in-flight sampled token (device array, (B,))
+        recurrent = self.cfg.traits.recurrent
+        while steps < max_new_tokens - 1:
+            if not recurrent and n_past >= self.max_seq - 1:
+                # context shift at the same step the naive loop would
+                from ..models.transformer import rope_params
+                from .kv_cache import shift_cache
+
+                discard = max((self.max_seq - n_keep) // 2, 1)
+                cache = shift_cache(cache, rope_params(self.cfg), n_keep,
+                                    discard, n_past)
+                n_past -= discard
+            toks_d, cache, sstate, _ = self._decode(
+                self.model.params, tok_dev,
+                jnp.full((self.batch, 1), n_past, jnp.int32), cache, sstate)
+            n_past += 1
+            steps += 1
+            tok_dev = toks_d[:, None]
+            if prev is not None:
+                t = int(np.asarray(prev)[0])  # blocks on step i-1 only
+                if t in stop_ids:
+                    prev = None
+                    break
+                yield t
+                emitted += 1
+            prev = toks_d
+        if prev is not None and emitted < max_new_tokens:
+            t = int(np.asarray(prev)[0])
+            if t not in stop_ids:
+                yield t
+        self.perf.t_decode_s += time.perf_counter() - t0
+        self.perf.n_decode += steps
 
     def _generate_fused(self, tok, n_past, cache, sstate, max_new_tokens,
                         stop_ids, n_keep):

@@ -41,13 +41,13 @@ G = 32  # q8_0 sublane block needs >= 32
 
 
 def _dequant_flat(ft: FlatQuantTensor, L: int):
-    """FlatQuantTensor -> (L, in, out) f32 reference weights."""
+    """FlatQuantTensor (IN-major (in, L*out)) -> (L, in, out) f32."""
     q = np.asarray(ft.q, np.float32)
-    s = np.asarray(ft.s)
-    rows = (q.reshape(q.shape[0], -1, 32) * s[..., None]).reshape(q.shape)
+    s = np.asarray(ft.s, np.float32)
+    IN = q.shape[0]
+    cols = (q.reshape(IN // 32, 32, -1) * s[:, None, :]).reshape(q.shape)
     OUT = ft.out_dim
-    IN = q.shape[1]
-    return rows.reshape(L, OUT, IN).transpose(0, 2, 1)
+    return cols.reshape(IN, L, OUT).transpose(1, 0, 2)
 
 
 def test_quant_matmul_flat_matches_dequant():

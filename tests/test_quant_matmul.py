@@ -61,7 +61,9 @@ def test_kernel_matches_dequant_matmul(gtype, repack, kind):
     x = (rng.standard_normal((N, in_d)) * 0.5).astype(np.float32)
     want = x.astype(np.float32) @ wdq.T
     got = np.asarray(
-        quant_matmul_2d(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw), jnp.asarray(sc),
+        quant_matmul_2d(jnp.asarray(x, jnp.bfloat16),
+                        jnp.asarray(np.ascontiguousarray(qw.T)),
+                        jnp.asarray(np.ascontiguousarray(sc.T)),
                         kind=kind)
     )
     # bf16 inputs in the MXU: tolerance ~1e-2 relative
@@ -76,7 +78,9 @@ def test_fallback_path_unaligned():
     qw, sc = repack_q8_0(raw, out_d, in_d)
     x = (rng.standard_normal((N, in_d)) * 0.5).astype(np.float32)
     got = np.asarray(
-        quant_matmul_2d(jnp.asarray(x, jnp.bfloat16), jnp.asarray(qw), jnp.asarray(sc),
+        quant_matmul_2d(jnp.asarray(x, jnp.bfloat16),
+                        jnp.asarray(np.ascontiguousarray(qw.T)),
+                        jnp.asarray(np.ascontiguousarray(sc.T)),
                         kind="q8_0")
     )
     want = x @ wdq.T
@@ -88,8 +92,8 @@ def test_quant_tensor_pytree_and_slicing():
     raw, wdq = _mk_quant(rng, 16, 64, GGMLType.Q8_0)
     qw, sc = repack_q8_0(raw, 16, 64)
     L = 2
-    qt = QuantTensor(
-        jnp.asarray(np.stack([qw] * L)), jnp.asarray(np.stack([sc] * L)), "q8_0"
+    qt = QuantTensor.from_repack(
+        np.stack([qw] * L), np.stack([sc] * L), "q8_0"
     )
     assert qt.shape == (L, 64, 16)
     leaves, treedef = jax.tree.flatten(qt)
