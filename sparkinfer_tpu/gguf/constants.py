@@ -90,6 +90,17 @@ GGML_TYPE_TRAITS: dict[GGMLType, tuple[int, int]] = {
     GGMLType.Q5_K: (256, 2 + 2 + 12 + 32 + 128),
     GGMLType.Q6_K: (256, 128 + 64 + 16 + 2),
     GGMLType.Q8_K: (256, 4 + 256 + 16 * 2),
+    GGMLType.IQ2_XXS: (256, 2 + 64),
+    GGMLType.IQ2_XS: (256, 2 + 64 + 8),
+    GGMLType.IQ2_S: (256, 2 + 32 + 32 + 8 + 8),
+    GGMLType.IQ3_XXS: (256, 2 + 96),
+    GGMLType.IQ3_S: (256, 2 + 64 + 32 + 8 + 4),
+    GGMLType.IQ1_S: (256, 2 + 32 + 16),
+    GGMLType.IQ1_M: (256, 32 + 16 + 8),
+    GGMLType.IQ4_NL: (32, 2 + 16),
+    GGMLType.IQ4_XS: (256, 2 + 2 + 4 + 128),
+    GGMLType.TQ1_0: (256, 48 + 4 + 2),
+    GGMLType.TQ2_0: (256, 64 + 2),
     GGMLType.MXFP4: (32, 1 + 16),
 }
 

@@ -1,8 +1,12 @@
 """Vectorized numpy codecs for GGML block-quantized tensor formats.
 
 Decode coverage: F32/F16/BF16/I8/I16/I32/I64/F64, Q4_0, Q4_1, Q5_0, Q5_1,
-Q8_0, Q4_K, Q5_K, Q6_K, MXFP4.
-Encode coverage: F32/F16/BF16, Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q4_K, Q6_K.
+Q8_0, Q2_K, Q3_K, Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS, TQ1_0, TQ2_0,
+MXFP4.
+Encode coverage: F32/F16/BF16, Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q2_K, Q3_K,
+Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS (K/IQ encoders are simple
+affine/nearest-grid, not the reference's weighted search — same wire
+layout, slightly higher RMSE).
 
 The wire layouts match ggml's block structs (ref: ggml/src/ggml-common.h,
 dequant loops in ggml/src/ggml-quants.c) — these are format facts. The
@@ -300,6 +304,310 @@ def _dec_q5_k(blocks: np.ndarray) -> np.ndarray:
     return (q * scf[:, :, None] - mnf[:, :, None]).reshape(nb, 256)
 
 
+def _dec_q2_k(blocks: np.ndarray) -> np.ndarray:
+    """block_q2_K (ggml-common.h): scales[16] (4b sc | 4b min), qs[64]
+    (2-bit), d f16, dmin f16. Element order per dequantize_row_q2_K: two
+    128-halves; per half, shift j in {0,2,4,6} over the half's 32 qs
+    bytes, split 16+16, one packed scale byte per 16 elems."""
+    nb = blocks.shape[0]
+    scales = blocks[:, 0:16]
+    qs = blocks[:, 16:80]
+    d = _f16(blocks[:, 80:82].copy().view(np.uint16))  # (nb, 1)
+    dmin = _f16(blocks[:, 82:84].copy().view(np.uint16))
+    q2 = qs.reshape(nb, 2, 32)  # halves
+    shifts = np.arange(0, 8, 2, dtype=np.uint8)
+    q = (q2[:, :, None, :] >> shifts[None, None, :, None]) & 3  # (nb,2,4,32)
+    q = q.reshape(nb, 2, 4, 2, 16).astype(np.float32)
+    sc = (scales & 0x0F).reshape(nb, 2, 4, 2).astype(np.float32)
+    mn = (scales >> 4).reshape(nb, 2, 4, 2).astype(np.float32)
+    out = (d[:, :, None, None, None] * sc[..., None] * q
+           - dmin[:, :, None, None, None] * mn[..., None])
+    return out.reshape(nb, 256)
+
+
+def _q3k_scales(sb: np.ndarray) -> np.ndarray:
+    """12-byte Q3_K scale unpack -> (nb, 16) int16 in [-32, 31] (the
+    kmask1/kmask2 aux shuffle of dequantize_row_q3_K, byte-wise)."""
+    s0 = (sb[:, 0:4] & 0x0F) | ((sb[:, 8:12] & 3) << 4)
+    s1 = (sb[:, 4:8] & 0x0F) | (((sb[:, 8:12] >> 2) & 3) << 4)
+    s2 = (sb[:, 0:4] >> 4) | (((sb[:, 8:12] >> 4) & 3) << 4)
+    s3 = (sb[:, 4:8] >> 4) | (((sb[:, 8:12] >> 6) & 3) << 4)
+    return np.concatenate([s0, s1, s2, s3], axis=1).astype(np.int16) - 32
+
+
+def _dec_q3_k(blocks: np.ndarray) -> np.ndarray:
+    """block_q3_K: hmask[32] (high bit, CLEAR bit means subtract 4),
+    qs[64] (2-bit), scales[12] (16 x 6-bit signed-32), d f16."""
+    nb = blocks.shape[0]
+    hmask = blocks[:, 0:32]
+    qs = blocks[:, 32:96]
+    scales = _q3k_scales(blocks[:, 96:108])  # (nb, 16)
+    d = _f16(blocks[:, 108:110].copy().view(np.uint16))
+    q2 = qs.reshape(nb, 2, 32)
+    shifts = np.arange(0, 8, 2, dtype=np.uint8)
+    q = ((q2[:, :, None, :] >> shifts[None, None, :, None]) & 3).astype(np.int16)
+    # hmask bit index = 4*half + j, applied to all 32 bytes of the half's
+    # elements (the hm pointer never advances across halves)
+    bit = (np.arange(8, dtype=np.uint8)).reshape(2, 4)
+    hb = (hmask[:, None, None, :] >> bit[None, :, :, None]) & 1  # (nb,2,4,32)
+    q = q - np.where(hb == 0, 4, 0).astype(np.int16)
+    q = q.reshape(nb, 2, 4, 2, 16).astype(np.float32)
+    sc = scales.reshape(nb, 2, 4, 2).astype(np.float32)
+    out = d[:, :, None, None, None] * sc[..., None] * q
+    return out.reshape(nb, 256)
+
+
+def _dec_q8_k(blocks: np.ndarray) -> np.ndarray:
+    """block_q8_K: d f32, qs[256] int8, bsums[16] int16 (dot-product
+    helper, ignored on dequant)."""
+    d = blocks[:, 0:4].copy().view(np.float32)  # (nb, 1)
+    qs = blocks[:, 4:260].view(np.int8).astype(np.float32)
+    return qs * d
+
+
+def _enc_q8_k(x: np.ndarray) -> np.ndarray:
+    nb = x.shape[0]
+    amax = np.abs(x).max(axis=1)
+    # ggml stores iscale = -127/max and d = 1/iscale (quantize_row_q8_K_ref
+    # uses the max-|x| SIGNED value); match its math exactly
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(nb), idx]
+    iscale = np.where(amax != 0, -127.0 / np.where(maxv == 0, 1, maxv), 0.0)
+    q = np.clip(np.rint(x * iscale[:, None]), -128, 127).astype(np.int8)
+    d = np.where(iscale != 0, 1.0 / np.where(iscale == 0, 1, iscale), 0.0)
+    bsums = q.reshape(nb, 16, 16).astype(np.int32).sum(axis=2).astype(np.int16)
+    return np.concatenate(
+        [d.astype(np.float32).view(np.uint8).reshape(nb, 4),
+         q.view(np.uint8), bsums.view(np.uint8).reshape(nb, 32)], axis=1)
+
+
+def _enc_q5_k(x: np.ndarray) -> np.ndarray:
+    """Simple (non-search) Q5_K encoder: per-sub-block affine 31-level
+    grid, layout per _dec_q5_k / ggml-common.h block_q5_K."""
+    nb = x.shape[0]
+    xs = x.reshape(nb, 8, 32)
+    mins = np.minimum(xs.min(axis=2), 0.0)
+    maxs = xs.max(axis=2)
+    scales = (maxs - mins) / 31.0
+    d = (scales.max(axis=1) / 63.0).astype(np.float16)
+    dmin = ((-mins).max(axis=1) / 63.0).astype(np.float16)
+    df = d.astype(np.float32)
+    dminf = dmin.astype(np.float32)
+    inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    inv_m = np.where(dminf > 0, 1.0 / np.where(dminf == 0, 1, dminf), 0.0)
+    sc = np.clip(np.rint(scales * inv_d[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint((-mins) * inv_m[:, None]), 0, 63).astype(np.uint8)
+    eff_scale = df[:, None] * sc.astype(np.float32)
+    eff_min = dminf[:, None] * mn.astype(np.float32)
+    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1, eff_scale), 0.0)
+    q = np.clip(np.rint((xs + eff_min[:, :, None]) * inv_s[:, :, None]),
+                0, 31).astype(np.uint8)  # (nb, 8, 32)
+    qpair = q.reshape(nb, 4, 2, 32)  # chunk l -> sub-blocks 2l (lo), 2l+1 (hi)
+    qs = ((qpair[:, :, 0] & 0x0F) | ((qpair[:, :, 1] & 0x0F) << 4)).reshape(nb, 128)
+    l_idx = np.arange(4, dtype=np.uint8)
+    qh = (((qpair[:, :, 0] >> 4) << (2 * l_idx)[None, :, None])
+          | ((qpair[:, :, 1] >> 4) << (2 * l_idx + 1)[None, :, None]))
+    qh = qh.sum(axis=1, dtype=np.uint16).astype(np.uint8)  # (nb, 32)
+    return np.concatenate(
+        [d.view(np.uint8).reshape(-1, 2), dmin.view(np.uint8).reshape(-1, 2),
+         _pack_kscales(sc, mn), qh, qs.astype(np.uint8)], axis=1)
+
+
+def _enc_q2_k(x: np.ndarray) -> np.ndarray:
+    """Simple (non-search) Q2_K encoder: per-16-elem affine 3-level grid
+    with 4-bit packed scales/mins, layout per _dec_q2_k."""
+    nb = x.shape[0]
+    xs = x.reshape(nb, 16, 16)
+    mins = np.minimum(xs.min(axis=2), 0.0)
+    maxs = xs.max(axis=2)
+    scales = (maxs - mins) / 3.0
+    d = (scales.max(axis=1) / 15.0).astype(np.float16)
+    dmin = ((-mins).max(axis=1) / 15.0).astype(np.float16)
+    df = d.astype(np.float32)
+    dminf = dmin.astype(np.float32)
+    inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    inv_m = np.where(dminf > 0, 1.0 / np.where(dminf == 0, 1, dminf), 0.0)
+    sc = np.clip(np.rint(scales * inv_d[:, None]), 0, 15).astype(np.uint8)
+    mn = np.clip(np.rint((-mins) * inv_m[:, None]), 0, 15).astype(np.uint8)
+    eff_s = df[:, None] * sc.astype(np.float32)
+    eff_m = dminf[:, None] * mn.astype(np.float32)
+    inv_s = np.where(eff_s > 0, 1.0 / np.where(eff_s == 0, 1, eff_s), 0.0)
+    q = np.clip(np.rint((xs + eff_m[:, :, None]) * inv_s[:, :, None]),
+                0, 3).astype(np.uint8)
+    # inverse of the decode order: (half, shift j, group g, l)
+    q5 = q.reshape(nb, 2, 4, 2, 16)
+    shifts = np.arange(0, 8, 2, dtype=np.uint8)
+    qs = (q5.reshape(nb, 2, 4, 32) << shifts[None, None, :, None]).sum(
+        axis=2, dtype=np.uint16).astype(np.uint8).reshape(nb, 64)
+    packed_sc = (sc | (mn << 4)).astype(np.uint8)
+    return np.concatenate(
+        [packed_sc, qs, d.view(np.uint8).reshape(-1, 2),
+         dmin.view(np.uint8).reshape(-1, 2)], axis=1)
+
+
+def _pack_q3k_scales(sc: np.ndarray) -> np.ndarray:
+    """Inverse of _q3k_scales: (nb, 16) int values in [-32, 31] -> 12
+    bytes."""
+    u = (sc + 32).astype(np.uint8)  # 6-bit
+    s0, s1, s2, s3 = u[:, 0:4], u[:, 4:8], u[:, 8:12], u[:, 12:16]
+    out = np.zeros((sc.shape[0], 12), np.uint8)
+    out[:, 0:4] = (s0 & 0x0F) | ((s2 & 0x0F) << 4)
+    out[:, 4:8] = (s1 & 0x0F) | ((s3 & 0x0F) << 4)
+    out[:, 8:12] = ((s0 >> 4) | ((s1 >> 4) << 2)
+                    | ((s2 >> 4) << 4) | ((s3 >> 4) << 6))
+    return out
+
+
+def _enc_q3_k(x: np.ndarray) -> np.ndarray:
+    """Simple Q3_K encoder: per-16-elem signed 6-bit scale over the
+    [-4, 3] grid, layout per _dec_q3_k."""
+    nb = x.shape[0]
+    xs = x.reshape(nb, 16, 16)
+    idx = np.argmax(np.abs(xs), axis=2)
+    maxv = np.take_along_axis(xs, idx[:, :, None], axis=2)[:, :, 0]
+    f = maxv / -4.0  # (nb, 16)
+    fmax = f[np.arange(nb), np.argmax(np.abs(f), axis=1)]
+    d = (fmax / -32.0).astype(np.float16)
+    df = d.astype(np.float32)
+    inv_d = np.where(df != 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    sc = np.clip(np.rint(f * inv_d[:, None]), -32, 31).astype(np.int16)
+    eff = df[:, None] * sc.astype(np.float32)
+    inv_s = np.where(eff != 0, 1.0 / np.where(eff == 0, 1, eff), 0.0)
+    q = np.clip(np.rint(xs * inv_s[:, :, None]), -4, 3).astype(np.int16) + 4
+    q5 = q.reshape(nb, 2, 4, 2, 16).astype(np.uint8)  # stored 0..7
+    shifts = np.arange(0, 8, 2, dtype=np.uint8)
+    qs = ((q5 & 3).reshape(nb, 2, 4, 32)
+          << shifts[None, None, :, None]).sum(
+        axis=2, dtype=np.uint16).astype(np.uint8).reshape(nb, 64)
+    bit = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    hm = ((q5 >> 2).reshape(nb, 2, 4, 32).astype(np.uint16)
+          << bit[None, :, :, None]).sum(axis=(1, 2)).astype(np.uint8)
+    return np.concatenate(
+        [hm, qs, _pack_q3k_scales(sc), d.view(np.uint8).reshape(-1, 2)],
+        axis=1)
+
+
+# IQ4 non-linear 4-bit codebook (ggml-common.h kvalues_iq4nl — a format
+# constant, identical by necessity)
+_IQ4NL_TABLE = np.array(
+    [-127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113],
+    dtype=np.float32)
+
+
+def _dec_iq4_nl(blocks: np.ndarray) -> np.ndarray:
+    """block_iq4_nl (32 elems): d f16 + qs[16]; values via the non-linear
+    kvalues_iq4nl codebook (low nibbles = elems 0..15, high = 16..31)."""
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs = blocks[:, 2:18]
+    lo = _IQ4NL_TABLE[qs & 0x0F]
+    hi = _IQ4NL_TABLE[qs >> 4]
+    return np.concatenate([lo, hi], axis=1) * d
+
+
+def _nearest_iq4(v: np.ndarray) -> np.ndarray:
+    """Nearest codebook index for scaled values v (any shape)."""
+    return np.abs(v[..., None] - _IQ4NL_TABLE).argmin(axis=-1).astype(np.uint8)
+
+
+def _enc_iq4_nl(x: np.ndarray) -> np.ndarray:
+    """Simple IQ4_NL encoder: d from the max-|x| element mapped to the
+    codebook extreme of matching sign, then nearest-index rounding (the
+    reference refines d by a weighted search; same wire layout)."""
+    nb = x.shape[0]
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(nb), idx]
+    d = np.where(maxv < 0, maxv / -127.0, maxv / 113.0)
+    d16 = d.astype(np.float16)
+    dd = d16.astype(np.float32)
+    inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
+    q = _nearest_iq4(x * inv[:, None])  # (nb, 32)
+    qs = (q[:, :16] | (q[:, 16:] << 4)).astype(np.uint8)
+    return np.concatenate([d16.view(np.uint8).reshape(-1, 2), qs], axis=1)
+
+
+def _enc_iq4_xs(x: np.ndarray) -> np.ndarray:
+    """Simple IQ4_XS encoder: per-32 sub-block 6-bit scale over the
+    iq4nl codebook, layout per _dec_iq4_xs."""
+    nb = x.shape[0]
+    xs = x.reshape(nb, 8, 32)
+    idx = np.argmax(np.abs(xs), axis=2)
+    maxv = np.take_along_axis(xs, idx[:, :, None], axis=2)[:, :, 0]
+    f = np.where(maxv < 0, maxv / -127.0, maxv / 113.0)  # per-sub scale
+    fmax = f.max(axis=1)
+    d = (fmax / 31.0).astype(np.float16)  # ls-32 in [-32,31]; use 0..31
+    df = d.astype(np.float32)
+    inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
+    ls = np.clip(np.rint(f * inv_d[:, None]) + 32, 0, 63).astype(np.uint8)
+    eff = df[:, None] * (ls.astype(np.float32) - 32.0)
+    inv_s = np.where(eff != 0, 1.0 / np.where(eff == 0, 1, eff), 0.0)
+    q = _nearest_iq4(xs * inv_s[:, :, None])  # (nb, 8, 32)
+    qs = (q[:, :, :16] | (q[:, :, 16:] << 4)).reshape(nb, 128).astype(np.uint8)
+    ib = np.arange(8)
+    sl = np.zeros((nb, 4), np.uint8)
+    sl[:, :] = ((ls[:, 0::2] & 0x0F) | ((ls[:, 1::2] & 0x0F) << 4))
+    sh = ((ls.astype(np.uint32) >> 4) << (2 * ib)[None, :]).sum(
+        axis=1).astype(np.uint16)
+    return np.concatenate(
+        [d.view(np.uint8).reshape(-1, 2), sh.view(np.uint8).reshape(-1, 2),
+         sl, qs], axis=1)
+
+
+def _dec_iq4_xs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq4_xs (256): d f16, scales_h u16, scales_l[4], qs[128];
+    8 sub-blocks of 32 with 6-bit scales (ls - 32) over the iq4nl
+    codebook (dequantize_row_iq4_xs)."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))  # (nb, 1)
+    sh = blocks[:, 2:4].copy().view(np.uint16).astype(np.uint32)  # (nb, 1)
+    sl = blocks[:, 4:8]  # (nb, 4)
+    qs = blocks[:, 8:136].reshape(nb, 8, 16)
+    ib = np.arange(8)
+    ls_l = (sl[:, ib // 2] >> (4 * (ib % 2))[None, :]) & 0x0F  # (nb, 8)
+    ls_h = (sh >> (2 * ib)[None, :]) & 3
+    ls = (ls_l | (ls_h << 4)).astype(np.float32) - 32.0
+    dl = d * ls  # (nb, 8)
+    lo = _IQ4NL_TABLE[qs & 0x0F]  # (nb, 8, 16)
+    hi = _IQ4NL_TABLE[qs >> 4]
+    vals = np.concatenate([lo, hi], axis=2)  # (nb, 8, 32)
+    return (vals * dl[:, :, None]).reshape(nb, 256)
+
+
+def _dec_tq1_0(blocks: np.ndarray) -> np.ndarray:
+    """block_tq1_0 (256 elems, 54 bytes): ternary {-1,0,1} packed base-3^5
+    per byte (qs[48]) + base-3^4 (qh[4]), d f16 last
+    (ggml-common.h block_tq1_0; dequantize_row_tq1_0 pow3 ladder)."""
+    nb = blocks.shape[0]
+    qs = blocks[:, 0:48]
+    qh = blocks[:, 48:52]
+    d = _f16(blocks[:, 52:54].copy().view(np.uint16))
+    pow3 = np.array([1, 3, 9, 27, 81], dtype=np.uint16)
+
+    def tern(bytes_, npow):
+        # digit j of byte b: ((b * pow3[j]) & 0xFF) * 3 >> 8, minus 1
+        b = bytes_.astype(np.uint16)[..., None]  # (..., 1)
+        xi = ((b * pow3[:npow]) & 0xFF) * 3 >> 8  # (..., npow)
+        return xi.astype(np.float32) - 1.0
+
+    # qs[0:32]: elems 0..159 (5 digits, stride 32); qs[32:48]: elems
+    # 160..239 (5 digits, stride 16); qh: elems 240..255 (4 digits, stride 4)
+    p1 = tern(qs[:, 0:32], 5).transpose(0, 2, 1).reshape(nb, 160)
+    p2 = tern(qs[:, 32:48], 5).transpose(0, 2, 1).reshape(nb, 80)
+    p3 = tern(qh, 4).transpose(0, 2, 1).reshape(nb, 16)
+    return np.concatenate([p1, p2, p3], axis=1) * d
+
+
+def _dec_tq2_0(blocks: np.ndarray) -> np.ndarray:
+    """block_tq2_0 (256 elems, 66 bytes): 2-bit {-1,0,1} (qs[64]), d f16
+    last; elem order: per 32-byte group, shift j in {0,2,4,6} over the
+    group's bytes (dequantize_row_tq2_0)."""
+    nb = blocks.shape[0]
+    qs = blocks[:, 0:64].reshape(nb, 2, 32)
+    d = _f16(blocks[:, 64:66].copy().view(np.uint16))
+    shifts = np.arange(0, 8, 2, dtype=np.uint8)
+    q = (qs[:, :, None, :] >> shifts[None, None, :, None]) & 3  # (nb,2,4,32)
+    return (q.reshape(nb, 256).astype(np.float32) - 1.0) * d
+
+
 def _dec_q6_k(blocks: np.ndarray) -> np.ndarray:
     ql = blocks[:, 0:128]
     qh = blocks[:, 128:192]
@@ -372,9 +680,16 @@ _DECODERS = {
     GGMLType.Q5_0: _dec_q5_0,
     GGMLType.Q5_1: _dec_q5_1,
     GGMLType.Q8_0: _dec_q8_0,
+    GGMLType.Q2_K: _dec_q2_k,
+    GGMLType.Q3_K: _dec_q3_k,
     GGMLType.Q4_K: _dec_q4_k,
     GGMLType.Q5_K: _dec_q5_k,
     GGMLType.Q6_K: _dec_q6_k,
+    GGMLType.Q8_K: _dec_q8_k,
+    GGMLType.IQ4_NL: _dec_iq4_nl,
+    GGMLType.IQ4_XS: _dec_iq4_xs,
+    GGMLType.TQ1_0: _dec_tq1_0,
+    GGMLType.TQ2_0: _dec_tq2_0,
     GGMLType.MXFP4: _dec_mxfp4,
 }
 
@@ -384,8 +699,14 @@ _ENCODERS = {
     GGMLType.Q5_0: _enc_q5_0,
     GGMLType.Q5_1: _enc_q5_1,
     GGMLType.Q8_0: _enc_q8_0,
+    GGMLType.Q2_K: _enc_q2_k,
+    GGMLType.Q3_K: _enc_q3_k,
     GGMLType.Q4_K: _enc_q4_k,
+    GGMLType.Q5_K: _enc_q5_k,
     GGMLType.Q6_K: _enc_q6_k,
+    GGMLType.Q8_K: _enc_q8_k,
+    GGMLType.IQ4_NL: _enc_iq4_nl,
+    GGMLType.IQ4_XS: _enc_iq4_xs,
 }
 
 _PLAIN_DTYPES = {

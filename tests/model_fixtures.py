@@ -138,7 +138,10 @@ def make_tiny_llama(
     if moe:
         wr.add_kv(f"{arch}.expert_count", np.uint32(n_expert))
         wr.add_kv(f"{arch}.expert_used_count", np.uint32(n_expert_used))
-    qt = {"q4_0": GGMLType.Q4_0, "q8_0": GGMLType.Q8_0}.get(quant_type or "")
+    qt = getattr(GGMLType, (quant_type or "").upper(), None)
+    from sparkinfer_tpu.gguf.constants import GGML_TYPE_TRAITS
+
+    qbs = GGML_TYPE_TRAITS[qt][0] if qt is not None else 0
     for name, data in tensors.items():
         gt = GGMLType.F32
         if (
@@ -148,7 +151,7 @@ def make_tiny_llama(
             and "norm" not in name
             and "pred" not in name
             and name != "token_embd.weight"
-            and data.shape[1] % 32 == 0
+            and data.shape[1] % qbs == 0
         ):
             gt = qt
         wr.add_tensor(name, data, gt)

@@ -128,3 +128,39 @@ def test_decode_vs_reference_fixture_types(vocab_gguf_spm):
     r = GGUFReader(vocab_gguf_spm)
     assert r.data_offset % r.alignment == 0
     r.close()
+
+
+@pytest.mark.parametrize("qtype", ["q2_k", "q3_k", "q5_k", "iq4_nl", "iq4_xs"])
+def test_quant_tail_types_load_and_run(tmp_path, qtype):
+    """Round-3 quant decode tail (VERDICT item 8): the common low-bit
+    community formats load through the standard loader (dequantized to
+    dense) and a forward runs end-to-end on the tiny fixture. K/IQ
+    super-blocks need 256-multiple in_dims."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    import jax.numpy as jnp
+    from model_fixtures import make_tiny_llama
+
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.runtime.kv_cache import init_cache
+
+    path = tmp_path / f"tiny-{qtype}.gguf"
+    ref = make_tiny_llama(path, n_embd=256, n_head=4, n_head_kv=2,
+                          n_ff=256, n_layer=1, quant_type=qtype)
+    model = load_model(str(path), dtype=jnp.float32)
+    # the quantized tensors really were stored in the target format
+    # (loader dequantized them) — check one against our codec directly
+    from sparkinfer_tpu.gguf import GGMLType, dequantize_tensor, quantize
+
+    gt = getattr(GGMLType, qtype.upper())
+    w = ref["blk.0.ffn_up.weight"]
+    dec = dequantize_tensor(quantize(w, gt), gt, w.shape)
+    got = np.asarray(model.params["layers"]["w_up"][0]).T  # (out, in)
+    np.testing.assert_allclose(got, dec, rtol=1e-5, atol=1e-5)
+    fwd = make_forward(model.config)
+    cache = init_cache(model.config, 1, 8, jnp.float32)
+    logits, _ = fwd(model.params, jnp.asarray([[1, 5, 9]], jnp.int32),
+                    jnp.arange(3, dtype=jnp.int32)[None], cache)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -41,9 +41,15 @@ DECODE_TYPES = [
     GGMLType.Q5_0,
     GGMLType.Q5_1,
     GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
     GGMLType.Q4_K,
     GGMLType.Q5_K,
     GGMLType.Q6_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
     GGMLType.MXFP4,
     GGMLType.BF16,
 ]
@@ -54,9 +60,19 @@ ENCODE_TYPES = [
     GGMLType.Q5_0,
     GGMLType.Q5_1,
     GGMLType.Q8_0,
+    GGMLType.Q2_K,
+    GGMLType.Q3_K,
     GGMLType.Q4_K,
+    GGMLType.Q5_K,
     GGMLType.Q6_K,
+    GGMLType.IQ4_NL,
+    GGMLType.IQ4_XS,
 ]
+
+# acceptable encode RMSE on standard-normal data (wider grids -> lower);
+# our K/IQ encoders are simple affine/nearest-grid, not the reference's
+# weighted search, so low-bit thresholds sit slightly above ggml's
+_ENC_RMSE = {GGMLType.Q2_K: 0.55, GGMLType.Q3_K: 0.35}
 
 
 def _sane_random_blocks(ttype: GGMLType, n_blocks: int) -> np.ndarray:
@@ -74,13 +90,24 @@ def _sane_random_blocks(ttype: GGMLType, n_blocks: int) -> np.ndarray:
             pass
     bs, tsz = GGML_TYPE_TRAITS[ttype]
     raw = RNG.integers(0, 256, (n_blocks, tsz), dtype=np.uint8)
+    fin = lambda n: RNG.uniform(0.001, 0.1, (n_blocks, n)).astype(np.float16)
     if ttype in (GGMLType.Q4_K, GGMLType.Q5_K):
         # d/dmin are the first two f16s: replace with small finite values
-        d = RNG.uniform(0.001, 0.1, (n_blocks, 2)).astype(np.float16)
-        raw[:, 0:4] = d.view(np.uint8)
+        raw[:, 0:4] = fin(2).view(np.uint8)
     elif ttype == GGMLType.Q6_K:
-        d = RNG.uniform(0.001, 0.1, (n_blocks, 1)).astype(np.float16)
-        raw[:, 208:210] = d.view(np.uint8)
+        raw[:, 208:210] = fin(1).view(np.uint8)
+    elif ttype == GGMLType.Q2_K:
+        raw[:, 80:84] = fin(2).view(np.uint8)
+    elif ttype == GGMLType.Q3_K:
+        raw[:, 108:110] = fin(1).view(np.uint8)
+    elif ttype in (GGMLType.IQ4_NL,):
+        raw[:, 0:2] = fin(1).view(np.uint8)
+    elif ttype == GGMLType.IQ4_XS:
+        raw[:, 0:2] = fin(1).view(np.uint8)
+    elif ttype == GGMLType.TQ1_0:
+        raw[:, 52:54] = fin(1).view(np.uint8)
+    elif ttype == GGMLType.TQ2_0:
+        raw[:, 64:66] = fin(1).view(np.uint8)
     elif ttype == GGMLType.MXFP4:
         raw[:, 0] = RNG.integers(100, 140, n_blocks, dtype=np.uint8)
     return raw.reshape(-1)
@@ -108,12 +135,31 @@ def test_reference_decodes_our_encodings(ttype):
     np.testing.assert_allclose(ours, theirs, rtol=0, atol=0)
     # and quality is sane
     rmse = np.sqrt(np.mean((ours - x) ** 2))
-    assert rmse < 0.25
+    assert rmse < _ENC_RMSE.get(ttype, 0.25)
+
+
+def test_q8_k_roundtrip():
+    """Q8_K (the K-quant dot-product activation type) has no gguf-py
+    oracle; verify our encode->decode roundtrip and the bsums field
+    (ggml-common.h block_q8_K: f32 d + 256 int8 + 16 int16 bsums)."""
+    x = RNG.standard_normal((4, 256)).astype(np.float32)
+    enc = quantize(x, GGMLType.Q8_K)
+    dec = dequantize(enc, GGMLType.Q8_K, x.size).reshape(x.shape)
+    assert np.sqrt(np.mean((dec - x) ** 2)) < 0.02
+    blocks = enc.reshape(4, 292)
+    q = blocks[:, 4:260].view(np.int8).astype(np.int32)
+    bsums = blocks[:, 260:292].view(np.int16)
+    np.testing.assert_array_equal(q.reshape(4, 16, 16).sum(axis=2), bsums)
+
+
+_REF_CANNOT_ENCODE = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
+                      GGMLType.Q5_K, GGMLType.Q6_K, GGMLType.IQ4_NL,
+                      GGMLType.IQ4_XS)
 
 
 @pytest.mark.parametrize(
-    "ttype", [t for t in ENCODE_TYPES if t not in (GGMLType.Q4_K, GGMLType.Q6_K)],
-    ids=[t.name for t in ENCODE_TYPES if t not in (GGMLType.Q4_K, GGMLType.Q6_K)],
+    "ttype", [t for t in ENCODE_TYPES if t not in _REF_CANNOT_ENCODE],
+    ids=[t.name for t in ENCODE_TYPES if t not in _REF_CANNOT_ENCODE],
 )
 def test_decode_reference_encodings(ttype):
     """Our decoder reproduces gguf-py's dequantization bit-exactly."""
