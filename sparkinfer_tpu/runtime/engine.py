@@ -497,11 +497,12 @@ class Engine:
             # overlaps the next step via JAX dispatch)
             from ..sparse.tiering import tiered_layer_params
 
+            # window adaptation happens inside rebalance() from the
+            # previous swap's completion probe (is_ready), not wall-clock
             self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
             (self._decode_params["layers"],
              self._decode_params["sparse_flat"]) = tiered_layer_params(
                 self._full_layers, self._tp)
-            self.balancer.adapt_window(step_s)
         return tok, cache, sstate
 
     def generate(
