@@ -21,6 +21,13 @@ Axes:
 
 The sparse path shards the SAME neuron axis (hot-neuron caches are sharded
 by tp like w_up rows), so sparse and dense paths scale identically.
+
+The rules below cover the GATHER (row-store) sparse path and dense
+weights. The FAST path — v6 Pallas flat stores and tiered hot stores —
+is sharded by parallel/sparse_tp.py (GROUP-major flat re-order + dim-0
+tp shard + shard_map around the kernel with one psum per layer); a
+Pallas custom call cannot be auto-partitioned by GSPMD, so those stores
+must NOT be given rules here.
 """
 
 from __future__ import annotations

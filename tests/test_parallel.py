@@ -92,3 +92,138 @@ def test_expert_parallel_matches_single_device(tiny_moe, dp, tp, ep):
     ref = _run(tiny_moe)
     got = _run(tiny_moe, make_mesh(dp=dp, tp=tp, ep=ep))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# round-3: TP over the FAST path (v6 Pallas flat stores under shard_map)
+
+
+@pytest.fixture(scope="module")
+def sparse_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("models") / "tiny-prosparse-tp.gguf"
+    make_tiny_llama(path, arch="prosparse_llama", pred_rank=8, n_ff=128,
+                    seed=9)
+    return load_model(str(path), dtype=jnp.float32)
+
+
+def _decode_tokens(fwd, params, cfg, stateful=False, fstate=None):
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    toks = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    if stateful:
+        logits, _, _ = jax.jit(fwd)(params, toks, pos, cache, fstate)
+    else:
+        logits, _ = jax.jit(fwd)(params, toks, pos, cache)
+    return np.asarray(logits)
+
+
+def test_tp_sparse_fast_path_matches_single_device(sparse_model):
+    """The v6 Pallas path under shard_map (group-major sharded flat
+    stores, Cl=C exact mode) == the single-device pipelined pallas path."""
+    from sparkinfer_tpu.parallel.sparse_tp import (
+        make_tp_sparse_ffn,
+        shard_tp_flat,
+        tp_flat_layout,
+    )
+    from sparkinfer_tpu.sparse import SparseConfig
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+    sp = prepare_pipelined_params(dict(model.params), cfg, scfg, layout="v6")
+
+    ffn1, ci1 = make_pipelined_sparse_ffn(cfg, scfg, mode="pallas")
+    ref = _decode_tokens(make_forward(cfg, ffn_fn=ffn1, ffn_carry_init=ci1),
+                         sp, cfg)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("tp",))
+    sp_tp = dict(sp)
+    sp_tp["sparse_flat"] = shard_tp_flat(
+        mesh, tp_flat_layout(sp["sparse_flat"], cfg.n_layer))
+    ffn2, ci2 = make_tp_sparse_ffn(cfg, scfg, mesh)
+    with mesh:
+        got = _decode_tokens(
+            make_forward(cfg, ffn_fn=ffn2, ffn_carry_init=ci2), sp_tp, cfg)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_tiered_fast_path_matches_single_device(sparse_model):
+    """Tiered drop-mode decode with the hot store sharded over tp ==
+    the single-device tiered pallas path (same hot set, same misses)."""
+    from sparkinfer_tpu.parallel.sparse_tp import (
+        make_tp_tiered_ffn,
+        shard_tp_flat,
+        tp_flat_layout,
+    )
+    from sparkinfer_tpu.sparse import SparseConfig
+    from sparkinfer_tpu.sparse.ffn import sparse_layout
+    from sparkinfer_tpu.sparse.tiering import (
+        DFRState,
+        init_tiered,
+        make_tiered_ffn,
+        tiered_layer_params,
+    )
+
+    model = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+    layers = sparse_layout(model.params["layers"], cfg, scfg)
+    tp_, st = init_tiered(cfg, scfg, layers, 4)  # 4 hot slots / 8 groups
+    lp, flat = tiered_layer_params(layers, tp_)
+    params = dict(model.params)
+    params["layers"] = lp
+    params["sparse_flat"] = flat
+    ffn1 = make_tiered_ffn(cfg, scfg, None, mode="drop", kernel="pallas")
+    ref = _decode_tokens(make_forward(cfg, ffn_fn=ffn1, stateful_ffn=True),
+                         params, cfg, stateful=True, fstate=st)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("tp",))
+    params_tp = dict(params)
+    params_tp["sparse_flat"] = shard_tp_flat(
+        mesh, tp_flat_layout(flat, cfg.n_layer))
+    ffn2 = make_tp_tiered_ffn(cfg, scfg, mesh)
+    with mesh:
+        got = _decode_tokens(
+            make_forward(cfg, ffn_fn=ffn2, stateful_ffn=True), params_tp,
+            cfg, stateful=True, fstate=st)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_sparse_capacity_factor_bounds_local_stream(sparse_model):
+    """With a capacity factor the local stream is bounded (Cl < C) and the
+    result still matches wherever no device overflows — here the skew is
+    mild so Cl = C//2 stays exact for this input."""
+    from sparkinfer_tpu.parallel.sparse_tp import (
+        _local_capacity,
+        make_tp_sparse_ffn,
+        shard_tp_flat,
+        tp_flat_layout,
+    )
+    from sparkinfer_tpu.sparse import SparseConfig
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    assert _local_capacity(16, 4, 2.0) == 8
+    assert _local_capacity(16, 4, None) == 16
+    model = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+    sp = prepare_pipelined_params(dict(model.params), cfg, scfg, layout="v6")
+    ffn1, ci1 = make_pipelined_sparse_ffn(cfg, scfg, mode="pallas")
+    ref = _decode_tokens(make_forward(cfg, ffn_fn=ffn1, ffn_carry_init=ci1),
+                         sp, cfg)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("tp",))
+    sp_tp = dict(sp)
+    sp_tp["sparse_flat"] = shard_tp_flat(
+        mesh, tp_flat_layout(sp["sparse_flat"], cfg.n_layer))
+    ffn2, ci2 = make_tp_sparse_ffn(cfg, scfg, mesh, capacity_factor=2.0)
+    with mesh:
+        got = _decode_tokens(
+            make_forward(cfg, ffn_fn=ffn2, ffn_carry_init=ci2), sp_tp, cfg)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
