@@ -538,9 +538,12 @@ class TieredPath:
                 hot_down=hot(cold.down, False),
                 group_map=jnp.asarray(gm), hot_ids=jnp.asarray(init_hot))
         self._extra_flat = dict(extra_flat or {})
-        self.fs = DFRState(dfr=jnp.zeros((L, ng), jnp.float32),
-                           miss=jnp.zeros((L, 1), jnp.float32),
-                           steps=jnp.zeros((L, 1), jnp.float32))
+        self.fs = DFRState(
+            dfr=jnp.zeros((L, ng), jnp.float32),
+            miss=jnp.zeros((L, 1), jnp.float32),
+            steps=jnp.zeros((L, 1), jnp.float32),
+            miss_g=(jnp.zeros((L, ng), jnp.float32)
+                    if mode == "fetch" else None))
         ffn = make_tiered_ffn(cfg, scfg, cold, mode=mode,
                               kernel="pallas" if plat == "tpu" else "gather")
         # decode params: drop the dense FFN weights from the scan xs
@@ -571,7 +574,12 @@ class TieredPath:
         _drain(lg)
         dt = time.perf_counter() - t0
         t1 = time.perf_counter()
-        self.tp = self.balancer.rebalance(self.tp, np.asarray(self.fs.dfr))
+        mg = (np.asarray(self.fs.miss_g)
+              if self.fs.miss_g is not None else None)
+        self.tp = self.balancer.rebalance(self.tp, np.asarray(self.fs.dfr),
+                                          miss_g=mg)
+        if mg is not None:  # fetch tier: counts consumed by this rebalance
+            self.fs = self.fs._replace(miss_g=jnp.zeros_like(self.fs.miss_g))
         lp2, flat2 = self._tlp(self._layers, self.tp)
         self.params["layers"] = lp2
         self.params["sparse_flat"] = {**flat2, **self._extra_flat}
@@ -809,10 +817,17 @@ def tiered_main_big(plat, preset):
         scfg_c = SparseConfig(group_size=128, capacity_groups=cap_g)
         H = max(1, int(ng * frac))
         key = f"drop-{label}@hot{frac}"
+        t_cfg = time.time()
         path = TieredPath(key, cfg, scfg_c, cold, H,
                           "drop", plat, params, S, store_quant=squant,
                           extra_flat=extra_flat)
+        print(json.dumps({"phase": "path_built", "config": key,
+                          "t": round(time.time() - t_cfg, 1)}),
+              file=sys.stderr, flush=True)
         _, warm_miss, _ = path.run_chunk()  # warm/compile + cold-start miss
+        print(json.dumps({"phase": "warm_done", "config": key,
+                          "t": round(time.time() - t_cfg, 1)}),
+              file=sys.stderr, flush=True)
         r = {"t": [], "miss": [warm_miss], "reb": []}
         for _ in range(n_rounds):
             ct, miss, reb = path.run_chunk()

@@ -146,7 +146,8 @@ class Engine:
                 layers = self.model.params["layers"]
                 self._full_layers = layers
                 self._tp, self._fstate = init_tiered(
-                    self.cfg, sparse, layers, sparse.hot_groups
+                    self.cfg, sparse, layers, sparse.hot_groups,
+                    track_miss_groups=(sparse_cold_mode == "fetch"),
                 )
                 cold_np = {
                     k: np.asarray(v)
@@ -499,7 +500,13 @@ class Engine:
 
             # window adaptation happens inside rebalance() from the
             # previous swap's completion probe (is_ready), not wall-clock
-            self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
+            mg = (np.asarray(self._fstate.miss_g)
+                  if self._fstate.miss_g is not None else None)
+            self._tp = self.balancer.rebalance(
+                self._tp, np.asarray(self._fstate.dfr), miss_g=mg)
+            if mg is not None:  # fetch tier: counts consumed
+                self._fstate = self._fstate._replace(
+                    miss_g=jnp.zeros_like(self._fstate.miss_g))
             (self._decode_params["layers"],
              self._decode_params["sparse_flat"]) = tiered_layer_params(
                 self._full_layers, self._tp)

@@ -91,9 +91,17 @@ class Balancer:
             self.window = self.scfg.reload_window
         self._pending = None  # updated stores from the previous rebalance
 
-    def rebalance(self, tp: TieredParams, dfr: np.ndarray) -> TieredParams:
+    def rebalance(self, tp: TieredParams, dfr: np.ndarray,
+                  miss_g: np.ndarray | None = None) -> TieredParams:
         """dfr (L, n_g) host array -> updated TieredParams with at most
-        `window` group swaps per layer applied."""
+        `window` group swaps per layer applied.
+
+        miss_g (fetch tier, VERDICT r3 item 6): per-group cold∩active
+        counts since the last rebalance. Any group that actually MISSED
+        outranks every never-missed group (ordered by miss count, DFR as
+        tiebreak), so the H2D upload between chunks turns repeated
+        misses into hits — the relay-compatible analogue of the
+        reference's async reload-exec (ggml-cuda.cu:2520-2604)."""
         # Adaptive feedback from swap COMPLETION (the reference's anchor
         # mechanism checks whether reload IO finished inside the compute
         # window, ggml-sparkinfer.hpp:169-173): probe whether the PREVIOUS
@@ -115,9 +123,13 @@ class Balancer:
         gmap = np.array(tp.group_map)  # (L, ng) mutable copy
         L, H = hot_ids.shape  # H also strides the flat (L*H, ...) stores
 
+        score = dfr
+        if miss_g is not None:
+            bump = np.abs(dfr).max() + 1.0
+            score = dfr + np.where(miss_g > 0, miss_g + bump, 0.0)
         swaps: list[tuple[int, int, int]] = []  # (layer, slot, group)
         for l in range(L):
-            order = np.argsort(-dfr[l], kind="stable")
+            order = np.argsort(-score[l], kind="stable")
             desired = order[:H]
             for slot, g in reload_plan(hot_ids[l], desired, self.window):
                 swaps.append((l, slot, g))

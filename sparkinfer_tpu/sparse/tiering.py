@@ -164,6 +164,12 @@ class DFRState(NamedTuple):
     dfr: jnp.ndarray  # (L, n_g) f32 decayed firing rate
     miss: jnp.ndarray  # (L, 1) f32 count of active-but-cold group hits
     steps: jnp.ndarray  # (L, 1) f32 tokens seen
+    # fetch mode only: per-GROUP cold∩active counts since the last
+    # rebalance — the balancer prioritizes these for entry so misses
+    # become next-chunk hits (the relay-compatible analogue of the
+    # reference's async reload-exec, ggml-cuda.cu:2520-2604; host
+    # callbacks for in-step exactness are rejected by the relay)
+    miss_g: jnp.ndarray | None = None  # (L, n_g) f32
 
 
 def init_tiered(
@@ -173,6 +179,7 @@ def init_tiered(
     hot_groups: int,
     init_hot: np.ndarray | None = None,  # (L, H) group ids; default first H
     quant: str | None = None,  # "q8_0" packs the hot store (v6q kernel)
+    track_miss_groups: bool = False,  # fetch mode: per-group miss counts
 ) -> tuple[TieredParams, DFRState]:
     """Build the initial hot cache from the (stacked, row-layout) layer
     params. By default the FIRST H groups are hot — combined with the
@@ -233,6 +240,7 @@ def init_tiered(
         dfr=jnp.zeros((L, ng), jnp.float32),
         miss=jnp.zeros((L, 1), jnp.float32),
         steps=jnp.zeros((L, 1), jnp.float32),
+        miss_g=jnp.zeros((L, ng), jnp.float32) if track_miss_groups else None,
     )
     return tp, st
 
@@ -241,7 +249,7 @@ def make_tiered_ffn(
     cfg: ModelConfig,
     scfg: SparseConfig,
     cold: ColdStore | None,
-    mode: str = "host",  # "host" | "drop"
+    mode: str = "host",  # "host" | "drop" | "fetch"
     kernel: str = "pallas",  # "pallas" | "gather" (CPU tests)
     stateless: bool = False,
 ):
@@ -353,7 +361,9 @@ def make_tiered_ffn(
             # gp_hot is 0 so the threshold mask already zeroes them)
             out = out.astype(jnp.float32)
 
-        # cold∩active bookkeeping
+        # cold∩active bookkeeping; fetch mode ALSO requires the selection
+        # to have reached the group (capacity-truncated cold groups are
+        # not fetch-demanded — matching what the kernel actually missed)
         group_active = (gp >= thr).any(-1)  # (N, ng)
         cold_active = group_active & (gmap[None, :] < 0)  # (N, ng)
         n_miss = cold_active.sum().astype(jnp.float32)
@@ -380,7 +390,11 @@ def make_tiered_ffn(
             dfr = lam * fs.dfr + (1.0 - lam) * fired
         else:
             dfr = fs.dfr + fired
-        fs2 = DFRState(dfr=dfr, miss=fs.miss + n_miss, steps=fs.steps + 1.0)
+        miss_g = fs.miss_g
+        if mode == "fetch" and miss_g is not None:
+            miss_g = miss_g + cold_active.sum(0).astype(jnp.float32)
+        fs2 = DFRState(dfr=dfr, miss=fs.miss + n_miss, steps=fs.steps + 1.0,
+                       miss_g=miss_g)
         return y, fs2
 
     if stateless:

@@ -324,3 +324,53 @@ def test_balancer_completion_probe_adapts_window(sp):
     bal.rebalance(tp, dfr)
     assert bal.window == min(bal.max_window, w0 * 2)
     assert bal.overruns == 0
+
+
+def test_fetch_tier_turns_misses_into_hits(sp):
+    """mode='fetch' (VERDICT r3 item 6): per-group miss counts are
+    carried in-step; the balancer prioritizes missed groups for entry,
+    so a REPEATED input that missed in chunk 1 hits in chunk 2 — without
+    host callbacks (relay-compatible), unlike mode='host'."""
+    model, _, scfg = sp
+    cfg = model.config
+    ng = cfg.n_ff // G
+    layers = model.params["layers"]
+    # hot capacity covers the structurally-fireable first 2/3 of groups,
+    # but the INITIAL set is shifted to include never-firing tail groups
+    # — the fetch tier must discover and swap in the missed ones
+    fireable = int(np.ceil(2 * ng / 3))
+    bad_hot = np.tile(np.arange(ng - fireable, ng, dtype=np.int32),
+                      (cfg.n_layer, 1))
+    tp, st = init_tiered(cfg, scfg, layers, fireable, init_hot=bad_hot,
+                         track_miss_groups=True)
+    cold = ColdStore(cfg, scfg, {k: np.asarray(v) for k, v in layers.items()
+                                 if k.endswith("_rows")}, dtype=np.float32)
+    ffn = make_tiered_ffn(cfg, scfg, None, mode="fetch")
+    params = dict(model.params)
+    params["layers"], params["sparse_flat"] = tiered_layer_params(layers, tp)
+    fwd = jax.jit(make_forward(cfg, ffn_fn=ffn, stateful_ffn=True))
+    bal = Balancer(cold=cold, scfg=scfg, window=8)
+
+    toks = jnp.asarray([[2, 7, 11, 3, 8]], jnp.int32)
+    pos = jnp.arange(5, dtype=jnp.int32)[None]
+
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    _, _, st1 = fwd(params, toks, pos, cache, st)
+    miss1 = float(np.asarray(st1.miss).sum())
+    assert miss1 > 0  # bad hot set missed
+    mg = np.asarray(st1.miss_g)
+    assert mg.sum() > 0
+    # fetch: missed groups enter regardless of DFR rank
+    tp2 = bal.rebalance(tp, np.asarray(st1.dfr), miss_g=mg)
+    st1 = st1._replace(miss_g=jnp.zeros_like(st1.miss_g))
+    params["layers"], params["sparse_flat"] = tiered_layer_params(layers, tp2)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    _, _, st2 = fwd(params, toks, pos, cache, st1)
+    miss2 = float(np.asarray(st2.miss).sum()) - miss1
+    assert miss2 == 0  # same input now fully hot
+
+    # and the fetched result now matches the exact sparse oracle
+    ref = _ref_logits(model, scfg, [2, 7, 11, 3, 8])
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    logits, _, _ = fwd(params, toks, pos, cache, st2)
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-4)
