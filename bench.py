@@ -481,7 +481,7 @@ class TieredPath:
     mode='host' (pure_callback complement) overlaps or serializes."""
 
     def __init__(self, name, cfg, scfg, cold, hot_groups, mode, plat,
-                 params, S, store_quant=None, extra_flat=None):
+                 params, S, store_quant=None, extra_flat=None, hot_np=None):
         import jax
         import jax.numpy as jnp
 
@@ -518,20 +518,33 @@ class TieredPath:
         if store_quant == "q8_0":
             # Q8_0 hot store: quantize HOST-side (matches the balancer's
             # swap quantization) and upload packed — half the H2D bytes,
-            # half the per-step sparse FFN stream (v6q kernel)
+            # half the per-step sparse FFN stream (v6q kernel).
+            # hot_np caches the host-side packed blocks across sweep
+            # configs (same H => same store; only the upload repeats)
             from sparkinfer_tpu.ops.sparse_ffn_pallas import quantize_rows_q8_0
 
-            def hotq(w, transpose):
-                q, s = quantize_rows_q8_0(sel_rows(w, transpose), transpose)
-                return jnp.asarray(q), jnp.asarray(s)
+            if hot_np is not None and "qu" in hot_np:
+                blocks = hot_np
+            else:
+                def hotq(w, transpose):
+                    return quantize_rows_q8_0(sel_rows(w, transpose),
+                                              transpose)
 
-            qu, su = hotq(cold.up, True)
-            qg, sg = hotq(cold.gate, True)
-            qd, sd = hotq(cold.down, False)
+                qu_, su_ = hotq(cold.up, True)
+                qg_, sg_ = hotq(cold.gate, True)
+                qd_, sd_ = hotq(cold.down, False)
+                blocks = {"qu": qu_, "su": su_, "qg": qg_, "sg": sg_,
+                          "qd": qd_, "sd": sd_}
+                if hot_np is not None:
+                    hot_np.update(blocks)
             self.tp = TieredParams(
-                hot_upT=qu, hot_gateT=qg, hot_down=qd,
+                hot_upT=jnp.asarray(blocks["qu"]),
+                hot_gateT=jnp.asarray(blocks["qg"]),
+                hot_down=jnp.asarray(blocks["qd"]),
                 group_map=jnp.asarray(gm), hot_ids=jnp.asarray(init_hot),
-                s_upT=su, s_gateT=sg, s_down=sd)
+                s_upT=jnp.asarray(blocks["su"]),
+                s_gateT=jnp.asarray(blocks["sg"]),
+                s_down=jnp.asarray(blocks["sd"]))
         else:
             self.tp = TieredParams(
                 hot_upT=hot(cold.up, True), hot_gateT=hot(cold.gate, True),
@@ -786,15 +799,29 @@ def tiered_main_big(plat, preset):
         params["layers"].update({k[:-len("_all")]: v for k, v in preds.items()})
         params["layers"]["pred_down_b"] = skew
 
-    # host cold store, f16 rows layout, built layer-by-layer
+    # host cold store, f16 rows layout, built layer-by-layer; the ~17 GB
+    # RNG takes ~13 min of CPU at 13B, so cache the arrays on disk and
+    # mmap them back on reruns (same seed => same values)
+    cache_dir = f"/tmp/spif_cold_{preset}"
+    import os.path as _osp
+
     rows = {}
-    rng = np.random.default_rng(11)
-    for k in ("w_up_rows", "w_gate_rows", "w_down_rows"):
-        a = np.empty((L, ng, 128, E), np.float16)
-        for l in range(L):
-            a[l] = (rng.standard_normal((ng, 128, E), dtype=np.float32)
-                    * 0.02).astype(np.float16)
-        rows[k] = a
+    keys3 = ("w_up_rows", "w_gate_rows", "w_down_rows")
+    if all(_osp.exists(f"{cache_dir}/{k}.npy") for k in keys3):
+        for k in keys3:
+            rows[k] = np.load(f"{cache_dir}/{k}.npy", mmap_mode="r")
+        print(json.dumps({"phase": "cold_store_cached", "dir": cache_dir}),
+              file=sys.stderr, flush=True)
+    else:
+        _os.makedirs(cache_dir, exist_ok=True)
+        rng = np.random.default_rng(11)
+        for k in keys3:
+            a = np.empty((L, ng, 128, E), np.float16)
+            for l in range(L):
+                a[l] = (rng.standard_normal((ng, 128, E), dtype=np.float32)
+                        * 0.02).astype(np.float16)
+            np.save(f"{cache_dir}/{k}.npy", a)
+            rows[k] = a
     cold = ColdStore(cfg, scfg, rows, dtype=np.float16)
     del rows
     gc.collect()
@@ -813,6 +840,7 @@ def tiered_main_big(plat, preset):
     q8d_tps = _bench_state().get(f"q8dense_{preset}_tps")
 
     results = {}
+    hot_np_cache: dict[int, dict] = {}
     for label, frac, cap_g, squant in sweep:
         scfg_c = SparseConfig(group_size=128, capacity_groups=cap_g)
         H = max(1, int(ng * frac))
@@ -820,7 +848,8 @@ def tiered_main_big(plat, preset):
         t_cfg = time.time()
         path = TieredPath(key, cfg, scfg_c, cold, H,
                           "drop", plat, params, S, store_quant=squant,
-                          extra_flat=extra_flat)
+                          extra_flat=extra_flat,
+                          hot_np=hot_np_cache.setdefault(H, {}))
         print(json.dumps({"phase": "path_built", "config": key,
                           "t": round(time.time() - t_cfg, 1)}),
               file=sys.stderr, flush=True)
@@ -980,6 +1009,9 @@ def batch_main(plat):
     with B (round-2 order-of-attack #3, BENCH_NOTES)."""
     from sparkinfer_tpu.models.transformer import make_forward
 
+    from sparkinfer_tpu.sparse import SparseConfig
+    from sparkinfer_tpu.sparse.ffn import make_pipelined_sparse_ffn
+
     preset = "1b" if plat == "tpu" else "tiny"
     cfg, params = build_model(preset)
     S = 1024
@@ -987,36 +1019,64 @@ def batch_main(plat):
     dense_fwd = make_forward(cfg)
     sparse_fwd, sparams, dense_prefill = build_sparse(cfg, params, preset, plat)
 
+    # round-3 union contender (VERDICT item 7): cross-token union of
+    # selected groups read ONCE per layer (v7u kernel) with per-token
+    # masks — attacks the B x C redundant block reads of the per-token
+    # kernel; union capacity 4C (bucketed; drops least-shared overflow)
+    ng = cfg.n_ff // 128 if cfg.n_ff % 128 == 0 else cfg.n_ff // 64
+    gs = 128 if cfg.n_ff % 128 == 0 else 64
+    scfg_u = SparseConfig(group_size=gs, capacity_groups=_cap_groups(ng))
+    umode = "pallas_union" if plat == "tpu" else "gather_union"
+    Cu = min(ng, 4 * scfg_u.capacity_groups)
+    ffn_u, ci_u = make_pipelined_sparse_ffn(cfg, scfg_u, mode=umode,
+                                            union_groups=Cu)
+    union_fwd = make_forward(cfg, ffn_fn=ffn_u, ffn_carry_init=ci_u)
+
     best = None
     for B in (1, 4, 8):
         dense = Path("dense", dense_fwd, params, cfg, S, batch=B)
         sparse = Path("sparse", sparse_fwd, sparams, cfg, S,
                       prefill_fwd=dense_prefill, batch=B)
+        union = Path("sparse_union", union_fwd, sparams, cfg, S,
+                     prefill_fwd=dense_prefill, batch=B)
         dense.run_chunk()
         sparse.run_chunk()
-        d_t, s_t, ratios = [], [], []
+        union.run_chunk()
+        d_t, s_t, u_t, ratios, uratios = [], [], [], [], []
         for _ in range(n_trials):
             dt = dense.run_chunk()
             st = sparse.run_chunk()
+            ut = union.run_chunk()
             d_t.append(dt)
             s_t.append(st)
+            u_t.append(ut)
             ratios.append(dt / st)
+            uratios.append(dt / ut)
         row = {
             "batch": B,
             "dense_tps": round(B * CHUNK / min(d_t), 1),
             "sparse_tps": round(B * CHUNK / min(s_t), 1),
+            "union_tps": round(B * CHUNK / min(u_t), 1),
+            "union_cap": Cu,
             "ratio": round(statistics.median(ratios), 3),
+            "union_ratio": round(statistics.median(uratios), 3),
         }
-        print(json.dumps(row), file=sys.stderr)
-        if best is None or row["sparse_tps"] > best["sparse_tps"]:
+        print(json.dumps(row), file=sys.stderr, flush=True)
+        row["best_mode"] = max(
+            (row["dense_tps"], "dense"), (row["sparse_tps"], "sparse"),
+            (row["union_tps"], "union"))[1]
+        if best is None or max(row["sparse_tps"], row["union_tps"]) > \
+                max(best["sparse_tps"], best["union_tps"]):
             best = row
-        del dense, sparse
+        del dense, sparse, union
+    sbest = max(best["sparse_tps"], best["union_tps"])
     print(json.dumps({
         "metric": f"decode_tps_sparse_{preset}_batched",
-        "value": best["sparse_tps"],
+        "value": sbest,
         "unit": "tokens/s",
-        "vs_baseline": best["ratio"],
+        "vs_baseline": max(best["ratio"], best["union_ratio"]),
         "best_batch": best["batch"],
+        "best_mode": best["best_mode"],
     }))
 
 

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Drop-mode quality at the bench operating points (VERDICT r3 item 3).
+
+Measures KL(exact sparse ‖ tiered-drop) and top-1 agreement over a fixed
+teacher-forced corpus, with the balancer rebalancing between chunks
+exactly like bench.py — so the measured miss rates match the chip
+throughput tables. Runs on CPU with the SAME synthetic skewed model
+family as the bench (shapes, predictor bias skew, firing rates); real
+checkpoints are unavailable in this zero-egress env, and the quality
+question ("what do the dropped cold∩active contributions cost?") needs
+matching statistics, not real weights.
+
+Ref: the reference gates sparsity claims on PPL/KL
+(tools/perplexity/perplexity.cpp:173,741).
+
+Run (background, ~10-30 min at 13B shapes on 4 CPUs):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    python eval_scripts/run_quality_tiered.py 7b 13b
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+CHUNK_T = 16  # teacher-forced tokens per chunk (rebalance between chunks)
+N_CHUNKS = 8  # first half = balancer convergence, second half = scored
+
+
+def _kl_top1(exact_logits, got_logits):
+    """Per-position KL(exact ‖ got) (f64 log-softmax) + top-1 agreement."""
+    import scipy.special as sps
+
+    e = exact_logits.astype(np.float64)
+    g = got_logits.astype(np.float64)
+    le = e - sps.logsumexp(e, axis=-1, keepdims=True)
+    lg = g - sps.logsumexp(g, axis=-1, keepdims=True)
+    p = np.exp(le)
+    kl = (p * (le - lg)).sum(-1)
+    agree = (e.argmax(-1) == g.argmax(-1)).astype(np.float64)
+    return kl, agree
+
+
+def run_preset(preset: str) -> list[dict]:
+    import jax.numpy as jnp
+
+    from bench import TieredPath, _skewed_pred_bias, build_model, make_cold
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.runtime.kv_cache import init_cache
+    from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn
+
+    t0 = time.time()
+    cfg, params, host_ffn = build_model(preset, host_ffn=True)
+    ng = cfg.n_ff // 128
+    params["layers"]["pred_down_b"] = jnp.asarray(_skewed_pred_bias(cfg, ng))
+    scfg0 = SparseConfig(group_size=128, capacity_groups=ng)
+    cold = make_cold(cfg, host_ffn, scfg0)
+    del host_ffn
+    print(f"# {preset}: model+cold built {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    T = CHUNK_T * N_CHUNKS
+    rng = np.random.default_rng(42)
+    toks = rng.integers(0, cfg.n_vocab, T).astype(np.int32)
+
+    # EXACT SPARSE oracle: masked dense (same thresholded function the
+    # sparse path computes with unlimited capacity), full corpus one pass
+    exact_fwd = make_forward(cfg, ffn_fn=make_sparse_ffn(cfg, scfg0,
+                                                         mode="dense"))
+    import jax
+
+    cache = init_cache(cfg, 1, T + 8, jnp.float32)
+    lg, _ = jax.jit(exact_fwd)(
+        params, jnp.asarray(toks)[None],
+        jnp.arange(T, dtype=jnp.int32)[None], cache)
+    exact = np.asarray(lg)[0]
+    del cache, lg
+    print(f"# {preset}: exact pass {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    # operating points: match the chip sweep (bench.py tiered_main_big)
+    if preset == "13b":
+        points = [("q8c28@hot0.25", 0.25, 28, "q8_0"),
+                  ("q8c20@hot0.25", 0.25, 20, "q8_0"),
+                  ("q8c16@hot0.25", 0.25, 16, "q8_0"),
+                  ("bf16c28@hot0.125", 0.125, 28, None)]  # round-2 headline
+    else:
+        points = [("c28@hot0.25", 0.25, max(4, (int(ng * 0.25) + 3) // 4 * 4),
+                   None)]
+
+    rows = []
+    for label, frac, cap, squant in points:
+        scfg = SparseConfig(group_size=128, capacity_groups=min(cap, ng))
+        H = max(1, int(ng * frac))
+        path = TieredPath(label, cfg, scfg, cold, H, "drop", "cpu",
+                          params, T + 8, store_quant=squant)
+        kls, agrees, misses = [], [], []
+        for c in range(N_CHUNKS):
+            s, e = c * CHUNK_T, (c + 1) * CHUNK_T
+            tk = jnp.asarray(toks[s:e])[None]
+            pos = jnp.arange(s, e, dtype=jnp.int32)[None]
+            miss0 = float(np.asarray(path.fs.miss).sum())
+            lgc, path.cache, path.fs = path.step(path.params, tk, pos,
+                                                 path.cache, path.fs)
+            lgc = np.asarray(lgc)[0]
+            misses.append(float(np.asarray(path.fs.miss).sum()) - miss0)
+            # between-chunk rebalance, as on chip
+            path.tp = path.balancer.rebalance(path.tp,
+                                              np.asarray(path.fs.dfr))
+            lp2, flat2 = path._tlp(path._layers, path.tp)
+            path.params["layers"] = lp2
+            path.params["sparse_flat"] = {**flat2, **path._extra_flat}
+            if c >= N_CHUNKS // 2:  # steady state only
+                kl, ag = _kl_top1(exact[s:e], lgc)
+                kls.append(kl)
+                agrees.append(ag)
+        kl = np.concatenate(kls)
+        ag = np.concatenate(agrees)
+        row = {
+            "preset": preset, "config": label,
+            "kl_mean": round(float(kl.mean()), 5),
+            "kl_p99": round(float(np.percentile(kl, 99)), 5),
+            "top1_agree": round(float(ag.mean()), 4),
+            "miss_per_chunk16": [round(m) for m in misses],
+            "scored_tokens": int(len(kl)),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        del path
+        import gc
+
+        gc.collect()
+    return rows
+
+
+def main():
+    presets = sys.argv[1:] or ["7b"]
+    all_rows = []
+    for p in presets:
+        all_rows += run_preset(p)
+    dst = pathlib.Path(__file__).parent / "quality_tiered.json"
+    existing = []
+    if dst.exists():
+        existing = json.loads(dst.read_text()).get("rows", [])
+    keep = [r for r in existing
+            if not any(r["preset"] == n["preset"]
+                       and r["config"] == n["config"] for n in all_rows)]
+    dst.write_text(json.dumps(
+        {"note": ("KL(exact sparse ‖ tiered-drop) + top-1 agreement, "
+                  "teacher-forced synthetic skewed model at bench shapes; "
+                  "balancer rebalances between chunks as on chip; scored "
+                  "over the steady-state second half"),
+         "rows": keep + all_rows}, indent=1))
+    print(f"wrote {dst}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -340,14 +340,46 @@ def prepare_pipelined_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
     return out
 
 
+def union_from_selection(idx: jnp.ndarray, gp_sel: jnp.ndarray, ng: int,
+                         Cu: int):
+    """Cross-token union of selected groups (static shapes).
+
+    idx (B, C) per-token selected group ids; gp_sel (B, C, G) their probs.
+    Returns (union (Cu,) int32 group ids ranked by how many tokens
+    selected them, gp_u (B, Cu, G) per-token probs — zero where the token
+    did not select that group). Exact when Cu >= |union|; otherwise the
+    least-shared groups' contributions are dropped (the same capacity
+    trade the per-token path already makes at C)."""
+    B, C = idx.shape
+    G = gp_sel.shape[-1]
+    pres = jnp.zeros((B, ng), jnp.float32).at[
+        jnp.arange(B)[:, None], idx].set(1.0)
+    count = pres.sum(0)  # (ng,)
+    _, union = jax.lax.top_k(count, Cu)
+    union = union.astype(jnp.int32)
+    # scatter per-token probs to group-major, then gather the union slots
+    gp_full = jnp.zeros((B, ng, G), gp_sel.dtype).at[
+        jnp.arange(B)[:, None], idx].set(gp_sel)
+    gp_u = jnp.take(gp_full, union, axis=1)  # (B, Cu, G)
+    sel = jnp.take(pres, union, axis=1)  # (B, Cu)
+    return union, gp_u * sel[..., None]
+
+
 def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
-                              mode: str = "gather"):
+                              mode: str = "gather",
+                              union_groups: int | None = None):
     """Returns (ffn, carry_init) for make_forward(..., ffn_carry_init=...).
 
     ffn(lp, x, carry, il): layer 0 selects from its own predictor; every
     other layer consumes the selection computed at the previous layer with
     ITS (pre-shifted) predictor weights. The layer's own compute also emits
-    the next layer's selection."""
+    the next layer's selection.
+
+    mode='pallas_union' (batch decode): the cross-token UNION of selected
+    groups is read once per layer through the v7u kernel (B-wide MXU
+    dots) instead of once per (token, group) — union capacity
+    `union_groups` (default min(ng, 4C), exact when it covers the union;
+    ref batched kernels: mm-sparse.cu batch path)."""
     import jax
     import jax.numpy as jnp
 
@@ -375,7 +407,52 @@ def make_pipelined_sparse_ffn(cfg: ModelConfig, scfg: SparseConfig,
             "gp_sel": jnp.zeros((N, C, G), jnp.float32),
         }
 
+    Cu = union_groups or min(ng, 4 * C)
+
     def _compute(lp, xt, idx, gp_sel, il):
+        if mode == "pallas_union":
+            from ..ops.sparse_ffn_pallas import sparse_ffn_block_v7u
+
+            union, gp_u = union_from_selection(idx, gp_sel, ng, Cu)
+            bu_u = None
+            if "b_up" in lp:
+                bu_u = jnp.broadcast_to(
+                    jnp.take(lp["b_up"].reshape(ng, G).astype(jnp.float32),
+                             union, axis=0)[None],
+                    gp_u.shape)
+            return sparse_ffn_block_v7u(
+                xt, union + il * ng, gp_u, lp["w_upT_flat"],
+                lp.get("w_gateT_flat"), lp["w_down_flat"],
+                act=cfg.traits.sparse_act,
+                fatrelu_threshold=cfg.fatrelu_threshold,
+                prob_threshold=thr, bu_u=bu_u,
+            )
+        if mode == "gather_union":
+            # CPU-testable union math (flat v6 stores OR v1 row layout)
+            union, gp_u = union_from_selection(idx, gp_sel, ng, Cu)
+            flat_form = "w_upT_flat" in lp
+            rows = union + il * ng if flat_form else union
+
+            def col(key_flat, key_rows):
+                if flat_form:
+                    w = jnp.take(lp[key_flat], rows, axis=0)  # (Cu, E, G)
+                    return jnp.einsum("be,ueg->bug", xt, w.astype(xt.dtype))
+                w = jnp.take(lp[key_rows], rows, axis=0)  # (Cu, G, E)
+                return jnp.einsum("be,uge->bug", xt, w.astype(xt.dtype))
+
+            up = col("w_upT_flat", "w_up_rows")
+            if "b_up" in lp:
+                up = up + jnp.take(lp["b_up"].reshape(ng, G), union,
+                                   axis=0).astype(up.dtype)[None]
+            gate = None
+            if gated and (lp.get("w_gateT_flat") is not None
+                          or "w_gate_rows" in lp):
+                gate = col("w_gateT_flat", "w_gate_rows")
+            hidden = act(gate, up) if gate is not None else act(None, up)
+            hidden = hidden * (gp_u >= thr).astype(hidden.dtype)
+            wd = jnp.take(lp["w_down_flat"] if flat_form
+                          else lp["w_down_rows"], rows, axis=0)  # (Cu, G, E)
+            return jnp.einsum("bug,uge->be", hidden, wd.astype(hidden.dtype))
         if mode == "pallas":
             from ..ops.sparse_ffn_pallas import (
                 sparse_ffn_block,

@@ -543,3 +543,70 @@ def test_pipelined_pred_stacks_match_per_layer(sparse_model):
     a, _ = fwd(params, toks, pos, init_cache(cfg, 1, 16, jnp.float32))
     b, _ = fwd(stacked, toks, pos, init_cache(cfg, 1, 16, jnp.float32))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_union_batch_matches_per_token(sparse_model):
+    """v7u union kernel + gather_union (round-3 batched sparse): with
+    union capacity covering the cross-token union, both equal the
+    per-token pallas/gather result on a batched forward."""
+    from sparkinfer_tpu.sparse.ffn import (
+        make_pipelined_sparse_ffn,
+        prepare_pipelined_params,
+    )
+
+    model, _ = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=G, capacity_groups=4)
+    ng = scfg.n_groups(cfg.n_ff)
+    base = {"tok_embd": model.params["tok_embd"],
+            "output_norm_w": model.params["output_norm_w"],
+            "output": model.params["output"],
+            "layers": {k: v for k, v in model.params["layers"].items()
+                       if not (k.endswith("_nx") or k.endswith("_rows")
+                               or k == "w_all_rows")}}
+    params_v6 = prepare_pipelined_params(base, cfg, scfg, layout="v6")
+
+    rng = np.random.default_rng(17)
+    B, T = 3, 4
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (B, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+
+    # FFN-level comparison at a MATCHED selection (full-forward logits
+    # diverge chaotically: ~1e-9 output differences flip top-k ties in
+    # the next layer's carried selection)
+    lp = {k: v[1] for k, v in params_v6["layers"].items()}
+    lp.update(params_v6["sparse_flat"])
+    xt = jnp.asarray(rng.standard_normal((B * T, cfg.n_embd)) * 0.3,
+                     jnp.float32)
+    from sparkinfer_tpu.sparse.predictor import predict_activations
+
+    probs = predict_activations(
+        {k: lp[k] for k in ("pred_up", "pred_up_b", "pred_down",
+                            "pred_down_b")}, xt)
+    from sparkinfer_tpu.sparse.ffn import select_groups
+
+    idx = select_groups(probs, scfg, cfg.n_ff)
+    gp = probs.reshape(B * T, ng, G)
+    carry = {"idx": idx,
+             "gp_sel": jnp.take_along_axis(gp, idx[..., None], axis=1)}
+    x3 = xt.reshape(1, B * T, cfg.n_embd)
+    il = jnp.int32(1)  # != 0 so every mode consumes the shared carry
+
+    def run_ffn(mode, union_groups=None):
+        ffn, _ = make_pipelined_sparse_ffn(cfg, scfg, mode=mode,
+                                           union_groups=union_groups)
+        y, _ = ffn(lp, x3, carry, il)
+        return np.asarray(y)
+
+    ref = run_ffn("pallas")
+    got_g = run_ffn("gather_union", union_groups=ng)  # full union: exact
+    np.testing.assert_allclose(got_g, ref, rtol=1e-4, atol=1e-4)
+    got_p = run_ffn("pallas_union", union_groups=ng)
+    np.testing.assert_allclose(got_p, ref, rtol=1e-3, atol=1e-3)
+
+    # full forward with a truncated union still runs end-to-end
+    ffn_t, ci_t = make_pipelined_sparse_ffn(cfg, scfg, mode="pallas_union",
+                                            union_groups=4)
+    fwd_t = jax.jit(make_forward(cfg, ffn_fn=ffn_t, ffn_carry_init=ci_t))
+    lg, _ = fwd_t(params_v6, toks, pos, init_cache(cfg, B, 16, jnp.float32))
+    assert np.isfinite(np.asarray(lg)).all()
