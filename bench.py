@@ -1134,6 +1134,85 @@ def engine_main(plat, size=None):
     }), flush=True)
 
 
+def prefill_main(plat, size=None):
+    """`bench.py prefill [size]`: prefill throughput on chip at pp512 /
+    pp2048 (the reference publishes pp tables, benches/dgx-spark/
+    dgx-spark.md:62-66) for dense AND the sparse path's masked-dense
+    prefill (predictor + threshold mask on top of the dense matmuls) —
+    VERDICT r2 item 5: no prefill number had ever been recorded on chip.
+    Reports t/s, achieved TFLOP/s, and utilization vs the 122 TFLOP/s
+    bf16 probe figure."""
+    import statistics as _st
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.runtime.kv_cache import init_cache
+    from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn
+
+    preset = size or ("1b" if plat == "tpu" else "tiny")
+    pps = (512, 2048) if plat == "tpu" else (64,)
+    n_rep = 4 if plat == "tpu" else 2
+
+    if preset in ("7b", "13b"):
+        cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
+        params["layers"].update(gen_dense_ffn())
+        preds = gen_pred()
+        params["layers"].update(
+            {k[:-len("_all")]: v for k, v in preds.items()})
+    else:
+        cfg, params = build_model(preset)
+    L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_ff, cfg.n_vocab
+    HD = cfg.n_head * cfg.head_dim
+    KD = cfg.n_head_kv * cfg.head_dim
+    nmat = L * (E * HD + 2 * E * KD + HD * E + 3 * E * F) + E * V
+    ng = F // 128
+    scfg = SparseConfig(group_size=128, capacity_groups=_cap_groups(ng))
+    dense_fwd = make_forward(cfg)
+    sparse_fwd = make_forward(cfg, ffn_fn=make_sparse_ffn(cfg, scfg,
+                                                          mode="dense"))
+    R = cfg.max_pred_rank
+    npred = L * (E * R + R * F)
+
+    rows = []
+    for pp in pps:
+        toks = jnp.zeros((1, pp), jnp.int32)
+        pos = jnp.arange(pp, dtype=jnp.int32)[None]
+        res = {"pp": pp}
+        for name, fwd, extra_flops in (
+                ("dense", dense_fwd, 0),
+                ("sparse_prefill", sparse_fwd, 2 * npred)):
+            f = jax.jit(fwd, donate_argnums=(3,))
+            times = []
+            for _ in range(n_rep + 1):
+                cache = init_cache(cfg, 1, pp, jnp.bfloat16)
+                t0 = time.perf_counter()
+                lg, cache = f(params, toks, pos, cache)
+                _drain(lg)
+                times.append(time.perf_counter() - t0)
+            dt = _st.median(times[1:])  # first = compile
+            flops = pp * (2 * nmat + extra_flops) + 2 * pp * pp * E * L
+            res[f"{name}_tps"] = round(pp / dt, 1)
+            res[f"{name}_tflops"] = round(flops / dt / 1e12, 1)
+        res["sparse_overhead"] = round(
+            res["dense_tps"] / res["sparse_prefill_tps"], 3)
+        res["mxu_util_dense"] = round(res["dense_tflops"] / 122.0, 3)
+        rows.append(res)
+        print(json.dumps(res), file=sys.stderr, flush=True)
+
+    best = max(rows, key=lambda r: r["dense_tps"])
+    print(json.dumps({
+        "metric": f"prefill_tps_dense_{preset}",
+        "value": best["dense_tps"],
+        "unit": "tokens/s",
+        "vs_baseline": best["mxu_util_dense"],
+        "baseline": "122 TFLOP/s bf16 probe (utilization)",
+        "pp": best["pp"],
+        "sparse_prefill_tps": best["sparse_prefill_tps"],
+    }), flush=True)
+
+
 def build_moe_model(preset: str):
     """Qwen3-MoE-style decode model for the fused-MoE bench: router +
     stacked experts, silu gating."""
@@ -1267,6 +1346,8 @@ def run_preset(preset, plat):
         return moe_main(plat)
     if preset.startswith("engine"):
         return engine_main(plat, preset[6:].lstrip("-") or None)
+    if preset.startswith("prefill"):
+        return prefill_main(plat, preset[7:].lstrip("-") or None)
     import os as _os
 
     tight_hbm = preset == "7b" or _os.environ.get("SPIF_BENCH_DEVINIT") == "1"
