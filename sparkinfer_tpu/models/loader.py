@@ -342,6 +342,20 @@ def load_model(
         add("bq", bq)
         add("bk", bk)
         add("bv", bv)
+        if cfg.arch == "cogvlm":
+            # vision-expert stream (src/models/cogvlm.cpp:27-44): the SAME
+            # block graph runs with these weights when the ubatch is an
+            # image embedding batch — selected by cogvlm_vision_params
+            vqkv = _linear(r, p + "vis_attn_qkv.weight", E, (H + 2 * Hkv) * D)
+            if vqkv is not None:
+                vq, vk, vv, _, _, _ = _split_fused_qkv(vqkv, None, cfg)
+                add("vis_wq", vq)
+                add("vis_wk", vk)
+                add("vis_wv", vv)
+                add("vis_wo", _lin(p + "vis_attn_output.weight", H * D, E))
+                add("vis_w_up", _lin(p + "vis_up.weight", E, cfg.n_ff))
+                add("vis_w_gate", _lin(p + "vis_gate.weight", E, cfg.n_ff))
+                add("vis_w_down", _lin(p + "vis_down.weight", cfg.n_ff, E))
         # q/k norms (qwen3/gemma3 per-head, olmo2/cohere full-width)
         add("attn_q_norm_w", _get(r, p + "attn_q_norm.weight"))
         add("attn_q_norm_b", _get(r, p + "attn_q_norm.bias"))

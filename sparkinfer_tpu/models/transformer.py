@@ -428,6 +428,20 @@ def _chunk_causal_attention(q, k, v, H, Hkv, D, causal=True, scale=None,
     return out.reshape(B, T, H, D)
 
 
+def cogvlm_vision_params(params: dict) -> dict:
+    """cogvlm per-ubatch expert selection (src/models/cogvlm.cpp:27-44):
+    an IMAGE ubatch (embedding input, no token ids) runs the same block
+    graph with the vision-expert weights. Build the image-forward params
+    by swapping the text weights for their vis_* counterparts and run
+    make_forward(cfg, inputs_embeds=True) with the result."""
+    layers = dict(params["layers"])
+    for k in ("wq", "wk", "wv", "wo", "w_up", "w_gate", "w_down"):
+        vk = "vis_" + k
+        if vk in layers:
+            layers[k] = layers[vk]
+    return {**params, "layers": layers}
+
+
 def make_forward(
     cfg: ModelConfig,
     ffn_fn: Callable | None = None,

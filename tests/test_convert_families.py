@@ -829,3 +829,73 @@ def test_plamo2_hybrid_smoke(tmp_path):
         outs.append(np.asarray(lg[0, 0]))
     np.testing.assert_allclose(np.stack(outs), np.asarray(full[0]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_cogvlm_vision_expert_wired(tmp_path):
+    """cogvlm vision-expert stream (round-3 arch residue): an image
+    ubatch runs the SAME block graph with the vis_* weights
+    (src/models/cogvlm.cpp:27-44). Oracle: a second cogvlm GGUF whose
+    TEXT weights ARE the vision weights (same seed => identical
+    everything else) must produce identical logits through the normal
+    text path — two independent loader paths pin the wiring."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama
+
+    from sparkinfer_tpu.models.transformer import cogvlm_vision_params
+
+    rng = np.random.default_rng(77)
+    E, F, L, H = 64, 96, 2, 4
+    D = E // H
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.08).astype(np.float32)
+
+    vis = {}
+    for i in range(L):
+        p = f"blk.{i}."
+        vis[p + "vis_attn_qkv.weight"] = w(3 * E, E)
+        vis[p + "vis_attn_output.weight"] = w(E, E)
+        vis[p + "vis_up.weight"] = w(F, E)
+        vis[p + "vis_gate.weight"] = w(F, E)
+        vis[p + "vis_down.weight"] = w(E, F)
+
+    pa = tmp_path / "cogvlm-a.gguf"
+    make_tiny_llama(pa, arch="cogvlm", fused_qkv=True, n_head=H,
+                    n_head_kv=H, n_ff=F, seed=3, extra_tensors=vis)
+    # B: text weights OVERRIDDEN with the vision weights, same seed
+    overrides = {}
+    for i in range(L):
+        p = f"blk.{i}."
+        overrides[p + "attn_qkv.weight"] = vis[p + "vis_attn_qkv.weight"]
+        overrides[p + "attn_output.weight"] = vis[p + "vis_attn_output.weight"]
+        overrides[p + "ffn_up.weight"] = vis[p + "vis_up.weight"]
+        overrides[p + "ffn_gate.weight"] = vis[p + "vis_gate.weight"]
+        overrides[p + "ffn_down.weight"] = vis[p + "vis_down.weight"]
+    pb = tmp_path / "cogvlm-b.gguf"
+    make_tiny_llama(pb, arch="cogvlm", fused_qkv=True, n_head=H,
+                    n_head_kv=H, n_ff=F, seed=3, extra_tensors=overrides)
+
+    ma = load_model(str(pa), dtype=jnp.float32)
+    mb = load_model(str(pb), dtype=jnp.float32)
+    assert "vis_wq" in ma.params["layers"]
+    toks = jnp.asarray([[3, 9, 5]], jnp.int32)
+    pos = jnp.arange(3, dtype=jnp.int32)[None]
+
+    img_params = cogvlm_vision_params(ma.params)
+    fwd = jax.jit(make_forward(ma.config))
+    la, _ = fwd(img_params, toks, pos, init_cache(ma.config, 1, 8,
+                                                  jnp.float32))
+    lb, _ = fwd(mb.params, toks, pos, init_cache(mb.config, 1, 8,
+                                                 jnp.float32))
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-5, atol=1e-5)
+
+    # the image path consumes EMBEDDINGS (no token ids): same logits
+    fwd_e = jax.jit(make_forward(ma.config, inputs_embeds=True))
+    embd = ma.params["tok_embd"][toks]
+    le, _ = fwd_e(img_params, embd, pos, init_cache(ma.config, 1, 8,
+                                                    jnp.float32))
+    np.testing.assert_allclose(np.asarray(le), np.asarray(la),
+                               rtol=1e-5, atol=1e-5)
