@@ -165,7 +165,7 @@ def _q8_flat_dev(w_stack, chunk=8):
     return FlatQuantTensor(q, s, "q8_0", OUT)
 
 
-def gen_q8_dense_flat(cfg):
+def gen_q8_dense_flat(cfg, which=("attn", "ffn", "out")):
     """Device-generated Q8_0 flat stores for EVERY big matmul of a dense
     decode (attention + FFN as FlatQuantTensor in params['sparse_flat'],
     lm head as a plain QuantTensor) — the measured Q8_0-dense baseline
@@ -190,12 +190,19 @@ def gen_q8_dense_flat(cfg):
         s = jnp.full((IN // 32, L * OUT), SC, jnp.bfloat16)
         return FlatQuantTensor(q, s, "q8_0", OUT)
 
-    flat = {"wq": fq(E, HD), "wk": fq(E, KD), "wv": fq(E, KD),
-            "wo": fq(HD, E),
-            "w_up": fq(E, F), "w_gate": fq(E, F), "w_down": fq(F, E)}
-    CH = 128 if E % 128 == 0 else E
-    qo = _gen_stack_i8(next(keys), E // CH, (CH, V), reshape_to=(E, V))
-    out_qt = QuantTensor(qo, jnp.full((E // 32, V), SC, jnp.bfloat16), "q8_0")
+    flat = {}
+    if "attn" in which:
+        flat.update({"wq": fq(E, HD), "wk": fq(E, KD), "wv": fq(E, KD),
+                     "wo": fq(HD, E)})
+    if "ffn" in which:
+        flat.update({"w_up": fq(E, F), "w_gate": fq(E, F),
+                     "w_down": fq(F, E)})
+    out_qt = None
+    if "out" in which:
+        CH = 128 if E % 128 == 0 else E
+        qo = _gen_stack_i8(next(keys), E // CH, (CH, V), reshape_to=(E, V))
+        out_qt = QuantTensor(qo, jnp.full((E // 32, V), SC, jnp.bfloat16),
+                             "q8_0")
     return flat, out_qt
 
 
@@ -833,6 +840,14 @@ def tiered_main_big(plat, preset):
     if use_q8:
         caps = [c for c in (28, 20, 16) if c <= ng] or [max(2, ng // 2)]
         sweep = [(f"q8c{c}", 0.25, c, "q8_0") for c in caps]
+        # full-Q8 deployment row (MUST be last — frees the bf16 attention):
+        # attention + lm head also Q8_0, i.e. everything a real Q8_0
+        # deployment quantizes. The reference benches quantized models as
+        # a matter of course; this is the product config for beyond-HBM.
+        sweep.append((f"q8full-c{caps[-1]}", 0.25, caps[-1], "q8_0"))
+        only = _os.environ.get("SPIF_BENCH_TIERED_ONLY")
+        if only:
+            sweep = [s for s in sweep if s[0] in only.split(",")]
     elif d_times is None:
         sweep = [(f"c{cap}", f, cap, None) for f in (0.15, 0.125)]
     else:
@@ -842,6 +857,16 @@ def tiered_main_big(plat, preset):
     results = {}
     hot_np_cache: dict[int, dict] = {}
     for label, frac, cap_g, squant in sweep:
+        if label.startswith("q8full"):
+            for k in ("wq", "wk", "wv", "wo"):
+                params["layers"].pop(k, None)
+            params.pop("output", None)
+            gc.collect()
+            attn_flat, out_qt = gen_q8_dense_flat(cfg, which=("attn", "out"))
+            params["output"] = out_qt
+            extra_flat = {**(extra_flat or {}), **attn_flat}
+            print(json.dumps({"phase": "q8full_attn_ready"}),
+                  file=sys.stderr, flush=True)
         scfg_c = SparseConfig(group_size=128, capacity_groups=cap_g)
         H = max(1, int(ng * frac))
         key = f"drop-{label}@hot{frac}"

@@ -94,11 +94,14 @@ def _unpack_q4_T(qtile: jnp.ndarray) -> jnp.ndarray:
 
 
 def _scale_cols(w: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
-    """w (TI, TO) f32, scales (TI//QK, TO): per-32-IN-block scaling via a
-    sublane-splitting reshape (Mosaic-supported)."""
+    """w (TI, TO), scales (TI//QK, TO): per-32-IN-block scaling via a
+    sublane-splitting reshape (Mosaic-supported). Dequant runs in BF16
+    (int8 values are exact in bf16; the scale product rounds to bf16,
+    which the MXU dot would do anyway) — half the VPU work and scoped
+    VMEM of the f32 round-trip."""
     TI, TO = w.shape
     w3 = w.reshape(TI // QK, QK, TO)
-    return (w3 * scales.astype(jnp.float32)[:, None, :]).reshape(TI, TO)
+    return (w3 * scales.astype(w.dtype)[:, None, :]).reshape(TI, TO)
 
 
 # --------------------------------------------------------------------------
@@ -109,12 +112,12 @@ def _q_matmul_kernel(kind, x_ref, qw_ref, sc_ref, out_ref):
     # full-IN column stripes: each grid step owns a (IN, TO) stripe, so
     # the scale block spans the whole IN//32 axis in one piece
     if kind == "q4_0":
-        w = _unpack_q4_T(qw_ref[:])
+        w = _unpack_q4_T(qw_ref[:]).astype(jnp.bfloat16)
     else:  # q8_0
-        w = qw_ref[:].astype(jnp.float32)
-    w = _scale_cols(w, sc_ref[:])  # (IN, TO) f32
+        w = qw_ref[:].astype(jnp.bfloat16)
+    w = _scale_cols(w, sc_ref[:])  # (IN, TO) bf16
     out_ref[:] = jax.lax.dot_general(
-        x_ref[:], w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        x_ref[:].astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TN, TO)
 
@@ -225,12 +228,12 @@ def _q_matmul_flat_kernel(kind, il_ref, x_ref, qw_ref, sc_ref, out_ref):
     # identical math to _q_matmul_kernel; the layer offset (il_ref, the
     # scalar-prefetch operand) lives entirely in the BlockSpec index maps
     if kind == "q4_0":
-        w = _unpack_q4_T(qw_ref[:])
+        w = _unpack_q4_T(qw_ref[:]).astype(jnp.bfloat16)
     else:
-        w = qw_ref[:].astype(jnp.float32)
+        w = qw_ref[:].astype(jnp.bfloat16)
     w = _scale_cols(w, sc_ref[:])
     out_ref[:] = jax.lax.dot_general(
-        x_ref[:], w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        x_ref[:].astype(jnp.bfloat16), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
