@@ -1248,6 +1248,10 @@ def build_moe_model(preset: str):
     shapes = {
         # name: (L, E, H, Hkv, F_exp, X, k, V)
         "moe": (12, 2048, 16, 4, 1408, 8, 2, 32000),
+        # larger experts + more of them (mixtral-ish ratios): the regime
+        # where row-streaming should beat the gather by more (VERDICT r2
+        # weak #5: the kernel's claimed value was untested there)
+        "moe-big": (8, 2048, 16, 4, 4096, 16, 2, 32000),
         "tiny": (2, 256, 8, 4, 128, 4, 2, 1024),
     }
     L, E, H, Hkv, F, X, k, V = shapes[preset]
@@ -1280,7 +1284,7 @@ def build_moe_model(preset: str):
     return cfg, params
 
 
-def moe_main(plat):
+def moe_main(plat, size=None):
     """`bench.py moe`: dense-gather vs fused row-streaming expert FFN at
     batch-1 decode. Dense mode materializes per-token (k, E, F) expert
     gathers in HBM (jnp.take) before the matmuls; the Pallas path streams
@@ -1288,7 +1292,7 @@ def moe_main(plat):
     from sparkinfer_tpu.models.transformer import make_forward
     from sparkinfer_tpu.sparse.moe import moe_layout
 
-    preset = "moe" if plat == "tpu" else "tiny"
+    preset = size or ("moe" if plat == "tpu" else "tiny")
     cfg, params = build_moe_model(preset)
     S = 1024
     n_trials = 6 if plat == "tpu" else 2
@@ -1367,8 +1371,8 @@ def run_preset(preset, plat):
         return q8dense_main(plat, preset[7:].lstrip("-") or "13b")
     if preset == "batch":
         return batch_main(plat)
-    if preset == "moe":
-        return moe_main(plat)
+    if preset.startswith("moe"):
+        return moe_main(plat, preset if preset != "moe" else None)
     if preset.startswith("engine"):
         return engine_main(plat, preset[6:].lstrip("-") or None)
     if preset.startswith("prefill"):
