@@ -888,6 +888,10 @@ def tiered_main_big(plat, preset):
         sweep.append((f"q8c{cl}-q4p", 0.25, cl, "q8_0", {"pred": "q4"}))
         sweep.append((f"q8c{cl}-q4p-kv8", 0.25, cl, "q8_0",
                       {"pred": "q4", "kv8": True}))
+        # W8A8 row-wise attention: XLA-NATIVE int8 MXU dots (scales fold
+        # out of the dot — no pallas call, prefetch pipeline intact);
+        # destructive (replaces the bf16 attention stacks), so late
+        sweep.append((f"w8a8attn-c{cl}", 0.25, cl, "q8_0", {"w8a8": True}))
         # full-Q8 deployment row (MUST be last — frees the bf16 attention):
         # attention + lm head also Q8_0. Measured round 3: SLOWER than
         # bf16 attention (33.2 vs 43.4 t/s) — pallas custom calls break
@@ -905,6 +909,23 @@ def tiered_main_big(plat, preset):
     results = {}
     hot_np_cache: dict[int, dict] = {}
     for label, frac, cap_g, squant, opts in sweep:
+        if opts.get("w8a8"):
+            import jax as _jax
+
+            from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+
+            HD = cfg.n_head * cfg.head_dim
+            KD = cfg.n_head_kv * cfg.head_dim
+            keysw = iter(_jax.random.split(_jax.random.PRNGKey(9), 8))
+            for k, INd, OUTd in (("wq", E, HD), ("wk", E, KD),
+                                 ("wv", E, KD), ("wo", HD, E)):
+                params["layers"].pop(k, None)
+                gc.collect()
+                q = _gen_stack_i8(next(keysw), L, (INd, OUTd))
+                s = jnp.full((L, OUTd), 2.2e-4, jnp.float32)
+                params["layers"][k] = W8A8Tensor(q, s)
+            print(json.dumps({"phase": "w8a8_attn_ready"}),
+                  file=sys.stderr, flush=True)
         if opts.get("full"):
             for k in ("wq", "wk", "wv", "wo"):
                 params["layers"].pop(k, None)

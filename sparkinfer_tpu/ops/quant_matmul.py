@@ -358,6 +358,74 @@ def flat_quantize(w_stack, kind: str = "q8_0"):
 
 
 # --------------------------------------------------------------------------
+# W8A8 row-wise (TPU-native): int8 x int8 MXU dots with XLA fusion
+#
+# The ggml block formats (32-elem scales) force a dequant step that on
+# TPU must either materialize (XLA) or run in a Pallas call — and custom
+# calls break XLA's cross-op DMA prefetch (measured: q8full attention
+# SLOWER than bf16, BENCH_NOTES round 3). Row-wise scales instead FOLD
+# algebraically out of the dot: y = (x_q @ w_q) * (s_x * s_row), so the
+# whole thing stays native XLA — int8 weights ride lax.scan xs (the
+# slice fuses into the dot), the MXU runs its int8 path, and the
+# per-token activation quant + epilogue scale are fused elementwise ops.
+# This is the TPU-first analogue of W8A8 inference quantization, offered
+# alongside the ggml-compatible block formats.
+
+
+@jax.tree_util.register_pytree_node_class
+class W8A8Tensor:
+    """Row-wise int8 weight for x @ W(in, out): q (..., in, out) int8 +
+    s (..., out) f32 per-OUTPUT-channel scales. Stackable on a leading
+    layer axis (scan xs slice per layer, like any dense weight)."""
+
+    def __init__(self, q: jnp.ndarray, s: jnp.ndarray):
+        self.q = q
+        self.s = s
+
+    @classmethod
+    def from_float(cls, w) -> "W8A8Tensor":
+        w = np.asarray(w, np.float32)
+        amax = np.abs(w).max(axis=-2, keepdims=True)  # per out column
+        s = (amax / 127.0).astype(np.float32)
+        inv = np.where(s > 0, 1.0 / np.maximum(s, 1e-30), 0.0)
+        q = np.rint(w * inv).clip(-127, 127).astype(np.int8)
+        return cls(jnp.asarray(q), jnp.asarray(s[..., 0, :]))
+
+    def tree_flatten(self):
+        return (self.q, self.s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1])
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    def __getitem__(self, idx):
+        return W8A8Tensor(self.q[idx], self.s[idx])
+
+
+def w8a8_linear(x: jnp.ndarray, w: W8A8Tensor) -> jnp.ndarray:
+    """x (..., in) @ W8A8(in, out): per-token symmetric activation quant,
+    native int8 MXU dot, folded scales. Accuracy: ~Q8_0-class on weights
+    (coarser: per-row vs per-32) plus per-token activation rounding."""
+    xf = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-20) / 127.0
+    xq = jnp.round(xf / sx).clip(-127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w.q, (((xq.ndim - 1,), (w.q.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * sx * w.s
+    return yf.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
 # pytree-friendly quantized linear
 
 
@@ -413,6 +481,8 @@ def quant_linear(x: jnp.ndarray, w) -> jnp.ndarray:
     """x (..., in) @ W(in, out); w is a plain (in, out) array, QuantTensor,
     or FlatQuantTensor (layer index pre-bound via .with_il).
     Returns (..., out) in x.dtype (f32 accumulate inside)."""
+    if isinstance(w, W8A8Tensor):
+        return w8a8_linear(x, w)
     if isinstance(w, FlatQuantTensor):
         if w.il is None:
             raise ValueError("FlatQuantTensor used without a bound layer "

@@ -238,3 +238,47 @@ def test_balancer_q8_swaps_quantize_entering_blocks(spq):
     # function stays well-defined: a decode step runs and misses drop
     lq, st2 = _run_tiered(model, scfg, tp2, st, "gather")
     assert np.isfinite(lq).all()
+
+
+def test_w8a8_linear_matches_float():
+    """Row-wise W8A8 (native int8 MXU path): matches the float matmul
+    within combined weight+activation int8 rounding."""
+    from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor, quant_linear
+
+    rng = np.random.default_rng(5)
+    IN, OUT, N = 64, 128, 4
+    w = rng.standard_normal((IN, OUT)).astype(np.float32) * 0.2
+    x = rng.standard_normal((N, IN)).astype(np.float32)
+    wt = W8A8Tensor.from_float(w)
+    got = np.asarray(quant_linear(jnp.asarray(x), wt))
+    np.testing.assert_allclose(got, x @ w, rtol=0.05, atol=0.05)
+
+
+def test_w8a8_stacked_forward(tmp_path):
+    """W8A8 attention weights ride the layer scan xs like dense weights
+    (no flat store, no pallas): forward matches the dequantized
+    reference within quant tolerance."""
+    from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+
+    path = tmp_path / "tiny-w8a8.gguf"
+    make_tiny_llama(path, n_ff=128, seed=8)
+    model = load_model(str(path), dtype=jnp.float32)
+    cfg = model.config
+    layers = dict(model.params["layers"])
+    ref_layers = dict(layers)
+    for k in ("wq", "wk", "wv", "wo"):
+        wt = W8A8Tensor.from_float(np.asarray(layers[k]))
+        layers[k] = wt
+        ref_layers[k] = jnp.asarray(
+            np.asarray(wt.q, np.float32) * np.asarray(wt.s)[:, None, :])
+    qp = dict(model.params)
+    qp["layers"] = layers
+    rp = dict(model.params)
+    rp["layers"] = ref_layers
+    fwd = jax.jit(make_forward(cfg))
+    toks = jnp.asarray([[2, 6, 9]], jnp.int32)
+    pos = jnp.arange(3, dtype=jnp.int32)[None]
+    lq, _ = fwd(qp, toks, pos, init_cache(cfg, 1, 8, jnp.float32))
+    lr, _ = fwd(rp, toks, pos, init_cache(cfg, 1, 8, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lr),
+                               rtol=0.05, atol=0.05)
