@@ -703,7 +703,7 @@ def _modeled_baselines(preset, dense_gb):
     return modeled_dense, offload, link_bw
 
 
-def q8dense_main(plat, preset="13b"):
+def q8dense_main(plat, preset="13b", w8_attn=False):
     """`bench.py q8dense [size]`: MEASURED Q8_0 dense decode on chip.
 
     At 13B the bf16 dense model (25.4 GB) exceeds HBM, but Q8_0 dense
@@ -726,7 +726,27 @@ def q8dense_main(plat, preset="13b"):
         del params["layers"][k]
     params.pop("output")
     gc.collect()
-    flat, out_qt = gen_q8_dense_flat(cfg)
+    if w8_attn:
+        # strongest runnable dense: W8A8 row-wise attention (XLA-native
+        # int8 MXU, no pallas) + Q8_0 flat FFN + Q8_0 head — the
+        # like-for-like anchor for the W8A8 tiered headline row
+        import jax as _jax
+
+        from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+
+        HD = cfg.n_head * cfg.head_dim
+        KD = cfg.n_head_kv * cfg.head_dim
+        keysw = iter(_jax.random.split(_jax.random.PRNGKey(9), 8))
+        for k, INd, OUTd in (("wq", E, HD), ("wk", E, KD),
+                             ("wv", E, KD), ("wo", HD, E)):
+            import jax.numpy as jnp
+
+            q = _gen_stack_i8(next(keysw), L, (INd, OUTd))
+            params["layers"][k] = W8A8Tensor(
+                q, jnp.full((L, OUTd), 2.2e-4, jnp.float32))
+        flat, out_qt = gen_q8_dense_flat(cfg, which=("ffn", "out"))
+    else:
+        flat, out_qt = gen_q8_dense_flat(cfg)
     params["sparse_flat"] = flat
     params["output"] = out_qt
     gb = sum(int(np.prod(t.q.shape)) * 1.0625
@@ -742,9 +762,10 @@ def q8dense_main(plat, preset="13b"):
 
     dense_gb = (3 * E * F + 4 * E * cfg.n_head * cfg.head_dim) * L * 2 / 1e9
     modeled_dense, offload, _link = _modeled_baselines(preset, dense_gb)
-    _bench_state({f"q8dense_{preset}_tps": round(tps, 2)})
+    tag = "w8dense" if w8_attn else "q8dense"
+    _bench_state({f"{tag}_{preset}_tps": round(tps, 2)})
     print(json.dumps({
-        "metric": f"decode_tps_q8dense_{preset}_b1",
+        "metric": f"decode_tps_{tag}_{preset}_b1",
         "value": round(tps, 2),
         "unit": "tokens/s",
         # ratio vs the modeled unlimited-HBM bf16 dense chip — the same
@@ -880,23 +901,28 @@ def tiered_main_big(plat, preset):
     # sweep: (label, hot_frac, capacity_groups, store_quant)
     if use_q8:
         caps = [c for c in (28, 20, 16) if c <= ng] or [max(2, ng // 2)]
-        sweep = [(f"q8c{c}", 0.25, c, "q8_0", {}) for c in caps]
         cl = caps[-1]
-        # stacked small levers on the best capacity: Q4_0 predictor
-        # (quarter the pred stream) and int8 KV (the reference also ships
-        # q8_0 KV); both are product features, labeled in the config
-        sweep.append((f"q8c{cl}-q4p", 0.25, cl, "q8_0", {"pred": "q4"}))
-        sweep.append((f"q8c{cl}-q4p-kv8", 0.25, cl, "q8_0",
-                      {"pred": "q4", "kv8": True}))
-        # W8A8 row-wise attention: XLA-NATIVE int8 MXU dots (scales fold
-        # out of the dot — no pallas call, prefetch pipeline intact);
-        # destructive (replaces the bf16 attention stacks), so late
-        sweep.append((f"w8a8attn-c{cl}", 0.25, cl, "q8_0", {"w8a8": True}))
-        # full-Q8 deployment row (MUST be last — frees the bf16 attention):
-        # attention + lm head also Q8_0. Measured round 3: SLOWER than
-        # bf16 attention (33.2 vs 43.4 t/s) — pallas custom calls break
-        # cross-op DMA prefetch; kept for the record, not the headline.
-        sweep.append((f"q8full-c{cl}", 0.25, cl, "q8_0", {"full": True}))
+        if _os.environ.get("SPIF_BENCH_TIERED_ALL"):
+            # full matrix incl. the measured-negative rows (BENCH_NOTES
+            # round 3): Q4_0 predictor (nibble-unpack VPU cost loses),
+            # int8 KV (per-step dequant loses), q8full pallas attention
+            # (custom calls break cross-op DMA prefetch)
+            sweep = [(f"q8c{c}", 0.25, c, "q8_0", {}) for c in caps]
+            sweep.append((f"q8c{cl}-q4p", 0.25, cl, "q8_0", {"pred": "q4"}))
+            sweep.append((f"q8c{cl}-q4p-kv8", 0.25, cl, "q8_0",
+                          {"pred": "q4", "kv8": True}))
+            sweep.append((f"q8full-c{cl}", 0.25, cl, "q8_0", {"full": True}))
+            sweep.append((f"w8a8attn-c{cl}", 0.25, cl, "q8_0",
+                          {"w8a8": True}))
+        else:
+            # driver default: the pure-sparsity Q8 row, then the headline
+            # W8A8-attention row LAST (destructive + the parsed metric).
+            # W8A8 = XLA-NATIVE int8 MXU attention (scales fold out of
+            # the dot; no pallas call, prefetch pipeline intact) —
+            # round-3 measured 55.4 t/s = 2.39x modeled dense / 2.07x
+            # measured q8-dense.
+            sweep = [(f"q8c{cl}", 0.25, cl, "q8_0", {}),
+                     (f"w8a8attn-c{cl}", 0.25, cl, "q8_0", {"w8a8": True})]
         only = _os.environ.get("SPIF_BENCH_TIERED_ONLY")
         if only:
             sweep = [s for s in sweep if s[0] in only.split(",")]
@@ -905,6 +931,7 @@ def tiered_main_big(plat, preset):
     else:
         sweep = [(f"c{cap}", f, cap, None, {}) for f in (0.5, 0.25)]
     q8d_tps = _bench_state().get(f"q8dense_{preset}_tps")
+    w8d_tps = _bench_state().get(f"w8dense_{preset}_tps")
 
     results = {}
     hot_np_cache: dict[int, dict] = {}
@@ -976,6 +1003,8 @@ def tiered_main_big(plat, preset):
                      round(tps_best / offload["pcie25"], 2)}
             if q8d_tps:  # separately measured anchor (bench.py q8dense)
                 extra["vs_q8dense_measured"] = round(tps_best / q8d_tps, 3)
+            if w8d_tps:  # strongest runnable dense (bench.py w8dense)
+                extra["vs_w8dense_measured"] = round(tps_best / w8d_tps, 3)
         wbytes = 1.0625 if squant else 2.0
         print(json.dumps({
             "config": key,
@@ -1007,6 +1036,9 @@ def tiered_main_big(plat, preset):
         if q8d_tps:
             row["vs_q8dense_measured"] = round(tps_best / q8d_tps, 3)
             row["q8dense_measured_tps"] = q8d_tps
+        if w8d_tps:
+            row["vs_w8dense_measured"] = round(tps_best / w8d_tps, 3)
+            row["w8dense_measured_tps"] = w8d_tps
     print(json.dumps(row), flush=True)
 
 
@@ -1442,6 +1474,9 @@ def run_preset(preset, plat):
         return tiered_main(plat, preset[6:].lstrip("-") or None)
     if preset.startswith("q8dense"):
         return q8dense_main(plat, preset[7:].lstrip("-") or "13b")
+    if preset.startswith("w8dense"):
+        return q8dense_main(plat, preset[7:].lstrip("-") or "13b",
+                            w8_attn=True)
     if preset == "batch":
         return batch_main(plat)
     if preset.startswith("moe"):
