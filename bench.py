@@ -914,6 +914,11 @@ def tiered_main_big(plat, preset):
             sweep.append((f"q8full-c{cl}", 0.25, cl, "q8_0", {"full": True}))
             sweep.append((f"w8a8attn-c{cl}", 0.25, cl, "q8_0",
                           {"w8a8": True}))
+        elif _os.environ.get("SPIF_BENCH_TIERED_FETCH"):
+            # fetch-tier chip row (VERDICT r3 item 6): misses demand-enter
+            # at each rebalance instead of waiting for DFR rank
+            sweep = [(f"q8c{cl}-fetch", 0.25, cl, "q8_0",
+                      {"mode": "fetch"})]
         else:
             # driver default: the pure-sparsity Q8 row, then the headline
             # W8A8-attention row LAST (destructive + the parsed metric).
@@ -968,10 +973,11 @@ def tiered_main_big(plat, preset):
             ef = {**(extra_flat or {}), **extra_flat_q4}
         scfg_c = SparseConfig(group_size=128, capacity_groups=cap_g)
         H = max(1, int(ng * frac))
-        key = f"drop-{label}@hot{frac}"
+        mode_c = opts.get("mode", "drop")
+        key = f"{mode_c}-{label}@hot{frac}"
         t_cfg = time.time()
         path = TieredPath(key, cfg, scfg_c, cold, H,
-                          "drop", plat, params, S, store_quant=squant,
+                          mode_c, plat, params, S, store_quant=squant,
                           extra_flat=ef,
                           hot_np=hot_np_cache.setdefault(H, {}),
                           kv_int8=bool(opts.get("kv8")))

@@ -71,35 +71,71 @@ def run_preset(preset: str) -> list[dict]:
 
     # EXACT SPARSE oracle: masked dense (same thresholded function the
     # sparse path computes with unlimited capacity), full corpus one pass
-    exact_fwd = make_forward(cfg, ffn_fn=make_sparse_ffn(cfg, scfg0,
-                                                         mode="dense"))
-    import jax
+    # (cached on disk — same seeds => same model/corpus)
+    exact_cache = f"/tmp/spif_quality_exact_{preset}.npy"
+    import os.path as _osp
 
-    cache = init_cache(cfg, 1, T + 8, jnp.float32)
-    lg, _ = jax.jit(exact_fwd)(
-        params, jnp.asarray(toks)[None],
-        jnp.arange(T, dtype=jnp.int32)[None], cache)
-    exact = np.asarray(lg)[0]
-    del cache, lg
-    print(f"# {preset}: exact pass {time.time()-t0:.0f}s",
-          file=sys.stderr, flush=True)
+    if _osp.exists(exact_cache):
+        exact = np.load(exact_cache)
+        print(f"# {preset}: exact pass cached", file=sys.stderr, flush=True)
+    else:
+        exact_fwd = make_forward(cfg, ffn_fn=make_sparse_ffn(cfg, scfg0,
+                                                             mode="dense"))
+        import jax
 
-    # operating points: match the chip sweep (bench.py tiered_main_big)
+        cache = init_cache(cfg, 1, T + 8, jnp.float32)
+        lg, _ = jax.jit(exact_fwd)(
+            params, jnp.asarray(toks)[None],
+            jnp.arange(T, dtype=jnp.int32)[None], cache)
+        exact = np.asarray(lg)[0]
+        del cache, lg
+        np.save(exact_cache, exact)
+        print(f"# {preset}: exact pass {time.time()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+
+    # operating points: match the chip sweep (bench.py tiered_main_big).
+    # qpred=True quantizes the predictor stacks to Q8_0 like the chip
+    # configs — predictor quantization noise drives the chip's miss
+    # plateau (the f32-pred harness converges to ~90 misses/chunk16
+    # while the chip sits at ~33k/chunk64), so the matched rows are the
+    # ones comparable to the throughput tables.
     if preset == "13b":
-        points = [("q8c28@hot0.25", 0.25, 28, "q8_0"),
-                  ("q8c20@hot0.25", 0.25, 20, "q8_0"),
-                  ("q8c16@hot0.25", 0.25, 16, "q8_0"),
-                  ("bf16c28@hot0.125", 0.125, 28, None)]  # round-2 headline
+        points = [("q8c28@hot0.25", 0.25, 28, "q8_0", False),
+                  ("q8c16@hot0.25", 0.25, 16, "q8_0", False),
+                  ("q8c16-qpred@hot0.25", 0.25, 16, "q8_0", True),
+                  ("q8c28-qpred@hot0.25", 0.25, 28, "q8_0", True),
+                  ("bf16c28@hot0.125", 0.125, 28, None, False)]  # round-2
     else:
         points = [("c28@hot0.25", 0.25, max(4, (int(ng * 0.25) + 3) // 4 * 4),
-                   None)]
+                   None, False)]
 
+    qpred_flat = None
     rows = []
-    for label, frac, cap, squant in points:
+    for label, frac, cap, squant, qpred in points:
         scfg = SparseConfig(group_size=128, capacity_groups=min(cap, ng))
         H = max(1, int(ng * frac))
+        ef = None
+        if qpred:
+            if qpred_flat is None:
+                from sparkinfer_tpu.ops.quant_matmul import flat_quantize
+
+                lay = params["layers"]
+                qpred_flat = {
+                    "pred_up_qt": flat_quantize(np.asarray(lay["pred_up"])),
+                    "pred_down_qt": flat_quantize(
+                        np.asarray(lay["pred_down"])),
+                    "pred_up_b_all": lay["pred_up_b"],
+                    "pred_down_b_all": lay["pred_down_b"],
+                }
+            ef = qpred_flat
+            params_c = dict(params)
+            params_c["layers"] = {k: v for k, v in params["layers"].items()
+                                  if not k.startswith("pred_")}
+        else:
+            params_c = params
         path = TieredPath(label, cfg, scfg, cold, H, "drop", "cpu",
-                          params, T + 8, store_quant=squant)
+                          params_c, T + 8, store_quant=squant,
+                          extra_flat=ef)
         kls, agrees, misses = [], [], []
         for c in range(N_CHUNKS):
             s, e = c * CHUNK_T, (c + 1) * CHUNK_T
