@@ -84,6 +84,11 @@ OPTIONS: list[Opt] = [
     _o("--kv-iswa", scopes=CLI, env="SPARK_ARG_KV_ISWA", action="store_true",
        help="dual SWA/full KV cache for interleaved-SWA models "
             "(ref src/llama-kv-cache-iswa.cpp)"),
+    _o("--attn-w8a8", scopes=CS, env="SPARK_ARG_ATTN_W8A8",
+       action="store_true",
+       help="re-quantize attention projections to row-wise W8A8 at load "
+            "(native int8 MXU dots; halves attention weight HBM traffic — "
+            "the decisive 13B beyond-HBM lever, BENCH_NOTES round 3)"),
     _o("--chat-template", scopes=CS, env="SPARK_ARG_CHAT_TEMPLATE",
        default=None, help="override the GGUF chat template"),
 

@@ -141,13 +141,18 @@ def load_model(
     dtype=jnp.bfloat16,
     device_put_fn: Callable[[str, jnp.ndarray], jnp.ndarray] | None = None,
     keep_quantized: bool = False,
+    attn_w8a8: bool = False,
 ) -> LoadedModel:
     """Load a GGUF model into stacked JAX arrays.
 
     device_put_fn(name, array) may apply shardings; default puts on the
     default device. keep_quantized=True keeps Q4_0/Q8_0 matmul weights
     packed on device (fused dequant-matmul path) instead of dequantizing.
-    """
+    attn_w8a8=True re-quantizes the attention projections (wq/wk/wv/wo)
+    to row-wise W8A8 (XLA-native int8 MXU dots; ops/quant_matmul
+    .W8A8Tensor) — halves attention weight HBM traffic with the prefetch
+    pipeline intact; measured the decisive lever for the 13B beyond-HBM
+    2x (BENCH_NOTES round 3)."""
     r = GGUFReader(path)
     cfg = ModelConfig.from_gguf(r)
     tr = cfg.traits
@@ -500,6 +505,22 @@ def load_model(
                 start = i
         params["layers"] = segments[0]  # compat: first stack
         params["layer_segments"] = segments
+
+    if attn_w8a8:
+        from ..ops.quant_matmul import W8A8Tensor
+
+        def _w8(lay):
+            for k in ("wq", "wk", "wv", "wo"):
+                w = lay.get(k)
+                if w is not None and not hasattr(w, "kind"):
+                    lay[k] = W8A8Tensor.from_float(np.asarray(w))
+            return lay
+
+        params["layers"] = _w8(dict(params["layers"]))
+        if params.get("layer_segments") is not None:
+            params["layer_segments"] = [
+                _w8(dict(s)) for s in params["layer_segments"]]
+            params["layers"] = params["layer_segments"][0]
 
     model = LoadedModel(config=cfg, params=params)
     try:

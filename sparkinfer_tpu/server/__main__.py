@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     from ..models.loader import load_model
     from .app import ServerConfig, SparkServer
 
-    model = load_model(args.model)
+    model = load_model(args.model,
+                       attn_w8a8=getattr(args, "attn_w8a8", False))
 
     sparse = None
     if (args.sparse or model.config.has_predictors) and not args.dense \

@@ -246,7 +246,8 @@ def main(argv=None) -> int:
         return 1
 
     t0 = time.time()
-    model = load_model(args.model)
+    model = load_model(args.model,
+                       attn_w8a8=getattr(args, "attn_w8a8", False))
     if args.verbose:
         print(f"loaded {args.model} ({model.config.arch}) in {time.time()-t0:.1f}s",
               file=sys.stderr)

@@ -65,3 +65,22 @@ def test_group_size_fallback_non_divisible(tmp_path):
     assert model.config.n_ff % eng.sparse.group_size == 0
     out = eng.generate([3, 5, 7], max_new_tokens=3)
     assert len(out) == 3
+
+
+def test_attn_w8a8_flag_loads_and_generates(tmp_path, capsys):
+    """--attn-w8a8 re-quantizes attention to row-wise W8A8 at load and
+    the CLI generates end-to-end (round-3 13B lever as a product flag)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama
+
+    from sparkinfer_tpu.tools.cli import main
+
+    p = tmp_path / "t.gguf"
+    make_tiny_llama(p)
+    rc = main(["-m", str(p), "-p", "3 4 5", "-n", "4", "--temp", "0",
+               "--attn-w8a8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert len(out.split()) >= 4
