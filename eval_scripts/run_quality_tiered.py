@@ -100,14 +100,19 @@ def run_preset(preset: str) -> list[dict]:
     # while the chip sits at ~33k/chunk64), so the matched rows are the
     # ones comparable to the throughput tables.
     if preset == "13b":
-        points = [("q8c28@hot0.25", 0.25, 28, "q8_0", False),
-                  ("q8c16@hot0.25", 0.25, 16, "q8_0", False),
-                  ("q8c16-qpred@hot0.25", 0.25, 16, "q8_0", True),
-                  ("q8c28-qpred@hot0.25", 0.25, 28, "q8_0", True),
-                  ("bf16c28@hot0.125", 0.125, 28, None, False)]  # round-2
+        points = [
+            # CONTROL: all groups hot (no drops) — isolates the Q8_0
+            # store quantization cost so the drop rows have a scale
+            ("q8-allhot-CONTROL", 1.0, 28, "q8_0", False),
+            ("q8c28@hot0.25", 0.25, 28, "q8_0", False),
+            ("q8c16@hot0.25", 0.25, 16, "q8_0", False),
+            ("q8c16-qpred@hot0.25", 0.25, 16, "q8_0", True),
+            ("q8c28-qpred@hot0.25", 0.25, 28, "q8_0", True),
+            ("bf16c28@hot0.125", 0.125, 28, None, False)]  # round-2
     else:
-        points = [("c28@hot0.25", 0.25, max(4, (int(ng * 0.25) + 3) // 4 * 4),
-                   None, False)]
+        cap7 = max(4, (int(ng * 0.25) + 3) // 4 * 4)
+        points = [("q8-allhot-CONTROL", 1.0, cap7, "q8_0", False),
+                  ("c28@hot0.25", 0.25, cap7, None, False)]
 
     qpred_flat = None
     rows = []
