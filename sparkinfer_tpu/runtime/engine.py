@@ -288,6 +288,12 @@ class Engine:
                                                ga_w=self_extend[1])
         self.fused_chunk = (0 if self.tiered or self.self_extend is not None
                             else max(int(fused_chunk), 0))
+        # in-flight steps before the oldest token is read back (the
+        # pipelined generator's D2H latency hiding; raise on high-latency
+        # links — through the axon relay ~25 ms rtt needs >= 8)
+        import os as _os
+
+        self.readback_lag = int(_os.environ.get("SPARK_READBACK_LAG", "8"))
         self._fused = jax.jit(self._fused_impl, donate_argnums=(3,),
                               static_argnums=(5,))
         self.perf = PerfCounters()
@@ -571,14 +577,17 @@ class Engine:
     def _generate_pipelined(self, tok, n_past, cache, sstate, max_new_tokens,
                             stop_ids, n_keep):
         """Unfused decode with PIPELINED token readback: the sampled token
-        stays on device and feeds the next step directly; the host reads
-        back step i-1's token while step i executes (JAX async dispatch),
-        so the per-step D2H sync never sits on the critical path — the
-        per-step analogue of what the reference gets from its synchronous
-        but sub-ms cudaMemcpy, designed for this relay's ~ms readback
-        latency. Emits the SAME token stream as the naive loop; one step
-        may be dispatched past a stop token (its KV write is beyond the
-        emitted sequence and the cache is generation-local)."""
+        stays on device and feeds the next step directly; the host keeps
+        up to `readback_lag` steps in flight and reads back the oldest
+        while newer steps execute (JAX async dispatch) — so a D2H
+        round-trip of many milliseconds (this relay: ~25 ms) never gates
+        the step rate, the per-step analogue of what the reference gets
+        from its sub-ms cudaMemcpy. Emits the SAME token stream as the
+        naive loop; up to `readback_lag` steps may be dispatched past a
+        stop token (their KV writes are beyond the emitted sequence and
+        the cache is generation-local — same trade as fused chunks)."""
+        from collections import deque
+
         if tok in stop_ids or max_new_tokens <= 0:
             return
         yield tok
@@ -586,8 +595,9 @@ class Engine:
         t0 = time.perf_counter()
         steps = 0
         tok_dev = jnp.full((self.batch, 1), tok, jnp.int32)
-        prev = None  # in-flight sampled token (device array, (B,))
+        pend: deque = deque()  # in-flight sampled tokens (device, oldest first)
         recurrent = self.cfg.traits.recurrent
+        stopped = False
         while steps < max_new_tokens - 1:
             if not recurrent and n_past >= self.max_seq - 1:
                 # context shift at the same step the naive loop would
@@ -604,18 +614,20 @@ class Engine:
             n_past += 1
             steps += 1
             tok_dev = toks_d[:, None]
-            if prev is not None:
-                t = int(np.asarray(prev)[0])  # blocks on step i-1 only
+            pend.append(toks_d)
+            if len(pend) > self.readback_lag:
+                t = int(np.asarray(pend.popleft())[0])
                 if t in stop_ids:
-                    prev = None
+                    stopped = True
                     break
                 yield t
                 emitted += 1
-            prev = toks_d
-        if prev is not None and emitted < max_new_tokens:
-            t = int(np.asarray(prev)[0])
-            if t not in stop_ids:
-                yield t
+        while not stopped and pend and emitted < max_new_tokens:
+            t = int(np.asarray(pend.popleft())[0])
+            if t in stop_ids:
+                break
+            yield t
+            emitted += 1
         self.perf.t_decode_s += time.perf_counter() - t0
         self.perf.n_decode += steps
 
