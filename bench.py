@@ -1325,7 +1325,11 @@ def prefill_main(plat, size=None):
                 cache = init_cache(cfg, 1, pp, jnp.bfloat16)
                 t0 = time.perf_counter()
                 lg, cache = f(params, toks, pos, cache)
-                _drain(lg)
+                # drain a SCALAR that depends on the whole forward — a
+                # full-logits np.asarray would pull pp x V x 4 bytes
+                # (262 MB at pp2048) through the ~1.6 GB/s relay and
+                # swamp the measurement
+                _drain(lg[0, -1, :1])
                 times.append(time.perf_counter() - t0)
             dt = _st.median(times[1:])  # first = compile
             flops = pp * (2 * nmat + extra_flops) + 2 * pp * pp * E * L
