@@ -1134,14 +1134,17 @@ def _kernel_v7u(act, fatrelu_threshold, prob_threshold, gated, mask_mode,
     up = jax.lax.dot_general(
         x, wuT_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # (B, G)
-    up = up + bu_ref[:, 0, :]
+    # gp/bu ride as FULL (B, Cu, G) blocks, sliced per grid step in-kernel
+    # (a (B, 1, G) block would violate Mosaic's second-to-last-dim rule
+    # whenever Cu isn't the block dim)
+    up = up + bu_ref[:, pl.ds(c, 1), :][:, 0, :]
     gate = None
     if gated:
         gate = jax.lax.dot_general(
             x, wgT_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     hidden = _combine(act, fatrelu_threshold, gate, up)  # (B, G)
-    gp = gp_ref[:, 0, :]  # (B, G)
+    gp = gp_ref[:, pl.ds(c, 1), :][:, 0, :]  # (B, G)
     if mask_mode == "threshold":
         mask = (gp >= prob_threshold).astype(jnp.float32)
     else:
@@ -1195,7 +1198,7 @@ def sparse_ffn_block_v7u(
         memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((B, E), lambda c, idx_ref: (0, 0),
                           memory_space=pltpu.VMEM)
-    sel_spec = pl.BlockSpec((B, 1, G), lambda c, idx_ref: (0, c, 0),
+    sel_spec = pl.BlockSpec((B, Cu, G), lambda c, idx_ref: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [x_spec, sel_spec, sel_spec, w_spec((1, E, G))]
     inputs = [x, gp_u, bu, w_upT_rows]
