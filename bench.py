@@ -356,6 +356,18 @@ def build_model_device(preset: str):
     return cfg, params, gen_pred, gen_dense_ffn, gen_flat_ffn
 
 
+def build_model_full_device(preset: str):
+    """Full dense params + per-layer predictors, all generated ON DEVICE
+    (zero weight bytes over the relay). Used by every tpu bench path —
+    even the 1B host build (~2.2 GB) can stall for tens of minutes when
+    the relay link degrades (observed ~50x slowdown days)."""
+    cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
+    params["layers"].update(gen_dense_ffn())
+    preds = gen_pred()
+    params["layers"].update({k[:-len("_all")]: v for k, v in preds.items()})
+    return cfg, params
+
+
 def make_fused_loop(fwd):
     import jax
     import jax.numpy as jnp
@@ -1149,7 +1161,10 @@ def batch_main(plat):
     from sparkinfer_tpu.sparse.ffn import make_pipelined_sparse_ffn
 
     preset = "1b" if plat == "tpu" else "tiny"
-    cfg, params = build_model(preset)
+    if plat == "tpu":
+        cfg, params = build_model_full_device(preset)
+    else:
+        cfg, params = build_model(preset)
     S = 1024
     n_trials = 4 if plat == "tpu" else 2
     dense_fwd = make_forward(cfg)
@@ -1230,7 +1245,10 @@ def engine_main(plat, size=None):
     from sparkinfer_tpu.sparse import SparseConfig
 
     preset = size or ("1b" if plat == "tpu" else "tiny")
-    cfg, params = build_model(preset)
+    if plat == "tpu":
+        cfg, params = build_model_full_device(preset)
+    else:
+        cfg, params = build_model(preset)
     S = 1024
     n_trials = 4 if plat == "tpu" else 2
 
@@ -1293,12 +1311,8 @@ def prefill_main(plat, size=None):
         pps = (512, 1024, 2048)
     n_rep = 4 if plat == "tpu" else 2
 
-    if preset in ("7b", "13b"):
-        cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
-        params["layers"].update(gen_dense_ffn())
-        preds = gen_pred()
-        params["layers"].update(
-            {k[:-len("_all")]: v for k, v in preds.items()})
+    if plat == "tpu":
+        cfg, params = build_model_full_device(preset)
     else:
         cfg, params = build_model(preset)
     L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_ff, cfg.n_vocab

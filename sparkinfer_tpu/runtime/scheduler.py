@@ -103,6 +103,7 @@ class Scheduler:
         sparse=None,  # SparseConfig: predictor-gated sparse serving
         split=None,  # ModelSplit | path — offline profile (reorder + pattern)
         rebalance_every: int = 1,
+        sparse_batch_max: int = 4,
     ):
         from ..models.transformer import make_forward
 
@@ -190,6 +191,21 @@ class Scheduler:
 
         self._jit_prefill = jax.jit(self._prefill_impl)
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=(3,))
+        # Batched-serving crossover (bench.py batch, BENCH_NOTES serving
+        # table): per-token sparse decode wins up to ~4 concurrent slots;
+        # beyond that dense reads each weight ONCE for all tokens and wins
+        # (the cross-token union of fired groups approaches the full set).
+        # Non-tiered sparse serving auto-falls back to the masked-dense
+        # step when more slots are active; tiered cannot (cold FFN rows
+        # are not HBM-resident, dense compute is impossible by design).
+        self.sparse_batch_max = max(int(sparse_batch_max), 0)
+        self._jit_decode_dense = None
+        if sparse is not None and not self.tiered:
+            import functools
+
+            self._jit_decode_dense = jax.jit(
+                functools.partial(self._decode_impl, dense=True),
+                donate_argnums=(3,))
         # per-slot allowed-token masks for grammar-constrained slots;
         # all-True rows for unconstrained/idle slots (on-device masking)
         self._gmask = np.ones((n_slots, self.cfg.n_vocab), bool)
@@ -214,17 +230,21 @@ class Scheduler:
         return tok, cache1, sstate1, last
 
     def _decode_impl(self, params, tokens, positions, cache, sstate, active, dp,
-                     fstate=None, lmask=None):
+                     fstate=None, lmask=None, dense=False):
         """tokens/positions (B,1); active (B,) masks sampler-state updates
         for idle slots (their dummy writes are position-overwritten later).
         lmask (B, V) bool: per-slot allowed-token mask (grammar-constrained
         decoding ON DEVICE — the host computes next step's mask from the
         accepted token while the device runs, so no full-vocab logits
         readback rides the decode loop; round-1 read V floats per
-        constrained slot per step)."""
+        constrained slot per step). dense=True uses the masked-dense
+        forward (self.fwd) instead of the gathered sparse decode — the
+        batched-serving fallback (see step())."""
         if self.tiered:
             logits, cache, fstate = self.fwd_decode(params, tokens, positions,
                                                     cache, fstate)
+        elif dense:
+            logits, cache = self.fwd(params, tokens, positions, cache)
         else:
             logits, cache = self.fwd_decode(params, tokens, positions, cache)
         last = logits[:, -1]
@@ -425,7 +445,11 @@ class Scheduler:
         constrained = [s_i for s_i, s in enumerate(self.slots)
                        if s.running and s.req._gsampler is not None]
         lmask = jnp.asarray(self._gmask) if constrained else None
-        tok, self.cache, self.sstate, last_logits, self._fstate = self._jit_decode(
+        jd = self._jit_decode
+        if (self._jit_decode_dense is not None
+                and int(active.sum()) > self.sparse_batch_max):
+            jd = self._jit_decode_dense
+        tok, self.cache, self.sstate, last_logits, self._fstate = jd(
             decode_params,
             jnp.asarray(toks),
             jnp.asarray(pos),

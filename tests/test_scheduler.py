@@ -218,6 +218,35 @@ def test_tiered_sparse_serving(tmp_path):
     assert sched.balancer.rebalances > 0
 
 
+def test_sparse_batch_dense_fallback(tmp_path):
+    """Non-tiered sparse serving auto-falls back to the masked-dense step
+    when more than sparse_batch_max slots are active (bench.py batch: the
+    crossover where dense's read-once-per-weight wins). At full capacity
+    the gathered decode equals masked dense exactly, so the token streams
+    must be identical either side of the threshold."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama as mk
+    from sparkinfer_tpu.models.loader import load_model as lm
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    p = tmp_path / "sbd.gguf"
+    mk(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+    outs = []
+    for bmax in (0, 100):  # 0: every tick uses the dense fallback
+        scfg = SparseConfig(group_size=16, capacity_groups=6)  # full: exact
+        sched = Scheduler(lm(str(p), dtype=jnp.float32), n_slots=2, max_seq=64,
+                          sampler=SamplerConfig(temp=0.0), kv_dtype=jnp.float32,
+                          sparse=scfg, sparse_batch_max=bmax)
+        assert sched._jit_decode_dense is not None
+        rs = [sched.submit(Request(prompt_tokens=[7, 30, 99 + i],
+                                   max_new_tokens=5)) for i in range(2)]
+        sched.run_until_idle()
+        outs.append([r.tokens() for r in rs])
+    assert outs[0] == outs[1]
+    assert all(len(t) == 5 for t in outs[0])
+
+
 class _FakeTok:
     """Token -> '<id>' pieces; enough for stop-string logic."""
 
