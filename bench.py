@@ -1312,9 +1312,14 @@ def prefill_main(plat, size=None):
     n_rep = 4 if plat == "tpu" else 2
 
     if plat == "tpu":
-        cfg, params = build_model_full_device(preset)
+        # predictors are generated lazily for the SPARSE legs only — the
+        # dense legs never read them and at 7B their ~1 GB is the margin
+        # between pp2048 fitting and RESOURCE_EXHAUSTED
+        cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
+        params["layers"].update(gen_dense_ffn())
     else:
         cfg, params = build_model(preset)
+        gen_pred = None
     L, E, F, V = cfg.n_layer, cfg.n_embd, cfg.n_ff, cfg.n_vocab
     HD = cfg.n_head * cfg.head_dim
     KD = cfg.n_head_kv * cfg.head_dim
@@ -1340,12 +1345,21 @@ def prefill_main(plat, size=None):
             # measured at pp<=1024 instead
             variants = variants[:1]
         for name, fwd, extra_flops in variants:
+            p_run = params
+            if name == "sparse_prefill" and gen_pred is not None:
+                # predictors ride ONLY this leg's params (regenerated
+                # on-device per pp, freed right after — see above)
+                slayers = dict(params["layers"])
+                slayers.update({k[:-len("_all")]: v
+                                for k, v in gen_pred().items()})
+                p_run = dict(params)
+                p_run["layers"] = slayers
             f = jax.jit(fwd, donate_argnums=(3,))
             times = []
             for _ in range(n_rep + 1):
                 cache = init_cache(cfg, 1, pp, jnp.bfloat16)
                 t0 = time.perf_counter()
-                lg, cache = f(params, toks, pos, cache)
+                lg, cache = f(p_run, toks, pos, cache)
                 # drain a SCALAR that depends on the whole forward — a
                 # full-logits np.asarray would pull pp x V x 4 bytes
                 # (262 MB at pp2048) through the ~1.6 GB/s relay and
@@ -1356,6 +1370,11 @@ def prefill_main(plat, size=None):
             flops = pp * (2 * nmat + extra_flops) + 2 * pp * pp * E * L
             res[f"{name}_tps"] = round(pp / dt, 1)
             res[f"{name}_tflops"] = round(flops / dt / 1e12, 1)
+            if p_run is not params:
+                import gc as _gc
+
+                del p_run, slayers
+                _gc.collect()
         if "sparse_prefill_tps" in res:
             res["sparse_overhead"] = round(
                 res["dense_tps"] / res["sparse_prefill_tps"], 3)
