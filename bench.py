@@ -1238,12 +1238,16 @@ def engine_main(plat, size=None):
     shipping a slower default than the benchmark (VERDICT r2 weak #1 /
     item 2: Engine within ~3% of the bench loop)."""
     import gc
+    import os as _os
 
     from sparkinfer_tpu.models.loader import LoadedModel
     from sparkinfer_tpu.runtime.engine import Engine, PerfCounters
     from sparkinfer_tpu.runtime.sampling import SamplerConfig
     from sparkinfer_tpu.sparse import SparseConfig
 
+    # one D2H round trip per 64 tokens through the ~25 ms relay (matches
+    # the raw loop's chunk structure); local chips don't need it
+    _os.environ.setdefault("SPARK_READBACK_BATCH", "64")
     preset = size or ("1b" if plat == "tpu" else "tiny")
     if plat == "tpu":
         cfg, params = build_model_full_device(preset)

@@ -288,12 +288,16 @@ class Engine:
                                                ga_w=self_extend[1])
         self.fused_chunk = (0 if self.tiered or self.self_extend is not None
                             else max(int(fused_chunk), 0))
-        # in-flight steps before the oldest token is read back (the
-        # pipelined generator's D2H latency hiding; raise on high-latency
-        # links — through the axon relay ~25 ms rtt needs >= 8)
+        # tokens per batched D2H readback in the pipelined generator —
+        # every read costs one transport round trip (axon relay: ~25 ms),
+        # so reads are amortized over this many steps; tokens stream in
+        # bursts of this size (set 1 on local-attached TPUs for per-token
+        # streaming — their rtt is µs)
         import os as _os
 
-        self.readback_lag = int(_os.environ.get("SPARK_READBACK_LAG", "8"))
+        self.readback_batch = max(int(_os.environ.get(
+            "SPARK_READBACK_BATCH",
+            _os.environ.get("SPARK_READBACK_LAG", "16"))), 1)
         self._fused = jax.jit(self._fused_impl, donate_argnums=(3,),
                               static_argnums=(5,))
         self.perf = PerfCounters()
@@ -576,18 +580,21 @@ class Engine:
 
     def _generate_pipelined(self, tok, n_past, cache, sstate, max_new_tokens,
                             stop_ids, n_keep):
-        """Unfused decode with PIPELINED token readback: the sampled token
-        stays on device and feeds the next step directly; the host keeps
-        up to `readback_lag` steps in flight and reads back the oldest
-        while newer steps execute (JAX async dispatch) — so a D2H
-        round-trip of many milliseconds (this relay: ~25 ms) never gates
-        the step rate, the per-step analogue of what the reference gets
-        from its sub-ms cudaMemcpy. Emits the SAME token stream as the
-        naive loop; up to `readback_lag` steps may be dispatched past a
-        stop token (their KV writes are beyond the emitted sequence and
-        the cache is generation-local — same trade as fused chunks)."""
-        from collections import deque
-
+        """Unfused decode with BATCHED token readback: the sampled token
+        stays on device and feeds the next step directly; the host stacks
+        `readback_batch` steps' tokens into ONE device array and reads
+        them back in a single D2H round trip. A per-step read costs one
+        full transport round trip REGARDLESS of how long ago the value
+        was computed (this relay: ~25 ms rtt — a lag-window deep pipeline
+        still paid it every step and ran at 0.08x), so the only fix is to
+        amortize: one round trip per `readback_batch` tokens, the same
+        structure the chunked bench loop uses. Emits the SAME token
+        stream as the naive loop; up to `readback_batch` steps may be
+        dispatched past a stop token (their KV writes are beyond the
+        emitted sequence and the cache is generation-local — same trade
+        as fused chunks). Tokens stream in bursts of `readback_batch`;
+        on local-attached TPUs (µs rtt) set SPARK_READBACK_BATCH=1 for
+        per-token streaming at no cost."""
         if tok in stop_ids or max_new_tokens <= 0:
             return
         yield tok
@@ -595,10 +602,10 @@ class Engine:
         t0 = time.perf_counter()
         steps = 0
         tok_dev = jnp.full((self.batch, 1), tok, jnp.int32)
-        pend: deque = deque()  # in-flight sampled tokens (device, oldest first)
+        pend = []  # device tokens awaiting the next batched readback
         recurrent = self.cfg.traits.recurrent
         stopped = False
-        while steps < max_new_tokens - 1:
+        while steps < max_new_tokens - 1 and not stopped:
             if not recurrent and n_past >= self.max_seq - 1:
                 # context shift at the same step the naive loop would
                 from ..models.transformer import rope_params
@@ -615,19 +622,21 @@ class Engine:
             steps += 1
             tok_dev = toks_d[:, None]
             pend.append(toks_d)
-            if len(pend) > self.readback_lag:
-                t = int(np.asarray(pend.popleft())[0])
-                if t in stop_ids:
+            flush = (len(pend) >= self.readback_batch
+                     or steps >= max_new_tokens - 1)
+            if not flush:
+                continue
+            # one round trip for the whole batch (stack is a device op)
+            vals = np.asarray(jnp.stack(pend)) if len(pend) > 1 \
+                else np.asarray(pend[0])[None]
+            pend = []
+            for t in vals[:, 0].tolist():
+                t = int(t)
+                if t in stop_ids or emitted >= max_new_tokens:
                     stopped = True
                     break
                 yield t
                 emitted += 1
-        while not stopped and pend and emitted < max_new_tokens:
-            t = int(np.asarray(pend.popleft())[0])
-            if t in stop_ids:
-                break
-            yield t
-            emitted += 1
         self.perf.t_decode_s += time.perf_counter() - t0
         self.perf.n_decode += steps
 

@@ -136,6 +136,29 @@ def test_engine_greedy_generation_deterministic(tiny_model):
     assert all(0 <= t < model.config.n_vocab for t in out1)
 
 
+def test_readback_batch_stream_parity(tiny_model, monkeypatch):
+    """The pipelined generator's batched D2H readback (one round trip per
+    readback_batch tokens — the relay-latency amortization) must emit the
+    identical stream at every batch size, including stop-id truncation
+    and the max_new_tokens cap."""
+    model, _ = tiny_model
+    ref = None
+    for rb in ("1", "3", "16", "64"):
+        monkeypatch.setenv("SPARK_READBACK_BATCH", rb)
+        eng = Engine(model, max_seq=64, sampler=SamplerConfig(temp=0.0),
+                     kv_dtype=jnp.float32)
+        out = eng.generate([5, 9, 42], max_new_tokens=11)
+        assert len(out) == 11
+        if ref is None:
+            ref = out
+        assert out == ref, rb
+        # stop at the first token that is not also an earlier token
+        stop_i = next(i for i in range(1, 11) if ref[i] not in ref[:i])
+        assert eng.generate([5, 9, 42], max_new_tokens=11,
+                            stop_ids={ref[stop_i]}) == ref[:stop_i], rb
+        assert eng.generate([5, 9, 42], max_new_tokens=5) == ref[:5], rb
+
+
 def test_engine_greedy_matches_stepwise_argmax(tiny_model):
     """Engine output must equal argmax over the oracle's logits chain."""
     model, tensors = tiny_model
