@@ -927,10 +927,13 @@ def tiered_main_big(plat, preset):
             sweep.append((f"w8a8attn-c{cl}", 0.25, cl, "q8_0",
                           {"w8a8": True}))
         elif _os.environ.get("SPIF_BENCH_TIERED_FETCH"):
-            # fetch-tier chip row (VERDICT r3 item 6): misses demand-enter
-            # at each rebalance instead of waiting for DFR rank
+            # fetch-tier chip rows (VERDICT r3 item 6): misses demand-enter
+            # at each rebalance instead of waiting for DFR rank; second row
+            # = the headline W8A8-attention config under fetch semantics
             sweep = [(f"q8c{cl}-fetch", 0.25, cl, "q8_0",
-                      {"mode": "fetch"})]
+                      {"mode": "fetch"}),
+                     (f"w8a8attn-c{cl}-fetch", 0.25, cl, "q8_0",
+                      {"mode": "fetch", "w8a8": True})]
         else:
             # driver default: the pure-sparsity Q8 row, then the headline
             # W8A8-attention row LAST (destructive + the parsed metric).
@@ -1609,7 +1612,10 @@ def run_preset(preset, plat):
         s_times = [sparse.run_chunk() for _ in range(n_trials)]
         ratios = [dt / st for dt, st in zip(sorted(d_times), sorted(s_times))]
     else:
-        cfg, params = build_model(preset)
+        if plat == "tpu":  # zero weight bytes over the relay (see above)
+            cfg, params = build_model_full_device(preset)
+        else:
+            cfg, params = build_model(preset)
         dense_fwd = make_forward(cfg)
         sparse_fwd, sparams, dense_prefill = build_sparse(cfg, params, preset, plat)
         dense = Path("dense", dense_fwd, params, cfg, S)
