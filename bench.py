@@ -938,11 +938,14 @@ def tiered_main_big(plat, preset):
             # driver default: the pure-sparsity Q8 row, then the headline
             # W8A8-attention row LAST (destructive + the parsed metric).
             # W8A8 = XLA-NATIVE int8 MXU attention (scales fold out of
-            # the dot; no pallas call, prefetch pipeline intact) —
-            # round-3 measured 55.4 t/s = 2.39x modeled dense / 2.07x
-            # measured q8-dense.
+            # the dot; no pallas call, prefetch pipeline intact). The
+            # headline row runs mode="fetch": measured SAME throughput as
+            # drop (55.1 vs 55.4 t/s) but misses CONVERGE (40k -> 1.7k
+            # and falling over 7 chunks) instead of plateauing at ~33k —
+            # near-exact semantics at no cost (BENCH_NOTES round 3).
             sweep = [(f"q8c{cl}", 0.25, cl, "q8_0", {}),
-                     (f"w8a8attn-c{cl}", 0.25, cl, "q8_0", {"w8a8": True})]
+                     (f"w8a8attn-c{cl}-fetch", 0.25, cl, "q8_0",
+                      {"mode": "fetch", "w8a8": True})]
         only = _os.environ.get("SPIF_BENCH_TIERED_ONLY")
         if only:
             sweep = [s for s in sweep if s[0] in only.split(",")]
