@@ -56,7 +56,8 @@ def run_preset(preset: str) -> list[dict]:
     from sparkinfer_tpu.sparse import SparseConfig, make_sparse_ffn
 
     t0 = time.time()
-    cfg, params, host_ffn = build_model(preset, host_ffn=True)
+    shape_preset = preset.split("-")[0]  # "13b-fetch" -> "13b" shapes
+    cfg, params, host_ffn = build_model(shape_preset, host_ffn=True)
     ng = cfg.n_ff // 128
     params["layers"]["pred_down_b"] = jnp.asarray(_skewed_pred_bias(cfg, ng))
     scfg0 = SparseConfig(group_size=128, capacity_groups=ng)
@@ -72,7 +73,7 @@ def run_preset(preset: str) -> list[dict]:
     # EXACT SPARSE oracle: masked dense (same thresholded function the
     # sparse path computes with unlimited capacity), full corpus one pass
     # (cached on disk — same seeds => same model/corpus)
-    exact_cache = f"/tmp/spif_quality_exact_{preset}.npy"
+    exact_cache = f"/tmp/spif_quality_exact_{shape_preset}.npy"
     import os.path as _osp
 
     if _osp.exists(exact_cache):
@@ -99,24 +100,32 @@ def run_preset(preset: str) -> list[dict]:
     # plateau (the f32-pred harness converges to ~90 misses/chunk16
     # while the chip sits at ~33k/chunk64), so the matched rows are the
     # ones comparable to the throughput tables.
+    # (label, hot_frac, capacity, store_quant, qpred, mode)
     if preset == "13b":
         points = [
             # CONTROL: all groups hot (no drops) — isolates the Q8_0
             # store quantization cost so the drop rows have a scale
-            ("q8-allhot-CONTROL", 1.0, 28, "q8_0", False),
-            ("q8c28@hot0.25", 0.25, 28, "q8_0", False),
-            ("q8c16@hot0.25", 0.25, 16, "q8_0", False),
-            ("q8c16-qpred@hot0.25", 0.25, 16, "q8_0", True),
-            ("q8c28-qpred@hot0.25", 0.25, 28, "q8_0", True),
-            ("bf16c28@hot0.125", 0.125, 28, None, False)]  # round-2
+            ("q8-allhot-CONTROL", 1.0, 28, "q8_0", False, "drop"),
+            ("q8c28@hot0.25", 0.25, 28, "q8_0", False, "drop"),
+            ("q8c16@hot0.25", 0.25, 16, "q8_0", False, "drop"),
+            ("q8c16-qpred@hot0.25", 0.25, 16, "q8_0", True, "drop"),
+            ("q8c28-qpred@hot0.25", 0.25, 28, "q8_0", True, "drop"),
+            ("bf16c28@hot0.125", 0.125, 28, None, False, "drop")]  # round-2
+    elif preset == "13b-fetch":
+        # the HEADLINE config's semantics: fetch converges misses (chip:
+        # 40k -> 1.7k/chunk64), so steady-state quality should approach
+        # the all-hot control; qpred rows match the chip predictor
+        points = [
+            ("q8c16-fetch@hot0.25", 0.25, 16, "q8_0", False, "fetch"),
+            ("q8c16-qpred-fetch@hot0.25", 0.25, 16, "q8_0", True, "fetch")]
     else:
         cap7 = max(4, (int(ng * 0.25) + 3) // 4 * 4)
-        points = [("q8-allhot-CONTROL", 1.0, cap7, "q8_0", False),
-                  ("c28@hot0.25", 0.25, cap7, None, False)]
+        points = [("q8-allhot-CONTROL", 1.0, cap7, "q8_0", False, "drop"),
+                  ("c28@hot0.25", 0.25, cap7, None, False, "drop")]
 
     qpred_flat = None
     rows = []
-    for label, frac, cap, squant, qpred in points:
+    for label, frac, cap, squant, qpred, mode in points:
         scfg = SparseConfig(group_size=128, capacity_groups=min(cap, ng))
         H = max(1, int(ng * frac))
         ef = None
@@ -138,7 +147,7 @@ def run_preset(preset: str) -> list[dict]:
                                   if not k.startswith("pred_")}
         else:
             params_c = params
-        path = TieredPath(label, cfg, scfg, cold, H, "drop", "cpu",
+        path = TieredPath(label, cfg, scfg, cold, H, mode, "cpu",
                           params_c, T + 8, store_quant=squant,
                           extra_flat=ef)
         kls, agrees, misses = [], [], []
