@@ -198,6 +198,31 @@ def _q8_flat_dev(w_stack, chunk=8):
     return FlatQuantTensor(q, s, "q8_0", OUT)
 
 
+def _w8_dev(w_stack, chunk=8):
+    """Device-side W8A8 quantization of a (L, IN, OUT) bf16 stack:
+    per-output-channel scales, int8 weights, layer-chunked f32 transient.
+    Probe #13: the flat-quant pallas predictor ran at ~404 GB/s vs ~665
+    for w8a8-class XLA-native int8 dots at 13B shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+
+    L = w_stack.shape[0]
+
+    @jax.jit
+    def qchunk(wc):  # (c, IN, OUT) -> int8 (c, IN, OUT), f32 (c, OUT)
+        w = wc.astype(jnp.float32)
+        amax = jnp.abs(w).max(axis=1)
+        s = jnp.maximum(amax, 1e-30) / 127.0
+        q = jnp.round(w / s[:, None, :]).clip(-127, 127).astype(jnp.int8)
+        return q, s
+
+    qs = [qchunk(w_stack[i:i + chunk]) for i in range(0, L, chunk)]
+    return W8A8Tensor(jnp.concatenate([a for a, _ in qs]),
+                      jnp.concatenate([b for _, b in qs]))
+
+
 def gen_q8_dense_flat(cfg, which=("attn", "ffn", "out")):
     """Device-generated Q8_0 flat stores for EVERY big matmul of a dense
     decode (attention + FFN as FlatQuantTensor in params['sparse_flat'],
@@ -861,6 +886,7 @@ def tiered_main_big(plat, preset):
     skew = jnp.asarray(_skewed_pred_bias(cfg, ng))
     extra_flat = None
     extra_flat_q4 = None
+    extra_flat_w8 = None
     if use_q8:
         biases = {"pred_up_b_all": preds["pred_up_b_all"],
                   "pred_down_b_all": skew}
@@ -872,6 +898,11 @@ def tiered_main_big(plat, preset):
         extra_flat_q4 = {
             "pred_up_qt": _q4_flat_dev(preds["pred_up_all"]),
             "pred_down_qt": _q4_flat_dev(preds["pred_down_all"]),
+            **biases,
+        }
+        extra_flat_w8 = {
+            "pred_up_w8": _w8_dev(preds["pred_up_all"]),
+            "pred_down_w8": _w8_dev(preds["pred_down_all"]),
             **biases,
         }
         del preds
@@ -933,7 +964,13 @@ def tiered_main_big(plat, preset):
             sweep = [(f"q8c{cl}-fetch", 0.25, cl, "q8_0",
                       {"mode": "fetch"}),
                      (f"w8a8attn-c{cl}-fetch", 0.25, cl, "q8_0",
-                      {"mode": "fetch", "w8a8": True})]
+                      {"mode": "fetch", "w8a8": True}),
+                     # probe #13 levers: predictor + head through XLA-
+                     # native W8A8 (404->665 GB/s class, 2 fewer pallas
+                     # calls/layer)
+                     (f"w8max-c{cl}-fetch", 0.25, cl, "q8_0",
+                      {"mode": "fetch", "w8a8": True, "pred": "w8",
+                       "head": "w8"})]
         else:
             # driver default: the pure-sparsity Q8 row, then the headline
             # W8A8-attention row LAST (destructive + the parsed metric).
@@ -989,6 +1026,24 @@ def tiered_main_big(plat, preset):
         ef = extra_flat
         if opts.get("pred") == "q4" and extra_flat_q4 is not None:
             ef = {**(extra_flat or {}), **extra_flat_q4}
+        if opts.get("pred") == "w8" and extra_flat_w8 is not None:
+            # w8 keys ONLY (no pred_*_qt: resolve_predictor prefers qt)
+            ef = extra_flat_w8
+        if opts.get("head") == "w8":
+            import jax as _jax
+
+            from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+
+            V = cfg.n_vocab
+            params.pop("output", None)
+            gc.collect()
+            CH = 256
+            qo = _gen_stack_i8(_jax.random.PRNGKey(7), E // CH, (CH, V),
+                               reshape_to=(E, V))
+            params["output"] = W8A8Tensor(qo, jnp.full((V,), 2.2e-4,
+                                                       jnp.float32))
+            print(json.dumps({"phase": "w8_head_ready"}),
+                  file=sys.stderr, flush=True)
         scfg_c = SparseConfig(group_size=128, capacity_groups=cap_g)
         H = max(1, int(ng * frac))
         mode_c = opts.get("mode", "drop")

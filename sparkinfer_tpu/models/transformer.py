@@ -748,7 +748,11 @@ def make_forward(
                       tr.norm, eps)
         hidden = x
         out_w = params["output"]
-        if hasattr(out_w, "kind"):  # QuantTensor
+        from ..ops.quant_matmul import W8A8Tensor, w8a8_linear
+
+        if isinstance(out_w, W8A8Tensor):  # native int8 MXU head
+            logits = w8a8_linear(x, out_w, out_dtype=jnp.float32)
+        elif hasattr(out_w, "kind"):  # QuantTensor
             logits = mm(x, out_w).astype(jnp.float32)
         else:
             logits = jnp.einsum(

@@ -410,10 +410,11 @@ class W8A8Tensor:
         return W8A8Tensor(self.q[idx], self.s[idx])
 
 
-def w8a8_linear(x: jnp.ndarray, w: W8A8Tensor) -> jnp.ndarray:
+def w8a8_linear(x: jnp.ndarray, w: W8A8Tensor, out_dtype=None) -> jnp.ndarray:
     """x (..., in) @ W8A8(in, out): per-token symmetric activation quant,
     native int8 MXU dot, folded scales. Accuracy: ~Q8_0-class on weights
-    (coarser: per-row vs per-32) plus per-token activation rounding."""
+    (coarser: per-row vs per-32) plus per-token activation rounding.
+    out_dtype defaults to x.dtype; pass jnp.float32 for logit heads."""
     xf = x.astype(jnp.float32)
     ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sx = jnp.maximum(ax, 1e-20) / 127.0
@@ -422,7 +423,7 @@ def w8a8_linear(x: jnp.ndarray, w: W8A8Tensor) -> jnp.ndarray:
         xq, w.q, (((xq.ndim - 1,), (w.q.ndim - 2,)), ((), ())),
         preferred_element_type=jnp.int32)
     yf = y.astype(jnp.float32) * sx * w.s
-    return yf.astype(x.dtype)
+    return yf.astype(out_dtype or x.dtype)
 
 
 # --------------------------------------------------------------------------

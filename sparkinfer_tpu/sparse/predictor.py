@@ -49,6 +49,15 @@ def resolve_predictor(lp: dict, il=None):
         # index (callers may ask for (il+1) % L on the pipelined path).
         return (lp["pred_up_qt"].with_il(il), f(lp["pred_up_b_all"]),
                 lp["pred_down_qt"].with_il(il), f(lp["pred_down_b_all"]))
+    if "pred_up_w8" in lp:
+        # W8A8 predictor stacks: same byte halving as Q8_0 but through
+        # XLA-NATIVE int8 MXU dots (no pallas call — probe #13 measured
+        # the flat-quant kernel at ~404 GB/s vs ~665 for w8a8-class XLA
+        # dots at 13B shapes; custom calls also break cross-op DMA
+        # prefetch). The dynamic index on the loop-invariant stack fuses
+        # into the dot (only Pallas consumers force slice copies).
+        return (lp["pred_up_w8"][il], f(lp["pred_up_b_all"]),
+                lp["pred_down_w8"][il], f(lp["pred_down_b_all"]))
     return (f(lp["pred_up_all"]), f(lp["pred_up_b_all"]),
             f(lp["pred_down_all"]), f(lp["pred_down_b_all"]))
 
@@ -63,17 +72,22 @@ def predict_activations(lp: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def predict_from(pu, pub, pd, pdb, x):
-    """Predictor math from resolved weights; pu/pd may be plain arrays or
-    (Flat)QuantTensor packed stores (fused dequant matmul)."""
-    from ..ops.quant_matmul import quant_linear
+    """Predictor math from resolved weights; pu/pd may be plain arrays,
+    (Flat)QuantTensor packed stores (fused dequant matmul), or W8A8Tensor
+    (native int8 MXU dot)."""
+    from ..ops.quant_matmul import W8A8Tensor, quant_linear, w8a8_linear
 
     xf = x.astype(jnp.float32)
-    if hasattr(pu, "kind"):
+    if isinstance(pu, W8A8Tensor):
+        h = w8a8_linear(xf, pu) + pub.astype(jnp.float32)
+    elif hasattr(pu, "kind"):
         h = quant_linear(xf, pu) + pub.astype(jnp.float32)
     else:
         h = xf @ pu.astype(jnp.float32) + pub.astype(jnp.float32)
     h = jnp.maximum(h, 0.0)
-    if hasattr(pd, "kind"):
+    if isinstance(pd, W8A8Tensor):
+        z = w8a8_linear(h, pd) + pdb.astype(jnp.float32)
+    elif hasattr(pd, "kind"):
         z = quant_linear(h, pd) + pdb.astype(jnp.float32)
     else:
         z = h @ pd.astype(jnp.float32) + pdb.astype(jnp.float32)

@@ -282,3 +282,65 @@ def test_w8a8_stacked_forward(tmp_path):
     lr, _ = fwd(rp, toks, pos, init_cache(cfg, 1, 8, jnp.float32))
     np.testing.assert_allclose(np.asarray(lq), np.asarray(lr),
                                rtol=0.05, atol=0.05)
+
+
+def test_w8a8_predictor_matches_float():
+    """W8A8 predictor stacks (pred_up_w8/pred_down_w8, probe #13 lever):
+    activation probabilities match the f32 predictor within int8
+    rounding, and the top-k group selection is near-identical."""
+    from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+    from sparkinfer_tpu.sparse.predictor import predict_activations
+
+    rng = np.random.default_rng(9)
+    L, E, R, F = 3, 64, 16, 256
+    pu = rng.standard_normal((L, E, R)).astype(np.float32) * 0.05
+    pd = rng.standard_normal((L, R, F)).astype(np.float32) * 0.6
+    pub = np.zeros((L, R), np.float32)
+    pdb = rng.standard_normal((L, F)).astype(np.float32) * 0.5 - 1.2
+    x = rng.standard_normal((4, E)).astype(np.float32)
+
+    lp_w8 = {
+        "pred_up_w8": W8A8Tensor.from_float(pu),
+        "pred_down_w8": W8A8Tensor.from_float(pd),
+        "pred_up_b_all": jnp.asarray(pub),
+        "pred_down_b_all": jnp.asarray(pdb),
+    }
+    for il in range(L):
+        lp_f = {"pred_up": jnp.asarray(pu[il]), "pred_up_b": jnp.asarray(pub[il]),
+                "pred_down": jnp.asarray(pd[il]), "pred_down_b": jnp.asarray(pdb[il])}
+        want = np.asarray(predict_activations(lp_f, jnp.asarray(x)))
+        got = np.asarray(predict_activations({**lp_w8, "flat_il": il},
+                                             jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=0.08, atol=0.03)
+        # selection agreement: top-8 of 16 groups overlap >= 7/8
+        gw = want.reshape(4, 16, 16).max(-1)
+        gg = got.reshape(4, 16, 16).max(-1)
+        for n in range(4):
+            overlap = len(set(np.argsort(gw[n])[-8:])
+                          & set(np.argsort(gg[n])[-8:]))
+            assert overlap >= 7, (il, n, overlap)
+
+
+def test_w8a8_head_matches_float(tmp_path):
+    """W8A8 lm head (native int8 MXU, f32 logits out): argmax chain
+    matches the float head on a tiny model."""
+    from sparkinfer_tpu.ops.quant_matmul import W8A8Tensor
+
+    path = tmp_path / "tiny-w8h.gguf"
+    make_tiny_llama(path, n_ff=128, seed=3)
+    model = load_model(str(path), dtype=jnp.float32)
+    cfg = model.config
+    qp = dict(model.params)
+    wt = W8A8Tensor.from_float(np.asarray(model.params["output"]))
+    qp["output"] = wt
+    rp = dict(model.params)
+    rp["output"] = jnp.asarray(
+        np.asarray(wt.q, np.float32) * np.asarray(wt.s)[None, :])
+    fwd = jax.jit(make_forward(cfg))
+    toks = jnp.asarray([[2, 6, 9, 11]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    lq, _ = fwd(qp, toks, pos, init_cache(cfg, 1, 8, jnp.float32))
+    lr, _ = fwd(rp, toks, pos, init_cache(cfg, 1, 8, jnp.float32))
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lr),
+                               rtol=0.05, atol=0.05)
+    assert np.argmax(np.asarray(lq)[0, -1]) == np.argmax(np.asarray(lr)[0, -1])
