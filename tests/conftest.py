@@ -13,6 +13,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# The relay's sitecustomize calls axon.register(), which overrides
+# jax_platforms to "axon,cpu" via jax.config (beating the env var).
+# Backends initialize lazily, so an explicit config.update here — before
+# any jax.devices() call — restores the CPU-only virtual mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest
