@@ -1,8 +1,9 @@
 """Vectorized numpy codecs for GGML block-quantized tensor formats.
 
 Decode coverage: F32/F16/BF16/I8/I16/I32/I64/F64, Q4_0, Q4_1, Q5_0, Q5_1,
-Q8_0, Q2_K, Q3_K, Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS, TQ1_0, TQ2_0,
-MXFP4.
+Q8_0, Q2_K, Q3_K, Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS, IQ1_S, IQ1_M,
+IQ2_XXS, IQ2_XS, IQ2_S, IQ3_XXS, IQ3_S, TQ1_0, TQ2_0, MXFP4 (the full
+ggml-quants.c set).
 Encode coverage: F32/F16/BF16, Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q2_K, Q3_K,
 Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS (K/IQ encoders are simple
 affine/nearest-grid, not the reference's weighted search — same wire
@@ -672,6 +673,153 @@ def _enc_q6_k(x: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# importance-quantized (IQ) lattice formats — codebook grids in _iq_grids
+# (wire-format constants; see that module's docstring). Block layouts per
+# ggml-common.h block_iq2_xxs..block_iq1_m; reference dequant loops in
+# ggml/src/ggml-quants.c. QK_K = 256 throughout.
+
+from ._iq_grids import grid as _iq_grid  # noqa: E402
+
+
+def _popcount8(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.astype(np.uint8).reshape(-1, 1), axis=1).sum(
+        axis=1).reshape(x.shape).astype(np.uint8)
+
+
+# IQ2/IQ3_XXS store signs as 7-bit codes; the 8th sign bit is the code's odd
+# parity (ggml's ksigns_iq2xs table is exactly byte i = i | parity(i) << 7).
+_KSIGNS = (np.arange(128, dtype=np.uint8)
+           | (_popcount8(np.arange(128, dtype=np.uint8)) & 1) << 7)
+
+
+def _sign_codes(codes: np.ndarray) -> np.ndarray:
+    """7-bit sign codes (any shape) -> (..., 8) of ±1 float32."""
+    return _byte_signs(_KSIGNS[codes])
+
+
+def _byte_signs(byte: np.ndarray) -> np.ndarray:
+    """Raw sign bytes (any shape) -> (..., 8) of ±1 float32 (bit set = -1)."""
+    bits = (byte[..., None] >> np.arange(8, dtype=np.uint8)) & 1
+    return 1.0 - 2.0 * bits.astype(np.float32)
+
+
+def _nibbles(b: np.ndarray) -> np.ndarray:
+    """(nb, k) bytes -> (nb, 2k) low-then-high 4-bit fields, float32."""
+    nb = b.shape[0]
+    return np.stack([b & 0x0F, b >> 4], axis=-1).reshape(nb, -1).astype(np.float32)
+
+
+def _dec_iq2_xxs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq2_xxs: d f16 + 8x(2 u32) per 32 elems — u32#0 = 4 codebook
+    bytes, u32#1 = 4x7-bit sign codes + 4-bit sub-scale in the top bits."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))  # (nb, 1)
+    u = blocks[:, 2:66].copy().view(np.uint32).reshape(nb, 8, 2)
+    gidx = ((u[:, :, 0, None] >> np.array([0, 8, 16, 24], np.uint32))
+            & 0xFF).astype(np.int64)                      # (nb, 8, 4)
+    scode = ((u[:, :, 1, None] >> np.array([0, 7, 14, 21], np.uint32))
+             & 0x7F).astype(np.uint8)                     # (nb, 8, 4)
+    sub = d * (0.5 + (u[:, :, 1] >> 28).astype(np.float32)) * 0.25  # (nb, 8)
+    vals = _iq_grid("iq2xxs")[gidx].astype(np.float32)    # (nb, 8, 4, 8)
+    return (sub[:, :, None, None] * vals * _sign_codes(scode)).reshape(nb, 256)
+
+
+def _dec_iq2_xs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq2_xs: d f16 + 32 u16 (9-bit codebook index | 7-bit sign code)
+    + 8 bytes of 4-bit sub-scales (one per 16 elems)."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs = blocks[:, 2:66].copy().view(np.uint16)           # (nb, 32)
+    sub = d * (0.5 + _nibbles(blocks[:, 66:74])) * 0.25   # (nb, 16)
+    vals = _iq_grid("iq2xs")[(qs & 511).astype(np.int64)].astype(np.float32)
+    signed = vals * _sign_codes((qs >> 9).astype(np.uint8))  # (nb, 32, 8)
+    return (sub[:, :, None, None] * signed.reshape(nb, 16, 2, 8)).reshape(nb, 256)
+
+
+def _dec_iq2_s(blocks: np.ndarray) -> np.ndarray:
+    """block_iq2_s: d f16 + 32 low-index bytes + 32 raw sign bytes + 8 qh
+    bytes (2 index-extension bits per 8-elem group) + 8 sub-scale bytes."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs, signs_b = blocks[:, 2:34], blocks[:, 34:66]
+    qh, sc = blocks[:, 66:74], blocks[:, 74:82]
+    hi = ((qh[:, :, None] >> np.array([0, 2, 4, 6], np.uint8)) & 3)
+    idx = qs.astype(np.int64) | (hi.reshape(nb, 32).astype(np.int64) << 8)
+    sub = d * (0.5 + _nibbles(sc)) * 0.25                 # (nb, 16)
+    signed = _iq_grid("iq2s")[idx].astype(np.float32) * _byte_signs(signs_b)
+    return (sub[:, :, None, None] * signed.reshape(nb, 16, 2, 8)).reshape(nb, 256)
+
+
+def _dec_iq3_xxs(blocks: np.ndarray) -> np.ndarray:
+    """block_iq3_xxs: d f16 + 64 codebook bytes (width-4 grid) + 8 u32 of
+    4x7-bit sign codes + 4-bit sub-scale (one u32 per 32 elems)."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs = blocks[:, 2:66]
+    sc = blocks[:, 66:98].copy().view(np.uint32)          # (nb, 8)
+    sub = d * (0.5 + (sc >> 28).astype(np.float32)) * 0.5  # (nb, 8)
+    scode = ((sc[:, :, None] >> np.array([0, 7, 14, 21], np.uint32))
+             & 0x7F).astype(np.uint8)                     # (nb, 8, 4)
+    vals = _iq_grid("iq3xxs")[qs.astype(np.int64)].reshape(nb, 8, 32)
+    signs = _sign_codes(scode).reshape(nb, 8, 32)
+    return (sub[:, :, None] * vals.astype(np.float32) * signs).reshape(nb, 256)
+
+
+def _dec_iq3_s(blocks: np.ndarray) -> np.ndarray:
+    """block_iq3_s: d f16 + 64 low-index bytes + 8 qh bytes (1 extension bit
+    per codebook byte) + 32 raw sign bytes + 4 sub-scale bytes (nibble per
+    32 elems); sub-scale formula d * (1 + 2*s)."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs, qh = blocks[:, 2:66], blocks[:, 66:74]
+    signs_b, sc = blocks[:, 74:106], blocks[:, 106:110]
+    hi = ((qh[:, :, None] >> np.arange(8, dtype=np.uint8)) & 1).reshape(nb, 64)
+    idx = qs.astype(np.int64) | (hi.astype(np.int64) << 8)
+    sub = d * (1.0 + 2.0 * _nibbles(sc))                  # (nb, 8)
+    vals = _iq_grid("iq3s")[idx].reshape(nb, 8, 32).astype(np.float32)
+    signs = _byte_signs(signs_b).reshape(nb, 8, 32)
+    return (sub[:, :, None] * vals * signs).reshape(nb, 256)
+
+
+def _dec_iq1_s(blocks: np.ndarray) -> np.ndarray:
+    """block_iq1_s: d f16 + 32 low-index bytes + 8 u16 qh — per 32 elems:
+    4x3 index-extension bits, 3-bit sub-scale, 1 block-delta sign bit.
+    Values are dl * (grid ± 0.125) with grid entries in {-1, 0, 1}."""
+    nb = blocks.shape[0]
+    d = _f16(blocks[:, 0:2].copy().view(np.uint16))
+    qs = blocks[:, 2:34].reshape(nb, 8, 4)
+    qh = blocks[:, 34:50].copy().view(np.uint16)          # (nb, 8)
+    hi = ((qh[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7)
+    idx = qs.astype(np.int64) | (hi.astype(np.int64) << 8)
+    dl = d * (2.0 * ((qh >> 12) & 7).astype(np.float32) + 1.0)  # (nb, 8)
+    delta = np.where((qh & 0x8000) != 0, np.float32(-0.125), np.float32(0.125))
+    vals = _iq_grid("iq1")[idx].astype(np.float32)        # (nb, 8, 4, 8)
+    return (dl[:, :, None, None]
+            * (vals + delta[:, :, None, None])).reshape(nb, 256)
+
+
+def _dec_iq1_m(blocks: np.ndarray) -> np.ndarray:
+    """block_iq1_m: 32 low-index bytes + 16 qh bytes (per 8 elems: nibble =
+    3 index-extension bits + delta sign) + 4 u16 scales. The f16 block scale
+    rides the TOP nibble of each scale u16; 16 3-bit sub-scales (one per 16
+    elems) ride bits [0,3),[3,6),[6,9) of each."""
+    nb = blocks.shape[0]
+    qs, qh = blocks[:, 0:32], blocks[:, 32:48]
+    sc = blocks[:, 48:56].copy().view(np.uint16)          # (nb, 4)
+    dparts = (sc & np.uint16(0xF000)) >> np.array([12, 8, 4, 0], np.uint16)
+    d = (dparts[:, 0] | dparts[:, 1] | dparts[:, 2] | dparts[:, 3]).astype(
+        np.uint16).view(np.float16).astype(np.float32)[:, None]  # (nb, 1)
+    sub = ((sc[:, :, None] >> np.array([0, 3, 6, 9], np.uint16)) & 7
+           ).reshape(nb, 16).astype(np.float32)
+    dl = d * (2.0 * sub + 1.0)                            # (nb, 16)
+    qhn = np.stack([qh & 0x0F, qh >> 4], axis=-1).reshape(nb, 32)
+    idx = qs.astype(np.int64) | ((qhn & 7).astype(np.int64) << 8)
+    delta = np.where((qhn & 8) != 0, np.float32(-0.125), np.float32(0.125))
+    vals = _iq_grid("iq1")[idx].astype(np.float32) + delta[:, :, None]
+    return (dl[:, :, None] * vals.reshape(nb, 16, 16)).reshape(nb, 256)
+
+
+# ---------------------------------------------------------------------------
 # public API
 
 _DECODERS = {
@@ -688,6 +836,13 @@ _DECODERS = {
     GGMLType.Q8_K: _dec_q8_k,
     GGMLType.IQ4_NL: _dec_iq4_nl,
     GGMLType.IQ4_XS: _dec_iq4_xs,
+    GGMLType.IQ2_XXS: _dec_iq2_xxs,
+    GGMLType.IQ2_XS: _dec_iq2_xs,
+    GGMLType.IQ2_S: _dec_iq2_s,
+    GGMLType.IQ3_XXS: _dec_iq3_xxs,
+    GGMLType.IQ3_S: _dec_iq3_s,
+    GGMLType.IQ1_S: _dec_iq1_s,
+    GGMLType.IQ1_M: _dec_iq1_m,
     GGMLType.TQ1_0: _dec_tq1_0,
     GGMLType.TQ2_0: _dec_tq2_0,
     GGMLType.MXFP4: _dec_mxfp4,

@@ -122,6 +122,46 @@ def test_q4k_scale_packing():
     np.testing.assert_array_equal(mn, mn2)
 
 
+@pytest.mark.parametrize("tname", ["IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ3_XXS",
+                                   "IQ3_S", "IQ1_S", "IQ1_M"])
+def test_iq_lattice_types_container_roundtrip(tmp_path, tname):
+    """The IQ lattice formats (decode-only: neither we nor gguf-py encode
+    them — producing them needs ggml's weighted codebook search) ride the
+    GGUF container end-to-end: raw blocks written via the writer's raw path
+    read back and dequantize identically to the flat codec."""
+    from sparkinfer_tpu.gguf import GGUFWriter, dequantize
+    from sparkinfer_tpu.gguf.constants import GGML_TYPE_TRAITS
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+
+    ttype = getattr(GGMLType, tname)
+    bs, tsz = GGML_TYPE_TRAITS[ttype]
+    nb = 8
+    raw = RNG.integers(0, 256, (nb, tsz), dtype=np.uint8)
+    # keep the f16 block scale finite (IQ1_M packs it in the top nibble of
+    # each of its four scale u16s; all others lead with a plain f16 d)
+    fin = RNG.uniform(0.01, 0.1, (nb, 1)).astype(np.float16)
+    if ttype == GGMLType.IQ1_M:
+        h = fin.view(np.uint16).reshape(-1)
+        sc = raw[:, 48:56].copy().view(np.uint16)
+        for i in range(4):
+            nib = (h >> np.uint16(4 * i)) & np.uint16(0xF)
+            sc[:, i] = (sc[:, i] & np.uint16(0x0FFF)) | (nib << np.uint16(12))
+        raw[:, 48:56] = sc.view(np.uint8)
+    else:
+        raw[:, 0:2] = fin.view(np.uint8)
+
+    p = tmp_path / f"iq-{tname}.gguf"
+    w = GGUFWriter(str(p), arch="llama")
+    w.add_tensor("w", raw.reshape(-1), ne=(nb * bs,), ggml_type=ttype, raw=True)
+    w.write()
+    r = GGUFReader(str(p))
+    t = r.tensors["w"]
+    assert t.ggml_type == ttype
+    np.testing.assert_array_equal(
+        t.to_f32(), dequantize(raw.reshape(-1), ttype, nb * bs))
+    r.close()
+
+
 def test_decode_vs_reference_fixture_types(vocab_gguf_spm):
     """All tensors in the fixture decode without error (there are none, but
     KV-only files must parse); also verify data_offset alignment."""

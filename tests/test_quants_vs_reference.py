@@ -48,6 +48,13 @@ DECODE_TYPES = [
     GGMLType.Q6_K,
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
+    GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
+    GGMLType.IQ1_S,
+    GGMLType.IQ1_M,
     GGMLType.TQ1_0,
     GGMLType.TQ2_0,
     GGMLType.MXFP4,
@@ -110,6 +117,18 @@ def _sane_random_blocks(ttype: GGMLType, n_blocks: int) -> np.ndarray:
         raw[:, 64:66] = fin(1).view(np.uint8)
     elif ttype == GGMLType.MXFP4:
         raw[:, 0] = RNG.integers(100, 140, n_blocks, dtype=np.uint8)
+    elif ttype in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S,
+                   GGMLType.IQ3_XXS, GGMLType.IQ3_S, GGMLType.IQ1_S):
+        raw[:, 0:2] = fin(1).view(np.uint8)
+    elif ttype == GGMLType.IQ1_M:
+        # the f16 block scale rides the TOP nibble of each of the 4 scale
+        # u16s (bytes 48:56): plant a finite f16's nibbles there
+        h = fin(1).view(np.uint16).reshape(-1)  # (n_blocks,)
+        sc = raw[:, 48:56].copy().view(np.uint16)
+        for i in range(4):
+            nib = (h >> np.uint16(4 * i)) & np.uint16(0xF)
+            sc[:, i] = (sc[:, i] & np.uint16(0x0FFF)) | (nib << np.uint16(12))
+        raw[:, 48:56] = sc.view(np.uint8)
     return raw.reshape(-1)
 
 
