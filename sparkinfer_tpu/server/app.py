@@ -26,7 +26,19 @@ import jax.numpy as jnp
 from ..runtime.sampling import SamplerConfig
 from ..runtime.scheduler import Request, Scheduler
 from ..tokenizer import build_tokenizer
-from .chat import apply_template, detect_template
+from .chat import ChatTemplate, apply_template
+
+
+def _template_for(vocab, family_override: str | None = None) -> ChatTemplate:
+    """ChatTemplate from a model's Vocab: executes the GGUF Jinja template,
+    with bos/eos token text resolved from the vocab table."""
+    def tok_text(tid):
+        return vocab.tokens[tid] if 0 <= tid < len(vocab.tokens) else ""
+
+    return ChatTemplate(
+        vocab.chat_template, family=family_override,
+        bos_token=tok_text(vocab.bos_id), eos_token=tok_text(vocab.eos_id),
+    )
 
 
 @dataclass
@@ -76,9 +88,7 @@ class SparkServer:
             split=self.cfg.split,
             rebalance_every=self.cfg.rebalance_every,
         )
-        self.template = self.cfg.chat_template or detect_template(
-            model.vocab.chat_template
-        )
+        self.template = _template_for(model.vocab, self.cfg.chat_template)
         self._embedder = None
         self._reranker = None
         self._httpd: ThreadingHTTPServer | None = None
@@ -139,7 +149,7 @@ class SparkServer:
                     sampler=SamplerConfig(), tokenizer=tok,
                 )
                 sched.start()
-                tmpl = detect_template(m.vocab.chat_template)
+                tmpl = _template_for(m.vocab)
                 be = (sched, tok, tmpl, name)
                 self._backends[name] = be
         return be
@@ -312,15 +322,29 @@ class SparkServer:
         msgs = body.get("messages", [])
         tools = body.get("tools")
         if tools:
+            from .chat_parser import detect_format
             from .tools_api import inject_tools, tool_call_grammar
 
-            msgs = inject_tools(msgs, tools)
+            fmt = detect_format(
+                template.source if isinstance(template, ChatTemplate)
+                else None,
+                template.name if isinstance(template, ChatTemplate)
+                else template)
+            if not (isinstance(template, ChatTemplate) and template.is_jinja):
+                # family fast-paths have no native tool slot -> system inject
+                msgs = inject_tools(msgs, tools)
             if body.get("tool_choice") == "required" and not body.get("grammar"):
                 body = dict(body)
-                body["grammar"] = tool_call_grammar(tools)
-        prompt = apply_template(msgs, template)
+                # the grammar must force the SAME format the parser reads
+                body["grammar"] = tool_call_grammar(tools, fmt)
+        if isinstance(template, ChatTemplate):
+            prompt = template.render(msgs, tools=tools)
+        else:
+            prompt = apply_template(msgs, template)
         req = self._make_request(prompt, body, tokenizer=tok, sched=sched)
         req._has_tools = bool(tools)
+        if tools:
+            req._chat_format = fmt
         req._detok = tok.decode
         req._model_name = name
         sched.submit(req)
@@ -353,7 +377,8 @@ class SparkServer:
             "n_vocab": cfg.n_vocab,
             "n_layer": cfg.n_layer,
             "n_embd": cfg.n_embd,
-            "chat_template": self.template,
+            "chat_template": self.template.name,
+            "chat_template_source": self.template.source or "",
             "has_predictors": cfg.has_predictors,
         }
 
@@ -660,27 +685,56 @@ def _make_handler(srv: SparkServer):
                     self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
 
                 dec = srv.utf8_stream()
+                # tool-enabled chats stream through the incremental chat
+                # parser: content/reasoning/tool-call deltas in OpenAI
+                # shape (ref: server oaicompat streaming + chat-parser)
+                sp = None
+                if chat and getattr(req, "_has_tools", False):
+                    from .chat_parser import StreamParser
+
+                    sp = StreamParser(getattr(req, "_chat_format", "hermes"))
+
+                def emit_chat_deltas(deltas, finish=None):
+                    for d in deltas:
+                        chunk({
+                            "id": rid, "object": "chat.completion.chunk",
+                            "created": created, "model": srv.cfg.model_name,
+                            "choices": [{"index": 0, "delta": d,
+                                         "finish_reason": None}],
+                        })
+
                 for tok in req.stream():
                     text = dec.push([tok])
                     if not text:
                         continue  # held-back incomplete UTF-8 tail
-                    if chat:
-                        payload = {
+                    if sp is not None:
+                        emit_chat_deltas(sp.update(text))
+                    elif chat:
+                        chunk({
                             "id": rid, "object": "chat.completion.chunk",
                             "created": created, "model": srv.cfg.model_name,
                             "choices": [{"index": 0, "delta": {"content": text},
                                          "finish_reason": None}],
-                        }
+                        })
                     else:
-                        payload = {
+                        chunk({
                             "id": rid, "object": "text_completion",
                             "created": created, "model": srv.cfg.model_name,
                             "choices": [{"index": 0, "text": text,
                                          "finish_reason": None}],
-                        }
-                    chunk(payload)
+                        })
                 tail = dec.flush()
-                if tail:
+                if sp is not None:
+                    emit_chat_deltas(sp.update(tail) + sp.finish())
+                    finish = ("tool_calls" if sp.message.tool_calls
+                              else "stop")
+                    chunk({
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": srv.cfg.model_name,
+                        "choices": [{"index": 0, "delta": {},
+                                     "finish_reason": finish}],
+                    })
+                elif tail:
                     delta = ({"delta": {"content": tail}} if chat
                              else {"text": tail})
                     chunk({
@@ -706,13 +760,16 @@ def _make_handler(srv: SparkServer):
                 message = {"role": "assistant", "content": text}
                 finish = "stop"
                 if getattr(req, "_has_tools", False):
-                    from .tools_api import parse_tool_calls
+                    from .chat_parser import parse_chat, to_openai_tool_calls
 
-                    content, calls = parse_tool_calls(text)
-                    if calls:
+                    parsed = parse_chat(
+                        text, getattr(req, "_chat_format", "hermes"))
+                    if parsed.tool_calls:
                         message = {"role": "assistant",
-                                   "content": content or None,
-                                   "tool_calls": calls}
+                                   "content": parsed.content or None,
+                                   "tool_calls": to_openai_tool_calls(parsed)}
+                        if parsed.reasoning:
+                            message["reasoning_content"] = parsed.reasoning
                         finish = "tool_calls"
                 self._json(200, {
                     "id": rid, "object": "chat.completion", "created": created,

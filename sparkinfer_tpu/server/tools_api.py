@@ -82,9 +82,12 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
     return content, calls
 
 
-def tool_call_grammar(tools: list[dict]) -> str:
-    """GBNF forcing a valid tool-call envelope for one of the given tools
-    (used when tool_choice == 'required')."""
+def tool_call_grammar(tools: list[dict], fmt: str = "hermes") -> str:
+    """GBNF forcing a valid tool call for one of the given tools in the
+    given format (used when tool_choice == 'required'). The grammar MUST
+    emit what the corresponding chat_parser format parses (reference pairs
+    grammars with formats the same way, common/chat.cpp per-format
+    `data.grammar` blocks)."""
     from ..grammar.json_schema import json_schema_to_gbnf
 
     names = " | ".join(
@@ -94,8 +97,31 @@ def tool_call_grammar(tools: list[dict]) -> str:
     # possible per-tool; keep the arguments open like the reference default)
     base = json_schema_to_gbnf({})
     base = base.replace("root ::= space value", "jsonval ::= space value")
-    return (
-        'root ::= "<tool_call>" space "{" space "\\"name\\"" space ":" space '
-        f"({names}) space \",\" space \"\\\"arguments\\\"\" space \":\" jsonval "
-        '"}" space "</tool_call>" space\n' + base
-    )
+    def call_obj(argkey):
+        return (
+            '"{" space "\\"name\\"" space ":" space '
+            f"({names}) space \",\" space \"\\\"{argkey}\\\"\" space \":\" "
+            'jsonval "}"'
+        )
+
+    if fmt in ("llama3", "llama3-builtin"):
+        root = "root ::= " + call_obj("parameters") + " space\n"
+    elif fmt == "mistral-nemo":
+        inner = call_obj("arguments")
+        root = (f'root ::= "[TOOL_CALLS]" space "[" space {inner} '
+                f'(space "," space {inner})* space "]" space\n')
+    elif fmt == "command-r7b":
+        inner = (
+            '"{" space "\\"tool_call_id\\"" space ":" space string space '
+            '"," space "\\"tool_name\\"" space ":" space '
+            f"({names}) space \",\" space \"\\\"parameters\\\"\" space "
+            '":" jsonval "}"'
+        )
+        root = (f'root ::= "<|START_ACTION|>" space "[" space {inner} '
+                f'(space "," space {inner})* space "]" space '
+                '"<|END_ACTION|>" space\n')
+    else:  # hermes (default) / generic
+        inner = call_obj("arguments")
+        root = (f'root ::= "<tool_call>" space {inner} space '
+                '"</tool_call>" space\n')
+    return root + base

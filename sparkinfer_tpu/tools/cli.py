@@ -190,18 +190,20 @@ def bench_main(args, model) -> int:
 
 def chat_main(args, model) -> int:
     """Interactive chat REPL (ref: tools/main interactive + tools/run)."""
-    from ..server.chat import apply_template, detect_template
+    from ..server.app import _template_for
+    from ..server.chat import apply_template
     from ..tokenizer import build_tokenizer
 
     if model.vocab is None:
         print("interactive mode needs a tokenizer", file=sys.stderr)
         return 1
     tk = build_tokenizer(model.vocab)
-    template = args.chat_template or detect_template(model.vocab.chat_template)
+    template = _template_for(model.vocab, args.chat_template)
     eng = make_engine(args, model)
     stop = {i for i in range(model.vocab.n_tokens) if model.vocab.is_eog(i)}
     history = []
-    print(f"(interactive; template={template}; /bye to exit)", file=sys.stderr)
+    print(f"(interactive; template={template.name}; /bye to exit)",
+          file=sys.stderr)
     while True:
         try:
             line = input("> ")

@@ -107,3 +107,68 @@ def test_granite_render():
     s = apply_template(MSGS4, "granite")
     assert "<|start_of_role|>user<|end_of_role|>hi<|end_of_text|>" in s
     assert s.endswith("<|start_of_role|>assistant<|end_of_role|>")
+
+
+# --- ChatTemplate: Jinja-first strategy (round 4) ---------------------------
+
+LLAMA3_TMPL = (
+    "{{ bos_token }}{% for m in messages %}"
+    "{{ '<|start_header_id|>' + m['role'] + '<|end_header_id|>\n\n'"
+    " + m['content'] | trim + '<|eot_id|>' }}{% endfor %}"
+    "{% if add_generation_prompt %}"
+    "{{ '<|start_header_id|>assistant<|end_header_id|>\n\n' }}{% endif %}"
+)
+
+
+def test_chat_template_jinja_executes():
+    from sparkinfer_tpu.server.chat import ChatTemplate
+
+    t = ChatTemplate(LLAMA3_TMPL, bos_token="<|begin_of_text|>")
+    assert t.is_jinja and t.name == "jinja"
+    out = t.render([{"role": "user", "content": " hi "}])
+    assert out == ("<|begin_of_text|><|start_header_id|>user<|end_header_id|>"
+                   "\n\nhi<|eot_id|><|start_header_id|>assistant"
+                   "<|end_header_id|>\n\n")
+
+
+def test_chat_template_tools_reach_jinja():
+    from sparkinfer_tpu.server.chat import ChatTemplate
+
+    t = ChatTemplate(
+        "{% for tool in tools %}[{{ tool.function.name }}]{% endfor %}")
+    out = t.render([], tools=[
+        {"type": "function", "function": {"name": "get_weather"}}])
+    assert out == "[get_weather]"
+
+
+def test_chat_template_family_override_beats_jinja():
+    from sparkinfer_tpu.server.chat import ChatTemplate
+
+    t = ChatTemplate(LLAMA3_TMPL, family="chatml")
+    assert not t.is_jinja and t.name == "chatml"
+    assert t.render([{"role": "user", "content": "x"}]).startswith(
+        "<|im_start|>user")
+
+
+def test_chat_template_compile_failure_warns_and_falls_back(caplog):
+    import logging
+
+    from sparkinfer_tpu.server.chat import ChatTemplate
+
+    with caplog.at_level(logging.WARNING, logger="sparkinfer.chat"):
+        t = ChatTemplate("{% if broken %} [INST] no endif")
+    assert any("falling back" in r.message for r in caplog.records)
+    assert t.family == "llama2"  # detected from the [INST] marker, not chatml
+
+
+def test_chat_template_render_failure_warns_and_falls_back(caplog):
+    import logging
+
+    from sparkinfer_tpu.server.chat import ChatTemplate
+
+    # compiles fine, raises at render time
+    with caplog.at_level(logging.WARNING, logger="sparkinfer.chat"):
+        t = ChatTemplate("{{ raise_exception('nope') }}<|im_start|>")
+        out = t.render([{"role": "user", "content": "q"}])
+    assert any("falling back" in r.message for r in caplog.records)
+    assert out.startswith("<|im_start|>user\nq")  # chatml fast-path result

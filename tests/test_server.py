@@ -26,7 +26,7 @@ def server(tmp_path_factory):
     model = load_model(str(path), dtype=jnp.float32)
     srv = SparkServer(
         model,
-        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32"),
+        ServerConfig(port=0, n_slots=2, max_seq=192, kv_dtype="f32"),
         sampler=SamplerConfig(temp=0.0),
     )
     srv.serve(block=False)
@@ -56,7 +56,11 @@ def test_health_props_models_metrics(server):
     code, body = _get(server, "/props")
     props = json.loads(body)
     assert props["arch"] == "llama" and props["n_slots"] == 2
-    assert props["chat_template"] == "chatml"
+    # the tiny model's template "{{'<|im_start|>'}}" is valid Jinja and
+    # now executes directly (round-4 Jinja engine) instead of being
+    # substring-detected as a family
+    assert props["chat_template"] == "jinja"
+    assert props["chat_template_source"] == "{{'<|im_start|>'}}"
     code, body = _get(server, "/v1/models")
     assert json.loads(body)["data"][0]["id"] == "sparkinfer-tpu"
     code, body = _get(server, "/metrics")
@@ -204,7 +208,7 @@ def fim_server(tmp_path_factory):
     model = load_model(str(path), dtype=jnp.float32)
     srv = SparkServer(
         model,
-        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32"),
+        ServerConfig(port=0, n_slots=2, max_seq=192, kv_dtype="f32"),
         sampler=SamplerConfig(temp=0.0),
     )
     srv.serve(block=False)
@@ -268,7 +272,7 @@ def rerank_server(tmp_path_factory):
     model = load_model(str(path), dtype=jnp.float32)
     srv = SparkServer(
         model,
-        ServerConfig(port=0, n_slots=2, max_seq=64, kv_dtype="f32"),
+        ServerConfig(port=0, n_slots=2, max_seq=192, kv_dtype="f32"),
         sampler=SamplerConfig(temp=0.0),
     )
     srv.serve(block=False)
@@ -346,7 +350,8 @@ def test_apply_template(server):
     code, body = _post(server, "/apply-template", {
         "messages": [{"role": "user", "content": "hello"}]})
     assert code == 200
-    assert "hello" in json.loads(body)["prompt"]
+    # the GGUF ships a literal-only Jinja template -> renders exactly that
+    assert json.loads(body)["prompt"] == "<|im_start|>"
 
 
 def test_lora_endpoints(router_server):
@@ -387,3 +392,48 @@ def test_multi_model_router(router_server):
     ta = json.loads(ba)["choices"][0]["text"]
     tb = json.loads(bb)["choices"][0]["text"]
     assert ta != tb  # different weights behind the same endpoint
+
+
+def test_streaming_tool_calls_sse(server):
+    """Grammar-forced tool call streamed over SSE: tool_calls deltas arrive
+    incrementally and concatenate to valid JSON arguments, finish_reason
+    becomes tool_calls (ref: server oaicompat streaming + chat-parser)."""
+    tools = [{"type": "function", "function": {
+        "name": "get_weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"type": "string"}}},
+    }}]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": "weather in Oslo?"}],
+            "tools": tools, "tool_choice": "required",
+            "max_tokens": 120, "temperature": 0.0, "stream": True,
+        }).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        data = r.read().decode()
+    events = [json.loads(l[6:]) for l in data.split("\n")
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    assert data.rstrip().endswith("data: [DONE]")
+    calls = {}
+    finish = None
+    for ev in events:
+        ch = ev["choices"][0]
+        if ch.get("finish_reason"):
+            finish = ch["finish_reason"]
+        for c in ch.get("delta", {}).get("tool_calls", []):
+            e = calls.setdefault(c["index"], {"name": "", "arguments": ""})
+            fn = c.get("function", {})
+            if fn.get("name"):
+                e["name"] = fn["name"]
+            e["arguments"] += fn.get("arguments", "")
+    assert finish == "tool_calls"
+    assert calls, f"no tool_calls deltas in {len(events)} events"
+    assert calls[0]["name"] == "get_weather"
+    json.loads(calls[0]["arguments"])  # valid JSON when concatenated
+    # raw envelope text must not leak into content deltas
+    content = "".join(ev["choices"][0].get("delta", {}).get("content", "")
+                      for ev in events)
+    assert "<tool_call>" not in content

@@ -82,3 +82,29 @@ def test_thread_safety_parallel_engines(tmp_path):
     eng = Engine(model, max_seq=32, sampler=SamplerConfig(temp=0.0),
                  kv_dtype=jnp.float32, donate_cache=False)
     assert eng.generate([3, 14, 15], max_new_tokens=4) == results[0]
+
+
+def test_tool_call_grammar_formats_pair_with_parser():
+    """For every format: the forcing grammar accepts a canonical call AND
+    parse_chat extracts it (grammar and parser must agree — a mismatch
+    means tool_choice=required can never produce a parseable call)."""
+    from sparkinfer_tpu.grammar import parse_gbnf
+    from sparkinfer_tpu.server.chat_parser import parse_chat
+
+    fixtures = {
+        "hermes": '<tool_call> {"name": "get_weather", "arguments": '
+                  '{"city": "x"}} </tool_call>',
+        "llama3": '{"name": "get_weather", "parameters": {"city": "x"}}',
+        "mistral-nemo": '[TOOL_CALLS] [{"name": "get_weather", '
+                        '"arguments": {"city": "x"}}]',
+        "command-r7b": '<|START_ACTION|> [{"tool_call_id": "0", '
+                       '"tool_name": "get_weather", "parameters": '
+                       '{"city": "x"}}] <|END_ACTION|>',
+    }
+    for fmt, text in fixtures.items():
+        g = parse_gbnf(tool_call_grammar(TOOLS, fmt))
+        st = g.accept_text(g.start_stacks(), text)
+        assert st and g.is_complete(st), fmt
+        msg = parse_chat(text, fmt)
+        assert msg.tool_calls and msg.tool_calls[0].name == "get_weather", fmt
+        json.loads(msg.tool_calls[0].arguments)
