@@ -80,7 +80,44 @@ OPTIONS: list[Opt] = [
        type=int, default=2048, help="context window (tokens)"),
     _o("-ctk", "--cache-type-k", scopes=CS, env="SPARK_ARG_CACHE_TYPE_K",
        choices=["f32", "bf16", "q8", "int8"], default="bf16",
-       help="KV cache dtype (q8/int8 = quantized KV; ref arg.cpp:1665)"),
+       help="K cache dtype (q8/int8 = quantized KV; ref arg.cpp:1665)"),
+    _o("-ctv", "--cache-type-v", scopes=CS, env="SPARK_ARG_CACHE_TYPE_V",
+       choices=["f32", "bf16", "q8", "int8"], default=None,
+       help="V cache dtype (default: same as -ctk; float/quantized mixes "
+            "are rejected like the reference non-FA path; ref arg.cpp:1678)"),
+    _o("-b", "--batch-size", scopes=CS, env="SPARK_ARG_BATCH",
+       type=int, default=1024,
+       help="prefill micro-batch (ubatch) length in tokens (ref -b/-ub)"),
+    _o("--keep", scopes=CLI, type=int, default=-1,
+       help="tokens kept from the prompt on context shift "
+            "(-1 = whole prompt; ref main.cpp n_keep)"),
+    _o("-t", "--threads", scopes=ALL, env="SPARK_ARG_THREADS",
+       type=int, default=0,
+       help="host threads for native (OpenMP) kernels; 0 = all cores "
+            "(TPU compute is unaffected; ref -t)"),
+    _o("--ignore-eos", scopes=CLI, action="store_true",
+       help="keep generating past end-of-generation tokens (ref --ignore-eos)"),
+
+    # --- rope / YaRN overrides (ref common/arg.cpp:1564-1630) -----------
+    _o("--rope-scaling", scopes=CS, env="SPARK_ARG_ROPE_SCALING",
+       choices=["none", "linear", "yarn"], default=None,
+       help="override the GGUF rope scaling type"),
+    _o("--rope-scale", scopes=CS, type=float, default=None,
+       help="rope context scaling factor N (freq_scale = 1/N)"),
+    _o("--rope-freq-base", scopes=CS, env="SPARK_ARG_ROPE_FREQ_BASE",
+       type=float, default=None, help="override rope theta base"),
+    _o("--rope-freq-scale", scopes=CS, type=float, default=None,
+       help="override rope frequency scale directly (ref --rope-freq-scale)"),
+    _o("--yarn-orig-ctx", scopes=CS, type=int, default=None,
+       help="YaRN original training context (0 = model n_ctx_train)"),
+    _o("--yarn-ext-factor", scopes=CS, type=float, default=None,
+       help="YaRN extrapolation mix (-1 = auto from scaling type)"),
+    _o("--yarn-attn-factor", scopes=CS, type=float, default=None,
+       help="YaRN attention magnitude scale"),
+    _o("--yarn-beta-fast", scopes=CS, type=float, default=None,
+       help="YaRN low correction dim"),
+    _o("--yarn-beta-slow", scopes=CS, type=float, default=None,
+       help="YaRN high correction dim"),
     _o("--kv-iswa", scopes=CLI, env="SPARK_ARG_KV_ISWA", action="store_true",
        help="dual SWA/full KV cache for interleaved-SWA models "
             "(ref src/llama-kv-cache-iswa.cpp)"),
@@ -192,6 +229,17 @@ OPTIONS: list[Opt] = [
             "(ref server middleware_validate_api_key; /health stays open)"),
     _o("--slot-save-path", scopes=SERVER, default=None,
        help="directory for /slots/:id?action=save files"),
+    _o("-to", "--timeout", scopes=SERVER, env="SPARK_ARG_TIMEOUT",
+       type=float, default=600.0,
+       help="server read/write timeout in seconds (ref -to arg.cpp:2479)"),
+    _o("-sps", "--slot-prompt-similarity", scopes=SERVER,
+       type=float, default=0.1,
+       help="min common-prefix fraction for routing a request to the idle "
+            "slot with the best KV reuse (0 = first-free; ref -sps "
+            "arg.cpp:2648)"),
+    _o("-n", "--n-predict", scopes=SERVER, env="SPARK_ARG_N_PREDICT_SRV",
+       dest="n_predict_default", type=int, default=128,
+       help="default max_tokens when the request omits it"),
     _o("--models", scopes=SERVER, action="append", default=None,
        metavar="NAME=GGUF",
        help="extra routed models, selected by the OpenAI 'model' field "
@@ -231,6 +279,60 @@ def sampler_from_args(args):
         xtc_threshold=getattr(args, "xtc_threshold", 0.1),
         seed=args.seed,
     )
+
+
+def apply_model_overrides(args, model) -> None:
+    """Apply --rope-*/--yarn-* CLI overrides onto the loaded model config
+    (ref: common_init_from_params copies the rope/yarn params from
+    common_params into llama_context_params)."""
+    import dataclasses
+
+    cfg = model.config
+    upd = {}
+    if getattr(args, "rope_scaling", None) is not None:
+        upd["rope_scaling_type"] = args.rope_scaling
+    if getattr(args, "rope_freq_base", None) is not None:
+        upd["rope_freq_base"] = args.rope_freq_base
+    if getattr(args, "rope_scale", None) is not None:
+        upd["rope_scale"] = (1.0 / args.rope_scale
+                             if args.rope_scale not in (0.0, 1.0) else 1.0)
+    if getattr(args, "rope_freq_scale", None) is not None:
+        upd["rope_scale"] = args.rope_freq_scale
+    if getattr(args, "yarn_orig_ctx", None) is not None:
+        upd["rope_orig_ctx"] = args.yarn_orig_ctx or cfg.n_ctx_train
+    if getattr(args, "yarn_ext_factor", None) is not None:
+        upd["yarn_ext_factor"] = args.yarn_ext_factor
+    if getattr(args, "yarn_attn_factor", None) is not None:
+        upd["yarn_attn_factor"] = args.yarn_attn_factor
+    if getattr(args, "yarn_beta_fast", None) is not None:
+        upd["yarn_beta_fast"] = args.yarn_beta_fast
+    if getattr(args, "yarn_beta_slow", None) is not None:
+        upd["yarn_beta_slow"] = args.yarn_beta_slow
+    if upd:
+        model.config = dataclasses.replace(cfg, **upd)
+    n_threads = getattr(args, "threads", 0)
+    if n_threads:
+        # native OpenMP kernels read this at library init
+        os.environ["OMP_NUM_THREADS"] = str(n_threads)
+
+
+def kv_dtypes_from_args(args):
+    """(k_dtype, v_dtype, quantized) from -ctk/-ctv. Mixing a float type
+    with a quantized type is rejected (the reference's non-flash-attn V
+    restriction, arg.cpp:1678 + context checks)."""
+    import jax.numpy as jnp
+
+    ctk = getattr(args, "cache_type_k", "bf16")
+    ctv = getattr(args, "cache_type_v", None) or ctk
+    qk = ctk in ("q8", "int8")
+    qv = ctv in ("q8", "int8")
+    if qk != qv:
+        raise SystemExit(
+            f"-ctk {ctk} / -ctv {ctv}: mixed float/quantized KV cache is "
+            "not supported (quantize both or neither)")
+    m = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+         "q8": jnp.bfloat16, "int8": jnp.bfloat16}
+    return m[ctk], m[ctv], qk
 
 
 def grammar_from_args(args) -> str | None:

@@ -412,6 +412,12 @@ class ModelConfig:
     rope_scale: float = 1.0  # 1/factor linear
     rope_scaling_type: str = "none"
     rope_orig_ctx: int = 0
+    # YaRN overrides (ref common/arg.cpp --yarn-*: -1/0 sentinel = derive
+    # from the scaling type / use the standard constants)
+    yarn_ext_factor: float = -1.0  # -1 = auto (1.0 when yarn, else 0)
+    yarn_attn_factor: float = 1.0
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
     tie_embeddings: bool = False
     # sparse predictor ranks per layer (0 = no predictor)
     pred_lora: tuple[int, ...] = ()

@@ -30,9 +30,10 @@ NEG_INF = -1e30
 
 
 def rope_params(cfg: ModelConfig) -> RopeParams:
-    yarn_ext = 0.0
-    if cfg.rope_scaling_type == "yarn" and cfg.rope_orig_ctx:
-        yarn_ext = 1.0
+    yarn_ext = cfg.yarn_ext_factor
+    if yarn_ext < 0.0:  # auto (ref common.cpp: -1 -> from scaling type)
+        yarn_ext = (1.0 if cfg.rope_scaling_type == "yarn"
+                    and cfg.rope_orig_ctx else 0.0)
     return RopeParams(
         dim=cfg.rope_dim or cfg.head_dim,
         mode=cfg.traits.rope_mode,
@@ -40,6 +41,9 @@ def rope_params(cfg: ModelConfig) -> RopeParams:
         freq_scale=cfg.rope_scale,
         yarn_orig_ctx=cfg.rope_orig_ctx,
         yarn_ext_factor=yarn_ext,
+        yarn_attn_factor=cfg.yarn_attn_factor,
+        yarn_beta_fast=cfg.yarn_beta_fast,
+        yarn_beta_slow=cfg.yarn_beta_slow,
     )
 
 

@@ -84,6 +84,7 @@ class Engine:
         batch: int = 1,
         sampler: SamplerConfig | None = None,
         kv_dtype=jnp.bfloat16,
+        kv_dtype_v=None,  # -ctv: separate V storage dtype (None = kv_dtype)
         kv_quantized: bool = False,
         ffn_fn: Callable | None = None,
         sparse: "SparseConfig | None" = None,
@@ -257,6 +258,7 @@ class Engine:
             self.fwd_decode = self.fwd
         self.sample = make_sampler(self.sampler_cfg)
         self.kv_dtype = kv_dtype
+        self.kv_dtype_v = kv_dtype_v
         self.kv_quantized = kv_quantized
 
         donate = (3,) if donate_cache else ()
@@ -393,7 +395,8 @@ class Engine:
             return init_cache_iswa(self.cfg, self.batch, self.max_seq,
                                    chunk=self.prefill_chunk, dtype=self.kv_dtype)
         return init_cache(
-            self.cfg, self.batch, self.max_seq, self.kv_dtype, self.kv_quantized
+            self.cfg, self.batch, self.max_seq, self.kv_dtype,
+            self.kv_quantized, v_dtype=self.kv_dtype_v
         )
 
     def new_sampler_state(self, seed: int | None = None) -> SamplerState:
@@ -529,16 +532,22 @@ class Engine:
         stop_ids: set[int] | None = None,
         seed: int | None = None,
         stream: bool = False,
+        n_keep: int = -1,
     ) -> list[int] | Iterator[int]:
-        """Greedy/sampled generation; returns generated token ids."""
-        it = self._generate_iter(prompt_tokens, max_new_tokens, stop_ids or set(), seed)
+        """Greedy/sampled generation; returns generated token ids.
+        n_keep: prompt tokens preserved across a context shift
+        (-1 = whole prompt; ref main.cpp --keep)."""
+        it = self._generate_iter(prompt_tokens, max_new_tokens,
+                                 stop_ids or set(), seed, n_keep)
         return it if stream else list(it)
 
-    def _generate_iter(self, prompt_tokens, max_new_tokens, stop_ids, seed):
+    def _generate_iter(self, prompt_tokens, max_new_tokens, stop_ids, seed,
+                       n_keep=-1):
         cache = self.new_cache()
         sstate = self.new_sampler_state(seed)
         tok, cache, sstate, n_past = self.prefill(prompt_tokens, cache, sstate)
-        n_keep = len(prompt_tokens)
+        if n_keep < 0 or n_keep > len(prompt_tokens):
+            n_keep = len(prompt_tokens)
         if self.fused_chunk > 1:
             yield from self._generate_fused(tok, n_past, cache, sstate,
                                             max_new_tokens, stop_ids, n_keep)

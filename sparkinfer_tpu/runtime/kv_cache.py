@@ -47,8 +47,12 @@ class KVCache(NamedTuple):
 
 
 def init_cache(
-    cfg: "ModelConfig", batch: int, max_seq: int, dtype=jnp.bfloat16, quantized: bool = False
+    cfg: "ModelConfig", batch: int, max_seq: int, dtype=jnp.bfloat16,
+    quantized: bool = False, v_dtype=None,
 ) -> KVCache:
+    """v_dtype: separate V-cache storage dtype (-ctv; default = dtype).
+    Reads cast to the compute dtype, so K/V float types mix freely."""
+    v_dtype = dtype if v_dtype is None else v_dtype
     if cfg.kv_lora_rank > 0:
         # MLA absorbed cache: ONE latent slot [c_kv; k_pe] per token
         # (kv_lora_rank + rope_dim wide, independent of n_head); the
@@ -66,7 +70,7 @@ def init_cache(
             k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
             v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
         )
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, v_dtype))
 
 
 def swa_runs(cfg: "ModelConfig") -> list[tuple[int, int, bool]]:

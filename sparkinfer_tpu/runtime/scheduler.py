@@ -97,6 +97,7 @@ class Scheduler:
         max_seq: int = 2048,
         sampler: SamplerConfig | None = None,
         kv_dtype=jnp.bfloat16,
+        kv_dtype_v=None,  # -ctv: separate V storage dtype (None = kv_dtype)
         kv_quantized: bool = False,
         ffn_fn: Callable | None = None,
         tokenizer=None,  # needed for grammar-constrained requests
@@ -104,7 +105,9 @@ class Scheduler:
         split=None,  # ModelSplit | path — offline profile (reorder + pattern)
         rebalance_every: int = 1,
         sparse_batch_max: int = 4,
+        slot_similarity: float = 0.0,  # -sps: prefix-similarity slot routing
     ):
+        self.slot_similarity = float(slot_similarity)
         from ..models.transformer import make_forward
 
         self.tokenizer = tokenizer
@@ -171,9 +174,11 @@ class Scheduler:
             self.fwd = make_forward(self.cfg, ffn_fn=ffn_fn)
             self.fwd_decode = self.fwd
         self.kv_dtype = kv_dtype
+        self.kv_dtype_v = kv_dtype_v
         self.kv_quantized = kv_quantized
 
-        self.cache = init_cache(self.cfg, n_slots, max_seq, kv_dtype, kv_quantized)
+        self.cache = init_cache(self.cfg, n_slots, max_seq, kv_dtype,
+                                kv_quantized, v_dtype=kv_dtype_v)
         self.slots = [SlotState() for _ in range(n_slots)]
         self.sstate = jax.tree.map(
             lambda *xs: jnp.stack(xs),
@@ -273,13 +278,16 @@ class Scheduler:
     def _admit(self):
         """Move pending requests into free slots (prefill). A failing
         prefill fails only that request (ref: per-slot error propagation)."""
-        for s_i, slot in enumerate(self.slots):
-            if slot.running:
-                continue
+        while True:
+            free = [i for i, s in enumerate(self.slots) if not s.running]
+            if not free:
+                return
             try:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            s_i = self._pick_slot(free, req)
+            slot = self.slots[s_i]
             try:
                 self._prefill_into_slot(s_i, req)
             except Exception:
@@ -290,6 +298,26 @@ class Scheduler:
                 req.out_queue.put(None)
                 slot.req = None
                 slot.cached_tokens = []
+
+    def _pick_slot(self, free: list[int], req: Request) -> int:
+        """-sps slot routing: among idle slots, prefer the one whose cached
+        prompt shares the longest prefix with the request, when that prefix
+        covers at least `slot_similarity` of the prompt (ref: server.cpp
+        slot-prompt-similarity selection). 0 disables (first-free)."""
+        if self.slot_similarity <= 0.0 or len(free) == 1:
+            return free[0]
+        best_i, best_len = free[0], -1
+        for i in free:
+            cached = self.slots[i].cached_tokens
+            n = 0
+            limit = min(len(cached), req.n_prompt)
+            while n < limit and cached[n] == req.prompt_tokens[n]:
+                n += 1
+            if n > best_len:
+                best_i, best_len = i, n
+        if best_len / max(req.n_prompt, 1) >= self.slot_similarity:
+            return best_i
+        return free[0]
 
     def _prefill_into_slot(self, s_i: int, req: Request):
         t0 = time.perf_counter()
@@ -312,7 +340,8 @@ class Scheduler:
             cache1 = gather_slot(self.cache, s_i)
             self.metrics["n_prompt_cached"] = self.metrics.get("n_prompt_cached", 0) + n_reuse
         else:
-            cache1 = init_cache(self.cfg, 1, self.max_seq, self.kv_dtype, self.kv_quantized)
+            cache1 = init_cache(self.cfg, 1, self.max_seq, self.kv_dtype,
+                                self.kv_quantized, v_dtype=self.kv_dtype_v)
         st1 = jax.tree.map(lambda a: a[s_i : s_i + 1], self.sstate)
         seed = req.seed if req.seed is not None else self.sampler_cfg.seed + req.id
         st1 = jax.tree.map(

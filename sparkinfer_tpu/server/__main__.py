@@ -13,11 +13,13 @@ def main(argv=None) -> int:
     from ..common.args import (
         adapters_from_args,
         build_parser,
+        kv_dtypes_from_args,
         sampler_from_args,
     )
 
     ap = build_parser("server", prog="sparkinfer-server", description=__doc__)
     args = ap.parse_args(argv)
+    kv_dtypes_from_args(args)  # validates the -ctk/-ctv combination
     if args.model is None and args.hf_repo:
         from ..tools.hf import resolve_hf_gguf
 
@@ -30,6 +32,9 @@ def main(argv=None) -> int:
 
     model = load_model(args.model,
                        attn_w8a8=getattr(args, "attn_w8a8", False))
+    from ..common.args import apply_model_overrides
+
+    apply_model_overrides(args, model)  # --rope-*/--yarn-*/-t
 
     sparse = None
     if (args.sparse or model.config.has_predictors) and not args.dense \
@@ -63,7 +68,13 @@ def main(argv=None) -> int:
             max_seq=args.ctx_size,
             model_name=args.alias,
             kv_dtype={"q8": "int8"}.get(args.cache_type_k, args.cache_type_k),
+            kv_dtype_v=({"q8": "int8"}.get(args.cache_type_v,
+                                           args.cache_type_v)
+                        if args.cache_type_v else None),
             chat_template=args.chat_template,
+            timeout=args.timeout,
+            n_predict_default=args.n_predict_default,
+            slot_prompt_similarity=args.slot_prompt_similarity,
             slot_save_path=args.slot_save_path,
             api_key=args.api_key,
             lora=adapters_from_args(args) or None,

@@ -49,7 +49,12 @@ class ServerConfig:
     max_seq: int = 2048
     model_name: str = "sparkinfer-tpu"
     kv_dtype: str = "bf16"  # "bf16" | "f32" | "int8"
+    kv_dtype_v: str | None = None  # -ctv: separate V dtype (None = kv_dtype)
     chat_template: str | None = None  # override; default = detect from GGUF
+    timeout: float = 600.0  # -to: per-connection read/write timeout (s)
+    n_predict_default: int = 128  # -n: max_tokens when the request omits it
+    # -sps: idle-slot routing by prompt-prefix similarity (0 = first-free)
+    slot_prompt_similarity: float = 0.1
     slot_save_path: str | None = None  # dir for /slots/:id?action=save files
     # LoRA adapters applied at startup; runtime-rescalable via
     # GET/POST /lora-adapters (ref tools/server/server.cpp:180-181)
@@ -74,14 +79,19 @@ class SparkServer:
         if model.vocab is None:
             raise ValueError("server needs a model with tokenizer vocab")
         self.tokenizer = build_tokenizer(model.vocab)
-        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}.get(self.cfg.kv_dtype, jnp.bfloat16)
+        _dt = {"bf16": jnp.bfloat16, "f32": jnp.float32}
+        kv_dtype = _dt.get(self.cfg.kv_dtype, jnp.bfloat16)
+        kv_dtype_v = (_dt.get(self.cfg.kv_dtype_v, jnp.bfloat16)
+                      if self.cfg.kv_dtype_v else None)
         self.sched = Scheduler(
             model,
             n_slots=self.cfg.n_slots,
             max_seq=self.cfg.max_seq,
             sampler=sampler or SamplerConfig(),
             kv_dtype=kv_dtype,
+            kv_dtype_v=kv_dtype_v,
             kv_quantized=self.cfg.kv_dtype == "int8",
+            slot_similarity=self.cfg.slot_prompt_similarity,
             ffn_fn=ffn_fn,
             tokenizer=self.tokenizer,
             sparse=self.cfg.sparse,
@@ -184,7 +194,8 @@ class SparkServer:
             ids = tokenizer.encode(prompt, add_special=True)
         else:
             ids = [int(t) for t in prompt]
-        max_new = int(body.get("max_tokens", body.get("n_predict", 128)))
+        max_new = int(body.get("max_tokens", body.get(
+            "n_predict", self.cfg.n_predict_default)))
         grammar = body.get("grammar")
         rf = body.get("response_format") or {}
         if grammar is None and rf.get("type") == "json_schema":
@@ -452,6 +463,9 @@ class _Utf8Stream:
 def _make_handler(srv: SparkServer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # -to: socket read timeout per connection (BaseHTTPRequestHandler
+        # closes the connection when a read blocks longer; ref -to)
+        timeout = srv.cfg.timeout
 
         def log_message(self, *a):  # quiet
             pass

@@ -46,15 +46,12 @@ def hbm_budget_to_hot_groups(budget_gib: float, cfg, group_size: int) -> int:
 
 
 def make_engine(args, model):
-    import jax.numpy as jnp
-
-    from ..common.args import sampler_from_args
+    from ..common.args import kv_dtypes_from_args, sampler_from_args
     from ..runtime.engine import Engine
     from ..sparse.config import SparseConfig
 
     sampler = sampler_from_args(args)
-    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}.get(args.cache_type_k, jnp.bfloat16)
-    kv_quant = args.cache_type_k in ("q8", "int8")
+    kv_dtype, kv_dtype_v, kv_quant = kv_dtypes_from_args(args)
 
     use_sparse = (args.sparse or model.config.has_predictors) and not args.dense
     sparse = None
@@ -73,13 +70,14 @@ def make_engine(args, model):
             capacity_groups=args.capacity_groups,
             hot_groups=hot,
         )
-    return Engine(
+    eng = Engine(
         model,
         max_seq=args.ctx_size,
         self_extend=(args.grp_attn_n, args.grp_attn_w)
         if args.grp_attn_n > 1 else None,
         sampler=sampler,
         kv_dtype=kv_dtype,
+        kv_dtype_v=kv_dtype_v,
         kv_quantized=kv_quant,
         kv_iswa=getattr(args, "kv_iswa", False),
         sparse=sparse,
@@ -88,6 +86,9 @@ def make_engine(args, model):
         rebalance_every=getattr(args, "rebalance_every", 1),
         moe_mode=getattr(args, "moe_mode", "dense"),
     )
+    if getattr(args, "batch_size", 0):
+        eng.prefill_chunk = args.batch_size  # -b: prefill ubatch length
+    return eng
 
 
 def apply_adapters(args, model) -> None:
@@ -250,6 +251,9 @@ def main(argv=None) -> int:
     t0 = time.time()
     model = load_model(args.model,
                        attn_w8a8=getattr(args, "attn_w8a8", False))
+    from ..common.args import apply_model_overrides
+
+    apply_model_overrides(args, model)  # --rope-*/--yarn-*/-t
     if args.verbose:
         print(f"loaded {args.model} ({model.config.arch}) in {time.time()-t0:.1f}s",
               file=sys.stderr)
@@ -320,7 +324,8 @@ def main(argv=None) -> int:
         tk = build_tokenizer(model.vocab)
         ids = tk.encode(prompt, add_special=True)
         stop = set()
-        if model.vocab.eos_id is not None and model.vocab.eos_id >= 0:
+        if model.vocab.eos_id is not None and model.vocab.eos_id >= 0 \
+                and not getattr(args, "ignore_eos", False):
             stop.add(model.vocab.eos_id)
         sys.stdout.write(prompt)
         sys.stdout.flush()
@@ -331,7 +336,8 @@ def main(argv=None) -> int:
             sys.stdout.flush()
         else:
             for tok in eng.generate(ids, max_new_tokens=args.n_predict,
-                                    stop_ids=stop, stream=True):
+                                    stop_ids=stop, stream=True,
+                                    n_keep=getattr(args, "keep", -1)):
                 sys.stdout.write(tk.decode([tok]))
                 sys.stdout.flush()
         sys.stdout.write("\n")

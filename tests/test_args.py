@@ -169,3 +169,136 @@ def test_server_main_parser_sparse_flags(monkeypatch):
                        "--models", "small=tiny.gguf"])
     assert a.split == "s.gguf" and a.hbm_budget == 2.5
     assert a.cold_mode == "drop" and a.models == ["small=tiny.gguf"]
+
+
+# --- round-4 flag-surface additions (VERDICT r3 item 9) ---------------------
+
+def test_rope_yarn_override_flags_apply_to_config():
+    ap = build_parser("cli", prog="t")
+    a = ap.parse_args([
+        "-m", "x", "--rope-scaling", "yarn", "--rope-freq-base", "1e6",
+        "--rope-scale", "4", "--yarn-orig-ctx", "0",
+        "--yarn-attn-factor", "1.3", "--yarn-beta-fast", "24",
+        "--yarn-beta-slow", "2", "--yarn-ext-factor", "0.5",
+    ])
+
+    class M:
+        pass
+
+    from sparkinfer_tpu.common.args import apply_model_overrides
+    from sparkinfer_tpu.models.config import ModelConfig
+
+    m = M()
+    m.config = ModelConfig(arch="llama", n_layer=1, n_embd=8, n_head=2,
+                           n_head_kv=2, n_ff=16, n_vocab=10, head_dim=4,
+                           n_ctx_train=4096)
+    apply_model_overrides(a, m)
+    cfg = m.config
+    assert cfg.rope_scaling_type == "yarn"
+    assert cfg.rope_freq_base == 1e6
+    assert cfg.rope_scale == 0.25  # --rope-scale N -> freq_scale 1/N
+    assert cfg.rope_orig_ctx == 4096  # 0 -> n_ctx_train
+    assert cfg.yarn_attn_factor == 1.3
+    assert cfg.yarn_beta_fast == 24 and cfg.yarn_beta_slow == 2
+    assert cfg.yarn_ext_factor == 0.5
+    # the override changes the rope table the forward actually uses
+    from sparkinfer_tpu.models.transformer import rope_params
+
+    rp = rope_params(cfg)
+    assert rp.freq_base == 1e6 and rp.yarn_ext_factor == 0.5
+    assert rp.yarn_attn_factor == 1.3
+
+
+def test_ctv_separate_v_dtype():
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.common.args import kv_dtypes_from_args
+
+    ap = build_parser("cli", prog="t")
+    a = ap.parse_args(["-m", "x", "-ctk", "f32", "-ctv", "bf16"])
+    k, v, q = kv_dtypes_from_args(a)
+    assert k == jnp.float32 and v == jnp.bfloat16 and not q
+    # default: v follows k
+    a = ap.parse_args(["-m", "x", "-ctk", "f32"])
+    k, v, q = kv_dtypes_from_args(a)
+    assert v == jnp.float32
+    # mixed float/quantized rejected
+    a = ap.parse_args(["-m", "x", "-ctk", "q8", "-ctv", "bf16"])
+    with pytest.raises(SystemExit):
+        kv_dtypes_from_args(a)
+
+
+def test_ctv_cache_dtypes_end_to_end(tmp_path):
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.runtime.engine import Engine
+
+    p = tmp_path / "t.gguf"
+    make_tiny_llama(p)
+    eng = Engine(load_model(str(p), dtype=jnp.float32), max_seq=32,
+                 kv_dtype=jnp.float32, kv_dtype_v=jnp.bfloat16,
+                 donate_cache=False)
+    c = eng.new_cache()
+    assert c.k.dtype == jnp.float32 and c.v.dtype == jnp.bfloat16
+    out = eng.generate([3, 5, 7], max_new_tokens=4)
+    assert len(out) == 4
+
+
+def test_server_flag_table_round4():
+    ap = build_parser("server", prog="t")
+    a = ap.parse_args(["-m", "x", "-to", "30", "-sps", "0.4", "-n", "64",
+                       "-ctv", "f32", "-b", "256"])
+    assert a.timeout == 30.0 and a.slot_prompt_similarity == 0.4
+    assert a.n_predict_default == 64 and a.cache_type_v == "f32"
+    assert a.batch_size == 256
+
+
+def test_slot_similarity_routing(tmp_path):
+    """-sps: a request re-using a long prompt prefix lands on the slot that
+    cached it, not the first free slot."""
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.runtime.scheduler import Scheduler
+
+    p = tmp_path / "t.gguf"
+    make_tiny_llama(p)
+    sched = Scheduler(load_model(str(p), dtype=jnp.float32), n_slots=3,
+                      max_seq=48, slot_similarity=0.5)
+    prompt = [3, 5, 7, 9, 11, 13]
+    sched.slots[2].cached_tokens = list(prompt) + [15]
+    # slot 2 idle, caches our prompt entirely -> must be picked
+    class R:
+        prompt_tokens = prompt
+        n_prompt = len(prompt)
+
+    assert sched._pick_slot([0, 1, 2], R()) == 2
+    # below threshold -> first free
+    sched.slots[2].cached_tokens = [99]
+    assert sched._pick_slot([0, 1, 2], R()) == 0
+    # disabled -> first free even with a perfect match
+    sched.slot_similarity = 0.0
+    sched.slots[2].cached_tokens = list(prompt)
+    assert sched._pick_slot([0, 1, 2], R()) == 0
+
+
+def test_keep_flag_in_parser_and_engine(tmp_path):
+    import jax.numpy as jnp
+
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.runtime.engine import Engine
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    ap = build_parser("cli", prog="t")
+    a = ap.parse_args(["-m", "x", "--keep", "2", "--ignore-eos"])
+    assert a.keep == 2 and a.ignore_eos
+
+    p = tmp_path / "t.gguf"
+    make_tiny_llama(p)
+    eng = Engine(load_model(str(p), dtype=jnp.float32), max_seq=16,
+                 sampler=SamplerConfig(temp=0.0), donate_cache=False,
+                 kv_dtype=jnp.float32)
+    # generation runs past max_seq via context shift honoring n_keep=2
+    out = eng.generate([3, 5, 7, 9], max_new_tokens=20, n_keep=2)
+    assert len(out) == 20
