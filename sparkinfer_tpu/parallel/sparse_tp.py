@@ -193,11 +193,16 @@ def make_tp_tiered_ffn(
     scfg: SparseConfig,
     mesh: Mesh,
     axis: str = "tp",
+    mode: str = "drop",
 ):
     """Tiered hot/cold decode with the HOT store sharded over tp: hot
     SLOTS are split group-major ((H*L, ...) flat, slot s owned by device
     s // (H/tp)); selection + group_map stay replicated, misses ride the
-    DFR state exactly as on one chip (drop mode). One psum per layer.
+    DFR state exactly as on one chip. mode="fetch" additionally tracks
+    per-group miss counts in DFRState.miss_g so the between-step balancer
+    can demand-fetch missed groups into the sharded hot store (the
+    multi-chip face of the single-chip fetch tier, sparse/tiering.py:393).
+    One psum per layer.
 
     ffn(lp, x, fs, il) -> (y, fs') for make_forward(stateful_ffn=True)."""
     from ..sparse.ffn import select_groups
@@ -274,7 +279,10 @@ def make_tp_tiered_ffn(
         fired = (gp >= thr).astype(jnp.float32).sum(-1).sum(0) / (N * G)
         dfr = (lam * fs.dfr + (1.0 - lam) * fired) if scfg.dfr_ema \
             else fs.dfr + fired
+        miss_g = fs.miss_g
+        if mode == "fetch" and miss_g is not None:
+            miss_g = miss_g + cold_active.sum(0).astype(jnp.float32)
         return y, DFRState(dfr=dfr, miss=fs.miss + n_miss,
-                           steps=fs.steps + 1.0)
+                           steps=fs.steps + 1.0, miss_g=miss_g)
 
     return ffn

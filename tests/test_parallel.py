@@ -227,3 +227,95 @@ def test_tp_sparse_capacity_factor_bounds_local_stream(sparse_model):
         got = _decode_tokens(
             make_forward(cfg, ffn_fn=ffn2, ffn_carry_init=ci2), sp_tp, cfg)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_tiered_fetch_balancer_updates_sharded_hot_store(sparse_model):
+    """Fetch tier over tp (VERDICT r3 item 7): step -> host rebalance from
+    (dfr, miss_g) -> reshard -> step. The tp-path misses must match the
+    single-chip fetch path, the balancer must pull missed groups into the
+    hot set, and the post-rebalance step must run on the updated shards."""
+    from sparkinfer_tpu.parallel.sparse_tp import (
+        make_tp_tiered_ffn,
+        shard_tp_flat,
+        tp_flat_layout,
+    )
+    from sparkinfer_tpu.sparse import SparseConfig
+    from sparkinfer_tpu.sparse.balancer import Balancer
+    from sparkinfer_tpu.sparse.ffn import sparse_layout
+    from sparkinfer_tpu.sparse.tiering import (
+        ColdStore,
+        init_tiered,
+        make_tiered_ffn,
+        tiered_layer_params,
+    )
+
+    model = sparse_model
+    cfg = model.config
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+    layers = sparse_layout(model.params["layers"], cfg, scfg)
+    tp_, st = init_tiered(cfg, scfg, layers, 4, track_miss_groups=True)
+    cold_np = {k: np.asarray(v) for k, v in layers.items()
+               if k.endswith("_rows") or k == "b_up"}
+    bal = Balancer(cold=ColdStore(cfg, scfg, cold_np), scfg=scfg)
+
+    # single-chip fetch reference
+    ffn1 = make_tiered_ffn(cfg, scfg, bal.cold, mode="fetch",
+                           kernel="pallas")
+    fwd1 = make_forward(cfg, ffn_fn=ffn1, stateful_ffn=True)
+    cache = init_cache(cfg, 1, 16, jnp.float32)
+    toks = jnp.asarray([[3, 7, 11, 2]], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)[None]
+    lp, flat = tiered_layer_params(layers, tp_)
+    params = dict(model.params)
+    params["layers"] = lp
+    params["sparse_flat"] = flat
+    ref, _, st_ref = jax.jit(fwd1)(params, toks, pos, cache, st)
+
+    # tp fetch path
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("tp",))
+    params_tp = dict(params)
+    params_tp["sparse_flat"] = shard_tp_flat(
+        mesh, tp_flat_layout(flat, cfg.n_layer))
+    ffn2 = make_tp_tiered_ffn(cfg, scfg, mesh, mode="fetch")
+    fwd2 = make_forward(cfg, ffn_fn=ffn2, stateful_ffn=True)
+    with mesh:
+        got, _, st_tp = jax.jit(fwd2)(params_tp, toks, pos, cache, st)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(st_tp.miss_g),
+                                  np.asarray(st_ref.miss_g))
+
+    # host rebalance pulls missed groups into the hot set
+    miss_g = np.asarray(st_tp.miss_g)
+    hot_before = np.asarray(tp_.hot_ids).copy()
+    tp2 = bal.rebalance(tp_, np.asarray(st_tp.dfr), miss_g=miss_g)
+    hot_after = np.asarray(tp2.hot_ids)
+    if miss_g.sum() > 0:
+        assert not np.array_equal(hot_before, hot_after)
+        for l in range(cfg.n_layer):
+            missed = set(np.nonzero(miss_g[l])[0])
+            entered = set(hot_after[l]) - set(hot_before[l])
+            if entered:
+                assert entered <= missed | set(
+                    np.argsort(-np.asarray(st_tp.dfr)[l])[:4])
+
+    # post-rebalance step on the UPDATED tp-sharded hot store
+    lp2, flat2 = tiered_layer_params(layers, tp2)
+    params2 = dict(model.params)
+    params2["layers"] = lp2
+    params2["sparse_flat"] = shard_tp_flat(
+        mesh, tp_flat_layout(flat2, cfg.n_layer))
+    st2 = st_tp._replace(miss_g=jnp.zeros_like(st_tp.miss_g))
+    with mesh:
+        out2, _, st3 = jax.jit(fwd2)(params2, toks, pos, cache, st2)
+    assert np.asarray(out2).shape == (1, 4, cfg.n_vocab)
+    # every previously-missed group that ENTERED the hot set stops
+    # missing (entries may evict other firing groups — with a working set
+    # larger than H the total can shift, but fetched groups are hits now)
+    if miss_g.sum() > 0:
+        miss2 = np.asarray(st3.miss_g)
+        for l in range(cfg.n_layer):
+            entered = set(hot_after[l]) - set(hot_before[l])
+            for g in entered:
+                assert miss2[l, g] == 0.0, (l, g)
