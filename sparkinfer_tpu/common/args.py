@@ -207,8 +207,11 @@ OPTIONS: list[Opt] = [
        help="top-k group capacity per token"),
     _o("--group-size", scopes=CS, type=int, default=128,
        help="neurons per group (ref split-file ffn_group_size)"),
-    _o("--cold-mode", scopes=CS, choices=["host", "drop"], default="host",
-       help="cold-neuron complement: host C++ kernel or drop"),
+    _o("--cold-mode", scopes=CS, choices=["host", "drop", "fetch"],
+       default="host",
+       help="cold-neuron handling: host C++ complement (exact), drop, or "
+            "fetch (missed groups demand-enter the hot set each rebalance "
+            "— the chip-deployable near-exact tier)"),
     _o("--sparse", scopes=CS, action="store_true",
        help="force sparse FFN path (auto when predictors present)"),
     _o("--dense", scopes=CS, action="store_true", help="force dense FFN path"),

@@ -106,8 +106,10 @@ class Scheduler:
         rebalance_every: int = 1,
         sparse_batch_max: int = 4,
         slot_similarity: float = 0.0,  # -sps: prefix-similarity slot routing
+        sparse_cold_mode: str = "host",  # "host" | "drop" | "fetch"
     ):
         self.slot_similarity = float(slot_similarity)
+        self.sparse_cold_mode = sparse_cold_mode
         from ..models.transformer import make_forward
 
         self.tokenizer = tokenizer
@@ -155,13 +157,18 @@ class Scheduler:
                 layers = self.model.params["layers"]
                 self._full_layers = layers
                 self._tp, self._fstate = init_tiered(
-                    self.cfg, sparse, layers, sparse.hot_groups
+                    self.cfg, sparse, layers, sparse.hot_groups,
+                    track_miss_groups=(sparse_cold_mode == "fetch"),
                 )
                 cold_np = {k: np.asarray(v) for k, v in layers.items()
                            if k.endswith("_rows") or k == "b_up"}
                 self._cold = ColdStore(self.cfg, sparse, cold_np)
                 self.balancer = Balancer(cold=self._cold, scfg=sparse)
-                tiered_ffn = make_tiered_ffn(self.cfg, sparse, self._cold, mode="host")
+                # "host" = exact complement via pure_callback (CPU/dev);
+                # "fetch"/"drop" = chip-deployable approximate tiers
+                # (fetch demand-enters missed groups at each rebalance)
+                tiered_ffn = make_tiered_ffn(self.cfg, sparse, self._cold,
+                                             mode=sparse_cold_mode)
                 self.fwd_decode = make_forward(self.cfg, ffn_fn=tiered_ffn,
                                                stateful_ffn=True)
                 self._decode_params = dict(self.model.params)
@@ -513,7 +520,13 @@ class Scheduler:
         if self.tiered and self.metrics["n_decode_steps"] % self.rebalance_every == 0:
             from ..sparse.tiering import tiered_layer_params
 
-            self._tp = self.balancer.rebalance(self._tp, np.asarray(self._fstate.dfr))
+            mg = (np.asarray(self._fstate.miss_g)
+                  if self._fstate.miss_g is not None else None)
+            self._tp = self.balancer.rebalance(
+                self._tp, np.asarray(self._fstate.dfr), miss_g=mg)
+            if mg is not None:  # fetch: counts are per-rebalance-window
+                self._fstate = self._fstate._replace(
+                    miss_g=jnp.zeros_like(self._fstate.miss_g))
             (self._decode_params["layers"],
              self._decode_params["sparse_flat"]) = tiered_layer_params(
                 self._full_layers, self._tp)

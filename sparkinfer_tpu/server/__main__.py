@@ -80,6 +80,7 @@ def main(argv=None) -> int:
             lora=adapters_from_args(args) or None,
             extra_models=extra_models,
             sparse=sparse,
+            sparse_cold_mode=args.cold_mode,
             split=args.split,
             rebalance_every=args.rebalance_every,
         ),

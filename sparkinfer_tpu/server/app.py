@@ -67,6 +67,7 @@ class ServerConfig:
     api_key: str | None = None
     # SparkInfer sparse serving (predictor-gated; tiered when hot_groups>0)
     sparse: object | None = None  # SparseConfig
+    sparse_cold_mode: str = "host"  # --cold-mode: host | drop | fetch
     split: object | None = None  # ModelSplit | path (offline profile)
     rebalance_every: int = 1
 
@@ -95,6 +96,7 @@ class SparkServer:
             ffn_fn=ffn_fn,
             tokenizer=self.tokenizer,
             sparse=self.cfg.sparse,
+            sparse_cold_mode=self.cfg.sparse_cold_mode,
             split=self.cfg.split,
             rebalance_every=self.cfg.rebalance_every,
         )
