@@ -29,8 +29,13 @@ import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
-CHUNK_T = 16  # teacher-forced tokens per chunk (rebalance between chunks)
-N_CHUNKS = 8  # first half = balancer convergence, second half = scored
+import os
+
+# chunking matches the chip protocol (bench CHUNK=64, rebalance between
+# chunks). Round 4 (VERDICT r3 item 2): >=1k scored tokens — the first
+# half of the chunks is balancer convergence, the second half is scored.
+CHUNK_T = int(os.environ.get("SPIF_QUALITY_CHUNK_T", 64))
+N_CHUNKS = int(os.environ.get("SPIF_QUALITY_CHUNKS", 32))
 
 
 def _kl_top1(exact_logits, got_logits):
@@ -45,6 +50,18 @@ def _kl_top1(exact_logits, got_logits):
     kl = (p * (le - lg)).sum(-1)
     agree = (e.argmax(-1) == g.argmax(-1)).astype(np.float64)
     return kl, agree
+
+
+def _nll(logits, next_toks):
+    """Teacher-forced NLL of the actual next token (PPL = exp(mean);
+    the tools/perplexity.py math over the harness corpus — with synthetic
+    weights only the Δ between configs on the SAME corpus is meaningful,
+    which is exactly what the BASELINE north star asks: PPL Δ)."""
+    import scipy.special as sps
+
+    lg = logits.astype(np.float64)
+    lse = sps.logsumexp(lg, axis=-1)
+    return lse - lg[np.arange(len(next_toks)), next_toks]
 
 
 def run_preset(preset: str) -> list[dict]:
@@ -63,8 +80,8 @@ def run_preset(preset: str) -> list[dict]:
     scfg0 = SparseConfig(group_size=128, capacity_groups=ng)
     cold = make_cold(cfg, host_ffn, scfg0)
     del host_ffn
-    print(f"# {preset}: model+cold built {time.time()-t0:.0f}s",
-          file=sys.stderr, flush=True)
+    print(f"# {preset}: model+cold built {time.time()-t0:.0f}s "
+          f"(T={T}, scored={T // 2})", file=sys.stderr, flush=True)
 
     T = CHUNK_T * N_CHUNKS
     rng = np.random.default_rng(42)
@@ -73,7 +90,7 @@ def run_preset(preset: str) -> list[dict]:
     # EXACT SPARSE oracle: masked dense (same thresholded function the
     # sparse path computes with unlimited capacity), full corpus one pass
     # (cached on disk — same seeds => same model/corpus)
-    exact_cache = f"/tmp/spif_quality_exact_{shape_preset}.npy"
+    exact_cache = f"/tmp/spif_quality_exact_{shape_preset}_T{T}.npy"
     import os.path as _osp
 
     if _osp.exists(exact_cache):
@@ -123,6 +140,10 @@ def run_preset(preset: str) -> list[dict]:
         points = [("q8-allhot-CONTROL", 1.0, cap7, "q8_0", False, "drop"),
                   ("c28@hot0.25", 0.25, cap7, None, False, "drop")]
 
+    only = os.environ.get("SPIF_QUALITY_ONLY")
+    if only:
+        points = [pt for pt in points
+                  if any(sub in pt[0] for sub in only.split(","))]
     qpred_flat = None
     rows = []
     for label, frac, cap, squant, qpred, mode in points:
@@ -151,6 +172,7 @@ def run_preset(preset: str) -> list[dict]:
                           params_c, T + 8, store_quant=squant,
                           extra_flat=ef)
         kls, agrees, misses = [], [], []
+        nlls_got, nlls_exact = [], []
         for c in range(N_CHUNKS):
             s, e = c * CHUNK_T, (c + 1) * CHUNK_T
             tk = jnp.asarray(toks[s:e])[None]
@@ -170,14 +192,27 @@ def run_preset(preset: str) -> list[dict]:
                 kl, ag = _kl_top1(exact[s:e], lgc)
                 kls.append(kl)
                 agrees.append(ag)
+                hi = min(e, T - 1)
+                nxt = toks[s + 1:hi + 1]
+                nlls_got.append(_nll(lgc[:hi - s], nxt))
+                nlls_exact.append(_nll(exact[s:hi], nxt))
         kl = np.concatenate(kls)
         ag = np.concatenate(agrees)
+        nll_g = np.concatenate(nlls_got)
+        nll_e = np.concatenate(nlls_exact)
         row = {
             "preset": preset, "config": label,
             "kl_mean": round(float(kl.mean()), 5),
             "kl_p99": round(float(np.percentile(kl, 99)), 5),
             "top1_agree": round(float(ag.mean()), 4),
-            "miss_per_chunk16": [round(m) for m in misses],
+            "ppl": round(float(np.exp(nll_g.mean())), 4),
+            "ppl_exact": round(float(np.exp(nll_e.mean())), 4),
+            "ppl_delta": round(float(np.exp(nll_g.mean())
+                                     - np.exp(nll_e.mean())), 4),
+            "ppl_ratio": round(float(np.exp(nll_g.mean()
+                                            - nll_e.mean())), 5),
+            "miss_per_chunk": [round(m) for m in misses],
+            "chunk_t": CHUNK_T,
             "scored_tokens": int(len(kl)),
         }
         rows.append(row)
