@@ -1727,9 +1727,12 @@ def supervise() -> int:
     import tempfile
     import time as _time
 
-    attempts = int(os.environ.get("SPIF_BENCH_ATTEMPTS", "6"))
-    probe_s = float(os.environ.get("SPIF_BENCH_PROBE_S", "300"))
-    backoff_s = float(os.environ.get("SPIF_BENCH_BACKOFF_S", "120"))
+    # good windows answer the first op in ~2 s (observed); a worker that
+    # sees nothing in 3 min started in a bad window and will never
+    # recover in-process — cycle fast to catch the next good window
+    attempts = int(os.environ.get("SPIF_BENCH_ATTEMPTS", "12"))
+    probe_s = float(os.environ.get("SPIF_BENCH_PROBE_S", "180"))
+    backoff_s = float(os.environ.get("SPIF_BENCH_BACKOFF_S", "60"))
     for i in range(attempts):
         fd, sentinel = tempfile.mkstemp(prefix="spif_bench_alive_")
         os.close(fd)
