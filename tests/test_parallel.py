@@ -319,3 +319,43 @@ def test_tp_tiered_fetch_balancer_updates_sharded_hot_store(sparse_model):
             entered = set(hot_after[l]) - set(hot_before[l])
             for g in entered:
                 assert miss2[l, g] == 0.0, (l, g)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_cp_ring_prefill_matches_dense(tmp_path):
+    """Ring-attention context-parallel prefill over a 4-device cp axis ==
+    the single-device dense prefill (logits AND produced KV), with the
+    sequence sharded 4-way (parallel/cp.py — EXCEEDS the reference:
+    SURVEY §2.7 has no SP/CP)."""
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.parallel.cp import make_cp_prefill
+
+    p = tmp_path / "cp.gguf"
+    make_tiny_llama(p, n_layer=2, n_embd=64, n_head=4, n_head_kv=2,
+                    n_ff=96, seed=5)
+    model = load_model(str(p), dtype=jnp.float32)
+    cfg = model.config
+
+    T = 32
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.n_vocab, (1, T)), jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+
+    ref_fwd = make_forward(cfg)
+    cache = init_cache(cfg, 1, T, jnp.float32)
+    ref_logits, ref_cache = jax.jit(ref_fwd)(model.params, toks, pos, cache)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("cp",))
+    with mesh:
+        cp_fwd = jax.jit(make_cp_prefill(cfg, mesh))
+        got_logits, (k_all, v_all) = cp_fwd(model.params, toks, pos)
+
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(ref_logits), rtol=2e-3, atol=2e-3)
+    # the gathered KV equals the dense prefill's cache content
+    np.testing.assert_allclose(np.asarray(k_all),
+                               np.asarray(ref_cache.k[:, :, :T]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v_all),
+                               np.asarray(ref_cache.v[:, :, :T]),
+                               rtol=2e-3, atol=2e-3)
