@@ -393,7 +393,9 @@ class Engine:
 
             # ring must absorb the largest single forward chunk
             return init_cache_iswa(self.cfg, self.batch, self.max_seq,
-                                   chunk=self.prefill_chunk, dtype=self.kv_dtype)
+                                   chunk=self.prefill_chunk,
+                                   dtype=self.kv_dtype,
+                                   v_dtype=self.kv_dtype_v)
         return init_cache(
             self.cfg, self.batch, self.max_seq, self.kv_dtype,
             self.kv_quantized, v_dtype=self.kv_dtype_v

@@ -87,7 +87,7 @@ def swa_runs(cfg: "ModelConfig") -> list[tuple[int, int, bool]]:
 
 def init_cache_iswa(
     cfg: "ModelConfig", batch: int, max_seq: int, chunk: int = 64,
-    dtype=jnp.bfloat16,
+    dtype=jnp.bfloat16, v_dtype=None,
 ) -> KVCache:
     """iSWA dual cache (ref src/llama-kv-cache-iswa.cpp): SWA layers get
     a ring of sliding_window + chunk slots (chunk = largest prefill
@@ -95,13 +95,14 @@ def init_cache_iswa(
     overwrite keys its own earliest query still needs); full-attention
     layers get the whole max_seq. For gemma-style patterns this cuts KV
     memory by ~n_swa_layers * (1 - ring/max_seq)."""
+    v_dtype = dtype if v_dtype is None else v_dtype
     ring = min(max_seq, cfg.sliding_window + chunk)
     ks, vs = [], []
     for s, e, is_swa in swa_runs(cfg):
         S = ring if is_swa else max_seq
         shape = (e - s, batch, S, cfg.n_head_kv, cfg.head_dim)
         ks.append(jnp.zeros(shape, dtype))
-        vs.append(jnp.zeros(shape, dtype))
+        vs.append(jnp.zeros(shape, v_dtype))
     return KVCache(k=tuple(ks), v=tuple(vs))
 
 
