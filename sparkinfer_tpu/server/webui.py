@@ -43,8 +43,16 @@ async function send(){
       if(payload==='[DONE]')continue;
       try{
         const d=JSON.parse(payload);
-        const delta=d.choices[0].delta?.content??d.choices[0].text??'';
+        const ch=d.choices[0], dl=ch.delta||{};
+        const delta=dl.content??ch.text??'';
         out+=delta; appendLast(delta);
+        if(dl.reasoning_content)appendLast('‹'+dl.reasoning_content+'›');
+        for(const tc of dl.tool_calls||[]){
+          const fn=tc.function||{};
+          if(fn.name)appendLast('\n[tool → '+fn.name+'(');
+          if(fn.arguments)appendLast(fn.arguments);
+        }
+        if(ch.finish_reason==='tool_calls')appendLast(')]');
       }catch(e){}
     }
     buf=buf.slice(buf.lastIndexOf('\\n')+1);
