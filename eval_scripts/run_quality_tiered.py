@@ -81,7 +81,8 @@ def run_preset(preset: str) -> list[dict]:
     cold = make_cold(cfg, host_ffn, scfg0)
     del host_ffn
     print(f"# {preset}: model+cold built {time.time()-t0:.0f}s "
-          f"(T={T}, scored={T // 2})", file=sys.stderr, flush=True)
+          f"(T={CHUNK_T * N_CHUNKS}, scored={CHUNK_T * N_CHUNKS // 2})",
+          file=sys.stderr, flush=True)
 
     T = CHUNK_T * N_CHUNKS
     rng = np.random.default_rng(42)
