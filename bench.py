@@ -1665,8 +1665,38 @@ def moe_main(plat, size=None):
     }, pri=1)
 
 
+def _manual_axon_register():
+    """Replicate the relay sitecustomize's registration with a STABLE
+    session_id: the axon claim protocol supports same-session reclaim
+    (`try-claim ... reclaimed=`), so a respawned worker can reattach to
+    its predecessor's grant instead of waiting out far-side expiry (the
+    round-4 wedge forensics, BENCH_NOTES). Caller must have launched the
+    process with PALLAS_AXON_POOL_IPS UNSET so sitecustomize didn't
+    already register with a random uuid session."""
+    os.environ["AXON_POOL_SVC_OVERRIDE"] = "127.0.0.1"
+    os.environ["AXON_LOOPBACK_RELAY"] = "1"
+    os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+    os.environ["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    from axon.register import register
+
+    register(
+        None, f"{gen}:1x1x1", so_path="/opt/axon/libaxon_pjrt.so",
+        session_id=os.environ.get("SPIF_BENCH_SESSION", "spif-bench-r4"),
+        remote_compile=os.environ.get(
+            "PALLAS_AXON_REMOTE_COMPILE", "1") == "1",
+    )
+
+
 def main():
     import jax
+
+    if os.environ.get("SPIF_BENCH_MANUAL_AXON") == "1":
+        try:
+            _manual_axon_register()
+        except Exception as e:
+            note(f"manual axon register failed ({e}); relying on "
+                 "sitecustomize registration")
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -1730,15 +1760,21 @@ def supervise() -> int:
     # good windows answer the first op in ~2 s (observed); a worker that
     # sees nothing in 3 min started in a bad window and will never
     # recover in-process — cycle fast to catch the next good window
-    attempts = int(os.environ.get("SPIF_BENCH_ATTEMPTS", "12"))
-    probe_s = float(os.environ.get("SPIF_BENCH_PROBE_S", "180"))
-    backoff_s = float(os.environ.get("SPIF_BENCH_BACKOFF_S", "60"))
+    attempts = int(os.environ.get("SPIF_BENCH_ATTEMPTS", "8"))
+    # the claim leg itself can wait out a far-side grant expiry (observed
+    # 164 s; degraded days run longer) — give each worker a real window
+    probe_s = float(os.environ.get("SPIF_BENCH_PROBE_S", "600"))
+    backoff_s = float(os.environ.get("SPIF_BENCH_BACKOFF_S", "30"))
     for i in range(attempts):
         fd, sentinel = tempfile.mkstemp(prefix="spif_bench_alive_")
         os.close(fd)
         os.unlink(sentinel)  # worker recreates it after its first op
         env = dict(os.environ)
         env["SPIF_BENCH_SENTINEL"] = sentinel
+        # fixed-session registration: drop the sitecustomize trigger so
+        # the worker registers itself with the stable session id
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["SPIF_BENCH_MANUAL_AXON"] = "1"
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             env=env, start_new_session=True)
