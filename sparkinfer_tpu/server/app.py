@@ -338,14 +338,20 @@ class SparkServer:
             from .chat_parser import detect_format
             from .tools_api import inject_tools, tool_call_grammar
 
-            fmt = detect_format(
-                template.source if isinstance(template, ChatTemplate)
-                else None,
-                template.name if isinstance(template, ChatTemplate)
-                else template)
-            if not (isinstance(template, ChatTemplate) and template.is_jinja):
-                # family fast-paths have no native tool slot -> system inject
+            jinja_handles_tools = (
+                isinstance(template, ChatTemplate) and template.is_jinja
+                and "tools" in (template.source or ""))
+            if jinja_handles_tools:
+                fmt = detect_format(template.source, template.name)
+            else:
+                # family fast-paths AND jinja templates that never read
+                # `tools` get the generic system-prompt injection (the
+                # reference falls back the same way when the template
+                # lacks tool support, common/chat.cpp generic handler) —
+                # the injected instructions teach the hermes envelope, so
+                # parse/force THAT format regardless of template family
                 msgs = inject_tools(msgs, tools)
+                fmt = "hermes"
             if body.get("tool_choice") == "required" and not body.get("grammar"):
                 body = dict(body)
                 # the grammar must force the SAME format the parser reads
