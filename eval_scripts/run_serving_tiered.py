@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Tiered+fetch serving under load on chip (VERDICT r3 item 6 chip row).
+
+Drives the PRODUCT Scheduler — continuous batching, 4 concurrent slots,
+sparse_cold_mode="fetch", between-tick balancer — on a synthetic 7B
+(bench shapes) and reports aggregate decode throughput as one JSON row.
+This is the serving-side complement of bench.py's single-slot tiered rows
+(ref: update_slots semantics, tools/server/server-context.cpp:704-775).
+
+Run on chip AFTER the driver bench (shares the one TPU):
+  SPIF_SERVE_PRESET=7b python eval_scripts/run_serving_tiered.py
+CPU smoke:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu SPIF_SERVE_PRESET=tiny \
+    python eval_scripts/run_serving_tiered.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    preset = os.environ.get("SPIF_SERVE_PRESET", "7b")
+    n_slots = int(os.environ.get("SPIF_SERVE_SLOTS", "4"))
+    n_new = int(os.environ.get("SPIF_SERVE_TOKENS", "192"))
+    import jax.numpy as jnp
+
+    from bench import _skewed_pred_bias, build_model_device
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+    from sparkinfer_tpu.runtime.scheduler import Request, Scheduler
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    t0 = time.time()
+    cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
+    params["layers"].update(gen_dense_ffn())
+    preds = gen_pred()
+    params["layers"].update(
+        {k[: -len("_all")]: v for k, v in preds.items()})
+    ng = cfg.n_ff // 128
+    params["layers"]["pred_down_b"] = jnp.asarray(
+        _skewed_pred_bias(cfg, ng))
+    print(f"# {preset}: weights on device {time.time()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+
+    gs = 128 if cfg.n_ff % 128 == 0 else 64
+    ngg = cfg.n_ff // gs
+    cap = max(4, (int(ngg * 0.25) + 3) // 4 * 4)
+    H = max(1, int(ngg * 0.25))
+    scfg = SparseConfig(group_size=gs, capacity_groups=min(cap, ngg),
+                        hot_groups=H)
+    model = types.SimpleNamespace(config=cfg, params=params, vocab=None)
+    sched = Scheduler(model, n_slots=n_slots, max_seq=32 + n_new + 8,
+                      sampler=SamplerConfig(temp=0.0),
+                      sparse=scfg, sparse_cold_mode="fetch",
+                      rebalance_every=4)
+    print(f"# scheduler ready {time.time()-t0:.0f}s", file=sys.stderr,
+          flush=True)
+
+    rng = np.random.default_rng(3)
+    reqs = [sched.submit(Request(
+        prompt_tokens=[int(x) for x in
+                       rng.integers(0, cfg.n_vocab, 32)],
+        max_new_tokens=n_new)) for _ in range(n_slots)]
+    # warm: admit + first ticks compile everything
+    t_warm = time.time()
+    while not all(s.running for s in sched.slots):
+        sched.step()
+    for _ in range(8):
+        sched.step()
+    print(f"# warm {time.time()-t_warm:.1f}s", file=sys.stderr, flush=True)
+
+    n0 = sched.metrics.get("n_tokens_generated", 0)
+    t1 = time.time()
+    while any(s.running for s in sched.slots) or not sched.pending.empty():
+        sched.step()
+    dt = time.time() - t1
+    n1 = sched.metrics.get("n_tokens_generated", 0)
+    toks = n1 - n0
+    for r in reqs:
+        r.tokens()  # drain
+    reb = sched.balancer.rebalances if sched.tiered else 0
+    miss = (float(np.asarray(sched._fstate.miss).sum())
+            if sched._fstate is not None else 0.0)
+    row = {
+        "metric": f"serving_tiered_fetch_{preset}_b{n_slots}",
+        "value": round(toks / dt, 2),
+        "unit": "tokens/s aggregate",
+        "slots": n_slots,
+        "tokens": int(toks),
+        "rebalances": int(reb),
+        "total_misses": round(miss),
+        "per_slot_tps": round(toks / dt / n_slots, 2),
+    }
+    print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
