@@ -84,3 +84,25 @@ def test_attn_w8a8_flag_loads_and_generates(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert len(out.split()) >= 4
+
+
+def test_cold_mode_fetch_engine_e2e(tmp_path):
+    """--cold-mode fetch builds a fetch-tier Engine (per-group miss
+    tracking, balancer demand-entry) and generates; misses accrue in the
+    DFR state."""
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.runtime.sampling import SamplerConfig
+
+    p = tmp_path / "cf.gguf"
+    make_tiny_llama(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+    ap = build_parser()
+    args = ap.parse_args(["-m", str(p), "-p", "x", "--temp", "0",
+                          "--cold-mode", "fetch", "--hot-groups", "2",
+                          "--capacity-groups", "4", "--group-size", "16",
+                          "-c", "48"])
+    assert args.cold_mode == "fetch"
+    model = load_model(str(p), dtype=jnp.float32)
+    eng = make_engine(args, model)
+    out = eng.generate([7, 30, 99], max_new_tokens=6)
+    assert len(out) == 6
+    assert eng._fstate is not None and eng._fstate.miss_g is not None
