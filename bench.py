@@ -1854,11 +1854,21 @@ def supervise() -> int:
             note(f"supervisor: no first op from {preset} worker {p.pid} "
                  f"in {probe_s:.0f}s — relay wedged; attempt "
                  f"{i + 1}/{attempts}")
+            # TERM first: the axon client sends an advisory /v1/claim
+            # DELETE on clean shutdown — a SIGKILLed claimant leaves its
+            # pending claim poisoning the far-side queue
             try:
-                os.killpg(p.pid, signal.SIGKILL)  # exactly this worker
+                os.killpg(p.pid, signal.SIGTERM)
             except (ProcessLookupError, PermissionError):
-                p.kill()
-            p.wait()
+                p.terminate()
+            try:
+                p.wait(20)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)  # exactly this worker
+                except (ProcessLookupError, PermissionError):
+                    p.kill()
+                p.wait()
             t.join(timeout=10)
             _time.sleep(backoff_s)
         if not done:
