@@ -88,12 +88,40 @@ TOOL_CONV = [
     {"role": "user", "content": "and in celsius?"},
 ]
 
+# string-arguments variant (some templates tojson dicts, others expect the
+# OpenAI string form) and a reasoning turn (deepseek/minimax-style models)
+TOOL_CONV_STRARGS = [
+    {"role": "user", "content": "Weather in Paris?"},
+    {
+        "role": "assistant",
+        "content": None,
+        "tool_calls": [
+            {
+                "id": "call_00002",
+                "type": "function",
+                "function": {"name": "get_weather",
+                             "arguments": "{\"city\": \"Paris\"}"},
+            }
+        ],
+    },
+    {"role": "tool", "name": "get_weather", "tool_call_id": "call_00002",
+     "content": "18C"},
+]
+REASONING = [
+    {"role": "user", "content": "why is the sky blue?"},
+    {"role": "assistant", "content": "Rayleigh scattering.",
+     "reasoning_content": "shorter wavelengths scatter more"},
+    {"role": "user", "content": "thanks"},
+]
+
 CONVS = {
     "simple": (SIMPLE, None),
     "multi": (MULTI, None),
     "no_system": (NO_SYSTEM, None),
     "tools": (SIMPLE, TOOLS),
     "tool_loop": (TOOL_CONV, TOOLS),
+    "tool_strargs": (TOOL_CONV_STRARGS, TOOLS),
+    "reasoning": (REASONING, None),
 }
 
 
