@@ -1773,6 +1773,11 @@ def supervise() -> int:
     backoff_s = float(os.environ.get("SPIF_BENCH_BACKOFF_S", "30"))
     best = {"row": None, "pri": -1}
     live = {"p": None}
+    # one session per supervisor RUN, shared by its workers: intra-run
+    # reclaim without inheriting a previous (possibly crashed) session's
+    # far-side state
+    session = os.environ.get("SPIF_BENCH_SESSION",
+                             f"spif-bench-{os.getpid()}")
 
     def print_best():
         if best["row"] is not None:
@@ -1825,6 +1830,7 @@ def supervise() -> int:
             # so the worker registers itself with the stable session id
             env.pop("PALLAS_AXON_POOL_IPS", None)
             env["SPIF_BENCH_MANUAL_AXON"] = "1"
+            env["SPIF_BENCH_SESSION"] = session
             p = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), preset,
                  "--worker"],
