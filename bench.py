@@ -1855,8 +1855,18 @@ def supervise() -> int:
                 except OSError:
                     pass
                 note(f"supervisor: preset {preset} worker exited rc={rc}")
-                done = True
-                break
+                if rc == 0:
+                    done = True
+                    break
+                # nonzero exit: usually RESOURCE_EXHAUSTED on the previous
+                # worker's far-side buffers, which free LAZILY a few
+                # seconds after session handoff (round-4 forensics: a 13B
+                # worker OOMed 2 min after a clean 1b exit, then a 7B
+                # worker 45 s later ran fine) — back off and retry
+                note(f"supervisor: retrying {preset} after failure "
+                     f"(attempt {i + 1}/{attempts})")
+                _time.sleep(max(backoff_s, 45.0))
+                continue
             note(f"supervisor: no first op from {preset} worker {p.pid} "
                  f"in {probe_s:.0f}s — relay wedged; attempt "
                  f"{i + 1}/{attempts}")
@@ -1878,8 +1888,10 @@ def supervise() -> int:
             t.join(timeout=10)
             _time.sleep(backoff_s)
         if not done:
-            note(f"supervisor: preset {preset} never got the chip; "
-                 "moving on")
+            note(f"supervisor: preset {preset} never completed; moving on")
+        # let the far side actually release this preset's buffers before
+        # the next worker allocates (lazy free, see retry note above)
+        _time.sleep(20)
     live["p"] = None
     print_best()
     return 0 if best["row"] is not None else 1
