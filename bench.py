@@ -1722,6 +1722,11 @@ def main():
             with open(sentinel, "w") as f:
                 f.write("ok")
     args = [a for a in sys.argv[1:] if a != "--worker"]
+    if plat == "tpu":
+        # HBM gate: a dead session's buffers free LAZILY far-side
+        # (minutes); probe-allocate this preset's working set and wait
+        # while holding OUR claim instead of dying RESOURCE_EXHAUSTED
+        _wait_hbm_free(args[0] if args else "13b")
     if args:
         return run_preset(args[0], plat)
     if plat != "tpu":
@@ -1739,6 +1744,43 @@ def main():
     run_preset("tiered-13b", plat)
     gc.collect()
     run_preset("7b", plat)
+
+
+def _wait_hbm_free(preset_name: str, deadline_s: float = 1200.0):
+    """Block until ~the preset's HBM working set can actually be
+    allocated (probe alloc + free), retrying while the previous
+    session's buffers drain far-side."""
+    import gc
+    import time as _time
+
+    import jax.numpy as _jnp
+
+    name = preset_name or ""
+    if "13b" in name or "7b" in name:
+        gb = 13.0
+    elif "1b" in name or "3b" in name:
+        gb = 7.0
+    else:
+        return
+    t0 = _time.time()
+    n = int(gb * 1e9) // 2
+    while True:
+        try:
+            x = _jnp.zeros((n,), _jnp.bfloat16)
+            x.block_until_ready()
+            del x
+            gc.collect()
+            note(f"hbm gate: {gb:.0f} GB allocatable after "
+                 f"{_time.time() - t0:.0f}s")
+            return
+        except Exception as e:
+            if _time.time() - t0 > deadline_s:
+                note(f"hbm gate: still blocked after {deadline_s:.0f}s "
+                     f"({type(e).__name__}); proceeding anyway")
+                return
+            note(f"hbm gate: {gb:.0f} GB not free yet "
+                 f"({type(e).__name__}); retrying in 30s")
+            _time.sleep(30)
 
 
 def supervise() -> int:
