@@ -1764,16 +1764,26 @@ def _wait_hbm_free(preset_name: str, deadline_s: float = 1200.0):
         return
     t0 = _time.time()
     n = int(gb * 1e9) // 2
+    ok_streak = 0
     while True:
         try:
             x = _jnp.zeros((n,), _jnp.bfloat16)
             x.block_until_ready()
             del x
             gc.collect()
-            note(f"hbm gate: {gb:.0f} GB allocatable after "
-                 f"{_time.time() - t0:.0f}s")
-            return
+            ok_streak += 1
+            # the probe's own free is ASYNC through the relay — one
+            # success followed immediately by real allocations can OOM on
+            # the probe's still-draining buffer (observed). Require two
+            # spaced successes, then give the last free time to land.
+            if ok_streak >= 2:
+                _time.sleep(10)
+                note(f"hbm gate: {gb:.0f} GB allocatable after "
+                     f"{_time.time() - t0:.0f}s")
+                return
+            _time.sleep(8)
         except Exception as e:
+            ok_streak = 0
             if _time.time() - t0 > deadline_s:
                 note(f"hbm gate: still blocked after {deadline_s:.0f}s "
                      f"({type(e).__name__}); proceeding anyway")
