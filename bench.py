@@ -360,6 +360,28 @@ def _bench_state(update: dict | None = None) -> dict:
     return state
 
 
+_PRESET_SHAPES = {
+    # (L, E, H, Hkv, F, V, pred_rank)
+    "13b": (40, 5120, 40, 40, 13824, 32000, 1280),
+    "7b": (32, 4096, 32, 32, 11008, 32000, 1024),
+    "3b": (26, 3200, 32, 32, 8640, 32000, 768),
+    "1b": (22, 2048, 32, 4, 5632, 32000, 512),
+    "tiny": (2, 256, 8, 4, 512, 1024, 64),
+}
+
+
+def _preset_cfg(preset: str):
+    """ModelConfig for a synthetic preset — NO allocation (callers need
+    the shapes before deciding what to build)."""
+    from sparkinfer_tpu.models.config import ModelConfig
+
+    L, E, H, Hkv, F, V, R = _PRESET_SHAPES[preset]
+    F = (F // 128) * 128
+    return ModelConfig(arch="prosparse_llama", n_layer=L, n_embd=E,
+                       n_head=H, n_head_kv=Hkv, n_ff=F, n_vocab=V,
+                       head_dim=E // H, pred_lora=(R,) * L)
+
+
 def build_model_device(preset: str):
     """Device-side synthetic weights for the big presets: every tensor is
     generated BY THE CHIP via jax.random, so zero weight bytes ride the
@@ -382,19 +404,11 @@ def build_model_device(preset: str):
 
     from sparkinfer_tpu.models.config import ModelConfig
 
-    shapes = {
-        "13b": (40, 5120, 40, 40, 13824, 32000, 1280),
-        "7b": (32, 4096, 32, 32, 11008, 32000, 1024),
-        "3b": (26, 3200, 32, 32, 8640, 32000, 768),
-        "1b": (22, 2048, 32, 4, 5632, 32000, 512),
-        "tiny": (2, 256, 8, 4, 512, 1024, 64),
-    }
-    L, E, H, Hkv, F, V, R = shapes[preset]
-    F = (F // 128) * 128
-    D = E // H
-    cfg = ModelConfig(arch="prosparse_llama", n_layer=L, n_embd=E, n_head=H,
-                      n_head_kv=Hkv, n_ff=F, n_vocab=V, head_dim=D,
-                      pred_lora=(R,) * L)
+    cfg = _preset_cfg(preset)
+    L, E, H, Hkv, F, V = (cfg.n_layer, cfg.n_embd, cfg.n_head,
+                          cfg.n_head_kv, cfg.n_ff, cfg.n_vocab)
+    R = cfg.pred_lora[0]
+    D = cfg.head_dim
     keys = iter(jax.random.split(jax.random.PRNGKey(0), 32))
 
     def w(*shape, scale=0.02, dtype=jnp.bfloat16):
@@ -908,8 +922,11 @@ def tiered_main_big(plat, preset):
 
     S = 1024
     n_rounds = 6
-    cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
-    L, E, F = cfg.n_layer, cfg.n_embd, cfg.n_ff
+    # shapes WITHOUT allocating (the anchors below build their own full
+    # model — measuring them while this function's params sit in HBM was
+    # the round-4 13B RESOURCE_EXHAUSTED: two attn stacks > 16 GB)
+    cfg0 = _preset_cfg(preset)
+    L, E, F = cfg0.n_layer, cfg0.n_embd, cfg0.n_ff
     ng = F // 128
     cap = max(4, (int(ng * 0.25) + 3) // 4 * 4)
     scfg = SparseConfig(group_size=128, capacity_groups=cap)
@@ -919,22 +936,10 @@ def tiered_main_big(plat, preset):
     # skip it and use the measured-7B-calibrated traffic model instead —
     # "dense cannot run at all" is the regime the hot/cold design is FOR
     # (ref README.md:8: ProSparse-13B FP16 on a 24 GB GPU)
-    dense_gb = (3 * E * F + 4 * E * cfg.n_head * cfg.head_dim) * L * 2 / 1e9
+    dense_gb = (3 * E * F + 4 * E * cfg0.n_head * cfg0.head_dim) * L * 2 / 1e9
     d_times, modeled_dense = None, None
     anchors = {}
-    if dense_gb < 13.0:
-        dlayers = dict(params["layers"])
-        dlayers.update(gen_dense_ffn())
-        dparams = dict(params)
-        dparams["layers"] = dlayers
-        dense = Path("dense", make_forward(cfg), dparams, cfg, S)
-        dense.run_chunk()  # warm
-        d_times = [dense.run_chunk() for _ in range(n_rounds)]
-        notej({"phase": "dense_done",
-               "dense_tps": round(CHUNK / min(d_times), 2)})
-        del dense, dparams, dlayers
-        gc.collect()
-    else:
+    if dense_gb >= 13.0:
         modeled_dense, offload, link_bw = _modeled_baselines(preset, dense_gb)
         notej({
             "phase": "dense_skipped",
@@ -948,11 +953,27 @@ def tiered_main_big(plat, preset):
         # .bench_state values): the strongest runnable dense deployments —
         # W8A8-attention + Q8 FFN/head (like-for-like with the headline
         # sparse config) and all-Q8_0 via the pallas dequant kernels.
+        # Measured FIRST, while HBM is empty — each builds+frees a full
+        # Q8 13B (~9 GB peak).
         if plat == "tpu" and not os.environ.get("SPIF_BENCH_NO_ANCHORS"):
             anchors["w8dense"] = measure_dense_anchor(
                 preset, w8_attn=True, n_rounds=4)
             anchors["q8dense"] = measure_dense_anchor(
                 preset, w8_attn=False, n_rounds=4)
+
+    cfg, params, gen_pred, gen_dense_ffn, _ = build_model_device(preset)
+    if dense_gb < 13.0:
+        dlayers = dict(params["layers"])
+        dlayers.update(gen_dense_ffn())
+        dparams = dict(params)
+        dparams["layers"] = dlayers
+        dense = Path("dense", make_forward(cfg), dparams, cfg, S)
+        dense.run_chunk()  # warm
+        d_times = [dense.run_chunk() for _ in range(n_rounds)]
+        notej({"phase": "dense_done",
+               "dense_tps": round(CHUNK / min(d_times), 2)})
+        del dense, dparams, dlayers
+        gc.collect()
 
     import os as _os
 
