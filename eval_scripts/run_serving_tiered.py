@@ -32,6 +32,12 @@ def main():
     preset = os.environ.get("SPIF_SERVE_PRESET", "7b")
     n_slots = int(os.environ.get("SPIF_SERVE_SLOTS", "4"))
     n_new = int(os.environ.get("SPIF_SERVE_TOKENS", "192"))
+    if os.environ.get("SPIF_BENCH_MANUAL_AXON") == "1":
+        # stable-session registration (relay wedge mitigation — see
+        # bench.py:_manual_axon_register and BENCH_NOTES round 4)
+        from bench import _manual_axon_register
+
+        _manual_axon_register()
     import jax.numpy as jnp
 
     from bench import _skewed_pred_bias, build_model_device
