@@ -67,7 +67,8 @@ def main():
     sched = Scheduler(model, n_slots=n_slots, max_seq=32 + n_new + 8,
                       sampler=SamplerConfig(temp=0.0),
                       sparse=scfg, sparse_cold_mode="fetch",
-                      rebalance_every=4)
+                      rebalance_every=int(os.environ.get(
+                          "SPIF_SERVE_REBALANCE", "4")))
     print(f"# scheduler ready {time.time()-t0:.0f}s", file=sys.stderr,
           flush=True)
 
