@@ -87,8 +87,11 @@ def main():
 
     n0 = sched.metrics.get("n_tokens_generated", 0)
     t1 = time.time()
+    tick_s = []
     while any(s.running for s in sched.slots) or not sched.pending.empty():
+        tt = time.perf_counter()
         sched.step()
+        tick_s.append(time.perf_counter() - tt)
     dt = time.time() - t1
     n1 = sched.metrics.get("n_tokens_generated", 0)
     toks = n1 - n0
@@ -97,6 +100,12 @@ def main():
     reb = sched.balancer.rebalances if sched.tiered else 0
     miss = (float(np.asarray(sched._fstate.miss).sum())
             if sched._fstate is not None else 0.0)
+    # separate the pure decode cadence from the rebalance H2D windows:
+    # median tick = steady decode; the tail quarter shows converged
+    # behavior (the relay's 70 MB/s H2D makes early fetch windows
+    # seconds-long; locally-attached H2D is ~100x faster)
+    med_tick = float(np.median(tick_s)) if tick_s else 0.0
+    q4 = tick_s[3 * len(tick_s) // 4:] or [0.0]
     row = {
         "metric": f"serving_tiered_fetch_{preset}_b{n_slots}",
         "value": round(toks / dt, 2),
@@ -106,6 +115,9 @@ def main():
         "rebalances": int(reb),
         "total_misses": round(miss),
         "per_slot_tps": round(toks / dt / n_slots, 2),
+        "median_tick_ms": round(1e3 * med_tick, 1),
+        "steady_decode_tps": round(n_slots / med_tick, 2) if med_tick else 0,
+        "tail_quarter_tps": round(n_slots * len(q4) / sum(q4), 2),
     }
     print(json.dumps(row), flush=True)
 
