@@ -362,6 +362,9 @@ class SparkServer:
             prompt = apply_template(msgs, template)
         req = self._make_request(prompt, body, tokenizer=tok, sched=sched)
         req._has_tools = bool(tools)
+        # thinking_forced_open: the template already opened the reasoning
+        # block (ref common_chat_templates_apply_jinja detection)
+        req._thinking_open = prompt.rstrip().endswith("<think>")
         if tools:
             req._chat_format = fmt
         req._detok = tok.decode
@@ -714,7 +717,9 @@ def _make_handler(srv: SparkServer):
                 if chat and getattr(req, "_has_tools", False):
                     from .chat_parser import StreamParser
 
-                    sp = StreamParser(getattr(req, "_chat_format", "hermes"))
+                    sp = StreamParser(
+                        getattr(req, "_chat_format", "hermes"),
+                        thinking_open=getattr(req, "_thinking_open", False))
 
                 def emit_chat_deltas(deltas, finish=None):
                     for d in deltas:
@@ -785,7 +790,8 @@ def _make_handler(srv: SparkServer):
                     from .chat_parser import parse_chat, to_openai_tool_calls
 
                     parsed = parse_chat(
-                        text, getattr(req, "_chat_format", "hermes"))
+                        text, getattr(req, "_chat_format", "hermes"),
+                        thinking_open=getattr(req, "_thinking_open", False))
                     if parsed.tool_calls:
                         message = {"role": "assistant",
                                    "content": parsed.content or None,

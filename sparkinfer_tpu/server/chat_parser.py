@@ -116,11 +116,23 @@ def _new_id() -> str:
 
 
 def _reasoning_split(text: str, open_tag: str, close_tag: str,
-                     partial: bool) -> tuple[str, str, bool]:
+                     partial: bool,
+                     forced_open: bool = False) -> tuple[str, str, bool]:
     """-> (reasoning, rest, still_inside). Mirrors try_parse_reasoning:
     an unclosed block while partial means everything after open is
-    reasoning-in-progress."""
+    reasoning-in-progress. forced_open: the template already emitted the
+    opening tag, so the message STARTS inside the block (reference
+    thinking_forced_open; an unclosed forced block that is NOT partial
+    demotes to content, test-chat-parser.cpp deepseek-v3.1 variants)."""
     stripped = text.lstrip()
+    if forced_open and not stripped.startswith(open_tag):
+        end = text.find(close_tag)
+        if end < 0:
+            if partial:
+                inner, _held = _hold_marker_tail(text, (close_tag,))
+                return inner, "", True
+            return "", text, False  # fine-tuning slip: treat as content
+        return text[:end], text[end + len(close_tag):], False
     if not stripped.startswith(open_tag):
         if partial and stripped and open_tag.startswith(stripped):
             # message so far is a prefix of the open tag — withhold
@@ -446,6 +458,55 @@ def _parse_command_r7b(text: str, partial: bool) -> ChatMsg:
     return msg
 
 
+def _parse_deepseek_v31(text: str, partial: bool,
+                        thinking_open: bool = False) -> ChatMsg:
+    """DeepSeek-V3.1: <｜tool▁call▁begin｜>NAME<｜tool▁sep｜>{json}
+    <｜tool▁call▁end｜> (no `function` keyword, no ```json fences), with
+    template-forced-open thinking (reference:
+    common_chat_parse_deepseek_v3_1 + test-chat-parser.cpp variants)."""
+    reasoning, rest, inside = _reasoning_split(
+        text, "<think>", "</think>", partial, forced_open=thinking_open)
+    msg = ChatMsg(reasoning=reasoning)
+    if inside:
+        msg.partial = True
+        return msg
+    begin = rest.find("<｜tool▁calls▁begin｜>")
+    if begin < 0:
+        if partial:
+            emit, held = _hold_marker_tail(rest, ("<｜tool▁calls▁begin｜>",))
+            msg.content = emit.strip()
+            msg.partial = bool(held)
+        else:
+            msg.content = rest.strip()
+        return msg
+    msg.content = rest[:begin].strip()
+    i = begin + len("<｜tool▁calls▁begin｜>")
+    call_re = re.compile(r"<｜tool▁call▁begin｜>([^<]+?)<｜tool▁sep｜>")
+    while True:
+        cm = call_re.search(rest, i)
+        if not cm:
+            msg.partial = partial and "<｜tool▁calls▁end｜>" not in rest[i:]
+            return msg
+        jstart = _skip_ws(rest, cm.end())
+        try:
+            obj, jend, comp = loads_partial(rest, jstart)
+        except ValueError:
+            msg.partial = True
+            return msg
+        tc = ToolCall(name=cm.group(1).strip(),
+                      arguments=rest[jstart:jend], id=_new_id(),
+                      complete=comp)
+        if comp:
+            msg.tool_calls.append(tc)
+            em = rest.find("<｜tool▁call▁end｜>", jend)
+            i = em + len("<｜tool▁call▁end｜>") if em >= 0 else jend
+            continue
+        if partial and tc.name:
+            msg.tool_calls.append(tc)
+        msg.partial = True
+        return msg
+
+
 def _parse_deepseek_r1(text: str, partial: bool) -> ChatMsg:
     """<think>..</think> + <｜tool▁calls▁begin｜>function<｜tool▁sep｜>NAME
     \\n```json\\n{...}\\n```<｜tool▁call▁end｜> (reference:
@@ -546,23 +607,33 @@ _PARSERS = {
     "mistral-nemo": _parse_mistral_nemo,
     "command-r7b": _parse_command_r7b,
     "deepseek-r1": _parse_deepseek_r1,
+    "deepseek-v3.1": _parse_deepseek_v31,
     "generic": _parse_generic,
 }
 
 
 def parse_chat(text: str, fmt: str = "hermes",
-               partial: bool = False) -> ChatMsg:
+               partial: bool = False, thinking_open: bool = False) -> ChatMsg:
     """Parse an assistant message in the given tool-call format.
 
     partial=True: the message is still streaming — incomplete trailing
     structures become in-progress tool calls / withheld content instead of
-    plain text.
+    plain text. thinking_open=True: the prompt ended with an opening
+    <think>, so the message starts inside a reasoning block (reference
+    thinking_forced_open; honored by formats with reasoning support).
     """
     if fmt == "content":
         return ChatMsg(content=text)
     p = _PARSERS.get(fmt)
     if p is None:
         raise ValueError(f"unknown chat format {fmt!r}")
+    if fmt == "deepseek-v3.1":
+        return p(text, partial, thinking_open=thinking_open)
+    if thinking_open and fmt in ("deepseek-r1", "llama3",
+                                 "llama3-builtin"):
+        # close the forced-open block by reattaching the tag the template
+        # consumed, so the explicit-block path handles it uniformly
+        return p("<think>" + text, partial)
     return p(text, partial)
 
 
@@ -576,7 +647,11 @@ def detect_format(template_source: str | None,
     if "<|START_ACTION|>" in src:
         return "command-r7b"
     if "tool▁calls▁begin" in src or "tool▁sep" in src:
-        return "deepseek-r1"
+        # v3.1 emits NAME<｜tool▁sep｜>{json} directly; r1 wraps in
+        # function<｜tool▁sep｜>NAME\n```json fences
+        if "```json" in src or "function<｜tool▁sep｜>" in src:
+            return "deepseek-r1"
+        return "deepseek-v3.1"
     if "<tool_call>" in src:
         return "hermes"
     if "<|python_tag|>" in src:
@@ -603,15 +678,17 @@ class StreamParser:
     accumulated text in partial mode and diffs against the previous parse.
     """
 
-    def __init__(self, fmt: str = "hermes"):
+    def __init__(self, fmt: str = "hermes", thinking_open: bool = False):
         self.fmt = fmt
+        self.thinking_open = thinking_open
         self.text = ""
         self.prev = ChatMsg()
         self._role_sent = False
 
     def update(self, delta_text: str, final: bool = False) -> list[dict]:
         self.text += delta_text
-        cur = parse_chat(self.text, self.fmt, partial=not final)
+        cur = parse_chat(self.text, self.fmt, partial=not final,
+                         thinking_open=self.thinking_open)
         out = self._diff(self.prev, cur)
         self.prev = cur
         return out

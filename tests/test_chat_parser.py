@@ -184,7 +184,10 @@ def test_detect_format():
     assert detect_format("<|START_ACTION|> stuff") == "command-r7b"
     assert detect_format("x<tool_call>y") == "hermes"
     assert detect_format("<|start_header_id|>") == "llama3"
-    assert detect_format("... tool▁sep ...") == "deepseek-r1"
+    # bare tool▁sep with no ```json fences = the v3.1 direct syntax;
+    # fenced templates = r1 (see test_detect_v31_vs_r1)
+    assert detect_format("... tool▁sep ...") == "deepseek-v3.1"
+    assert detect_format("... tool▁sep ... ```json ...") == "deepseek-r1"
     assert detect_format(None) == "hermes"
     assert detect_format("", family="llama3") == "llama3"
     assert detect_format("", family="command-r") == "command-r7b"
@@ -294,3 +297,87 @@ def test_stream_reasoning_deltas_are_incremental():
     assert reasoning == "step one; step two"
     content = "".join(d.get("content", "") for d in deltas)
     assert content == "done"
+
+
+# --- deepseek-v3.1 + thinking_forced_open (ref test-chat-parser.cpp) --------
+
+DSV31_SIMPLE = ("<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_time"
+                "<｜tool▁sep｜>{\"city\": \"Tokyo\"}<｜tool▁call▁end｜>"
+                "<｜tool▁calls▁end｜>")
+
+
+def test_deepseek_v31_simple():
+    msg = parse_chat(DSV31_SIMPLE, "deepseek-v3.1")
+    assert len(msg.tool_calls) == 1
+    assert msg.tool_calls[0].name == "get_time"
+    assert json.loads(msg.tool_calls[0].arguments) == {"city": "Tokyo"}
+    assert msg.content == "" and msg.reasoning == ""
+
+
+def test_deepseek_v31_thinking_forced_open():
+    msg = parse_chat("REASONING</think>" + DSV31_SIMPLE, "deepseek-v3.1",
+                     thinking_open=True)
+    assert msg.reasoning == "REASONING"
+    assert msg.tool_calls[0].name == "get_time"
+    assert msg.content == ""
+
+
+def test_deepseek_v31_multiple_calls_with_content():
+    txt = ("CONTENT<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_time"
+           "<｜tool▁sep｜>{\"city\": \"Paris\"}<｜tool▁call▁end｜>"
+           "<｜tool▁call▁begin｜>get_weather<｜tool▁sep｜>"
+           "{\"city\": \"Paris\"}<｜tool▁call▁end｜><｜tool▁calls▁end｜>")
+    msg = parse_chat(txt, "deepseek-v3.1")
+    assert [t.name for t in msg.tool_calls] == ["get_time", "get_weather"]
+    assert msg.content == "CONTENT"
+
+
+def test_deepseek_v31_forced_open_unclosed_not_partial_demotes_to_content():
+    """The reference's fine-tuning-slip rule: forced-open reasoning that
+    never closes is regular content when the message is final — and the
+    tool calls in it still parse (test-chat-parser.cpp
+    ..._no_closing_think_not_partial)."""
+    msg = parse_chat("REASONING" + DSV31_SIMPLE, "deepseek-v3.1",
+                     thinking_open=True)
+    assert msg.reasoning == ""
+    assert msg.content == "REASONING"
+    assert msg.tool_calls and msg.tool_calls[0].name == "get_time"
+
+
+def test_deepseek_v31_forced_open_unclosed_partial_stays_reasoning():
+    msg = parse_chat("REASONING" + DSV31_SIMPLE, "deepseek-v3.1",
+                     partial=True, thinking_open=True)
+    assert msg.tool_calls == []
+    assert msg.content == ""
+    assert msg.reasoning.startswith("REASONING")
+
+
+def test_deepseek_v31_forced_open_reasoning_then_content():
+    msg = parse_chat("REASONING</think>CONTENT", "deepseek-v3.1",
+                     thinking_open=True)
+    assert msg.reasoning == "REASONING" and msg.content == "CONTENT"
+    assert msg.tool_calls == []
+
+
+def test_detect_v31_vs_r1():
+    v31 = open("/root/reference/models/templates/"
+               "deepseek-ai-DeepSeek-V3.1.jinja").read()
+    r1 = open("/root/reference/models/templates/"
+              "deepseek-ai-DeepSeek-R1-Distill-Qwen-32B.jinja").read()
+    assert detect_format(v31) == "deepseek-v3.1"
+    assert detect_format(r1) == "deepseek-r1"
+
+
+@pytest.mark.parametrize("chunk", [1, 5])
+def test_stream_deepseek_v31_forced_open(chunk):
+    txt = "thinking...</think>ok" + DSV31_SIMPLE
+    sp = StreamParser("deepseek-v3.1", thinking_open=True)
+    deltas = []
+    for i in range(0, len(txt), chunk):
+        deltas += sp.update(txt[i:i + chunk])
+    deltas += sp.finish()
+    content, reasoning, calls = _concat(deltas)
+    assert reasoning == "thinking..."
+    assert content == "ok"
+    assert calls[0]["name"] == "get_time"
+    assert json.loads(calls[0]["arguments"]) == {"city": "Tokyo"}
