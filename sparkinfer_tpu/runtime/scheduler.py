@@ -19,6 +19,7 @@ admit into free slots; when none are free they queue FIFO (the reference's
 from __future__ import annotations
 
 import itertools
+import os
 import queue
 import threading
 import time
@@ -187,6 +188,11 @@ class Scheduler:
         self.cache = init_cache(self.cfg, n_slots, max_seq, kv_dtype,
                                 kv_quantized, v_dtype=kv_dtype_v)
         self.slots = [SlotState() for _ in range(n_slots)]
+        # pipelined readback state (see step() docstring)
+        self._pipeline = os.environ.get("SPARK_SCHED_PIPELINE", "1") != "0"
+        self._rb_pending = None
+        self._tok_dev = None
+        self._fresh_mask = np.zeros(n_slots, bool)
         self.sstate = jax.tree.map(
             lambda *xs: jnp.stack(xs),
             *[init_state(self.sampler_cfg, i) for i in range(n_slots)],
@@ -391,6 +397,7 @@ class Scheduler:
         slot.n_past = req.n_prompt
         slot.n_gen = 0
         slot.last_token = first
+        self._fresh_mask[s_i] = True  # first decode tick takes `first` H2D
         slot.cached_tokens = list(req.prompt_tokens)
         req.first_token_s = time.time()
         self.metrics["n_requests"] += 1
@@ -398,8 +405,11 @@ class Scheduler:
         self.metrics["t_prefill_s"] += time.perf_counter() - t0
         self._emit(s_i, first)
 
-    def _emit(self, s_i: int, tok: int):
+    def _emit(self, s_i: int, tok: int, npast_disp: int | None = None):
         """Emit one generated token to the request's stream.
+        npast_disp: the slot's n_past at the tick's DISPATCH (pipelined
+        readback processes after later dispatches bumped slot.n_past, so
+        the max_seq boundary check must use the snapshot).
 
         Stop-string handling holds back any trailing tokens whose text
         could still extend into a stop string, so a multi-token stop is
@@ -437,11 +447,13 @@ class Scheduler:
                     req.out_queue.put(t0)
         elif tok not in req.stop_ids:
             req.out_queue.put(tok)
+        npast_post = (npast_disp + 1 if npast_disp is not None
+                      else slot.n_past)
         finished = (
             tok in req.stop_ids
             or hit_stop_str
             or slot.n_gen >= req.max_new_tokens
-            or slot.n_past + 1 >= self.max_seq
+            or npast_post + 1 >= self.max_seq
         )
         if finished:
             if held:
@@ -461,15 +473,59 @@ class Scheduler:
 
     def step(self) -> bool:
         """One scheduler tick: admit + one batched decode over running slots.
-        Returns True if any slot is running afterwards."""
+        Returns True if any slot is running afterwards.
+
+        PIPELINED READBACK (round 4): the only per-tick host<->device
+        SYNC is the token readback — ~25 ms on a relay-attached chip vs a
+        ~20 ms step (tick profile, BENCH_NOTES round 4). When no grammar-
+        constrained slot is active, tick t's input tokens chain ON DEVICE
+        from tick t-1's output and the host reads tokens ONE TICK LATE,
+        overlapping the readback RTT with the next tick's compute.
+        Emission/stop detection lag one tick; a slot that stopped gets
+        one speculative extra tick whose results are discarded (its KV
+        write lands at a position the next tenant overwrites before ever
+        reading — decode writes position p before any read of p).
+        SPARK_SCHED_PIPELINE=0 restores fully synchronous ticks."""
+        # 0) a constrained slot joining forces the chain to flush first
+        #    (grammar masks need the actual token before the next dispatch)
+        constrained_any = any(s.running and s.req._gsampler is not None
+                              for s in self.slots)
+        if self._rb_pending is not None and (constrained_any
+                                             or not self._pipeline):
+            self._process_readback()
         self._admit()
         active = np.asarray([s.running for s in self.slots])
         if not active.any():
+            # nothing to dispatch; flush any trailing readback (it can
+            # only hold speculative tokens of freed slots, but processing
+            # keeps the bookkeeping uniform)
+            if self._rb_pending is not None:
+                self._process_readback()
+                return any(s.running for s in self.slots) \
+                    or not self.pending.empty()
             return False
         t0 = time.perf_counter()
-        toks = np.asarray(
+        constrained = [s_i for s_i, s in enumerate(self.slots)
+                       if s.running and s.req._gsampler is not None]
+        pipelined = (self._pipeline and not constrained)
+        host_toks = np.asarray(
             [[s.last_token if s.running else 0] for s in self.slots], np.int32
         )
+        chained = (pipelined and self._tok_dev is not None
+                   and self._rb_pending is not None)
+        fresh = self._fresh_mask.copy()
+        if chained:
+            # chain on device; slots (re)admitted since the last dispatch
+            # take their host-known first token
+            if fresh.any():
+                toks_in = jnp.where(jnp.asarray(fresh[:, None]),
+                                    jnp.asarray(host_toks),
+                                    self._tok_dev.reshape(-1, 1))
+            else:
+                toks_in = self._tok_dev.reshape(-1, 1)
+        else:
+            toks_in = jnp.asarray(host_toks)
+        self._fresh_mask[:] = False
         pos = np.asarray(
             [[s.n_past if s.running else 0] for s in self.slots], np.int32
         )
@@ -478,8 +534,6 @@ class Scheduler:
         # from the PREVIOUS accepted token and ride H2D asynchronously —
         # sampling stays on device, no logits readback (ref grammar-first
         # chain; round-1 pulled V floats per constrained slot per step)
-        constrained = [s_i for s_i, s in enumerate(self.slots)
-                       if s.running and s.req._gsampler is not None]
         lmask = jnp.asarray(self._gmask) if constrained else None
         jd = self._jit_decode
         if (self._jit_decode_dense is not None
@@ -487,7 +541,7 @@ class Scheduler:
             jd = self._jit_decode_dense
         tok, self.cache, self.sstate, last_logits, self._fstate = jd(
             decode_params,
-            jnp.asarray(toks),
+            toks_in,
             jnp.asarray(pos),
             self.cache,
             self.sstate,
@@ -496,41 +550,88 @@ class Scheduler:
             self._fstate,
             lmask,
         )
-        tok = np.array(tok)
+        self._tok_dev = tok
+        # snapshot per-slot dispatch state: (req identity, input token if
+        # host-known — None for device-chained slots, resolved at
+        # processing time from the preceding tick's output — and n_past
+        # at dispatch)
+        snap = [(s_i, slot.req,
+                 None if (chained and not fresh[s_i])
+                 else int(host_toks[s_i, 0]),
+                 slot.n_past)
+                for s_i, slot in enumerate(self.slots) if slot.running]
+        for s_i, slot in enumerate(self.slots):
+            if slot.running:
+                slot.n_past += 1  # the cache row for this tick is written
+        self.metrics["n_decode_steps"] += 1
+        prev = self._rb_pending
+        self._rb_pending = (tok, snap, constrained, t0)
+        if pipelined:
+            if prev is not None:
+                # materialize the PREVIOUS tick while this one computes —
+                # the readback RTT hides behind device work
+                self._process_pending(prev)
+            self._run_rebalance()
+            return (any(s.running for s in self.slots)
+                    or not self.pending.empty())
+        self._process_readback()
+        self._run_rebalance()
+        return any(s.running for s in self.slots) or not self.pending.empty()
+
+    def _process_readback(self):
+        pending = self._rb_pending
+        self._rb_pending = None
+        if pending is not None:
+            self._process_pending(pending)
+
+    def _process_pending(self, pending):
+        """Materialize a dispatched tick's tokens on host: grammar accepts,
+        emissions, stop detection, slot freeing."""
+        tok_dev, snap, constrained, t0 = pending
+        tok = np.array(tok_dev).reshape(-1)
         for s_i in constrained:
-            gs = self.slots[s_i].req._gsampler
+            slot = self.slots[s_i]
+            if slot.req is None:
+                continue
+            gs = slot.req._gsampler
             gs.accept(int(tok[s_i]))  # always legal: sampled under the mask
             self._gmask[s_i] = gs.mask()
             if not self._gmask[s_i].any():
                 # grammar dead end: fail just this request (per-slot
                 # error isolation), free the mask row
                 self._gmask[s_i] = True
-                slot = self.slots[s_i]
                 slot.req.out_queue.put(None)
                 slot.req = None
                 self.metrics["n_errors"] = self.metrics.get("n_errors", 0) + 1
-        self.metrics["n_decode_steps"] += 1
         self.metrics["t_decode_s"] += time.perf_counter() - t0
-        for s_i, slot in enumerate(self.slots):
-            if not slot.running:
-                continue
-            slot.cached_tokens.append(slot.last_token)
-            slot.n_past += 1
-            self._emit(s_i, int(tok[s_i]))
-        if self.tiered and self.metrics["n_decode_steps"] % self.rebalance_every == 0:
-            from ..sparse.tiering import tiered_layer_params
+        for s_i, req_ref, in_tok, npast_disp in snap:
+            slot = self.slots[s_i]
+            if slot.req is not req_ref or req_ref is None:
+                continue  # freed/re-tenanted: a speculative tick, discard
+            if in_tok is None:
+                # device-chained dispatch: the input was the previous
+                # tick's output, which THAT tick's processing (strictly
+                # ordered before this one) stored in slot.last_token
+                in_tok = slot.last_token
+            slot.cached_tokens.append(in_tok)
+            self._emit(s_i, int(tok[s_i]), npast_disp=npast_disp)
 
-            mg = (np.asarray(self._fstate.miss_g)
-                  if self._fstate.miss_g is not None else None)
-            self._tp = self.balancer.rebalance(
-                self._tp, np.asarray(self._fstate.dfr), miss_g=mg)
-            if mg is not None:  # fetch: counts are per-rebalance-window
-                self._fstate = self._fstate._replace(
-                    miss_g=jnp.zeros_like(self._fstate.miss_g))
-            (self._decode_params["layers"],
-             self._decode_params["sparse_flat"]) = tiered_layer_params(
-                self._full_layers, self._tp)
-        return any(s.running for s in self.slots) or not self.pending.empty()
+    def _run_rebalance(self):
+        if not (self.tiered and self.metrics["n_decode_steps"]
+                % self.rebalance_every == 0):
+            return
+        from ..sparse.tiering import tiered_layer_params
+
+        mg = (np.asarray(self._fstate.miss_g)
+              if self._fstate.miss_g is not None else None)
+        self._tp = self.balancer.rebalance(
+            self._tp, np.asarray(self._fstate.dfr), miss_g=mg)
+        if mg is not None:  # fetch: counts are per-rebalance-window
+            self._fstate = self._fstate._replace(
+                miss_g=jnp.zeros_like(self._fstate.miss_g))
+        (self._decode_params["layers"],
+         self._decode_params["sparse_flat"]) = tiered_layer_params(
+            self._full_layers, self._tp)
 
     # --- background loop ----------------------------------------------------
     def start(self):

@@ -349,3 +349,33 @@ def test_tiered_fetch_serving_under_load(tmp_path):
     # record which
     outs2, _ = run()
     assert outs1 == outs2  # deterministic under identical submission order
+
+
+def test_pipelined_readback_matches_sync(tmp_path, monkeypatch):
+    """SPARK_SCHED_PIPELINE=1 (device-chained tokens, one-tick-lagged
+    readback) must produce byte-identical token streams to the fully
+    synchronous scheduler — including mixed-length requests, slot churn
+    (more requests than slots) and stop tokens."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama as mk
+    from sparkinfer_tpu.models.loader import load_model as lm
+
+    p = tmp_path / "pipe.gguf"
+    mk(p)
+
+    def run(pipeline):
+        monkeypatch.setenv("SPARK_SCHED_PIPELINE", "1" if pipeline else "0")
+        m = lm(str(p), dtype=jnp.float32)
+        sched = Scheduler(m, n_slots=2, max_seq=48,
+                          sampler=SamplerConfig(temp=0.0),
+                          kv_dtype=jnp.float32)
+        assert sched._pipeline is pipeline
+        reqs = [sched.submit(Request(prompt_tokens=[3 + i, 14, 15],
+                                     max_new_tokens=4 + 3 * (i % 3),
+                                     stop_ids={5} if i == 2 else set()))
+                for i in range(5)]
+        sched.run_until_idle()
+        return [r.tokens() for r in reqs]
+
+    assert run(True) == run(False)
