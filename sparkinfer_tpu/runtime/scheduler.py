@@ -144,7 +144,12 @@ class Scheduler:
                 self.model.params = apply_reorder(
                     self.model.params, self.cfg, split.perms
                 )
-            self.model.params = prepare_sparse_params(self.model.params, self.cfg, sparse)
+            # tiered serving is the memory-critical regime: keep ONLY the
+            # row layout (masked-dense prefill computes from rows; the
+            # dense copy would double FFN HBM — 7B serving did not fit)
+            self.model.params = prepare_sparse_params(
+                self.model.params, self.cfg, sparse,
+                drop_dense=self.tiered)
             self.fwd = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="dense"))
             if self.tiered:
                 from ..sparse.balancer import Balancer
