@@ -146,10 +146,12 @@ class Scheduler:
                 )
             # tiered serving is the memory-critical regime: keep ONLY the
             # row layout (masked-dense prefill computes from rows; the
-            # dense copy would double FFN HBM — 7B serving did not fit)
+            # dense copy would double FFN HBM — 7B serving did not fit);
+            # donate=True reuses each dense buffer in place so the
+            # conversion itself has no transient 2x peak
             self.model.params = prepare_sparse_params(
                 self.model.params, self.cfg, sparse,
-                drop_dense=self.tiered)
+                drop_dense=self.tiered, donate=self.tiered)
             self.fwd = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="dense"))
             if self.tiered:
                 from ..sparse.balancer import Balancer

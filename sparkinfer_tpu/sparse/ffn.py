@@ -35,6 +35,7 @@ ffn_down transposed (src/llama-model.cpp:2758-2770).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
@@ -111,15 +112,53 @@ def select_groups(probs: jnp.ndarray, scfg: SparseConfig, n_ff: int):
 
 
 def prepare_sparse_params(params: dict, cfg: ModelConfig, scfg: SparseConfig,
-                          drop_dense: bool = False) -> dict:
+                          drop_dense: bool = False,
+                          donate: bool = False) -> dict:
     """Return params with the stacked layer dict augmented by sparse_layout
     row blocks (leading L axis handled by the reshape rules).
 
     drop_dense=True removes the original (E,F)/(F,E) FFN weights so only the
     neuron-major row layout stays in HBM (halves FFN weight memory — needed
     for models near the HBM limit); the masked-dense prefill path computes
-    from the row layout in that case."""
+    from the row layout in that case.
+
+    donate=True (drop_dense only) TRANSFERS OWNERSHIP of the dense FFN
+    arrays: they are donated to the layout jit and popped from the caller's
+    layers dict, so each dense buffer is reused in place for its same-sized
+    row block instead of coexisting with it. Converting all three tensors
+    before dropping the dense copies doubles FFN HBM transiently (22 GB at
+    7B > 16 GB chip); donation removes that peak. Only pass donate=True when
+    no other live reference to the dense arrays exists (the serving
+    Scheduler, which replaces model.params wholesale)."""
     out = dict(params)
+    if drop_dense and donate:
+        import gc
+
+        import jax
+
+        G = scfg.group_size
+        F, E = cfg.n_ff, cfg.n_embd
+        ng = scfg.n_groups(F)
+
+        @partial(jax.jit, donate_argnums=0)
+        def rows_col(w):  # (..., E, F) -> (..., ng, G, E)
+            wt = jnp.swapaxes(w, -1, -2)
+            return wt.reshape(wt.shape[:-2] + (ng, G, E))
+
+        @partial(jax.jit, donate_argnums=0)
+        def rows_row(w):  # (..., F, E) -> (..., ng, G, E)
+            return w.reshape(w.shape[:-2] + (ng, G, E))
+
+        layers = params["layers"]
+        layers["w_up_rows"] = rows_col(layers.pop("w_up"))
+        gc.collect()
+        if "w_gate" in layers:
+            layers["w_gate_rows"] = rows_col(layers.pop("w_gate"))
+            gc.collect()
+        layers["w_down_rows"] = rows_row(layers.pop("w_down"))
+        gc.collect()
+        out["layers"] = layers
+        return out
     layers = sparse_layout(params["layers"], cfg, scfg)
     if drop_dense:
         for k in ("w_up", "w_gate", "w_down"):
