@@ -183,9 +183,17 @@ def run_preset(preset: str) -> list[dict]:
                                                  path.cache, path.fs)
             lgc = np.asarray(lgc)[0]
             misses.append(float(np.asarray(path.fs.miss).sum()) - miss0)
-            # between-chunk rebalance, as on chip
+            # between-chunk rebalance, as on chip (TieredPath.run_chunk:
+            # fetch mode passes + consumes the per-group miss counts so
+            # missed groups are demand-entered, not just DFR-promoted)
+            mg = (np.asarray(path.fs.miss_g)
+                  if path.fs.miss_g is not None else None)
             path.tp = path.balancer.rebalance(path.tp,
-                                              np.asarray(path.fs.dfr))
+                                              np.asarray(path.fs.dfr),
+                                              miss_g=mg)
+            if mg is not None:
+                path.fs = path.fs._replace(
+                    miss_g=jnp.zeros_like(path.fs.miss_g))
             lp2, flat2 = path._tlp(path._layers, path.tp)
             path.params["layers"] = lp2
             path.params["sparse_flat"] = {**flat2, **path._extra_flat}

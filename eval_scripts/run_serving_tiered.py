@@ -64,9 +64,14 @@ def main():
     scfg = SparseConfig(group_size=gs, capacity_groups=min(cap, ngg),
                         hot_groups=H)
     model = types.SimpleNamespace(config=cfg, params=params, vocab=None)
+    # >=7B: rows + hot store exceed 16 GB HBM — free the rows and run
+    # prefill through the tiered path too (prefill_mode="tiered")
+    pf_default = "tiered" if preset in ("7b", "13b") else "rows"
     sched = Scheduler(model, n_slots=n_slots, max_seq=32 + n_new + 8,
                       sampler=SamplerConfig(temp=0.0),
                       sparse=scfg, sparse_cold_mode="fetch",
+                      prefill_mode=os.environ.get("SPIF_SERVE_PREFILL",
+                                                  pf_default),
                       rebalance_every=int(os.environ.get(
                           "SPIF_SERVE_REBALANCE", "4")))
     print(f"# scheduler ready {time.time()-t0:.0f}s", file=sys.stderr,

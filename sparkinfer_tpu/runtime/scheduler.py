@@ -108,9 +108,11 @@ class Scheduler:
         sparse_batch_max: int = 4,
         slot_similarity: float = 0.0,  # -sps: prefix-similarity slot routing
         sparse_cold_mode: str = "host",  # "host" | "drop" | "fetch"
+        prefill_mode: str = "rows",  # "rows" | "tiered" (tiered serving)
     ):
         self.slot_similarity = float(slot_similarity)
         self.sparse_cold_mode = sparse_cold_mode
+        self.prefill_mode = "rows"
         from ..models.transformer import make_forward
 
         self.tokenizer = tokenizer
@@ -163,13 +165,33 @@ class Scheduler:
                 )
 
                 layers = self.model.params["layers"]
-                self._full_layers = layers
-                self._tp, self._fstate = init_tiered(
-                    self.cfg, sparse, layers, sparse.hot_groups,
-                    track_miss_groups=(sparse_cold_mode == "fetch"),
-                )
+                # D2H snapshot of the cold store FIRST, before the hot
+                # store exists — at 7B, rows + hot gather + D2H staging
+                # did not fit 16 GB HBM
                 cold_np = {k: np.asarray(v) for k, v in layers.items()
                            if k.endswith("_rows") or k == "b_up"}
+                if prefill_mode == "tiered":
+                    # memory-critical regime: free the HBM rows entirely
+                    # and prefill through the tiered path too; the hot
+                    # store is gathered HOST-side and only its blocks are
+                    # uploaded (the reference keeps only the first m rows
+                    # on device, src/llama-sparkinfer.cpp:354-359)
+                    import gc
+
+                    for k in [k for k in layers if k.endswith("_rows")]:
+                        del layers[k]
+                    gc.collect()
+                    src_layers = cold_np
+                elif prefill_mode == "rows":
+                    src_layers = layers
+                else:
+                    raise ValueError(f"unknown prefill_mode {prefill_mode!r}")
+                self.prefill_mode = prefill_mode
+                self._full_layers = layers
+                self._tp, self._fstate = init_tiered(
+                    self.cfg, sparse, src_layers, sparse.hot_groups,
+                    track_miss_groups=(sparse_cold_mode == "fetch"),
+                )
                 self._cold = ColdStore(self.cfg, sparse, cold_np)
                 self.balancer = Balancer(cold=self._cold, scfg=sparse)
                 # "host" = exact complement via pure_callback (CPU/dev);
@@ -215,6 +237,8 @@ class Scheduler:
         self._thread: threading.Thread | None = None
 
         self._jit_prefill = jax.jit(self._prefill_impl)
+        self._jit_prefill_tiered = (jax.jit(self._prefill_tiered_impl)
+                                    if self.tiered else None)
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=(3,))
         # Batched-serving crossover (bench.py batch, BENCH_NOTES serving
         # table): per-token sparse decode wins up to ~4 concurrent slots;
@@ -253,6 +277,18 @@ class Scheduler:
         last = logits[jnp.arange(tokens.shape[0]), last_idx]
         tok, sstate1 = jax.vmap(self.sample)(last, sstate1, dp1)
         return tok, cache1, sstate1, last
+
+    def _prefill_tiered_impl(self, params, tokens, positions, cache1,
+                             last_idx, sstate1, dp1, fstate):
+        """prefill_mode="tiered": the prompt runs through the SAME
+        stateful tiered forward as decode (hot store + drop/fetch tier) —
+        prompt tokens warm the DFR and, in fetch mode, demand-enter their
+        missed groups at the next rebalance."""
+        logits, cache1, fstate = self.fwd_decode(params, tokens, positions,
+                                                 cache1, fstate)
+        last = logits[jnp.arange(tokens.shape[0]), last_idx]
+        tok, sstate1 = jax.vmap(self.sample)(last, sstate1, dp1)
+        return tok, cache1, sstate1, last, fstate
 
     def _decode_impl(self, params, tokens, positions, cache, sstate, active, dp,
                      fstate=None, lmask=None, dense=False):
@@ -372,15 +408,28 @@ class Scheduler:
         dp1 = jax.tree.map(
             lambda a: a[None], dynamic_params(req.sampler or self.sampler_cfg)
         )
-        tok, cache1, st1, last_logits = self._jit_prefill(
-            self.model.params,
-            jnp.asarray(toks),
-            jnp.asarray(pos),
-            cache1,
-            jnp.asarray([n - 1], jnp.int32),
-            st1,
-            dp1,
-        )
+        if self.tiered and self.prefill_mode == "tiered":
+            tok, cache1, st1, last_logits, self._fstate = (
+                self._jit_prefill_tiered(
+                    self._decode_params,
+                    jnp.asarray(toks),
+                    jnp.asarray(pos),
+                    cache1,
+                    jnp.asarray([n - 1], jnp.int32),
+                    st1,
+                    dp1,
+                    self._fstate,
+                ))
+        else:
+            tok, cache1, st1, last_logits = self._jit_prefill(
+                self.model.params,
+                jnp.asarray(toks),
+                jnp.asarray(pos),
+                cache1,
+                jnp.asarray([n - 1], jnp.int32),
+                st1,
+                dp1,
+            )
         # scatter into the shared slot cache / sampler state
         self.cache = scatter_slot(self.cache, cache1, s_i)
         self.sstate = jax.tree.map(

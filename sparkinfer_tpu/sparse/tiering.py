@@ -201,6 +201,17 @@ def init_tiered(
     G = scfg.group_size
 
     def gather(w, transpose):  # (L, ng, G, E) -> flat (L*H, …)
+        if isinstance(w, np.ndarray):
+            # HOST-side gather + upload of ONLY the hot blocks — the
+            # memory-critical init path (Scheduler prefill_mode="tiered"):
+            # the full rows never touch HBM, mirroring the reference's
+            # first-m-rows-only GPU upload (src/llama-sparkinfer.cpp:354-359)
+            sel = np.take_along_axis(
+                w, np.asarray(init_hot)[:, :, None, None], axis=1)
+            if transpose:
+                sel = np.swapaxes(sel, -1, -2)
+            return jnp.asarray(
+                np.ascontiguousarray(sel.reshape((L * H,) + sel.shape[2:])))
         sel = jnp.take_along_axis(w, ids[:, :, None, None], axis=1)
         if transpose:
             sel = jnp.swapaxes(sel, -1, -2)  # (L, H, E, G)

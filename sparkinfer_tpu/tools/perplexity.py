@@ -68,6 +68,7 @@ def compute_ppl(
     stride: int | None = None,
     progress=None,
     save_logits: str | None = None,
+    fwd=None,
 ) -> dict:
     """PPL over a token stream; optionally persist the scored full-vocab
     log-probs (f16 npz) as the base for a later KL-divergence run."""
@@ -78,7 +79,7 @@ def compute_ppl(
     count = 0
     saved = []
     for targets, logp in iter_window_logps(model, token_ids, ctx, skip, stride,
-                                           ffn_fn):
+                                           ffn_fn, fwd=fwd):
         tok_logp = np.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
         nll += float(-tok_logp.sum())
         count += len(targets)
@@ -97,7 +98,7 @@ def compute_ppl(
 
 
 def compute_kl(model, token_ids: np.ndarray, base_path: str, ffn_fn=None,
-               progress=None) -> dict:
+               progress=None, fwd=None) -> dict:
     """KL(base || model) per scored token vs a --save-logits base run, plus
     top-token agreement (ref: kl_divergence_result, perplexity.cpp:173).
     Also returns this run's PPL so one pass gives both numbers."""
@@ -112,7 +113,7 @@ def compute_kl(model, token_ids: np.ndarray, base_path: str, ffn_fn=None,
     count = 0
     off = 0
     for targets, logp in iter_window_logps(model, token_ids, ctx, skip, stride,
-                                           ffn_fn):
+                                           ffn_fn, fwd=fwd):
         nsc = logp.shape[0]
         b = base_logp[off : off + nsc]
         off += nsc
@@ -223,7 +224,12 @@ def main(argv=None) -> int:
     ap.add_argument("--hot-groups", type=int, default=0,
                     help="evaluate the TIERED path with this fixed hot-set "
                          "size (quality cost of drop/host cold handling)")
-    ap.add_argument("--cold-mode", default="drop", choices=["drop", "host"])
+    ap.add_argument("--cold-mode", default="drop",
+                    choices=["drop", "host", "fetch"])
+    ap.add_argument("--store-quant", default=None, choices=["q8_0"],
+                    help="pack the tiered hot store Q8_0 (headline config)")
+    ap.add_argument("--rebalance-every", type=int, default=1,
+                    help="fetch tier: rebalance every N windows")
     ap.add_argument("--split", help="offline split file (hot-first reorder)")
     ap.add_argument("--save-logits", help="write full-vocab logp base (npz)")
     ap.add_argument("--kl-divergence", metavar="BASE_NPZ",
@@ -243,6 +249,7 @@ def main(argv=None) -> int:
     tk = build_tokenizer(model.vocab)
 
     ffn_fn = None
+    fwd_override = None
     if args.hot_groups and model.config.has_predictors:
         # tiered quality eval: fixed hot set (first-H groups — combined
         # with a --split reorder that means "the profiled-hottest")
@@ -267,18 +274,62 @@ def main(argv=None) -> int:
             model.params = apply_reorder(model.params, cfg,
                                          read_split(args.split).perms)
         layers = sparse_layout(model.params["layers"], cfg, scfg)
-        tp, _ = init_tiered(cfg, scfg, layers, args.hot_groups)
+        tp, fs = init_tiered(cfg, scfg, layers, args.hot_groups,
+                             quant=args.store_quant,
+                             track_miss_groups=args.cold_mode == "fetch")
         cold = None
-        if args.cold_mode == "host":
+        if args.cold_mode in ("host", "fetch"):
             cold = ColdStore(cfg, scfg,
                              {k: np.asarray(v) for k, v in layers.items()
                               if k.endswith("_rows") or k == "b_up"})
         plat = jax.devices()[0].platform
-        ffn_fn = make_tiered_ffn(cfg, scfg, cold, mode=args.cold_mode,
-                                 kernel="pallas" if plat == "tpu" else "gather",
-                                 stateless=True)
-        (model.params["layers"],
-         model.params["sparse_flat"]) = tiered_layer_params(layers, tp)
+        kern = "pallas" if plat == "tpu" else "gather"
+        if args.cold_mode == "fetch":
+            # the HEADLINE tier: stateful DFR + per-group miss counts,
+            # balancer demand-fetching missed groups between windows
+            # (runtime/scheduler.py rebalance loop; ref reload-exec,
+            # ggml-cuda.cu:2520-2604). PPL here includes the convergence
+            # transient — score a long-enough -f corpus (or use
+            # --rebalance-every to densify rebalances) to see the
+            # steady state the serving path reaches.
+            import jax.numpy as jnp
+
+            from ..models.transformer import make_forward
+            from ..sparse.balancer import Balancer
+
+            ffn_st = make_tiered_ffn(cfg, scfg, cold, mode="fetch",
+                                     kernel=kern)
+            fwd_st = jax.jit(make_forward(cfg, ffn_fn=ffn_st,
+                                          stateful_ffn=True))
+            bal = Balancer(cold=cold, scfg=scfg)
+            state = {"tp": tp, "fs": fs, "win": 0}
+            (model.params["layers"],
+             model.params["sparse_flat"]) = tiered_layer_params(layers, tp)
+
+            def fwd_fetch(params, toks, pos, cache):
+                logits, cache2, fs2 = fwd_st(params, toks, pos, cache,
+                                             state["fs"])
+                state["fs"] = fs2
+                state["win"] += 1
+                if state["win"] % max(args.rebalance_every, 1) == 0:
+                    mg = (np.asarray(fs2.miss_g)
+                          if fs2.miss_g is not None else None)
+                    state["tp"] = bal.rebalance(
+                        state["tp"], np.asarray(fs2.dfr), miss_g=mg)
+                    if mg is not None:
+                        state["fs"] = fs2._replace(
+                            miss_g=jnp.zeros_like(fs2.miss_g))
+                    lp2, flat2 = tiered_layer_params(layers, state["tp"])
+                    model.params["layers"] = lp2
+                    model.params["sparse_flat"] = flat2
+                return logits, cache2
+
+            fwd_override = fwd_fetch
+        else:
+            ffn_fn = make_tiered_ffn(cfg, scfg, cold, mode=args.cold_mode,
+                                     kernel=kern, stateless=True)
+            (model.params["layers"],
+             model.params["sparse_flat"]) = tiered_layer_params(layers, tp)
     elif args.sparse and model.config.has_predictors:
         from ..sparse.config import SparseConfig
         from ..sparse.ffn import make_sparse_ffn, prepare_sparse_params
@@ -292,6 +343,11 @@ def main(argv=None) -> int:
         print(f"[{done}/{total}] {metric:.4f}", file=sys.stderr)
 
     out = {}
+    if fwd_override is not None and (args.hellaswag or args.winogrande
+                                     or args.mmlu):
+        ap.error("--cold-mode fetch supports -f corpus modes only "
+                 "(multiple-choice scoring reuses contexts; the stateful "
+                 "fetch tier would leak state across choices)")
     if args.hellaswag:
         tasks = json.load(open(args.hellaswag))
         out["hellaswag"] = hellaswag_score(model, tk, tasks, ffn_fn=ffn_fn,
@@ -325,11 +381,13 @@ def main(argv=None) -> int:
         print(f"{len(ids)} tokens", file=sys.stderr)
         if args.kl_divergence:
             out["kl"] = compute_kl(model, ids, args.kl_divergence,
-                                   ffn_fn=ffn_fn, progress=progress)
+                                   ffn_fn=ffn_fn, progress=progress,
+                                   fwd=fwd_override)
         else:
             out.update(compute_ppl(model, ids, ctx=args.ctx_size,
                                    ffn_fn=ffn_fn, progress=progress,
-                                   save_logits=args.save_logits))
+                                   save_logits=args.save_logits,
+                                   fwd=fwd_override))
     if not out:
         ap.error("nothing to do: pass -f and/or --hellaswag/--winogrande")
     print(json.dumps(out))

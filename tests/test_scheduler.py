@@ -379,3 +379,46 @@ def test_pipelined_readback_matches_sync(tmp_path, monkeypatch):
         return [r.tokens() for r in reqs]
 
     assert run(True) == run(False)
+
+
+def test_tiered_prefill_mode(tmp_path):
+    """prefill_mode="tiered" (memory-critical >=7B serving): the HBM row
+    layout is freed at init — the hot store is gathered host-side — and
+    prefill runs through the stateful tiered forward. Outputs stay
+    deterministic, and with ALL groups hot they match prefill_mode="rows"
+    exactly (no cold groups => both prefills compute the same function)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from model_fixtures import make_tiny_llama as mk
+    from sparkinfer_tpu.models.loader import load_model as lm
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    p = tmp_path / "tierpf.gguf"
+    mk(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+
+    def run(pf_mode, hot):
+        m = lm(str(p), dtype=jnp.float32)
+        tiered = SparseConfig(group_size=16, capacity_groups=6,
+                              hot_groups=hot)
+        sched = Scheduler(m, n_slots=2, max_seq=64,
+                          sampler=SamplerConfig(temp=0.0),
+                          kv_dtype=jnp.float32, sparse=tiered,
+                          sparse_cold_mode="fetch", rebalance_every=2,
+                          prefill_mode=pf_mode)
+        reqs = [sched.submit(Request(prompt_tokens=[7 + i, 30, 99 - i],
+                                     max_new_tokens=6)) for i in range(3)]
+        sched.run_until_idle()
+        return [r.tokens() for r in reqs], sched
+
+    # all-hot: tiered prefill == rows prefill (same math, no cold groups)
+    outs_rows, _ = run("rows", 6)
+    outs_tier, sched = run("tiered", 6)
+    assert outs_rows == outs_tier
+    assert not any(k.endswith("_rows") for k in sched._full_layers)
+
+    # small hot set: runs end-to-end, deterministic, rows still freed
+    outs1, sched1 = run("tiered", 2)
+    outs2, _ = run("tiered", 2)
+    assert outs1 == outs2
+    assert all(len(o) == 6 for o in outs1)
+    assert not any(k.endswith("_rows") for k in sched1._full_layers)

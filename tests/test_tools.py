@@ -235,3 +235,64 @@ def test_perplexity_cli_quality_modes(model_path, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["kl"]["top1_agreement"] == 1.0
     assert "hellaswag" in out
+
+
+def test_perplexity_cli_tiered_fetch(tmp_path, capsys):
+    """--cold-mode fetch (the headline tier) through the product tool:
+    all-hot fetch must reproduce the exact sparse logits (KL ~ 0), and at
+    a small hot set the balancer's demand-fetching must not do worse than
+    drop mode on the same corpus."""
+    from sparkinfer_tpu.tools.perplexity import main as ppl_main
+
+    p = tmp_path / "ps.gguf"
+    make_tiny_llama(p, arch="prosparse_llama", pred_rank=8, n_ff=96,
+                    n_vocab=300, with_vocab=True)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("hello world the hello world hello the world " * 20)
+    base = tmp_path / "sparse_base.npz"
+    rc = ppl_main(["-m", str(p), "-f", str(corpus), "-c", "32", "--sparse",
+                   "--group-size", "16", "--capacity-groups", "6",
+                   "--save-logits", str(base)])
+    assert rc == 0
+    capsys.readouterr()
+
+    # all-hot fetch == exact sparse (no cold groups to miss)
+    rc = ppl_main(["-m", str(p), "-f", str(corpus), "-c", "32",
+                   "--group-size", "16", "--capacity-groups", "6",
+                   "--hot-groups", "6", "--cold-mode", "fetch",
+                   "--kl-divergence", str(base)])
+    assert rc == 0
+    allhot = json.loads(capsys.readouterr().out)["kl"]
+    assert allhot["kl_mean"] < 1e-4
+    assert allhot["top1_agreement"] == 1.0
+
+    def run(mode):
+        rc = ppl_main(["-m", str(p), "-f", str(corpus), "-c", "32",
+                       "--group-size", "16", "--capacity-groups", "6",
+                       "--hot-groups", "2", "--cold-mode", mode,
+                       "--kl-divergence", str(base)])
+        assert rc == 0
+        return json.loads(capsys.readouterr().out)["kl"]
+
+    drop, fetch = run("drop"), run("fetch")
+    assert np.isfinite(fetch["ppl"]) and np.isfinite(drop["ppl"])
+    # demand-fetching misses converges toward exact; drop never recovers
+    # the cold-active contributions it throws away
+    assert fetch["kl_mean"] <= drop["kl_mean"] + 1e-6
+
+
+def test_perplexity_cli_fetch_rejects_mc(tmp_path):
+    """fetch tier is corpus-only: multiple-choice scoring would leak
+    stateful hot-set churn across reused contexts."""
+    from sparkinfer_tpu.tools.perplexity import main as ppl_main
+
+    p = tmp_path / "ps2.gguf"
+    make_tiny_llama(p, arch="prosparse_llama", pred_rank=8, n_ff=96,
+                    n_vocab=300, with_vocab=True)
+    tasks = tmp_path / "hs.json"
+    tasks.write_text(json.dumps(
+        [{"context": "hello", "endings": ["world", "the"], "label": 0}]))
+    with pytest.raises(SystemExit):
+        ppl_main(["-m", str(p), "--hellaswag", str(tasks),
+                  "--group-size", "16", "--capacity-groups", "6",
+                  "--hot-groups", "2", "--cold-mode", "fetch"])
