@@ -146,14 +146,51 @@ class Scheduler:
                 self.model.params = apply_reorder(
                     self.model.params, self.cfg, split.perms
                 )
-            # tiered serving is the memory-critical regime: keep ONLY the
-            # row layout (masked-dense prefill computes from rows; the
-            # dense copy would double FFN HBM — 7B serving did not fit);
-            # donate=True reuses each dense buffer in place so the
-            # conversion itself has no transient 2x peak
-            self.model.params = prepare_sparse_params(
-                self.model.params, self.cfg, sparse,
-                drop_dense=self.tiered, donate=self.tiered)
+            if self.tiered and prefill_mode == "tiered":
+                # memory-critical regime (>=7B on a 16 GB chip): the FFN
+                # NEVER takes row form in HBM. Each dense tensor is read
+                # back layer-by-layer (a full-tensor D2H stages ~3 GB of
+                # device scratch; a layer slice ~100 MB), converted to the
+                # neuron-row layout host-side, and its device copy freed
+                # before the next tensor moves — then only the hot blocks
+                # are uploaded, mirroring the reference's first-m-rows-only
+                # GPU cache (src/llama-sparkinfer.cpp:354-359). Device-side
+                # conversion (even with donated buffers) double-buffers
+                # each tensor during the transpose and OOMed at 7B.
+                import gc
+
+                G = sparse.group_size
+                F, E = self.cfg.n_ff, self.cfg.n_embd
+                ngr = sparse.n_groups(F)
+                lay = self.model.params["layers"]
+                self._cold_np = {}
+                for kd, kr, colmajor in (("w_up", "w_up_rows", True),
+                                         ("w_gate", "w_gate_rows", True),
+                                         ("w_down", "w_down_rows", False)):
+                    if kd not in lay:
+                        continue
+                    w = lay.pop(kd)
+                    L = w.shape[0]
+                    host = None
+                    for li in range(L):
+                        a = np.asarray(w[li])  # (E,F) col / (F,E) row
+                        if colmajor:
+                            a = np.ascontiguousarray(a.T)
+                        if host is None:
+                            host = np.empty((L, ngr, G, E), a.dtype)
+                        host[li] = a.reshape(ngr, G, E)
+                    del w
+                    gc.collect()
+                    self._cold_np[kr] = host
+                if "b_up" in lay:
+                    self._cold_np["b_up"] = np.asarray(lay["b_up"])
+            else:
+                # row layout on device; drop_dense frees the dense copy
+                # (donate=True reuses each dense buffer in place so the
+                # conversion itself has no transient 2x peak)
+                self.model.params = prepare_sparse_params(
+                    self.model.params, self.cfg, sparse,
+                    drop_dense=self.tiered, donate=self.tiered)
             self.fwd = make_forward(self.cfg, ffn_fn=make_sparse_ffn(self.cfg, sparse, mode="dense"))
             if self.tiered:
                 from ..sparse.balancer import Balancer
@@ -165,24 +202,12 @@ class Scheduler:
                 )
 
                 layers = self.model.params["layers"]
-                # D2H snapshot of the cold store FIRST, before the hot
-                # store exists — at 7B, rows + hot gather + D2H staging
-                # did not fit 16 GB HBM
-                cold_np = {k: np.asarray(v) for k, v in layers.items()
-                           if k.endswith("_rows") or k == "b_up"}
                 if prefill_mode == "tiered":
-                    # memory-critical regime: free the HBM rows entirely
-                    # and prefill through the tiered path too; the hot
-                    # store is gathered HOST-side and only its blocks are
-                    # uploaded (the reference keeps only the first m rows
-                    # on device, src/llama-sparkinfer.cpp:354-359)
-                    import gc
-
-                    for k in [k for k in layers if k.endswith("_rows")]:
-                        del layers[k]
-                    gc.collect()
+                    cold_np = self._cold_np
                     src_layers = cold_np
                 elif prefill_mode == "rows":
+                    cold_np = {k: np.asarray(v) for k, v in layers.items()
+                               if k.endswith("_rows") or k == "b_up"}
                     src_layers = layers
                 else:
                     raise ValueError(f"unknown prefill_mode {prefill_mode!r}")
