@@ -212,6 +212,13 @@ OPTIONS: list[Opt] = [
        help="cold-neuron handling: host C++ complement (exact), drop, or "
             "fetch (missed groups demand-enter the hot set each rebalance "
             "— the chip-deployable near-exact tier)"),
+    _o("--prefill-mode", scopes=CS, choices=["rows", "tiered"],
+       default="rows",
+       help="tiered serving prefill: 'rows' keeps the full FFN row layout "
+            "in HBM for exact masked-dense prefill; 'tiered' frees it and "
+            "prefills through the hot store + cold tier (the memory-"
+            "critical >=7B-on-16GB regime — only the hot blocks ever "
+            "touch HBM, ref src/llama-sparkinfer.cpp:354-359)"),
     _o("--sparse", scopes=CS, action="store_true",
        help="force sparse FFN path (auto when predictors present)"),
     _o("--dense", scopes=CS, action="store_true", help="force dense FFN path"),

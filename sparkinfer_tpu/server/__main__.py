@@ -81,6 +81,7 @@ def main(argv=None) -> int:
             extra_models=extra_models,
             sparse=sparse,
             sparse_cold_mode=args.cold_mode,
+            prefill_mode=getattr(args, "prefill_mode", "rows"),
             split=args.split,
             rebalance_every=args.rebalance_every,
         ),

@@ -68,6 +68,7 @@ class ServerConfig:
     # SparkInfer sparse serving (predictor-gated; tiered when hot_groups>0)
     sparse: object | None = None  # SparseConfig
     sparse_cold_mode: str = "host"  # --cold-mode: host | drop | fetch
+    prefill_mode: str = "rows"  # --prefill-mode: rows | tiered
     split: object | None = None  # ModelSplit | path (offline profile)
     rebalance_every: int = 1
 
@@ -97,6 +98,7 @@ class SparkServer:
             tokenizer=self.tokenizer,
             sparse=self.cfg.sparse,
             sparse_cold_mode=self.cfg.sparse_cold_mode,
+            prefill_mode=self.cfg.prefill_mode,
             split=self.cfg.split,
             rebalance_every=self.cfg.rebalance_every,
         )
