@@ -62,7 +62,9 @@ def main():
     cap = max(4, (int(ngg * 0.25) + 3) // 4 * 4)
     H = max(1, int(ngg * 0.25))
     scfg = SparseConfig(group_size=gs, capacity_groups=min(cap, ngg),
-                        hot_groups=H)
+                        hot_groups=H,
+                        reload_budget_mb=float(os.environ.get(
+                            "SPIF_RELOAD_BUDGET_MB", "0")))
     model = types.SimpleNamespace(config=cfg, params=params, vocab=None)
     # >=7B: rows + hot store exceed 16 GB HBM — free the rows and run
     # prefill through the tiered path too (prefill_mode="tiered")

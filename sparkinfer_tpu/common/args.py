@@ -224,6 +224,11 @@ OPTIONS: list[Opt] = [
     _o("--dense", scopes=CS, action="store_true", help="force dense FFN path"),
     _o("--rebalance-every", scopes=CS, type=int, default=1,
        help="steps between tiered hot-set rebalances"),
+    _o("--reload-budget-mb", scopes=CS, type=float, default=0.0,
+       env="SPIF_RELOAD_BUDGET_MB",
+       help="per-rebalance H2D upload budget in MiB (0 = unlimited); "
+            "bounds serving tick-latency tails (byte-aware form of the "
+            "ref SPIF_RELOAD_WINDOW_SIZE copy cap)"),
     _o("--moe-mode", scopes=CLI, choices=["dense", "pallas"], default="dense",
        help="MoE expert FFN path (pallas = fused row streaming)"),
 

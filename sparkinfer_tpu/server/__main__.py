@@ -48,7 +48,9 @@ def main(argv=None) -> int:
                                            args.group_size)
         sparse = SparseConfig(group_size=args.group_size,
                               capacity_groups=args.capacity_groups,
-                              hot_groups=hot)
+                              hot_groups=hot,
+                              reload_budget_mb=getattr(
+                                  args, "reload_budget_mb", 0.0))
 
     extra_models = None
     if args.models:

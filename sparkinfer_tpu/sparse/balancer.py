@@ -123,6 +123,24 @@ class Balancer:
         gmap = np.array(tp.group_map)  # (L, ng) mutable copy
         L, H = hot_ids.shape  # H also strides the flat (L*H, ...) stores
 
+        # per-rebalance UPLOAD BYTE budget (scfg.reload_budget_mb): clamp
+        # the per-layer window so window*L swaps fit the budget — bounds
+        # the serving tick-latency tail when the adaptive window grows
+        # into multi-GB uploads at 7B+ shapes
+        window = self.window
+        if self.scfg.reload_budget_mb > 0:
+            per_swap = tp.hot_upT.nbytes + tp.hot_down.nbytes
+            if tp.hot_gateT is not None:
+                per_swap += tp.hot_gateT.nbytes
+            if tp.quantized:
+                per_swap += tp.s_upT.nbytes + tp.s_down.nbytes
+                if tp.s_gateT is not None:
+                    per_swap += tp.s_gateT.nbytes
+            per_swap //= L * H  # bytes per (layer, slot) block swap
+            cap = int(self.scfg.reload_budget_mb * 2**20) // max(
+                per_swap * L, 1)
+            window = max(self.min_window, min(window, cap))
+
         score = dfr
         if miss_g is not None:
             bump = np.abs(dfr).max() + 1.0
@@ -131,7 +149,7 @@ class Balancer:
         for l in range(L):
             order = np.argsort(-score[l], kind="stable")
             desired = order[:H]
-            for slot, g in reload_plan(hot_ids[l], desired, self.window):
+            for slot, g in reload_plan(hot_ids[l], desired, window):
                 swaps.append((l, slot, g))
 
         if not swaps:

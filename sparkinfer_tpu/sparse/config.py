@@ -39,6 +39,12 @@ class SparseConfig:
     hot_groups: int = 0
     # window of group copies per reload step (ref: SPIF_RELOAD_WINDOW_SIZE=4)
     reload_window: int = 4
+    # hard per-rebalance upload budget in MiB (0 = unlimited). Bounds the
+    # serving tick-latency tail: the adaptive window can otherwise grow
+    # into multi-GB rebalance uploads at 7B+ shapes — the byte-aware
+    # generalization of the reference's per-window copy cap
+    # (SPIF_RELOAD_WINDOW_SIZE, ggml-cuda.cu:2556-2604)
+    reload_budget_mb: float = 0.0
 
     @classmethod
     def from_env(cls, **overrides) -> "SparseConfig":
@@ -61,6 +67,7 @@ class SparseConfig:
             dfr_ema=bool(int(get("SPIF_DFR_EMA", str, "1"))),
             hot_groups=get("SPIF_HOT_GROUPS", int, 0),
             reload_window=get("SPIF_RELOAD_WINDOW_SIZE", int, 4),
+            reload_budget_mb=get("SPIF_RELOAD_BUDGET_MB", float, 0.0),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -69,6 +69,7 @@ def make_engine(args, model):
             group_size=gs,
             capacity_groups=args.capacity_groups,
             hot_groups=hot,
+            reload_budget_mb=getattr(args, "reload_budget_mb", 0.0),
         )
     eng = Engine(
         model,

@@ -374,3 +374,36 @@ def test_fetch_tier_turns_misses_into_hits(sp):
     cache = init_cache(cfg, 1, 16, jnp.float32)
     logits, _, _ = fwd(params, toks, pos, cache, st2)
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_reload_budget_caps_swaps(sp):
+    """reload_budget_mb bounds the per-rebalance upload: with a budget of
+    ~L block-swaps the balancer applies at most 1 swap per layer even
+    though its adaptive window is large."""
+    import dataclasses
+
+    model, _, scfg0 = sp
+    cfg = model.config
+    ng = cfg.n_ff // G
+    # bytes of one (layer, slot) block swap: up+gate+down f32 rows
+    per_swap = 3 * G * cfg.n_embd * 4
+    budget_mb = (per_swap * cfg.n_layer) / 2**20  # exactly 1 swap/layer
+    scfg = dataclasses.replace(scfg0, reload_budget_mb=budget_mb)
+    bad_hot = np.tile(np.arange(ng - 2, ng, dtype=np.int32),
+                      (cfg.n_layer, 1))
+    fwd, params, tp, st, cold = _mk(model, scfg, 2, "drop",
+                                    init_hot=bad_hot)
+    bal = Balancer(cold=cold, scfg=scfg, window=8)
+    rng = np.random.default_rng(3)
+    cache = init_cache(cfg, 1, 8, jnp.float32)
+    tok = rng.integers(0, cfg.n_vocab, 1).astype(np.int32)
+    _, cache, st = fwd(params, jnp.asarray(tok)[None],
+                       jnp.zeros((1, 1), jnp.int32), cache, st)
+    swaps0 = bal.total_swaps
+    bal.rebalance(tp, np.asarray(st.dfr))  # donates tp's stores
+    assert bal.total_swaps - swaps0 <= cfg.n_layer  # 1 per layer max
+    # unbudgeted control on fresh state: the same DFR swaps MORE
+    _, _, tp2, _, _ = _mk(model, scfg0, 2, "drop", init_hot=bad_hot)
+    bal2 = Balancer(cold=cold, scfg=scfg0, window=8)
+    bal2.rebalance(tp2, np.asarray(st.dfr))
+    assert bal2.total_swaps > bal.total_swaps - swaps0
