@@ -194,6 +194,10 @@ def run_preset(preset: str) -> list[dict]:
             if mg is not None:
                 path.fs = path.fs._replace(
                     miss_g=jnp.zeros_like(path.fs.miss_g))
+            if c % 4 == 3:
+                print(f"# {preset}/{label}: chunk {c+1}/{N_CHUNKS} "
+                      f"miss={misses[-1]:.0f} t={time.time()-t0:.0f}s",
+                      file=sys.stderr, flush=True)
             lp2, flat2 = path._tlp(path._layers, path.tp)
             path.params["layers"] = lp2
             path.params["sparse_flat"] = {**flat2, **path._extra_flat}
