@@ -59,8 +59,12 @@ def main():
 
     gs = 128 if cfg.n_ff % 128 == 0 else 64
     ngg = cfg.n_ff // gs
-    cap = max(4, (int(ngg * 0.25) + 3) // 4 * 4)
     H = max(1, int(ngg * 0.25))
+    # capacity <= hot slots: with C > H, C-H selected groups per token can
+    # NEVER be resident — guaranteed steady-state misses and eviction
+    # thrash from the miss-priority bump (the bench's winning 13B config
+    # is c16@hot27 for the same reason)
+    cap = max(4, min((int(ngg * 0.25) + 3) // 4 * 4, (H // 4) * 4 or H))
     scfg = SparseConfig(group_size=gs, capacity_groups=min(cap, ngg),
                         hot_groups=H,
                         reload_budget_mb=float(os.environ.get(

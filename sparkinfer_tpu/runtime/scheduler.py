@@ -201,6 +201,19 @@ class Scheduler:
                     tiered_layer_params,
                 )
 
+                if (sparse_cold_mode == "fetch"
+                        and sparse.capacity(self.cfg.n_ff)
+                        > sparse.hot_groups):
+                    import sys
+
+                    print(
+                        f"warning: capacity_groups "
+                        f"({sparse.capacity(self.cfg.n_ff)}) > hot_groups "
+                        f"({sparse.hot_groups}) in fetch mode — the excess "
+                        f"selected groups can never all be resident, so "
+                        f"misses cannot converge to zero and the balancer "
+                        f"will churn; prefer capacity <= hot_groups",
+                        file=sys.stderr)
                 layers = self.model.params["layers"]
                 if prefill_mode == "tiered":
                     cold_np = self._cold_np
