@@ -102,12 +102,22 @@ def run_preset(preset: str) -> list[dict]:
                                                              mode="dense"))
         import jax
 
+        # CHUNKED exact pass (fixed 256-token shape, donated cache): one
+        # T=2048 executable at 13B OOMed the 125 GB host (the whole
+        # unrolled graph's weight converts + activations live at once);
+        # 8 reuses of a 256-token step keep the transient bounded
+        EC = 256
+        step = jax.jit(exact_fwd, donate_argnums=(3,))
         cache = init_cache(cfg, 1, T + 8, jnp.float32)
-        lg, _ = jax.jit(exact_fwd)(
-            params, jnp.asarray(toks)[None],
-            jnp.arange(T, dtype=jnp.int32)[None], cache)
-        exact = np.asarray(lg)[0]
-        del cache, lg
+        outs = []
+        for s in range(0, T, EC):
+            lg, cache = step(
+                params, jnp.asarray(toks[s:s + EC])[None],
+                jnp.arange(s, s + EC, dtype=jnp.int32)[None], cache)
+            outs.append(np.asarray(lg)[0])
+            del lg
+        exact = np.concatenate(outs)
+        del cache, outs
         np.save(exact_cache, exact)
         print(f"# {preset}: exact pass {time.time()-t0:.0f}s",
               file=sys.stderr, flush=True)
