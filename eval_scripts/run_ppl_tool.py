@@ -44,7 +44,11 @@ G = 64 if SMOKE else 128
 NG = F // G
 HOT = max(1, NG // 4)
 CTX = 64 if SMOKE else 256
-MAX_TOKENS = 600 if SMOKE else 16384
+# ~30-90 s per 256-token window on a contended 4-CPU host: the default
+# corpus is sized for ~1.5k scored tokens/config; SPIF_PPL_MAX_TOKENS
+# raises it when there is wall-clock to spare
+MAX_TOKENS = 600 if SMOKE else int(os.environ.get("SPIF_PPL_MAX_TOKENS",
+                                                  4096))
 
 
 def build_gguf(path: str) -> None:
