@@ -111,9 +111,12 @@ def run_preset(preset: str) -> list[dict]:
         cache = init_cache(cfg, 1, T + 8, jnp.float32)
         outs = []
         for s in range(0, T, EC):
+            # clamp the tail so T need not be a multiple of EC (the ragged
+            # last chunk costs one extra compile)
+            e = min(s + EC, T)
             lg, cache = step(
-                params, jnp.asarray(toks[s:s + EC])[None],
-                jnp.arange(s, s + EC, dtype=jnp.int32)[None], cache)
+                params, jnp.asarray(toks[s:e])[None],
+                jnp.arange(s, e, dtype=jnp.int32)[None], cache)
             outs.append(np.asarray(lg)[0])
             del lg
         exact = np.concatenate(outs)

@@ -5,9 +5,11 @@ Q8_0, Q2_K, Q3_K, Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS, IQ1_S, IQ1_M,
 IQ2_XXS, IQ2_XS, IQ2_S, IQ3_XXS, IQ3_S, TQ1_0, TQ2_0, MXFP4 (the full
 ggml-quants.c set).
 Encode coverage: F32/F16/BF16, Q4_0, Q4_1, Q5_0, Q5_1, Q8_0, Q2_K, Q3_K,
-Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS (K/IQ encoders are simple
-affine/nearest-grid, not the reference's weighted search — same wire
-layout, slightly higher RMSE).
+Q4_K, Q5_K, Q6_K, Q8_K, IQ4_NL, IQ4_XS. The Q4_K/Q5_K/Q6_K encoders run
+the reference's error-weighted scale search (make_qx_quants /
+make_qkx2_quants, ggml/src/ggml-quants.c) vectorized over all groups,
+and accept per-element importance weights (imatrix) like
+llama-quant.cpp; Q2_K/Q3_K/IQ4 encoders remain nearest-grid.
 
 The wire layouts match ggml's block structs (ref: ggml/src/ggml-common.h,
 dequant loops in ggml/src/ggml-quants.c) — these are format facts. The
@@ -233,6 +235,122 @@ def _pack_kscales(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# weighted scale search (ref: ggml/src/ggml-quants.c make_qx_quants /
+# make_qkx2_quants — the error-weighted codebook search the K-quant
+# encoders use; vectorized over all groups, looped over the ~20 scale
+# candidates so memory stays O(tensor), not O(tensor x candidates))
+
+
+def _wsearch_symmetric(
+    xs: np.ndarray, w: np.ndarray, nmax: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric weighted-LS scale search (make_qx_quants, rmse_type=1).
+
+    xs, w: (N, n) groups + per-element weights. Returns (scale (N,),
+    L (N, n) int32 in [-nmax, nmax-1]). scale is the weighted
+    least-squares optimum sum(w*x*l)/sum(w*l^2) for the best of 19
+    candidate rounding grids iscale_k = -(nmax + 0.1*k)/max, k=-9..9.
+    """
+    N, n = xs.shape
+    idx = np.argmax(np.abs(xs), axis=1)
+    maxv = np.take_along_axis(xs, idx[:, None], 1)[:, 0]
+    zero = np.abs(maxv) < 1e-30
+    safe_max = np.where(zero, 1.0, maxv)
+    best_scale = np.zeros(N, np.float64)
+    best_score = np.full(N, -1.0, np.float64)
+    best_L = np.zeros((N, n), np.int32)
+    wx = w * xs
+    for k in range(-9, 10):
+        iscale = -(nmax + 0.1 * k) / safe_max
+        L = np.clip(np.rint(iscale[:, None] * xs), -nmax, nmax - 1)
+        sumlx = (wx * L).sum(1, dtype=np.float64)
+        suml2 = (w * L * L).sum(1, dtype=np.float64)
+        s2 = np.where(suml2 > 0, suml2, 1.0)
+        score = np.where(suml2 > 0, sumlx * sumlx / s2, -1.0)
+        upd = score > best_score
+        best_score = np.where(upd, score, best_score)
+        best_scale = np.where(upd, sumlx / s2, best_scale)
+        best_L = np.where(upd[:, None], L.astype(np.int32), best_L)
+    best_scale = np.where(zero, 0.0, best_scale)
+    return best_scale.astype(np.float32), best_L
+
+
+def _wsearch_affine(
+    xs: np.ndarray, w: np.ndarray, nmax: int,
+    rmin: float = -1.0, rdelta: float = 0.1, nstep: int = 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Affine weighted search (make_qkx2_quants): for each group find
+    (scale, min) minimizing sum(w * (scale*l - min_eff - x)^2) over
+    nstep+1 candidate rounding grids, solving the 2-var weighted
+    regression in closed form per candidate.
+
+    Returns (scale (N,), the_min (N,)) with the_min = -min >= 0 (the
+    stored non-negative min convention of block_q4_K/q5_K).
+    """
+    N, n = xs.shape
+    mn = np.minimum(xs.min(1), 0.0)
+    mx = xs.max(1)
+    degen = mx <= mn
+    rng = np.where(degen, 1.0, mx - mn)
+    sw = w.sum(1, dtype=np.float64)
+    swx = (w * xs).sum(1, dtype=np.float64)
+    # init grid: iscale = nmax/(max-min), plain affine
+    L0 = np.clip(np.rint((nmax / rng)[:, None] * (xs - mn[:, None])), 0, nmax)
+    scale0 = rng / nmax
+    diff0 = scale0[:, None] * L0 + mn[:, None] - xs
+    best_err = (w * diff0 * diff0).sum(1, dtype=np.float64)
+    best_scale = scale0.astype(np.float64)
+    best_min = mn.astype(np.float64)
+    for step in range(nstep + 1):
+        iscale = (rmin + rdelta * step + nmax) / rng
+        L = np.clip(np.rint(iscale[:, None] * (xs - mn[:, None])), 0, nmax)
+        sl = (w * L).sum(1, dtype=np.float64)
+        sl2 = (w * L * L).sum(1, dtype=np.float64)
+        sxl = (w * xs * L).sum(1, dtype=np.float64)
+        D = sw * sl2 - sl * sl
+        ok = D > 0
+        Ds = np.where(ok, D, 1.0)
+        sc = (sw * sxl - swx * sl) / Ds
+        m = (sl2 * swx - sl * sxl) / Ds
+        # a positive min is clamped to 0 and the scale re-solved 1-var
+        pos = m > 0
+        sl2s = np.where(sl2 > 0, sl2, 1.0)
+        sc = np.where(pos, np.where(sl2 > 0, sxl / sl2s, sc), sc)
+        m = np.where(pos, 0.0, m)
+        diff = sc[:, None] * L + m[:, None] - xs
+        err = (w * diff * diff).sum(1, dtype=np.float64)
+        upd = ok & (err < best_err)
+        best_err = np.where(upd, err, best_err)
+        best_scale = np.where(upd, sc, best_scale)
+        best_min = np.where(upd, m, best_min)
+    best_scale = np.where(degen, 0.0, best_scale)
+    best_min = np.where(degen, mn, best_min)
+    return best_scale.astype(np.float32), (-best_min).astype(np.float32)
+
+
+def _kquant_weights(
+    xs: np.ndarray, qw: np.ndarray | None, default: str
+) -> np.ndarray:
+    """Per-element search weights over (nb, groups, n) sub-blocks.
+
+    With an importance matrix (qw, same shape as xs): w = qw * sqrt(
+    sigma2 + x^2) with sigma2 = 2*mean(x^2) per 256-superblock — the
+    reference's imatrix weighting (llama-quant.cpp -> ggml-quants.c
+    quantize_row_*_impl). Without: "absx" -> av_x + |x| (Q4_K/Q5_K),
+    "x2" -> x^2 (Q6_K rmse_type=1).
+    """
+    nb = xs.shape[0]
+    flat = xs.reshape(nb, -1)
+    sigma2 = 2.0 * (flat * flat).mean(1)
+    if qw is not None:
+        w = qw * np.sqrt(sigma2[:, None, None] + xs * xs)
+        return w + 1e-12  # dead-channel guard: keep sums positive
+    if default == "absx":
+        return np.sqrt(sigma2)[:, None, None] + np.abs(xs)
+    return xs * xs + 1e-12
+
+
 def _dec_q4_k(blocks: np.ndarray) -> np.ndarray:
     d = _f16(blocks[:, 0:2].copy().view(np.uint16))
     dmin = _f16(blocks[:, 2:4].copy().view(np.uint16))
@@ -249,15 +367,21 @@ def _dec_q4_k(blocks: np.ndarray) -> np.ndarray:
     return (q * scf[:, :, None] - mnf[:, :, None]).reshape(nb, 256)
 
 
-def _enc_q4_k(x: np.ndarray) -> np.ndarray:
-    """Simple (non-search) Q4_K encoder: per-sub-block affine grid."""
+def _enc_q45_k(x: np.ndarray, qw: np.ndarray | None, nmax: int):
+    """Shared Q4_K/Q5_K search + 6-bit superscale pass: weighted affine
+    search per 32-sub-block (make_qkx2_quants), then requantize against
+    the f16/6-bit-quantized effective scales (quantize_row_q4_K_impl's
+    second pass). Returns (d, dmin, sc, mn, q) with q in [0, nmax]."""
     nb = x.shape[0]
     xs = x.reshape(nb, 8, 32)
-    mins = np.minimum(xs.min(axis=2), 0.0)  # min stored non-negative as -min
-    maxs = xs.max(axis=2)
-    scales = (maxs - mins) / 15.0  # (nb, 8) >= 0
+    w = _kquant_weights(xs, qw.reshape(nb, 8, 32) if qw is not None else None,
+                        "absx")
+    scale, the_min = _wsearch_affine(xs.reshape(-1, 32), w.reshape(-1, 32),
+                                     nmax)
+    scales = scale.reshape(nb, 8)
+    mins = the_min.reshape(nb, 8)
     max_scale = scales.max(axis=1)
-    max_min = (-mins).max(axis=1)
+    max_min = mins.max(axis=1)
     d = (max_scale / 63.0).astype(np.float16)
     dmin = (max_min / 63.0).astype(np.float16)
     df = d.astype(np.float32)
@@ -265,11 +389,22 @@ def _enc_q4_k(x: np.ndarray) -> np.ndarray:
     inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
     inv_m = np.where(dminf > 0, 1.0 / np.where(dminf == 0, 1, dminf), 0.0)
     sc = np.clip(np.rint(scales * inv_d[:, None]), 0, 63).astype(np.uint8)
-    mn = np.clip(np.rint((-mins) * inv_m[:, None]), 0, 63).astype(np.uint8)
+    mn = np.clip(np.rint(mins * inv_m[:, None]), 0, 63).astype(np.uint8)
     eff_scale = df[:, None] * sc.astype(np.float32)  # (nb, 8)
     eff_min = dminf[:, None] * mn.astype(np.float32)
-    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1, eff_scale), 0.0)
-    q = np.clip(np.rint((xs + eff_min[:, :, None]) * inv_s[:, :, None]), 0, 15).astype(np.uint8)
+    inv_s = np.where(eff_scale > 0,
+                     1.0 / np.where(eff_scale == 0, 1, eff_scale), 0.0)
+    q = np.clip(np.rint((xs + eff_min[:, :, None]) * inv_s[:, :, None]),
+                0, nmax).astype(np.uint8)
+    return d, dmin, sc, mn, q
+
+
+def _enc_q4_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """Q4_K encoder with the reference's weighted scale/min search
+    (ggml-quants.c quantize_row_q4_K_impl); qw = optional per-element
+    importance (imatrix column tiled over rows)."""
+    nb = x.shape[0]
+    d, dmin, sc, mn, q = _enc_q45_k(x, qw, 15)
     qp = q.reshape(nb, 4, 2, 32)
     qs = (qp[:, :, 0] | (qp[:, :, 1] << 4)).reshape(nb, 128).astype(np.uint8)
     return np.concatenate(
@@ -382,27 +517,11 @@ def _enc_q8_k(x: np.ndarray) -> np.ndarray:
          q.view(np.uint8), bsums.view(np.uint8).reshape(nb, 32)], axis=1)
 
 
-def _enc_q5_k(x: np.ndarray) -> np.ndarray:
-    """Simple (non-search) Q5_K encoder: per-sub-block affine 31-level
-    grid, layout per _dec_q5_k / ggml-common.h block_q5_K."""
+def _enc_q5_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """Q5_K encoder with the reference's weighted scale/min search
+    (quantize_row_q5_K_impl); layout per _dec_q5_k / block_q5_K."""
     nb = x.shape[0]
-    xs = x.reshape(nb, 8, 32)
-    mins = np.minimum(xs.min(axis=2), 0.0)
-    maxs = xs.max(axis=2)
-    scales = (maxs - mins) / 31.0
-    d = (scales.max(axis=1) / 63.0).astype(np.float16)
-    dmin = ((-mins).max(axis=1) / 63.0).astype(np.float16)
-    df = d.astype(np.float32)
-    dminf = dmin.astype(np.float32)
-    inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
-    inv_m = np.where(dminf > 0, 1.0 / np.where(dminf == 0, 1, dminf), 0.0)
-    sc = np.clip(np.rint(scales * inv_d[:, None]), 0, 63).astype(np.uint8)
-    mn = np.clip(np.rint((-mins) * inv_m[:, None]), 0, 63).astype(np.uint8)
-    eff_scale = df[:, None] * sc.astype(np.float32)
-    eff_min = dminf[:, None] * mn.astype(np.float32)
-    inv_s = np.where(eff_scale > 0, 1.0 / np.where(eff_scale == 0, 1, eff_scale), 0.0)
-    q = np.clip(np.rint((xs + eff_min[:, :, None]) * inv_s[:, :, None]),
-                0, 31).astype(np.uint8)  # (nb, 8, 32)
+    d, dmin, sc, mn, q = _enc_q45_k(x, qw, 31)
     qpair = q.reshape(nb, 4, 2, 32)  # chunk l -> sub-blocks 2l (lo), 2l+1 (hi)
     qs = ((qpair[:, :, 0] & 0x0F) | ((qpair[:, :, 1] & 0x0F) << 4)).reshape(nb, 128)
     l_idx = np.arange(4, dtype=np.uint8)
@@ -633,13 +752,16 @@ def _dec_q6_k(blocks: np.ndarray) -> np.ndarray:
     return (out * d[:, None, None]).reshape(nb, 256)
 
 
-def _enc_q6_k(x: np.ndarray) -> np.ndarray:
+def _enc_q6_k(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """Q6_K encoder with the reference's weighted scale search
+    (quantize_row_q6_K_impl -> make_qx_quants, rmse_type=1); qw =
+    optional per-element importance."""
     nb = x.shape[0]
     xs = x.reshape(nb, 16, 16)  # 16 sub-blocks of 16
-    # per-sub signed scale from the max-|x| element: f = that / -32
-    idx = np.argmax(np.abs(xs), axis=2)
-    maxv = np.take_along_axis(xs, idx[:, :, None], axis=2)[:, :, 0]
-    f = maxv / -32.0  # (nb, 16)
+    w = _kquant_weights(xs, qw.reshape(nb, 16, 16) if qw is not None else None,
+                        "x2")
+    f, _ = _wsearch_symmetric(xs.reshape(-1, 16), w.reshape(-1, 16), 32)
+    f = f.reshape(nb, 16)  # per-sub signed scale (weighted-LS optimum)
     fmax_idx = np.argmax(np.abs(f), axis=1)
     fmax = f[np.arange(nb), fmax_idx]
     d = (fmax / -128.0).astype(np.float16)
@@ -893,8 +1015,21 @@ def dequantize(data: bytes | np.ndarray, ggml_type: GGMLType, n_elems: int) -> n
     return dec(blocks).reshape(-1)[:n_elems]
 
 
-def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Encode a float array to a flat GGML-typed uint8 buffer."""
+# encoders that take an importance-weight array (imatrix consumers)
+_QW_TYPES = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
+
+
+def quantize(
+    x: np.ndarray, ggml_type: GGMLType, qw: np.ndarray | None = None
+) -> np.ndarray:
+    """Encode a float array to a flat GGML-typed uint8 buffer.
+
+    qw: optional per-element importance weights (same element count as
+    x; e.g. an imatrix column vector tiled over the tensor's rows).
+    Consumed by the weighted-search K-quant encoders (ref:
+    src/llama-quant.cpp:599+ passing the imatrix into
+    quantize_row_*_impl); ignored by types without a weighted encoder.
+    """
     flat = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
     if ggml_type == GGMLType.F32:
         return flat.view(np.uint8)
@@ -908,6 +1043,11 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     enc = _ENCODERS.get(ggml_type)
     if enc is None:
         raise NotImplementedError(f"no encoder for {ggml_type.name}")
+    if qw is not None and ggml_type in _QW_TYPES:
+        qwf = np.ascontiguousarray(qw, dtype=np.float32).reshape(-1)
+        if qwf.size != flat.size:
+            raise ValueError(f"qw size {qwf.size} != x size {flat.size}")
+        return enc(flat.reshape(-1, bs), qw=qwf.reshape(-1, bs)).reshape(-1)
     return enc(flat.reshape(-1, bs)).reshape(-1)
 
 

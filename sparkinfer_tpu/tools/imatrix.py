@@ -5,7 +5,9 @@ calibration corpus — the signal quantizers use to protect important
 channels. Collected via the stateful-FFN hook (same mechanism as the
 firing-rate profiler) for FFN mats and a forward hidden-capture for
 attention inputs; stored as a GGUF of `<tensor>.imatrix` F32 tensors +
-`imatrix.n_tokens` KV, loadable by tools/quantize (future IQ-type rules).
+`imatrix.n_tokens` KV. Consumed by tools/quantize --imatrix, which
+weights the K-quant rounding per input channel (ref:
+src/llama-quant.cpp:599+).
 """
 
 from __future__ import annotations

@@ -61,8 +61,15 @@ def tensor_target_type(
 
 def quantize_file(
     src: str, dst: str, target: GGMLType, output_type: GGMLType | None = None,
-    verbose: bool = False,
+    verbose: bool = False, imatrix: str | None = None,
 ) -> dict:
+    imat = {}
+    if imatrix:
+        from .imatrix import read_imatrix
+
+        imat = {k[: -len(".imatrix")]: np.asarray(v, np.float32)
+                for k, v in read_imatrix(imatrix).items()
+                if k.endswith(".imatrix")}
     r = GGUFReader(src)
     arch = r.arch()
     w = GGUFWriter(dst, arch)
@@ -86,7 +93,18 @@ def quantize_file(
             GGMLType.F32, GGMLType.F16, GGMLType.BF16
         ):
             tt = GGMLType.F16
-        w.add_tensor(name, data, tt)
+        # importance-weighted rounding (ref: llama-quant.cpp:599+ hands
+        # the imatrix per input channel into the row quantizers). The
+        # imatrix vector spans the tensor's input dim = last numpy axis;
+        # a shape mismatch (e.g. sparse-transposed ffn_down) skips it.
+        qw = imat.get(name)
+        if qw is not None and len(t.shape) >= 2 and qw.shape == (t.shape[-1],):
+            buf = quantize(data, tt, qw=np.broadcast_to(qw, t.shape))
+            w.add_tensor(name, buf, tt, raw=True,
+                         ne=tuple(reversed(t.shape)))
+            stats["imatrix_used"] = stats.get("imatrix_used", 0) + 1
+        else:
+            w.add_tensor(name, data, tt)
         stats["tensors"] += 1
         stats["bytes_in"] += t.nbytes
         from ..gguf.constants import tensor_nbytes
@@ -105,13 +123,19 @@ def main(argv=None) -> int:
     ap.add_argument("dst")
     ap.add_argument("type", choices=sorted(_NAMES))
     ap.add_argument("--output-tensor-type", choices=sorted(_NAMES), default=None)
+    ap.add_argument("--imatrix", default=None,
+                    help="importance matrix GGUF from tools/imatrix "
+                         "(weights the K-quant rounding per input channel)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
     ot = _NAMES[args.output_tensor_type] if args.output_tensor_type else None
-    stats = quantize_file(args.src, args.dst, _NAMES[args.type], ot, args.verbose)
+    stats = quantize_file(args.src, args.dst, _NAMES[args.type], ot,
+                          args.verbose, imatrix=args.imatrix)
     ratio = stats["bytes_in"] / max(stats["bytes_out"], 1)
+    im = (f", imatrix on {stats['imatrix_used']} tensors"
+          if stats.get("imatrix_used") else "")
     print(f"{stats['tensors']} tensors, {stats['bytes_in']/1e6:.1f} MB -> "
-          f"{stats['bytes_out']/1e6:.1f} MB ({ratio:.2f}x)")
+          f"{stats['bytes_out']/1e6:.1f} MB ({ratio:.2f}x){im}")
     return 0
 
 

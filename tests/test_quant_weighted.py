@@ -1,0 +1,136 @@
+"""Weighted-search K-quant encoders + imatrix consumption (VERDICT r4
+items 2/3; ref: ggml/src/ggml-quants.c make_qx_quants/make_qkx2_quants,
+src/llama-quant.cpp:599+ imatrix weighting).
+
+Covers: (a) the weighted search beats the old nearest-grid RMSE by a
+pinned margin, (b) the wire layout still decodes bit-identically through
+the reference gguf-py oracle, (c) imatrix weights strictly reduce
+importance-weighted reconstruction error, (d) the full pipeline
+collect -> quantize --imatrix -> load -> eval yields lower KL to the
+f32 model than plain quantization at the same type.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference/gguf-py")
+
+from sparkinfer_tpu.gguf.constants import GGMLType
+from sparkinfer_tpu.gguf.quants import dequantize, quantize
+
+try:
+    from gguf import GGMLQuantizationType as RefType
+    from gguf.quants import dequantize as ref_dequantize
+
+    HAVE_REF = True
+except Exception:  # pragma: no cover
+    HAVE_REF = False
+
+# pinned at measurement time (gaussian N=131072, seed 0): the old
+# nearest-grid encoders sat at 0.0786 / 0.0383 / 0.0189 — the weighted
+# search must keep its ~6-8% edge
+_RMSE_BOUNDS = {
+    GGMLType.Q4_K: 0.0745,
+    GGMLType.Q5_K: 0.0370,
+    GGMLType.Q6_K: 0.0182,
+}
+
+
+@pytest.mark.parametrize("ttype", sorted(_RMSE_BOUNDS, key=lambda t: t.name))
+def test_weighted_search_rmse(ttype):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(256 * 512).astype(np.float32)
+    buf = quantize(x, ttype)
+    d = dequantize(buf, ttype, x.size)
+    rmse = float(np.sqrt(((d - x) ** 2).mean()))
+    assert rmse < _RMSE_BOUNDS[ttype], rmse
+    if HAVE_REF:
+        ref = ref_dequantize(np.asarray(buf).reshape(-1),
+                             getattr(RefType, ttype.name)).reshape(-1)
+        np.testing.assert_allclose(d, ref[: x.size], atol=1e-5)
+
+
+@pytest.mark.parametrize("ttype", sorted(_RMSE_BOUNDS, key=lambda t: t.name))
+def test_imatrix_reduces_weighted_error(ttype):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(256 * 256).astype(np.float32)
+    # strongly non-uniform importance, like a real activation profile
+    qw = np.where(rng.random(x.size) < 0.2, 8.0, 0.1).astype(np.float32)
+    d_plain = dequantize(quantize(x, ttype), ttype, x.size)
+    d_im = dequantize(quantize(x, ttype, qw=qw), ttype, x.size)
+    e_plain = float((qw * (d_plain - x) ** 2).mean())
+    e_im = float((qw * (d_im - x) ** 2).mean())
+    assert e_im < e_plain, (e_im, e_plain)
+
+
+def test_degenerate_blocks():
+    """Constant / zero / single-spike blocks must encode without NaNs."""
+    for ttype in _RMSE_BOUNDS:
+        for blk in (np.zeros(256), np.full(256, 3.25), np.full(256, -1.5),
+                    np.eye(1, 256, 17)[0] * 100.0):
+            x = blk.astype(np.float32)
+            d = dequantize(quantize(x, ttype), ttype, 256)
+            assert np.isfinite(d).all(), ttype
+            # scale search must still land near the data
+            assert np.abs(d - x).max() <= max(0.3 * np.abs(x).max(), 1e-6) + 0.2
+
+
+@pytest.mark.slow
+def test_imatrix_quantize_e2e(tmp_path):
+    """collect -> quantize --imatrix -> load -> eval: KL to the f32 model
+    is lower than plain quantization at the same type (the reference's
+    quality gate for imatrix, perplexity.cpp KL methodology)."""
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from model_fixtures import make_tiny_llama
+
+    from sparkinfer_tpu.gguf.reader import GGUFReader
+    from sparkinfer_tpu.models.loader import load_model
+    from sparkinfer_tpu.tools.imatrix import collect_imatrix, write_imatrix
+    from sparkinfer_tpu.tools.perplexity import compute_kl, compute_ppl
+    from sparkinfer_tpu.tools.quantize import quantize_file
+
+    E, F = 256, 512
+    src = str(tmp_path / "m.gguf")
+    make_tiny_llama(src, n_embd=E, n_ff=F, n_head=8, n_head_kv=4,
+                    n_vocab=300, with_vocab=True, seed=3)
+    # skew per-channel energy through ffn_norm gains so the imatrix has
+    # structure (random fixtures are otherwise isotropic)
+    rng = np.random.default_rng(1)
+    r = GGUFReader(src)
+    patches = []
+    for layer in range(2):
+        g = np.where(rng.random(E) < 0.2, 4.0, 0.25).astype(np.float32)
+        ti = r.tensors[f"blk.{layer}.ffn_norm.weight"]
+        assert ti.ggml_type.name == "F32"
+        patches.append((r.data_offset + ti.offset, g.tobytes()))
+    del r
+    with open(src, "r+b") as f:
+        for off, raw in patches:
+            f.seek(off)
+            f.write(raw)
+
+    model = load_model(src, dtype=jnp.float32)
+    calib = [np.random.default_rng(0).integers(0, 300, 64) for _ in range(4)]
+    data = collect_imatrix(model, calib)
+    imp = str(tmp_path / "im.gguf")
+    write_imatrix(imp, data, model.config.arch)
+
+    plain, withim = str(tmp_path / "plain.gguf"), str(tmp_path / "imq.gguf")
+    quantize_file(src, plain, GGMLType.Q4_K)
+    stats = quantize_file(src, withim, GGMLType.Q4_K, imatrix=imp)
+    assert stats.get("imatrix_used", 0) >= 4  # up/gate/down x 2 layers minus skips
+
+    ids = np.concatenate(calib).astype(np.int32)
+    base = str(tmp_path / "base.npz")
+    compute_ppl(model, ids, ctx=64, save_logits=base)
+    kl = {}
+    for name, path in (("plain", plain), ("imatrix", withim)):
+        m = load_model(path, dtype=jnp.float32)
+        kl[name] = compute_kl(m, ids, base)["kl_mean"]
+    assert kl["imatrix"] < kl["plain"], kl
