@@ -5,7 +5,7 @@
 # wedged; these targets encode the bypass so `make test` always works.
 PY := env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python
 
-.PHONY: test quick native bench
+.PHONY: test quick native bench ci
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -19,3 +19,13 @@ native:
 
 bench:
 	timeout 3000 python bench.py
+
+# one-command CI gate: native build + sanitized selftest, quick test
+# tier, single-chip compile check + 8-device virtual-mesh dryrun
+# (ref: the ASAN/UBSAN ctest jobs, .github/workflows/build.yml:257-304)
+ci: native
+	$(MAKE) -C sparkinfer_tpu/native sanitize
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+	env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  python __graft_entry__.py

@@ -380,7 +380,7 @@ def sparse_ffn_block_v3(
 # ---------------------------------------------------------------------------
 # v4: interleaved-store manual-DMA streaming kernel (the production path)
 #
-# Probe data (eval_scripts/probe_kernels3.py, v5e): the selected-block
+# Probe data (eval_scripts/probes/p03_chained_variants.py, v5e): the selected-block
 # stream is limited by per-DMA issue/latency overhead, not queue depth —
 # 36 separate (G, E) fetches per layer run at ~141-184 GB/s while the
 # dense path streams 371 GB/s. Interleaving the three projections into
@@ -505,7 +505,7 @@ def sparse_ffn_block_v4(
 # ---------------------------------------------------------------------------
 # v6: auto-pipelined VPU-matvec kernel (the production decode path)
 #
-# Probe findings (eval_scripts/probe_kernels{3..7}.py, v5e):
+# Probe findings (eval_scripts/probes/p03..p07, v5e):
 #   - Pallas's implicit pipeline streams dynamically-indexed (G, E) blocks
 #     at ~400 GB/s once the grid is deep (static indexing: ~780);
 #     manual make_async_copy windows cap at ~170 GB/s regardless of depth.
