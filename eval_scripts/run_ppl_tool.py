@@ -10,9 +10,20 @@ repo's own documentation as the text corpus (byte-fallback tokenization
 through the product tokenizer), and runs tools/perplexity.py four ways:
 
   1. --sparse                 exact sparse oracle (saves the KL base)
-  2. fetch, ALL groups hot    control: must match the oracle (KL ~ 0)
-  3. drop,  25% hot           cold∩active contributions thrown away
-  4. fetch, 25% hot           the HEADLINE tier: balancer demand-fetches
+  2. fetch, ALL hot, C=NG     control: must match the oracle (KL ~ 0)
+  3. fetch, ALL hot, C=HOT    capacity cost alone (top-C truncation,
+                              everything selected is computed)
+  4. drop,  25% hot, C=HOT    + tier cost, cold∩selected thrown away
+  5. fetch, 25% hot, C=HOT    the HEADLINE tier semantics: balancer
+                              demand-fetches missed groups (capacity <=
+                              hot like the chip's c16@hot27 — with C >
+                              hot, C-hot selected groups can NEVER all be
+                              resident and misses cannot converge)
+
+All rows run --dtype f32: at these shapes (L=12, E=1024) the synthetic
+random weights amplify bf16 summation-order noise into KL ~1 between
+IDENTICAL functions computed dense-masked vs gathered — f32 keeps the
+instrument's floor at KL ~1e-6 so the tier deltas are readable.
 
 Writes eval_scripts/quality_ppl_tool.json.
 
@@ -140,20 +151,24 @@ def main():
     base = str(work / "sparse_base.npz")
 
     common = ["-m", gguf, "-f", str(corp), "-c", str(CTX),
-              "--group-size", str(G), "--capacity-groups", str(NG)]
+              "--group-size", str(G), "--dtype", "f32"]
+    cap_full = ["--capacity-groups", str(NG)]
+    cap_hot = ["--capacity-groups", str(HOT)]
     rows = []
 
-    out = run_tool(common + ["--sparse", "--save-logits", base])
+    out = run_tool(common + cap_full + ["--sparse", "--save-logits", base])
     rows.append({"config": "exact-sparse(oracle)", **out})
     print(json.dumps(rows[-1]), flush=True)
 
     for label, extra in (
-        ("fetch-allhot-CONTROL", ["--hot-groups", str(NG),
-                                  "--cold-mode", "fetch"]),
-        (f"drop@hot{HOT}/{NG}", ["--hot-groups", str(HOT),
-                                 "--cold-mode", "drop"]),
-        (f"fetch@hot{HOT}/{NG}", ["--hot-groups", str(HOT),
-                                  "--cold-mode", "fetch"]),
+        ("fetch-allhot-CONTROL", cap_full + ["--hot-groups", str(NG),
+                                             "--cold-mode", "fetch"]),
+        (f"allhot-c{HOT}(capacity-cost)",
+         cap_hot + ["--hot-groups", str(NG), "--cold-mode", "fetch"]),
+        (f"drop-c{HOT}@hot{HOT}/{NG}",
+         cap_hot + ["--hot-groups", str(HOT), "--cold-mode", "drop"]),
+        (f"fetch-c{HOT}@hot{HOT}/{NG}",
+         cap_hot + ["--hot-groups", str(HOT), "--cold-mode", "fetch"]),
     ):
         out = run_tool(common + extra + ["--kl-divergence", base])
         rows.append({"config": label, **out["kl"]})

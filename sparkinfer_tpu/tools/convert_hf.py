@@ -1143,25 +1143,31 @@ _CLIP_BLK = {
 }
 
 
+def _strip_lm(name):
+    """Multimodal wrapper -> bare LM tensor names (vision/projector
+    tensors return None and go to the mmproj file)."""
+    for pre in ("language_model.model.", "model.language_model."):
+        if name.startswith(pre):
+            return "model." + name[len(pre):]
+    if name.startswith("language_model."):
+        return name[len("language_model."):]
+    if name == "lm_head.weight" or name.startswith("model.lm_head"):
+        return "lm_head.weight"
+    return None
+
+
 def _convert_llava(model_dir: Path, out_path: str, cfgj: dict,
                    out_type: str) -> dict:
     """LlavaForConditionalGeneration -> LLM GGUF + <out>.mmproj.gguf,
     following the reference's split (convert_hf_to_gguf.py --mmproj:
     clip.cpp tensor/KV conventions for the vision side)."""
+    if cfgj["vision_config"].get("model_type") == "pixtral":
+        return _convert_pixtral(model_dir, out_path, cfgj, out_type)
     tc = dict(cfgj["text_config"])
     tc.setdefault("architectures", ["LlamaForCausalLM"])
     inner = tc["architectures"][0]
     fam = _FAMILIES.get(inner, dict(arch=_ARCH_MAP.get(inner, "llama")))
-
-    def strip(name):
-        for pre in ("language_model.model.", "model.language_model."):
-            if name.startswith(pre):
-                return "model." + name[len(pre):]
-        if name.startswith("language_model."):
-            return name[len("language_model."):]
-        if name == "lm_head.weight" or name.startswith("model.lm_head"):
-            return "lm_head.weight"
-        return None  # vision / projector tensors go to the mmproj file
+    strip = _strip_lm
 
     info = _convert_family(fam, model_dir, out_path, tc, out_type,
                            rename=strip)
@@ -1204,6 +1210,197 @@ def _convert_llava(model_dir: Path, out_path: str, cfgj: dict,
                 n += 1
             continue
         gname = _CLIP_VISION_T.get(name)
+        if gname is None and name.startswith("vision_model.encoder.layers."):
+            parts = name.split(".")
+            i = int(parts[3])
+            stem = ".".join(parts[4:-1])
+            kind = parts[-1]
+            short = _CLIP_BLK.get(stem)
+            if short is not None:
+                gname = f"v.blk.{i}.{short}.{kind}"
+        if gname is None:
+            continue
+        w.add_tensor(gname, data, GGMLType.F32)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    info["mmproj"] = mm_path
+    info["n_mmproj_tensors"] = n
+    return info
+
+
+_PIXTRAL_BLK = {
+    "attention.q_proj": "attn_q", "attention.k_proj": "attn_k",
+    "attention.v_proj": "attn_v", "attention.o_proj": "attn_out",
+    "attention_norm": "ln1", "ffn_norm": "ln2",
+    "feed_forward.gate_proj": "ffn_gate", "feed_forward.up_proj": "ffn_up",
+    "feed_forward.down_proj": "ffn_down",
+}
+
+
+def _convert_pixtral(model_dir: Path, out_path: str, cfgj: dict,
+                     out_type: str) -> dict:
+    """Pixtral-style LlavaForConditionalGeneration (vision_config
+    model_type "pixtral") -> LLM GGUF + mmproj with clip.cpp's PIXTRAL
+    conventions (clip.cpp build_pixtral, convert_hf_to_gguf.py
+    LlavaVisionModel): RMS-norm ViT, 2D RoPE (q/k permuted to the ggml
+    'norm' rope layout like the text converter), gated FFN, mm.1/mm.2
+    projector, [IMG_BREAK] embedding extracted from the text embeddings."""
+    tc = dict(cfgj["text_config"])
+    tc.setdefault("architectures", ["MistralForCausalLM"])
+    inner = tc["architectures"][0]
+    fam = _FAMILIES.get(inner, dict(arch=_ARCH_MAP.get(inner, "llama")))
+    info = _convert_family(fam, model_dir, out_path, tc, out_type,
+                           rename=_strip_lm)
+
+    vc = cfgj["vision_config"]
+    Hv = vc["num_attention_heads"]
+    mm_path = str(out_path) + ".mmproj.gguf"
+    w = GGUFWriter(mm_path, "clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "pixtral")
+    w.add_kv("clip.vision.image_size", np.uint32(vc["image_size"]))
+    w.add_kv("clip.vision.patch_size", np.uint32(vc["patch_size"]))
+    w.add_kv("clip.vision.embedding_length", np.uint32(vc["hidden_size"]))
+    w.add_kv("clip.vision.feed_forward_length",
+             np.uint32(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", np.uint32(vc["num_hidden_layers"]))
+    w.add_kv("clip.vision.attention.head_count", np.uint32(Hv))
+    # layer_norm_eps is hard-coded in modeling_pixtral.py (ref converter)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             np.float32(vc.get("layer_norm_eps", 1e-5)))
+    if vc.get("hidden_act", "gelu") == "silu":
+        w.add_kv("clip.use_silu", True)
+    else:
+        w.add_kv("clip.use_gelu", True)
+    pp = model_dir / "preprocessor_config.json"
+    if pp.exists():
+        ppj = json.loads(pp.read_text())
+        if "image_mean" in ppj:
+            w.add_array("clip.vision.image_mean",
+                        np.asarray(ppj["image_mean"], np.float32))
+            w.add_array("clip.vision.image_std",
+                        np.asarray(ppj["image_std"], np.float32))
+
+    # [IMG_BREAK] token id, for the row-separator embedding
+    img_break_id = -1
+    tk = model_dir / "tokenizer_config.json"
+    if tk.exists():
+        for tid, td in json.loads(tk.read_text()).get(
+                "added_tokens_decoder", {}).items():
+            if td.get("content") == "[IMG_BREAK]":
+                img_break_id = int(tid)
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        if img_break_id >= 0 and name.endswith("embed_tokens.weight"):
+            w.add_tensor("v.token_embd.img_break",
+                         np.ascontiguousarray(data[img_break_id]),
+                         GGMLType.F32)
+            n += 1
+            continue
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if "multi_modal_projector" in name:
+            mmname = ("mm.1" if "linear_1" in name else "mm.2") + \
+                (".weight" if name.endswith("weight") else ".bias")
+            w.add_tensor(mmname, data, GGMLType.F32)
+            n += 1
+            continue
+        if not name.startswith("vision_tower."):
+            continue
+        name = name[len("vision_tower."):]
+        gname = None
+        if name == "patch_conv.weight":
+            gname = "v.patch_embd.weight"
+        elif name == "ln_pre.weight":
+            gname = "v.pre_ln.weight"
+        elif name.startswith("transformer.layers."):
+            parts = name.split(".")
+            i = int(parts[2])
+            stem = ".".join(parts[3:-1])
+            kind = parts[-1]
+            short = _PIXTRAL_BLK.get(stem)
+            if short is not None:
+                if short in ("attn_q", "attn_k") and kind == "weight":
+                    # HF rotate-half -> ggml 'norm' adjacent-pair rope
+                    # layout, same permute as the text converter (ref
+                    # LlavaVisionModel.modify_tensors)
+                    data = permute_rope(np.asarray(data), Hv)
+                gname = f"v.blk.{i}.{short}.{kind}"
+        if gname is None:
+            continue
+        w.add_tensor(gname, data, GGMLType.F32)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    info["mmproj"] = mm_path
+    info["n_mmproj_tensors"] = n
+    return info
+
+
+def _convert_gemma3mm(model_dir: Path, out_path: str, cfgj: dict,
+                      out_type: str) -> dict:
+    """Gemma3ForConditionalGeneration -> gemma3 text GGUF + mmproj with
+    clip.cpp's GEMMA3 conventions (SigLIP ViT + avg-pool projector;
+    ref convert_hf_to_gguf.py Gemma3VisionModel: soft_emb_norm stored
+    +1-corrected, scale_factor KV for non-default pooling)."""
+    tc = dict(cfgj["text_config"])
+    tc.setdefault("architectures", ["Gemma3ForCausalLM"])
+    fam = _FAMILIES["Gemma3ForCausalLM"]
+    info = _convert_family(fam, model_dir, out_path, tc, out_type,
+                           rename=_strip_lm)
+
+    vc = cfgj["vision_config"]
+    mm_path = str(out_path) + ".mmproj.gguf"
+    w = GGUFWriter(mm_path, "clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "gemma3")
+    w.add_kv("clip.vision.image_size", np.uint32(vc["image_size"]))
+    w.add_kv("clip.vision.patch_size", np.uint32(vc["patch_size"]))
+    w.add_kv("clip.vision.embedding_length", np.uint32(vc["hidden_size"]))
+    w.add_kv("clip.vision.feed_forward_length",
+             np.uint32(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", np.uint32(vc["num_hidden_layers"]))
+    w.add_kv("clip.vision.attention.head_count",
+             np.uint32(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             np.float32(vc.get("layer_norm_eps", 1e-6)))
+    w.add_kv("clip.use_gelu", True)  # SigLIP gelu_pytorch_tanh
+    # pool kernel: patches-per-side / tokens-per-side (clip.cpp reads the
+    # KV with default 4; write it so tiny test shapes round-trip)
+    pps = vc["image_size"] // vc["patch_size"]
+    tps = max(1, int(round(float(cfgj.get("mm_tokens_per_image", 256))
+                           ** 0.5)))
+    w.add_kv("clip.vision.projector.scale_factor",
+             np.uint32(max(1, pps // tps)))
+    # gemma3 preprocessor normalizes with mean=std=0.5
+    w.add_array("clip.vision.image_mean", np.full(3, 0.5, np.float32))
+    w.add_array("clip.vision.image_std", np.full(3, 0.5, np.float32))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        if "multi_modal_projector" in name:
+            if "mm_input_projection_weight" in name:
+                w.add_tensor("mm.input_projection.weight", data, GGMLType.F32)
+            elif "mm_soft_emb_norm" in name:
+                # Gemma3RMSNorm applies (1 + w); store corrected like the
+                # reference converter
+                w.add_tensor("mm.soft_emb_norm.weight",
+                             np.asarray(data, np.float32) + 1.0,
+                             GGMLType.F32)
+            else:
+                continue
+            n += 1
+            continue
+        if not name.startswith("vision_tower."):
+            continue
+        name = name[len("vision_tower."):]
+        gname = _CLIP_VISION_T.get(name)
+        if gname is None and name == "vision_model.embeddings.patch_embedding.bias":
+            gname = "v.patch_embd.bias"
         if gname is None and name.startswith("vision_model.encoder.layers."):
             parts = name.split(".")
             i = int(parts[3])
@@ -1852,6 +2049,8 @@ def convert(
         }.get(cfgj.get("model_type"), "LlamaForCausalLM")
     if hf_arch in ("LlavaForConditionalGeneration",):
         return _convert_llava(model_dir, out_path, cfgj, out_type)
+    if hf_arch == "Gemma3ForConditionalGeneration":
+        return _convert_gemma3mm(model_dir, out_path, cfgj, out_type)
     if hf_arch in ("WhisperModel", "WhisperForConditionalGeneration"):
         return _convert_whisper_mmproj(model_dir, out_path, cfgj)
     if hf_arch in ("T5ForConditionalGeneration",

@@ -236,6 +236,9 @@ def main(argv=None) -> int:
                     help="KL vs a --save-logits base run")
     ap.add_argument("--hellaswag", metavar="TASKS_JSON")
     ap.add_argument("--winogrande", metavar="TASKS_JSON")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"],
+                    help="compute dtype (f32 for numerically-sensitive "
+                         "KL comparisons; bf16 matches serving)")
     ap.add_argument("--mmlu", metavar="TASKS_JSON",
                     help="multiple-choice QA: [{question, choices[...],"
                          " answer (index or letter)}] (ref perplexity.cpp"
@@ -245,7 +248,10 @@ def main(argv=None) -> int:
     from ..models.loader import load_model
     from ..tokenizer import build_tokenizer
 
-    model = load_model(args.model)
+    import jax.numpy as _jnp
+
+    model = load_model(args.model, dtype=_jnp.float32 if args.dtype == "f32"
+                       else _jnp.bfloat16)
     tk = build_tokenizer(model.vocab)
 
     ffn_fn = None
