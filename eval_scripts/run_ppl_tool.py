@@ -54,6 +54,7 @@ L, E, F, V, RANK = (2, 64, 256, 300, 8) if SMOKE else (12, 1024, 4096, 2048, 64)
 G = 64 if SMOKE else 128
 NG = F // G
 HOT = max(1, NG // 4)
+HOT2 = max(1, NG // 8)  # under-provisioned tier (drop-vs-fetch gap row)
 CTX = 64 if SMOKE else 256
 # ~30-90 s per 256-token window on a contended 4-CPU host: the default
 # corpus is sized for ~1.5k scored tokens/config; SPIF_PPL_MAX_TOKENS
@@ -67,10 +68,16 @@ def build_gguf(path: str) -> None:
 
     from sparkinfer_tpu.gguf.reader import GGUFReader
 
+    # weight scale ~0.5/sqrt(E): the fixture default (0.08) at E=1024
+    # gives each random matmul spectral norm ~5, so 12 layers amplify
+    # f32 rounding noise by ~5^12 and ANY two summation orders diverge
+    # to KL ~0.5 (measured) — the instrument must be numerically stable
+    # before it can measure the tier
     tensors = make_tiny_llama(
         path, arch="prosparse_llama", n_layer=L, n_embd=E, n_ff=F,
         n_head=8 if not SMOKE else 4, n_head_kv=4 if not SMOKE else 2,
         n_vocab=V, n_ctx=4 * CTX, pred_rank=RANK, with_vocab=True, seed=11,
+        scale=0.5 / E ** 0.5,
     )
 
     # clustered-firing skew (bench _skewed_pred_bias): ~20% of groups fire
@@ -150,6 +157,36 @@ def main():
     corp.write_text(text[:MAX_TOKENS])
     base = str(work / "sparse_base.npz")
 
+    # offline profile -> split file (the PRODUCT flow: the reference's
+    # tiered path requires -spif-ms with hot-first reorder perms,
+    # src/llama-sparkinfer.cpp:286-352 — a FIXED first-H hot set without
+    # the reorder is an arbitrary set and measures nothing)
+    split_path = str(work / "model.split.gguf")
+    if not os.path.exists(split_path) or SMOKE:
+        import jax.numpy as jnp
+
+        from sparkinfer_tpu.models.loader import load_model
+        from sparkinfer_tpu.sparse import SparseConfig
+        from sparkinfer_tpu.sparse.split import (
+            build_split,
+            profile_firing,
+            write_split,
+        )
+        from sparkinfer_tpu.tokenizer import build_tokenizer
+
+        model = load_model(gguf, dtype=jnp.float32)
+        tk = build_tokenizer(model.vocab)
+        ids = np.asarray(tk.encode(corp.read_text(), add_special=True),
+                         np.int32)
+        scfg = SparseConfig(group_size=G, capacity_groups=NG)
+        batches = [ids[i:i + CTX] for i in range(0, min(len(ids), 8 * CTX),
+                                                 CTX)]
+        firing = profile_firing(model, batches, scfg, max_seq=CTX)
+        write_split(split_path, build_split(firing, scfg), "prosparse_llama")
+        del model
+        print(f"# split profiled {time.time()-t0:.0f}s", file=sys.stderr,
+              flush=True)
+
     common = ["-m", gguf, "-f", str(corp), "-c", str(CTX),
               "--group-size", str(G), "--dtype", "f32"]
     cap_full = ["--capacity-groups", str(NG)]
@@ -160,15 +197,26 @@ def main():
     rows.append({"config": "exact-sparse(oracle)", **out})
     print(json.dumps(rows[-1]), flush=True)
 
+    sp = ["--split", split_path]
     for label, extra in (
         ("fetch-allhot-CONTROL", cap_full + ["--hot-groups", str(NG),
                                              "--cold-mode", "fetch"]),
         (f"allhot-c{HOT}(capacity-cost)",
          cap_hot + ["--hot-groups", str(NG), "--cold-mode", "fetch"]),
-        (f"drop-c{HOT}@hot{HOT}/{NG}",
-         cap_hot + ["--hot-groups", str(HOT), "--cold-mode", "drop"]),
-        (f"fetch-c{HOT}@hot{HOT}/{NG}",
-         cap_hot + ["--hot-groups", str(HOT), "--cold-mode", "fetch"]),
+        (f"drop-c{HOT}@hot{HOT}/{NG}-split",
+         cap_hot + sp + ["--hot-groups", str(HOT), "--cold-mode", "drop"]),
+        (f"fetch-c{HOT}@hot{HOT}/{NG}-split",
+         cap_hot + sp + ["--hot-groups", str(HOT), "--cold-mode", "fetch"]),
+        # UNDER-provisioned tier (hot = half the profiled working set):
+        # drop degrades (fixed hot set loses cold∩selected mass) while
+        # fetch adapts between windows — the drop-vs-fetch gap the
+        # headline depends on
+        (f"drop-c{HOT2}@hot{HOT2}/{NG}-split",
+         [ "--capacity-groups", str(HOT2)] + sp
+         + ["--hot-groups", str(HOT2), "--cold-mode", "drop"]),
+        (f"fetch-c{HOT2}@hot{HOT2}/{NG}-split",
+         ["--capacity-groups", str(HOT2)] + sp
+         + ["--hot-groups", str(HOT2), "--cold-mode", "fetch"]),
     ):
         out = run_tool(common + extra + ["--kl-divergence", base])
         rows.append({"config": label, **out["kl"]})

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""TWO-PROCESS jax.distributed scaling run (VERDICT r4 item 7).
+
+Proves the multi-host path beyond the single-process virtual mesh: two
+OS processes (4 XLA host-platform devices each) join one jax.distributed
+process group over localhost (gloo collectives — the DCN stand-in), and
+run the SHARDED SPARSE DECODE step (predictor top-k gather FFN) plus the
+dense step over the global 2x4 dp x tp mesh:
+
+  - dp axis spans the two processes (the realistic multi-host layout:
+    tp rides intra-host "ICI", dp rides inter-host "DCN");
+  - a tp-over-DCN leg shards tp across both processes (worst case:
+    per-layer psum crosses the process boundary);
+  - per-process logits shards are checked against an unsharded
+    single-device forward (multi-process CORRECTNESS, not just compile);
+  - a single-process 8-device run of the same global mesh/shapes anchors
+    the overhead ratio.
+
+LABEL: like scaling_cpu_mesh.json this is a correctness + overhead-shape
+record, NOT a performance claim — gloo-over-localhost is not DCN and the
+"devices" are CPU threads. Its value: the jax.distributed runtime path
+(init, cross-process device_put, cross-process collectives, barriers) is
+exercised for real, so the harness is ready for hardware.
+
+Run: python eval_scripts/run_scaling_multiproc.py
+(spawns its own workers; writes eval_scripts/scaling_multiproc.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+PORT = int(os.environ.get("SPIF_MP_PORT", "12799"))
+STEPS = int(os.environ.get("SPIF_MP_STEPS", "64"))
+
+
+def build_model():
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, str(ROOT))
+    from __graft_entry__ import _tiny_model
+
+    from sparkinfer_tpu.models.config import ModelConfig
+    from sparkinfer_tpu.sparse import SparseConfig, prepare_sparse_params
+
+    E, F, R = 128, 256, 8
+    cfg, params = _tiny_model(n_head=4, n_head_kv=2, n_ff=F, n_embd=E)
+    cfg = ModelConfig(
+        arch="prosparse_llama", n_layer=cfg.n_layer, n_embd=E, n_head=4,
+        n_head_kv=2, n_ff=F, n_vocab=cfg.n_vocab, head_dim=E // 4,
+        pred_lora=(R,) * cfg.n_layer,
+    )
+    rng = np.random.default_rng(1)
+    L = cfg.n_layer
+    lay = params["layers"]
+    lay["pred_up"] = jnp.asarray(rng.standard_normal((L, E, R)) * 0.1,
+                                 jnp.float32)
+    lay["pred_up_b"] = jnp.zeros((L, R), jnp.float32)
+    lay["pred_down"] = jnp.asarray(rng.standard_normal((L, R, F)) * 0.5,
+                                   jnp.float32)
+    lay["pred_down_b"] = jnp.asarray(rng.standard_normal((L, F)) - 1.0,
+                                     jnp.float32)
+    scfg = SparseConfig(group_size=16, capacity_groups=4)
+    params = prepare_sparse_params(params, cfg, scfg)
+    # host numpy tree (cross-process device_put shards host arrays), in
+    # f32: the sparse threshold is discontinuous, and bf16 reassociation
+    # noise under tp flips near-threshold neurons — f32 keeps the
+    # sharded-vs-unsharded correctness check exact
+    import jax
+
+    params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    return cfg, scfg, params
+
+
+def run_mesh(cfg, scfg, params_np, dp, tp, label):
+    """Shard + run dense prefill and sparse decode on the current global
+    device set; returns a result row (process-0 view)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparkinfer_tpu.models.transformer import make_forward
+    from sparkinfer_tpu.parallel.distributed import sync_hosts
+    from sparkinfer_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+        shard_cache,
+        shard_params,
+    )
+    from sparkinfer_tpu.runtime.kv_cache import init_cache
+    from sparkinfer_tpu.sparse import make_sparse_ffn
+
+    mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices())
+    params = shard_params(mesh, cfg, params_np)
+    batch = max(dp, 1) * 2
+    cache = shard_cache(mesh, init_cache(cfg, batch, 64, jnp.float32))
+    rng = np.random.default_rng(7)
+    toks8 = rng.integers(0, cfg.n_vocab, (batch, 8)).astype(np.int32)
+    tokens = jax.device_put(toks8, data_sharding(mesh, batch))
+    positions = jax.device_put(
+        np.broadcast_to(np.arange(8, dtype=np.int32)[None], (batch, 8)),
+        data_sharding(mesh, batch))
+    fwd_prefill = jax.jit(make_forward(
+        cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="dense")))
+    fwd_decode = jax.jit(make_forward(
+        cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="gather")))
+    with mesh:
+        logits, cache = fwd_prefill(params, tokens, positions, cache)
+        logits.block_until_ready()
+
+        # multi-process CORRECTNESS: the gathered global logits must
+        # match an unsharded single-device forward of the same inputs
+        from jax.experimental import multihost_utils
+
+        full = np.asarray(multihost_utils.process_allgather(logits,
+                                                            tiled=True))
+        ref_cache = init_cache(cfg, batch, 64, jnp.float32)
+        ref, _ = jax.jit(make_forward(
+            cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="dense")))(
+                jax.device_put(params_np, jax.local_devices()[0]),
+                jnp.asarray(toks8), jnp.asarray(np.broadcast_to(
+                    np.arange(8, dtype=np.int32)[None], (batch, 8))),
+                ref_cache)
+        np.testing.assert_allclose(full, np.asarray(ref),
+                                   atol=2e-4, rtol=2e-3)
+
+        tok1 = jax.device_put(np.zeros((batch, 1), np.int32),
+                              data_sharding(mesh, batch))
+        pos1 = jax.device_put(np.full((batch, 1), 8, np.int32),
+                              data_sharding(mesh, batch))
+        # warm + time the sparse decode step
+        lg, cache = fwd_decode(params, tok1, pos1, cache)
+        lg.block_until_ready()
+        sync_hosts(f"{label}-t0")
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            lg, cache = fwd_decode(params, tok1, pos1, cache)
+        lg.block_until_ready()
+        sync_hosts(f"{label}-t1")
+        dt = time.perf_counter() - t0
+    return {
+        "label": label, "dp": dp, "tp": tp,
+        "n_processes": jax.process_count(),
+        "n_devices": len(jax.devices()), "batch": batch,
+        "sparse_decode_steps_per_s": round(STEPS / dt, 2),
+        "tokens_per_s": round(STEPS / dt * batch, 2),
+        "correctness": "dp-shard logits match unsharded forward",
+    }
+
+
+def worker(pid: int, nproc: int):
+    import jax
+
+    if nproc > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(f"localhost:{PORT}", num_processes=nproc,
+                                   process_id=pid)
+    cfg, scfg, params = build_model()
+    rows = []
+    if nproc > 1:
+        rows.append(run_mesh(cfg, scfg, params, 2, 4, "2proc-dp-over-DCN"))
+        rows.append(run_mesh(cfg, scfg, params, 1, 8, "2proc-tp-over-DCN"))
+    else:
+        rows.append(run_mesh(cfg, scfg, params, 2, 4, "1proc-baseline"))
+    for r in rows:
+        print(json.dumps(r), flush=True)
+    if pid == 0:
+        out = pathlib.Path(os.environ["SPIF_MP_OUT"])
+        existing = json.loads(out.read_text())["rows"] if out.exists() else []
+        existing = [r for r in existing
+                    if not any(r["label"] == n["label"] for n in rows)]
+        out.write_text(json.dumps({
+            "note": ("2-process jax.distributed CPU run (gloo over "
+                     "localhost = DCN stand-in, 4 host-devices per "
+                     "process): sharded sparse decode step, dp and tp "
+                     "spanning the process boundary, per-process logits "
+                     "checked vs unsharded forward. Correctness + "
+                     "overhead-shape record, not a performance claim."),
+            "rows": existing + rows}, indent=1))
+
+
+def main():
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["SPIF_MP_OUT"] = str(ROOT / "eval_scripts" / "scaling_multiproc.json")
+    me = str(pathlib.Path(__file__).resolve())
+    # 1-process anchor (8 local devices, same global mesh shapes)
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    p = subprocess.run([sys.executable, me, "--worker", "0", "1"], env=env1,
+                       timeout=900)
+    assert p.returncode == 0, "1-process baseline failed"
+    # 2-process run
+    procs = [subprocess.Popen([sys.executable, me, "--worker", str(i), "2"],
+                              env=env) for i in range(2)]
+    rcs = [q.wait(timeout=900) for q in procs]
+    assert rcs == [0, 0], rcs
+    print(f"wrote {env['SPIF_MP_OUT']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

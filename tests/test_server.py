@@ -437,3 +437,19 @@ def test_streaming_tool_calls_sse(server):
     content = "".join(ev["choices"][0].get("delta", {}).get("content", "")
                       for ev in events)
     assert "<tool_call>" not in content
+
+
+def test_webui_page(server):
+    """The built-in webui (ref: tools/server/webui): full app page served
+    at /, referencing only endpoints this server actually exposes."""
+    code, body = _get(server, "/")
+    assert code == 200
+    html = body.decode()
+    # app features: conversations, streaming chat, settings, server panel
+    for marker in ("sendOrStop", "localStorage", "/v1/chat/completions",
+                   "/props", "/slots", "/metrics", "s_temp", "s_max",
+                   "regen", "AbortController"):
+        assert marker in html, marker
+    # the slot/metric field names the JS polls must match the server's
+    assert "s.running" in html
+    assert "n_tokens_generated" in html
