@@ -100,7 +100,11 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label):
     mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices())
     params = shard_params(mesh, cfg, params_np)
     batch = max(dp, 1) * 2
-    cache = shard_cache(mesh, init_cache(cfg, batch, 64, jnp.float32))
+    # host-side cache zeros: resharding a committed single-device array
+    # across processes deadlocks the gloo transfer — device_put from host
+    # numpy writes each process's addressable shards locally
+    cache = shard_cache(mesh, jax.tree.map(
+        lambda a: np.asarray(a), init_cache(cfg, batch, 64, jnp.float32)))
     rng = np.random.default_rng(7)
     toks8 = rng.integers(0, cfg.n_vocab, (batch, 8)).astype(np.int32)
     tokens = jax.device_put(toks8, data_sharding(mesh, batch))
@@ -111,9 +115,13 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label):
         cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="dense")))
     fwd_decode = jax.jit(make_forward(
         cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="gather")))
+    print(f"# [{jax.process_index()}] {label}: sharded, prefilling",
+          file=sys.stderr, flush=True)
     with mesh:
         logits, cache = fwd_prefill(params, tokens, positions, cache)
         logits.block_until_ready()
+        print(f"# [{jax.process_index()}] {label}: prefill done",
+              file=sys.stderr, flush=True)
 
         # multi-process CORRECTNESS: the gathered global logits must
         # match an unsharded single-device forward of the same inputs

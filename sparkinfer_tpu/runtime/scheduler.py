@@ -105,7 +105,7 @@ class Scheduler:
         sparse=None,  # SparseConfig: predictor-gated sparse serving
         split=None,  # ModelSplit | path — offline profile (reorder + pattern)
         rebalance_every: int = 1,
-        sparse_batch_max: int = 4,
+        sparse_batch_max: int | None = None,  # None -> per-shape calibration
         slot_similarity: float = 0.0,  # -sps: prefix-similarity slot routing
         sparse_cold_mode: str = "host",  # "host" | "drop" | "fetch"
         prefill_mode: str = "rows",  # "rows" | "tiered" (tiered serving)
@@ -285,6 +285,12 @@ class Scheduler:
         # Non-tiered sparse serving auto-falls back to the masked-dense
         # step when more slots are active; tiered cannot (cold FFN rows
         # are not HBM-resident, dense compute is impossible by design).
+        if sparse_batch_max is None:
+            # chip-calibrated per-shape crossover (VERDICT r4 item 5;
+            # batch_crossover.json) instead of one hardcoded 1B rule
+            from ..sparse.config import sparse_batch_crossover
+
+            sparse_batch_max = sparse_batch_crossover(self.cfg.n_ff)
         self.sparse_batch_max = max(int(sparse_batch_max), 0)
         self._jit_decode_dense = None
         if sparse is not None and not self.tiered:

@@ -123,11 +123,15 @@ class Balancer:
         gmap = np.array(tp.group_map)  # (L, ng) mutable copy
         L, H = hot_ids.shape  # H also strides the flat (L*H, ...) stores
 
-        # per-rebalance UPLOAD BYTE budget (scfg.reload_budget_mb): clamp
-        # the per-layer window so window*L swaps fit the budget — bounds
-        # the serving tick-latency tail when the adaptive window grows
-        # into multi-GB uploads at 7B+ shapes
+        # per-rebalance UPLOAD BYTE budget (scfg.reload_budget_mb): a
+        # GLOBAL swap count across layers, spent on the highest-priority
+        # (most-missed) swaps first. The previous per-layer window clamp
+        # had a floor of min_window*L swaps (~96 MB/rebalance at 7B), so
+        # every budget below that behaved identically (measured in
+        # reload_budget_sweep.json rows 0/64); a global priority budget
+        # caps the H2D bytes exactly and spends them where misses are.
         window = self.window
+        budget_swaps = None
         if self.scfg.reload_budget_mb > 0:
             per_swap = tp.hot_upT.nbytes + tp.hot_down.nbytes
             if tp.hot_gateT is not None:
@@ -137,20 +141,26 @@ class Balancer:
                 if tp.s_gateT is not None:
                     per_swap += tp.s_gateT.nbytes
             per_swap //= L * H  # bytes per (layer, slot) block swap
-            cap = int(self.scfg.reload_budget_mb * 2**20) // max(
-                per_swap * L, 1)
-            window = max(self.min_window, min(window, cap))
+            budget_swaps = max(1, int(self.scfg.reload_budget_mb * 2**20)
+                               // max(per_swap, 1))
 
         score = dfr
         if miss_g is not None:
             bump = np.abs(dfr).max() + 1.0
             score = dfr + np.where(miss_g > 0, miss_g + bump, 0.0)
         swaps: list[tuple[int, int, int]] = []  # (layer, slot, group)
+        prio: list[float] = []
         for l in range(L):
             order = np.argsort(-score[l], kind="stable")
             desired = order[:H]
             for slot, g in reload_plan(hot_ids[l], desired, window):
                 swaps.append((l, slot, g))
+                prio.append(float(score[l, g]))
+        if budget_swaps is not None and len(swaps) > budget_swaps:
+            # miss counts dominate the score (bump > any |dfr|), so the
+            # cross-layer comparison spends the budget on actual demand
+            keep = np.argsort(-np.asarray(prio), kind="stable")[:budget_swaps]
+            swaps = [swaps[i] for i in np.sort(keep)]
 
         if not swaps:
             self.rebalances += 1

@@ -80,3 +80,31 @@ class SparseConfig:
         ng = self.n_groups(n_ff)
         c = self.capacity_groups if self.capacity_groups > 0 else ng
         return min(c, ng)
+
+
+# chip-calibrated sparse/dense decode batch crossover, keyed by FFN width
+# buckets (eval_scripts/run_batch_crossover.py, batched-bench methodology
+# — ref tools/batched-bench). Entries: (max_n_ff, crossover_batch); a
+# shape whose dense weights exceed chip HBM is "always sparse" (batch
+# cap = a large sentinel). Values re-measured per chip generation; env
+# SPIF_SPARSE_BATCH_MAX overrides.
+_BATCH_CROSSOVER_TABLE: list[tuple[int, int]] = [
+    (6144, 4),       # <=1B-class FFN widths (round-4 measured: sparse<=4)
+    (11008, 4),      # 3B-class (chip-calibrated, batch_crossover.json)
+    (1 << 30, 999),  # 7B+: dense bf16 exceeds 16 GB HBM — always sparse
+]
+
+
+def sparse_batch_crossover(n_ff: int) -> int:
+    """Largest decode batch where a sparse path (per-token or v7u union
+    kernel) still beats the dense step for this FFN width; the Scheduler
+    falls back to the dense decode executable above it."""
+    import os
+
+    env = os.environ.get("SPIF_SPARSE_BATCH_MAX")
+    if env is not None:
+        return int(env)
+    for max_ff, b in _BATCH_CROSSOVER_TABLE:
+        if n_ff <= max_ff:
+            return b
+    return _BATCH_CROSSOVER_TABLE[-1][1]

@@ -422,3 +422,33 @@ def test_tiered_prefill_mode(tmp_path):
     assert outs1 == outs2
     assert all(len(o) == 6 for o in outs1)
     assert not any(k.endswith("_rows") for k in sched1._full_layers)
+
+
+def test_sparse_batch_crossover_table(tmp_path):
+    """sparse_batch_max=None resolves through the per-shape calibration
+    table (VERDICT r4 item 5): env override wins, small shapes get the
+    measured crossover, HBM-exceeding shapes are always-sparse."""
+    import os
+
+    from sparkinfer_tpu.sparse.config import sparse_batch_crossover
+
+    assert sparse_batch_crossover(2048) == 4
+    assert sparse_batch_crossover(1 << 20) == 999  # dense can't fit HBM
+    os.environ["SPIF_SPARSE_BATCH_MAX"] = "2"
+    try:
+        assert sparse_batch_crossover(2048) == 2
+    finally:
+        del os.environ["SPIF_SPARSE_BATCH_MAX"]
+
+    from model_fixtures import make_tiny_llama as mk
+
+    from sparkinfer_tpu.sparse import SparseConfig
+
+    p = str(tmp_path / "sp.gguf")
+    mk(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+    model = load_model(p, dtype=jnp.float32)
+    sched = Scheduler(model, n_slots=2, max_seq=64,
+                      sampler=SamplerConfig(temp=0.0),
+                      sparse=SparseConfig(group_size=16, capacity_groups=4))
+    assert sched.sparse_batch_max == sparse_batch_crossover(
+        model.config.n_ff)

@@ -407,3 +407,32 @@ def test_reload_budget_caps_swaps(sp):
     bal2 = Balancer(cold=cold, scfg=scfg0, window=8)
     bal2.rebalance(tp2, np.asarray(st.dfr))
     assert bal2.total_swaps > bal.total_swaps - swaps0
+
+
+def test_reload_budget_global_priority(sp):
+    """The byte budget is a GLOBAL swap pool spent by miss priority
+    across layers (not a uniform per-layer window): with budget for ONE
+    swap and misses concentrated in one layer, the single swap must land
+    in that layer, entering its most-missed group."""
+    import dataclasses
+
+    model, _, scfg0 = sp
+    cfg = model.config
+    ng = cfg.n_ff // G
+    per_swap = 3 * G * cfg.n_embd * 4
+    scfg = dataclasses.replace(scfg0, reload_budget_mb=per_swap / 2**20)
+    bad_hot = np.tile(np.arange(ng - 2, ng, dtype=np.int32),
+                      (cfg.n_layer, 1))
+    _, _, tp, st, cold = _mk(model, scfg, 2, "fetch", init_hot=bad_hot)
+    bal = Balancer(cold=cold, scfg=scfg, window=8)
+    # synthetic demand: layer 1 group 0 missed hard, a few small misses
+    # elsewhere
+    miss = np.zeros((cfg.n_layer, ng), np.float32)
+    miss[1, 0] = 100.0
+    miss[0, 1] = 3.0
+    dfr = np.zeros((cfg.n_layer, ng), np.float32)
+    tp2 = bal.rebalance(tp, dfr, miss_g=miss)
+    assert bal.total_swaps == 1
+    hot2 = np.asarray(tp2.hot_ids)
+    assert 0 in hot2[1]          # the missed group entered layer 1
+    np.testing.assert_array_equal(hot2[0], bad_hot[0])  # others untouched
