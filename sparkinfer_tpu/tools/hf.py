@@ -70,10 +70,21 @@ def resolve_hf_gguf(spec: str) -> str:
         if hit:
             return str(hit)
 
-    # zero-egress: this is where a network build would call
-    # huggingface_hub.hf_hub_download(repo, filename)
+    # network path (ref: common/download.cpp common_download_model):
+    # opt-in because this build targets zero-egress environments — set
+    # SPARK_ALLOW_DOWNLOAD=1 on deployments with network access
+    if os.environ.get("SPARK_ALLOW_DOWNLOAD") == "1":
+        from .download import download_hf_gguf
+
+        fname = (f"{repo.rsplit('/', 1)[-1]}.gguf" if not quant
+                 else f"{repo.rsplit('/', 1)[-1]}-{quant}.gguf")
+        fname = os.environ.get("SPARK_HF_FILE", fname)
+        return str(download_hf_gguf(repo, fname))
+
     raise FileNotFoundError(
         f"GGUF for '{spec}' not found in local HF cache ({cache}); this "
-        f"build is offline-only — pre-populate the cache (huggingface-cli "
-        f"download {repo}) or pass a local path with -m"
+        f"build defaults to offline — pre-populate the cache "
+        f"(huggingface-cli download {repo}), pass a local path with -m, "
+        f"or set SPARK_ALLOW_DOWNLOAD=1 (+ optional SPARK_HF_FILE) on a "
+        f"network-enabled deployment"
     )
