@@ -45,6 +45,13 @@ class SparseConfig:
     # generalization of the reference's per-window copy cap
     # (SPIF_RELOAD_WINDOW_SIZE, ggml-cuda.cu:2556-2604)
     reload_budget_mb: float = 0.0
+    # swap hysteresis: a DFR-only challenger must beat the incumbent's
+    # score by this fraction of the layer's score range before it swaps
+    # in. Kills steady-state churn (measured: with a profiled hot set and
+    # near-zero misses, churn alone cost KL 0.0016-0.0069 vs drop's
+    # 2e-5, quality_ppl_tool.json) without slowing miss-driven fetches —
+    # a missed group's priority bump exceeds any dfr range.
+    swap_hysteresis: float = 0.05
 
     @classmethod
     def from_env(cls, **overrides) -> "SparseConfig":
@@ -68,6 +75,7 @@ class SparseConfig:
             hot_groups=get("SPIF_HOT_GROUPS", int, 0),
             reload_window=get("SPIF_RELOAD_WINDOW_SIZE", int, 4),
             reload_budget_mb=get("SPIF_RELOAD_BUDGET_MB", float, 0.0),
+            swap_hysteresis=get("SPIF_SWAP_HYSTERESIS", float, 0.05),
         )
         kw.update(overrides)
         return cls(**kw)
