@@ -79,9 +79,16 @@ def build_model():
     return cfg, scfg, params
 
 
-def run_mesh(cfg, scfg, params_np, dp, tp, label):
+def run_mesh(cfg, scfg, params_np, dp, tp, label, time_decode=True):
     """Shard + run dense prefill and sparse decode on the current global
-    device set; returns a result row (process-0 view)."""
+    device set; returns a result row (process-0 view).
+
+    time_decode=False times the masked-dense step instead: the sparse
+    GATHER step's sharded-store gather compiles to an all-gather
+    pattern that deadlocks on the gloo host backend when tp spans the
+    process boundary (same backend limitation as process_allgather) —
+    on real DCN/ICI XLA handles it; the leg still proves cross-process
+    tp correctness via the prefill shard check."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -114,6 +121,7 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label):
         cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="dense")))
     fwd_decode = jax.jit(make_forward(
         cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="gather")))
+    fwd_prefill_tok = fwd_prefill  # decode-shaped call of the dense step
     print(f"# [{jax.process_index()}] {label}: sharded, prefilling",
           file=sys.stderr, flush=True)
     with mesh:
@@ -145,25 +153,28 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label):
                               data_sharding(mesh, batch))
         pos1 = jax.device_put(np.full((batch, 1), 8, np.int32),
                               data_sharding(mesh, batch))
-        # warm + time the sparse decode step. No explicit barrier: every
+        # warm + time the decode-shaped step. No explicit barrier: every
         # step's collectives lock-step the processes already, and
         # sync_global_devices deadlocks on the gloo host backend (like
         # process_allgather above) — per-process wall time of the same
         # chained steps is the honest figure.
-        lg, cache = fwd_decode(params, tok1, pos1, cache)
+        step = fwd_decode if time_decode else fwd_prefill_tok
+        lg, cache = step(params, tok1, pos1, cache)
         lg.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            lg, cache = fwd_decode(params, tok1, pos1, cache)
+            lg, cache = step(params, tok1, pos1, cache)
         lg.block_until_ready()
         dt = time.perf_counter() - t0
     return {
         "label": label, "dp": dp, "tp": tp,
         "n_processes": jax.process_count(),
         "n_devices": len(jax.devices()), "batch": batch,
-        "sparse_decode_steps_per_s": round(STEPS / dt, 2),
+        "timed_step": "sparse_gather_decode" if time_decode
+        else "masked_dense_decode",
+        "decode_steps_per_s": round(STEPS / dt, 2),
         "tokens_per_s": round(STEPS / dt * batch, 2),
-        "correctness": "dp-shard logits match unsharded forward",
+        "correctness": "per-process logits shards match unsharded forward",
     }
 
 
@@ -178,7 +189,8 @@ def worker(pid: int, nproc: int):
     rows = []
     if nproc > 1:
         rows.append(run_mesh(cfg, scfg, params, 2, 4, "2proc-dp-over-DCN"))
-        rows.append(run_mesh(cfg, scfg, params, 1, 8, "2proc-tp-over-DCN"))
+        rows.append(run_mesh(cfg, scfg, params, 1, 8, "2proc-tp-over-DCN",
+                             time_decode=False))
     else:
         rows.append(run_mesh(cfg, scfg, params, 2, 4, "1proc-baseline"))
     for r in rows:

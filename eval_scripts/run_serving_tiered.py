@@ -70,12 +70,27 @@ def main():
                         reload_budget_mb=float(os.environ.get(
                             "SPIF_RELOAD_BUDGET_MB", "0")))
     model = types.SimpleNamespace(config=cfg, params=params, vocab=None)
+    split = None
+    if os.environ.get("SPIF_SERVE_PROFILE") == "1":
+        # offline profile -> hot-first reorder, the PRODUCT flow (the
+        # reference REQUIRES -spif-ms; serving from an unprofiled
+        # first-H hot set pays ~500k misses of convergence at 7B).
+        # Profiling itself is cheap: one counting forward pass.
+        from sparkinfer_tpu.sparse.split import build_split, profile_firing
+
+        t_p = time.time()
+        prof_rng = np.random.default_rng(11)
+        batches = [prof_rng.integers(0, cfg.n_vocab, 128) for _ in range(4)]
+        firing = profile_firing(model, batches, scfg, max_seq=160)
+        split = build_split(firing, scfg)
+        print(f"# profile: {time.time()-t_p:.0f}s", file=sys.stderr,
+              flush=True)
     # >=7B: rows + hot store exceed 16 GB HBM — free the rows and run
     # prefill through the tiered path too (prefill_mode="tiered")
     pf_default = "tiered" if preset in ("7b", "13b") else "rows"
     sched = Scheduler(model, n_slots=n_slots, max_seq=32 + n_new + 8,
                       sampler=SamplerConfig(temp=0.0),
-                      sparse=scfg, sparse_cold_mode="fetch",
+                      sparse=scfg, sparse_cold_mode="fetch", split=split,
                       prefill_mode=os.environ.get("SPIF_SERVE_PREFILL",
                                                   pf_default),
                       rebalance_every=int(os.environ.get(
