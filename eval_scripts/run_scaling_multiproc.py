@@ -83,12 +83,13 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label, time_decode=True):
     """Shard + run dense prefill and sparse decode on the current global
     device set; returns a result row (process-0 view).
 
-    time_decode=False times the masked-dense step instead: the sparse
-    GATHER step's sharded-store gather compiles to an all-gather
-    pattern that deadlocks on the gloo host backend when tp spans the
-    process boundary (same backend limitation as process_allgather) —
-    on real DCN/ICI XLA handles it; the leg still proves cross-process
-    tp correctness via the prefill shard check."""
+    time_decode=False skips the steady-state timing loop: decode-shaped
+    executables deadlock on the gloo host backend when tp spans the
+    process boundary (same backend limitation that kills
+    process_allgather / sync_global_devices there) — on real DCN/ICI
+    XLA handles these collectives; the leg's purpose is the
+    cross-process tp CORRECTNESS proof via the prefill shard check,
+    which runs fully."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -121,7 +122,6 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label, time_decode=True):
         cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="dense")))
     fwd_decode = jax.jit(make_forward(
         cfg, ffn_fn=make_sparse_ffn(cfg, scfg, mode="gather")))
-    fwd_prefill_tok = fwd_prefill  # decode-shaped call of the dense step
     print(f"# [{jax.process_index()}] {label}: sharded, prefilling",
           file=sys.stderr, flush=True)
     with mesh:
@@ -148,34 +148,37 @@ def run_mesh(cfg, scfg, params_np, dp, tp, label, time_decode=True):
     print(f"# [{jax.process_index()}] {label}: shard correctness ok",
           file=sys.stderr, flush=True)
 
+    row = {
+        "label": label, "dp": dp, "tp": tp,
+        "n_processes": jax.process_count(),
+        "n_devices": len(jax.devices()), "batch": batch,
+        "correctness": "per-process logits shards match unsharded forward",
+    }
+    if not time_decode:
+        row["timed_step"] = "skipped (gloo host-backend limitation; " \
+            "correctness leg only)"
+        return row
     with mesh:
         tok1 = jax.device_put(np.zeros((batch, 1), np.int32),
                               data_sharding(mesh, batch))
         pos1 = jax.device_put(np.full((batch, 1), 8, np.int32),
                               data_sharding(mesh, batch))
-        # warm + time the decode-shaped step. No explicit barrier: every
+        # warm + time the sparse decode step. No explicit barrier: every
         # step's collectives lock-step the processes already, and
         # sync_global_devices deadlocks on the gloo host backend (like
         # process_allgather above) — per-process wall time of the same
         # chained steps is the honest figure.
-        step = fwd_decode if time_decode else fwd_prefill_tok
-        lg, cache = step(params, tok1, pos1, cache)
+        lg, cache = fwd_decode(params, tok1, pos1, cache)
         lg.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(STEPS):
-            lg, cache = step(params, tok1, pos1, cache)
+            lg, cache = fwd_decode(params, tok1, pos1, cache)
         lg.block_until_ready()
         dt = time.perf_counter() - t0
-    return {
-        "label": label, "dp": dp, "tp": tp,
-        "n_processes": jax.process_count(),
-        "n_devices": len(jax.devices()), "batch": batch,
-        "timed_step": "sparse_gather_decode" if time_decode
-        else "masked_dense_decode",
-        "decode_steps_per_s": round(STEPS / dt, 2),
-        "tokens_per_s": round(STEPS / dt * batch, 2),
-        "correctness": "per-process logits shards match unsharded forward",
-    }
+    row["timed_step"] = "sparse_gather_decode"
+    row["decode_steps_per_s"] = round(STEPS / dt, 2)
+    row["tokens_per_s"] = round(STEPS / dt * batch, 2)
+    return row
 
 
 def worker(pid: int, nproc: int):
