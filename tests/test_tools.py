@@ -157,9 +157,9 @@ def test_hf_repo_resolution(tmp_path, monkeypatch):
     assert resolve_hf_gguf("acme/tiny:Q4_0").endswith("tiny-Q4_0.gguf")
     assert resolve_hf_gguf("acme/tiny:f16").endswith("tiny-F16.gguf")
     assert resolve_hf_gguf("acme/tiny").endswith(".gguf")
-    with pytest.raises(FileNotFoundError, match="offline-only"):
+    with pytest.raises(FileNotFoundError, match="offline"):
         resolve_hf_gguf("acme/tiny:Q8_0")  # quant not cached
-    with pytest.raises(FileNotFoundError, match="offline-only"):
+    with pytest.raises(FileNotFoundError, match="offline"):
         resolve_hf_gguf("nobody/nothing")
 
 
