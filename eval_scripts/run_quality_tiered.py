@@ -243,6 +243,7 @@ def run_preset(preset: str) -> list[dict]:
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
+        _persist([row])  # incremental: a killed run keeps finished rows
         del path
         import gc
 
@@ -250,25 +251,30 @@ def run_preset(preset: str) -> list[dict]:
     return rows
 
 
-def main():
-    presets = sys.argv[1:] or ["7b"]
-    all_rows = []
-    for p in presets:
-        all_rows += run_preset(p)
+def _persist(new_rows: list[dict]):
     dst = pathlib.Path(__file__).parent / "quality_tiered.json"
     existing = []
     if dst.exists():
         existing = json.loads(dst.read_text()).get("rows", [])
     keep = [r for r in existing
             if not any(r["preset"] == n["preset"]
-                       and r["config"] == n["config"] for n in all_rows)]
+                       and r["config"] == n["config"] for n in new_rows)]
     dst.write_text(json.dumps(
-        {"note": ("KL(exact sparse ‖ tiered-drop) + top-1 agreement, "
+        {"note": ("KL(exact sparse ‖ tiered) + top-1 agreement + PPL, "
                   "teacher-forced synthetic skewed model at bench shapes; "
                   "balancer rebalances between chunks as on chip; scored "
-                  "over the steady-state second half"),
-         "rows": keep + all_rows}, indent=1))
-    print(f"wrote {dst}", flush=True)
+                  "over the steady-state second half. Rows with chunk_t "
+                  "carry the round-4+ schema (chunk_t=64, >=1k scored "
+                  "tokens); rows without are legacy round-3 anecdotes"),
+         "rows": keep + new_rows}, indent=1))
+
+
+def main():
+    presets = sys.argv[1:] or ["7b"]
+    for p in presets:
+        run_preset(p)  # each row persists incrementally
+    print("wrote",
+          pathlib.Path(__file__).parent / "quality_tiered.json", flush=True)
 
 
 if __name__ == "__main__":
