@@ -629,31 +629,69 @@ def _nearest_iq4(v: np.ndarray) -> np.ndarray:
     return np.abs(v[..., None] - _IQ4NL_TABLE).argmin(axis=-1).astype(np.uint8)
 
 
-def _enc_iq4_nl(x: np.ndarray) -> np.ndarray:
-    """Simple IQ4_NL encoder: d from the max-|x| element mapped to the
-    codebook extreme of matching sign, then nearest-index rounding (the
-    reference refines d by a weighted search; same wire layout)."""
+def _wsearch_iq4(xs: np.ndarray, w: np.ndarray):
+    """Weighted scale search over the nonlinear iq4nl codebook (ref:
+    quantize_row_iq4_nl_impl's ntry sweep): candidate inverse scales
+    around the sign-matched codebook anchor, nearest-codebook rounding,
+    weighted-LS scale refit per candidate, best by sumlx^2/suml2.
+
+    Returns (scale (N,), q (N, n) uint8 codebook indices)."""
+    N, n = xs.shape
+    idx = np.argmax(np.abs(xs), axis=1)
+    maxv = xs[np.arange(N), idx]
+    zero = np.abs(maxv) < 1e-30
+    safe = np.where(zero, 1.0, maxv)
+    d0 = np.where(safe < 0, safe / -127.0, safe / 113.0)
+    best_score = np.full(N, -1.0, np.float64)
+    best_d = d0.astype(np.float64)
+    best_q = np.zeros((N, n), np.uint8)
+    wx = w * xs
+    for k in range(-9, 10):
+        d = d0 * (1.0 + 0.02 * k)
+        inv = np.where(d != 0, 1.0 / np.where(d == 0, 1, d), 0.0)
+        q = _nearest_iq4(xs * inv[:, None])
+        lv = _IQ4NL_TABLE[q]
+        sumlx = (wx * lv).sum(1, dtype=np.float64)
+        suml2 = (w * lv * lv).sum(1, dtype=np.float64)
+        s2 = np.where(suml2 > 0, suml2, 1.0)
+        score = np.where(suml2 > 0, sumlx * sumlx / s2, -1.0)
+        upd = score > best_score
+        best_score = np.where(upd, score, best_score)
+        best_d = np.where(upd, sumlx / s2, best_d)
+        best_q = np.where(upd[:, None], q, best_q)
+    best_d = np.where(zero, 0.0, best_d)
+    return best_d.astype(np.float32), best_q
+
+
+def _enc_iq4_nl(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_NL encoder with the reference's weighted codebook-scale
+    search (quantize_row_iq4_nl_impl); qw = optional imatrix weights."""
     nb = x.shape[0]
-    idx = np.argmax(np.abs(x), axis=1)
-    maxv = x[np.arange(nb), idx]
-    d = np.where(maxv < 0, maxv / -127.0, maxv / 113.0)
+    w = _kquant_weights(x.reshape(nb, 1, 32),
+                        qw.reshape(nb, 1, 32) if qw is not None else None,
+                        "x2").reshape(nb, 32)
+    d, q = _wsearch_iq4(x, w)
     d16 = d.astype(np.float16)
+    # re-round against the f16-stored scale so decode sees consistent
+    # indices
     dd = d16.astype(np.float32)
     inv = np.where(dd != 0, 1.0 / np.where(dd == 0, 1, dd), 0.0)
-    q = _nearest_iq4(x * inv[:, None])  # (nb, 32)
+    q = _nearest_iq4(x * inv[:, None])
     qs = (q[:, :16] | (q[:, 16:] << 4)).astype(np.uint8)
     return np.concatenate([d16.view(np.uint8).reshape(-1, 2), qs], axis=1)
 
 
-def _enc_iq4_xs(x: np.ndarray) -> np.ndarray:
-    """Simple IQ4_XS encoder: per-32 sub-block 6-bit scale over the
-    iq4nl codebook, layout per _dec_iq4_xs."""
+def _enc_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_XS encoder: per-32 sub-block 6-bit scale over the iq4nl
+    codebook, with the reference's weighted scale search per sub-block
+    (quantize_row_iq4_xs path); layout per _dec_iq4_xs."""
     nb = x.shape[0]
     xs = x.reshape(nb, 8, 32)
-    idx = np.argmax(np.abs(xs), axis=2)
-    maxv = np.take_along_axis(xs, idx[:, :, None], axis=2)[:, :, 0]
-    f = np.where(maxv < 0, maxv / -127.0, maxv / 113.0)  # per-sub scale
-    fmax = f.max(axis=1)
+    w = _kquant_weights(xs, qw.reshape(nb, 8, 32) if qw is not None else None,
+                        "x2")
+    f, _ = _wsearch_iq4(xs.reshape(-1, 32), w.reshape(-1, 32))
+    f = f.reshape(nb, 8)  # per-sub scale (weighted-LS, may be signed)
+    fmax = np.abs(f).max(axis=1)
     d = (fmax / 31.0).astype(np.float16)  # ls-32 in [-32,31]; use 0..31
     df = d.astype(np.float32)
     inv_d = np.where(df > 0, 1.0 / np.where(df == 0, 1, df), 0.0)
@@ -1016,7 +1054,8 @@ def dequantize(data: bytes | np.ndarray, ggml_type: GGMLType, n_elems: int) -> n
 
 
 # encoders that take an importance-weight array (imatrix consumers)
-_QW_TYPES = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K}
+_QW_TYPES = {GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+             GGMLType.IQ4_NL, GGMLType.IQ4_XS}
 
 
 def quantize(

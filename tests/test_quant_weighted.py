@@ -36,6 +36,9 @@ _RMSE_BOUNDS = {
     GGMLType.Q4_K: 0.0745,
     GGMLType.Q5_K: 0.0370,
     GGMLType.Q6_K: 0.0182,
+    # IQ4 nonlinear-codebook search (old nearest-anchor: 0.0832/0.0834)
+    GGMLType.IQ4_NL: 0.0810,
+    GGMLType.IQ4_XS: 0.0815,
 }
 
 
