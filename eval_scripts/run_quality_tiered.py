@@ -102,11 +102,13 @@ def run_preset(preset: str) -> list[dict]:
                                                              mode="dense"))
         import jax
 
-        # CHUNKED exact pass (fixed 256-token shape, donated cache): one
+        # CHUNKED exact pass (fixed-shape step, donated cache): one
         # T=2048 executable at 13B OOMed the 125 GB host (the whole
         # unrolled graph's weight converts + activations live at once);
-        # 8 reuses of a 256-token step keep the transient bounded
-        EC = 256
+        # reusing a short step keeps the transient bounded. Even the
+        # 256-token step peaks ~100 GB at 13B — SPIF_QUALITY_EXACT_CHUNK
+        # lowers it when the host is shared with other jobs.
+        EC = int(os.environ.get("SPIF_QUALITY_EXACT_CHUNK", 256))
         step = jax.jit(exact_fwd, donate_argnums=(3,))
         cache = init_cache(cfg, 1, T + 8, jnp.float32)
         outs = []
