@@ -97,6 +97,10 @@ def measure_preset(preset: str, plat: str) -> list[dict]:
 
 
 def main():
+    if os.environ.get("SPIF_BENCH_MANUAL_AXON") == "1":
+        from bench import _manual_axon_register
+
+        _manual_axon_register()
     import jax
 
     presets = sys.argv[1:] or ["1b", "3b"]
