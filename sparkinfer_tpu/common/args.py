@@ -226,9 +226,16 @@ OPTIONS: list[Opt] = [
        help="steps between tiered hot-set rebalances"),
     _o("--reload-budget-mb", scopes=CS, type=float, default=0.0,
        env="SPIF_RELOAD_BUDGET_MB",
-       help="per-rebalance H2D upload budget in MiB (0 = unlimited); "
-            "bounds serving tick-latency tails (byte-aware form of the "
-            "ref SPIF_RELOAD_WINDOW_SIZE copy cap)"),
+       help="per-rebalance H2D upload budget in MiB (0 = unlimited), "
+            "spent globally on the highest-miss swaps; bounds serving "
+            "tick-latency tails (byte-aware form of the ref "
+            "SPIF_RELOAD_WINDOW_SIZE copy cap; 8-16 on relay-attached "
+            "chips measured 7x aggregate at 7B, BENCH_NOTES r5)"),
+    _o("--swap-hysteresis", scopes=CS, type=float, default=0.05,
+       env="SPIF_SWAP_HYSTERESIS",
+       help="DFR swap hysteresis: a non-missed challenger must beat the "
+            "incumbent hot group by this fraction of the layer's DFR "
+            "range (kills steady-state churn; demand fetches bypass it)"),
     _o("--moe-mode", scopes=CLI, choices=["dense", "pallas"], default="dense",
        help="MoE expert FFN path (pallas = fused row streaming)"),
 

@@ -50,7 +50,9 @@ def main(argv=None) -> int:
                               capacity_groups=args.capacity_groups,
                               hot_groups=hot,
                               reload_budget_mb=getattr(
-                                  args, "reload_budget_mb", 0.0))
+                                  args, "reload_budget_mb", 0.0),
+                              swap_hysteresis=getattr(
+                                  args, "swap_hysteresis", 0.05))
 
     extra_models = None
     if args.models:

@@ -70,6 +70,7 @@ def make_engine(args, model):
             capacity_groups=args.capacity_groups,
             hot_groups=hot,
             reload_budget_mb=getattr(args, "reload_budget_mb", 0.0),
+            swap_hysteresis=getattr(args, "swap_hysteresis", 0.05),
         )
     eng = Engine(
         model,
