@@ -125,7 +125,7 @@ class Engine:
 
                 if not isinstance(split, ModelSplit):
                     split = read_split(split)
-                self.model.params = apply_reorder(self.model.params, self.cfg, split.perms)
+                self.model.params = apply_reorder(self.model.params, self.cfg, split.perms, inplace=True)
             if not sparse_preprepared:
                 self.model.params = prepare_sparse_params(
                     self.model.params, self.cfg, sparse,

@@ -143,8 +143,11 @@ class Scheduler:
 
                 if not isinstance(split, ModelSplit):
                     split = read_split(split)
+                # inplace: the Scheduler owns and rebinds params, and
+                # the copy semantics hold 2x the FFN transiently
+                # (RESOURCE_EXHAUSTED at 7B, round 5)
                 self.model.params = apply_reorder(
-                    self.model.params, self.cfg, split.perms
+                    self.model.params, self.cfg, split.perms, inplace=True
                 )
             if self.tiered and prefill_mode == "tiered":
                 # memory-critical regime (>=7B on a 16 GB chip): the FFN

@@ -121,30 +121,43 @@ def apportion(budget_groups: int, pattern: np.ndarray, ng: int) -> np.ndarray:
     return counts.astype(np.int32)
 
 
-def apply_reorder(params: dict, cfg: ModelConfig, perms: np.ndarray) -> dict:
+def apply_reorder(params: dict, cfg: ModelConfig, perms: np.ndarray,
+                  inplace: bool = False) -> dict:
     """Permute the neuron axis of the stacked layer weights by `perms`
     (hot-first). Function-preserving; ref src/llama-sparkinfer.cpp:286-352
-    permutes ffn_up/gate/down rows, pred_down(+bias), ffn biases."""
-    layers = dict(params["layers"])
+    permutes ffn_up/gate/down rows, pred_down(+bias), ffn biases.
+
+    Memory discipline (round 5, measured RESOURCE_EXHAUSTED at 7B):
+    inplace=True POPS each big FFN tensor from the caller's layers dict
+    before its permuted copy is created and DONATES its buffer, so at
+    most one extra tensor is live at a time instead of a full second
+    model. Requires exclusive ownership of the arrays (donation
+    invalidates them) — the serving/CLI paths that immediately rebind
+    params use it; library callers sharing params keep the default
+    copy semantics."""
+    from functools import partial
+
+    layers = params["layers"] if inplace else dict(params["layers"])
     L, F = perms.shape
     pj = jnp.asarray(perms)
 
-    def perm_last(w):  # (..., F) along last dim
-        return jnp.take_along_axis(w, pj.reshape((L,) + (1,) * (w.ndim - 2) + (F,)), axis=-1)
+    @partial(jax.jit, donate_argnums=0, static_argnames=("axis",))
+    def perm_d(w, p3, axis):
+        return jnp.take_along_axis(w, p3, axis=axis)
 
-    def perm_axis1(w):  # (L, F, E) along axis 1
-        return jnp.take_along_axis(w, pj[:, :, None], axis=1)
+    @partial(jax.jit, static_argnames=("axis",))
+    def perm(w, p3, axis):
+        return jnp.take_along_axis(w, p3, axis=axis)
 
-    for k in ("w_up", "w_gate"):  # (L, E, F)
+    f = perm_d if inplace else perm
+    for k, p3, ax in (("w_up", pj.reshape(L, 1, F), -1),
+                      ("w_gate", pj.reshape(L, 1, F), -1),
+                      ("w_down", pj[:, :, None], 1),
+                      ("b_up", pj, -1),
+                      ("pred_down_b", pj, -1),
+                      ("pred_down", pj.reshape(L, 1, F), -1)):
         if k in layers:
-            layers[k] = perm_last(layers[k])
-    if "w_down" in layers:  # (L, F, E)
-        layers["w_down"] = perm_axis1(layers["w_down"])
-    for k in ("b_up", "pred_down_b"):  # (L, F)
-        if k in layers:
-            layers[k] = perm_last(layers[k])
-    if "pred_down" in layers:  # (L, R, F)
-        layers["pred_down"] = perm_last(layers["pred_down"])
+            layers[k] = f(layers.pop(k) if inplace else layers[k], p3, ax)
     out = dict(params)
     out["layers"] = layers
     return out
