@@ -135,6 +135,7 @@ class Scheduler:
 
             if not self.cfg.has_predictors:
                 raise ValueError("sparse serving needs predictor tensors")
+            host_perms = None
             if split is not None:
                 # offline profile: hot-first reorder so the default first-H
                 # hot set IS the profiled hot set (ref: SPIF_REORDER,
@@ -143,12 +144,23 @@ class Scheduler:
 
                 if not isinstance(split, ModelSplit):
                     split = read_split(split)
-                # inplace: the Scheduler owns and rebinds params, and
-                # the copy semantics hold 2x the FFN transiently
-                # (RESOURCE_EXHAUSTED at 7B, round 5)
-                self.model.params = apply_reorder(
-                    self.model.params, self.cfg, split.perms, inplace=True
-                )
+                if self.tiered and prefill_mode == "tiered":
+                    # memory-critical regime: even ONE extra device
+                    # tensor copy exceeds HBM at 7B (measured
+                    # RESOURCE_EXHAUSTED) — permute only the small
+                    # tensors on device and fold the big-FFN permutation
+                    # into the host-side rows conversion below
+                    self.model.params = apply_reorder(
+                        self.model.params, self.cfg, split.perms,
+                        inplace=True,
+                        keys=("b_up", "pred_down", "pred_down_b"))
+                    host_perms = split.perms
+                else:
+                    # inplace: the Scheduler owns and rebinds params, and
+                    # the copy semantics hold 2x the FFN transiently
+                    self.model.params = apply_reorder(
+                        self.model.params, self.cfg, split.perms,
+                        inplace=True)
             if self.tiered and prefill_mode == "tiered":
                 # memory-critical regime (>=7B on a 16 GB chip): the FFN
                 # NEVER takes row form in HBM. Each dense tensor is read
@@ -179,6 +191,11 @@ class Scheduler:
                         a = np.asarray(w[li])  # (E,F) col / (F,E) row
                         if colmajor:
                             a = np.ascontiguousarray(a.T)
+                        if host_perms is not None:
+                            # deferred hot-first reorder (see above):
+                            # rows are neuron-major here, one cheap host
+                            # gather per layer
+                            a = a[host_perms[li]]
                         if host is None:
                             host = np.empty((L, ngr, G, E), a.dtype)
                         host[li] = a.reshape(ngr, G, E)

@@ -122,7 +122,7 @@ def apportion(budget_groups: int, pattern: np.ndarray, ng: int) -> np.ndarray:
 
 
 def apply_reorder(params: dict, cfg: ModelConfig, perms: np.ndarray,
-                  inplace: bool = False) -> dict:
+                  inplace: bool = False, keys=None) -> dict:
     """Permute the neuron axis of the stacked layer weights by `perms`
     (hot-first). Function-preserving; ref src/llama-sparkinfer.cpp:286-352
     permutes ffn_up/gate/down rows, pred_down(+bias), ffn biases.
@@ -134,7 +134,10 @@ def apply_reorder(params: dict, cfg: ModelConfig, perms: np.ndarray,
     model. Requires exclusive ownership of the arrays (donation
     invalidates them) — the serving/CLI paths that immediately rebind
     params use it; library callers sharing params keep the default
-    copy semantics."""
+    copy semantics. keys limits the reorder to a subset (the 7B+
+    tiered serving path permutes the big FFN tensors HOST-side during
+    its layer-by-layer rows conversion — even one extra device tensor
+    copy exceeds HBM there — and uses keys for the small ones)."""
     from functools import partial
 
     layers = params["layers"] if inplace else dict(params["layers"])
@@ -156,7 +159,7 @@ def apply_reorder(params: dict, cfg: ModelConfig, perms: np.ndarray,
                       ("b_up", pj, -1),
                       ("pred_down_b", pj, -1),
                       ("pred_down", pj.reshape(L, 1, F), -1)):
-        if k in layers:
+        if k in layers and (keys is None or k in keys):
             layers[k] = f(layers.pop(k) if inplace else layers[k], p3, ax)
     out = dict(params)
     out["layers"] = layers

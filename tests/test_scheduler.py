@@ -452,3 +452,40 @@ def test_sparse_batch_crossover_table(tmp_path):
                       sparse=SparseConfig(group_size=16, capacity_groups=4))
     assert sched.sparse_batch_max == sparse_batch_crossover(
         model.config.n_ff)
+
+
+def test_tiered_prefill_with_split_reorder(tmp_path):
+    """prefill_mode='tiered' + offline split: the hot-first reorder is
+    folded into the host rows conversion (device-side permutation of the
+    big FFN tensors exceeds HBM at 7B — round 5); generation must match
+    the no-split scheduler exactly (reorder is function-preserving)."""
+    from model_fixtures import make_tiny_llama as mk
+
+    from sparkinfer_tpu.sparse import SparseConfig
+    from sparkinfer_tpu.sparse.split import build_split
+
+    p = str(tmp_path / "sp.gguf")
+    mk(p, arch="prosparse_llama", pred_rank=8, n_ff=96)
+    # all groups hot: with partial hot sets the reorder deliberately
+    # CHANGES which groups are resident (that is its purpose); the
+    # function-preservation check needs zero drops on both sides
+    scfg = SparseConfig(group_size=16, capacity_groups=6, hot_groups=6)
+    prompt = [3, 11, 7, 19]
+
+    def run(split):
+        model = load_model(p, dtype=jnp.float32)
+        sched = Scheduler(model, n_slots=1, max_seq=64,
+                          sampler=SamplerConfig(temp=0.0), sparse=scfg,
+                          sparse_cold_mode="fetch", split=split,
+                          prefill_mode="tiered")
+        req = sched.submit(Request(prompt_tokens=prompt, max_new_tokens=8))
+        sched.run_until_idle()
+        return req.tokens()
+
+    base = run(None)
+    # non-trivial permutation from a synthetic firing profile
+    rng = np.random.default_rng(9)
+    firing = rng.random((2, 96)).astype(np.float32)
+    split = build_split(firing, scfg)
+    assert (split.perms != np.arange(96)).any()
+    assert run(split) == base
