@@ -17,6 +17,10 @@ Families (clip.cpp PROJECTOR_TYPE_*):
             clip.cpp build_rope_2d:2377-2440), gated-silu FFN, no
             position table/class token; projector mm.1/gelu/mm.2 and
             optional [IMG_BREAK] row separator (clip.cpp build_pixtral).
+  internvl — LN ViT with cls token and ls1/ls2 layer scales, pixel
+            shuffle by scale_factor = 1/downsample_ratio, then the
+            mm.model.mlp.{0,1,3} LN+MLP projector (clip.cpp
+            build_internvl).
 
 TPU-first design: the patch conv is a single MXU matmul over unfolded
 patches; the ViT stack is one lax.scan over stacked layer params (same
@@ -113,6 +117,7 @@ def load_mmproj(path: str, dtype=jnp.float32):
         "attn_q": "q", "attn_k": "k", "attn_v": "v", "attn_out": "o",
         "ffn_up": "up", "ffn_down": "down", "ffn_gate": "gate",
     }
+    scalars = ("ls1", "ls2")  # internvl layer-scale vectors (weight only)
     for i in range(cfg.n_layer):
         p = f"v.blk.{i}."
         for gg, short in names.items():
@@ -129,8 +134,13 @@ def load_mmproj(path: str, dtype=jnp.float32):
             b = r.tensors.get(p + ln + ".bias")
             if b is not None:
                 per.setdefault(ln + "_b", []).append(b.to_f32())
+        for sc in scalars:
+            wt = r.tensors.get(p + sc + ".weight")
+            if wt is not None:
+                per.setdefault(sc + "_w", []).append(wt.to_f32())
     params["layers"] = {k: jnp.asarray(np.stack(v), dtype) for k, v in per.items()}
-    for mm in ("mm.0", "mm.1", "mm.2", "mm.projection", "mm.input_projection"):
+    for mm in ("mm.0", "mm.1", "mm.2", "mm.projection", "mm.input_projection",
+               "mm.model.mlp.0", "mm.model.mlp.1", "mm.model.mlp.3"):
         w = r.tensors.get(mm + ".weight")
         if w is not None:
             wf = w.to_f32()
@@ -248,6 +258,8 @@ def make_vision_forward(cfg: ClipConfig):
             o = o @ lp["o_w"]
             if "o_b" in lp:
                 o = o + lp["o_b"]
+            if "ls1_w" in lp:  # internvl layer scale
+                o = o * lp["ls1_w"]
             x = x + o
             h2 = norm(x, lp["ln2_w"], lp.get("ln2_b"))
             if "gate_w" in lp:  # pixtral gated FFN: act(gate) * up
@@ -263,6 +275,8 @@ def make_vision_forward(cfg: ClipConfig):
             y = y @ lp["down_w"]
             if "down_b" in lp:
                 y = y + lp["down_b"]
+            if "ls2_w" in lp:
+                y = y * lp["ls2_w"]
             x = x + y
             return x, ()
 
@@ -285,6 +299,23 @@ def make_vision_forward(cfg: ClipConfig):
             xg = x.reshape(B, t, k, t, k, E).mean(axis=(2, 4)).reshape(B, t * t, E)
             xg = _rms(xg, params["soft_emb_norm.w"], eps)
             return xg @ params["mm.input_projection.w"]
+        if cfg.proj_type == "internvl":
+            # pixel shuffle (InternVLModel.pixel_shuffle order) then the
+            # mlp1 projector: LN -> linear -> gelu -> linear
+            # (clip.cpp build_internvl + TN_MVLM_PROJ_MLP 0/1/3)
+            k = cfg.scale_factor or 2
+            sf = 1.0 / k
+            xg = x.reshape(B, n, n, E)
+            xg = xg.reshape(B, n, n // k, E * k)
+            xg = xg.transpose(0, 2, 1, 3)
+            xg = xg.reshape(B, n // k, n // k, E * k * k)
+            xg = xg.transpose(0, 2, 1, 3)
+            xg = xg.reshape(B, (n // k) * (n // k), E * k * k)
+            xg = _ln(xg, params["mm.model.mlp.0.w"], params["mm.model.mlp.0.b"],
+                     1e-5)
+            xg = xg @ params["mm.model.mlp.1.w"] + params["mm.model.mlp.1.b"]
+            xg = jax.nn.gelu(xg, approximate=False)
+            return xg @ params["mm.model.mlp.3.w"] + params["mm.model.mlp.3.b"]
         if cfg.proj_type == "pixtral":
             y = x @ params["mm.1.w"]
             if "mm.1.b" in params:

@@ -1420,6 +1420,106 @@ def _convert_gemma3mm(model_dir: Path, out_path: str, cfgj: dict,
     return info
 
 
+_INTERNVL_BLK = {
+    "attention.q_proj": "attn_q", "attention.k_proj": "attn_k",
+    "attention.v_proj": "attn_v", "attention.projection_layer": "attn_out",
+    "layernorm_before": "ln1", "layernorm_after": "ln2",
+    "mlp.fc1": "ffn_up", "mlp.fc2": "ffn_down",
+    "lambda_1": "ls1", "lambda_2": "ls2",
+}
+_INTERNVL_MM = {
+    "multi_modal_projector.layer_norm": "mm.model.mlp.0",
+    "multi_modal_projector.linear_1": "mm.model.mlp.1",
+    "multi_modal_projector.linear_2": "mm.model.mlp.3",
+}
+
+
+def _convert_internvl(model_dir: Path, out_path: str, cfgj: dict,
+                      out_type: str) -> dict:
+    """InternVLForConditionalGeneration -> text GGUF + mmproj with
+    clip.cpp's INTERNVL conventions (build_internvl: cls token, LN ViT
+    with ls1/ls2 layer scales, pixel shuffle by scale_factor =
+    1/downsample_ratio, mm.model.mlp.{0,1,3} LN+MLP projector; ref
+    convert_hf_to_gguf.py InternVisionModel)."""
+    tc = dict(cfgj["text_config"])
+    tc.setdefault("architectures", ["Qwen2ForCausalLM"])
+    inner = tc["architectures"][0]
+    fam = _FAMILIES.get(inner, dict(arch=_ARCH_MAP.get(inner, "llama")))
+    info = _convert_family(fam, model_dir, out_path, tc, out_type,
+                           rename=_strip_lm)
+
+    vc = cfgj["vision_config"]
+    mm_path = str(out_path) + ".mmproj.gguf"
+    w = GGUFWriter(mm_path, "clip")
+    w.add_kv("clip.has_vision_encoder", True)
+    w.add_kv("clip.projector_type", "internvl")
+    w.add_kv("clip.vision.image_size", np.uint32(
+        vc["image_size"][0] if isinstance(vc["image_size"], list)
+        else vc["image_size"]))
+    w.add_kv("clip.vision.patch_size", np.uint32(
+        vc["patch_size"][0] if isinstance(vc["patch_size"], list)
+        else vc["patch_size"]))
+    w.add_kv("clip.vision.embedding_length", np.uint32(vc["hidden_size"]))
+    w.add_kv("clip.vision.feed_forward_length",
+             np.uint32(vc["intermediate_size"]))
+    w.add_kv("clip.vision.block_count", np.uint32(vc["num_hidden_layers"]))
+    w.add_kv("clip.vision.attention.head_count",
+             np.uint32(vc["num_attention_heads"]))
+    w.add_kv("clip.vision.attention.layer_norm_epsilon",
+             np.float32(vc.get("layer_norm_eps", 1e-6)))
+    if vc.get("hidden_act", "gelu") == "silu":
+        w.add_kv("clip.use_silu", True)
+    else:
+        w.add_kv("clip.use_gelu", True)
+    w.add_kv("clip.vision.projector.scale_factor",
+             np.uint32(int(round(1.0 / cfgj.get("downsample_ratio", 0.5)))))
+
+    n = 0
+    for name, data in _iter_hf_tensors(model_dir):
+        if name.startswith("model."):
+            name = name[len("model."):]
+        mmk = None
+        for hf, g in _INTERNVL_MM.items():
+            if name.startswith(hf):
+                mmk = g + (".weight" if name.endswith("weight") else ".bias")
+        if mmk is not None:
+            w.add_tensor(mmk, data, GGMLType.F32)
+            n += 1
+            continue
+        if not name.startswith("vision_tower."):
+            continue
+        name = name[len("vision_tower."):]
+        gname = None
+        if name == "embeddings.cls_token":
+            gname, data = "v.class_embd", np.asarray(data).reshape(-1)
+        elif name == "embeddings.position_embeddings":
+            gname = "v.position_embd.weight"
+            data = np.asarray(data).reshape(np.asarray(data).shape[-2:])
+        elif name == "embeddings.patch_embeddings.projection.weight":
+            gname = "v.patch_embd.weight"
+        elif name == "embeddings.patch_embeddings.projection.bias":
+            gname = "v.patch_embd.bias"
+        elif name.startswith("encoder.layer."):
+            parts = name.split(".")
+            i = int(parts[2])
+            stem = ".".join(parts[3:-1])
+            kind = parts[-1]
+            if parts[-1] in ("lambda_1", "lambda_2"):
+                stem, kind = parts[-1], "weight"
+            short = _INTERNVL_BLK.get(stem)
+            if short is not None:
+                gname = f"v.blk.{i}.{short}.{kind}"
+        if gname is None:
+            continue
+        w.add_tensor(gname, data, GGMLType.F32)
+        n += 1
+    _write_tokenizer(w, model_dir)
+    w.write()
+    info["mmproj"] = mm_path
+    info["n_mmproj_tensors"] = n
+    return info
+
+
 _WHISPER_BLK = {
     "self_attn.q_proj": ("attn_q", True),
     "self_attn.k_proj": ("attn_k", True),
@@ -2051,6 +2151,8 @@ def convert(
         return _convert_llava(model_dir, out_path, cfgj, out_type)
     if hf_arch == "Gemma3ForConditionalGeneration":
         return _convert_gemma3mm(model_dir, out_path, cfgj, out_type)
+    if hf_arch == "InternVLForConditionalGeneration":
+        return _convert_internvl(model_dir, out_path, cfgj, out_type)
     if hf_arch in ("WhisperModel", "WhisperForConditionalGeneration"):
         return _convert_whisper_mmproj(model_dir, out_path, cfgj)
     if hf_arch in ("T5ForConditionalGeneration",

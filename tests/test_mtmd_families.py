@@ -1,8 +1,9 @@
 """mtmd family breadth (VERDICT r4 item 6): gemma3 vision (SigLIP +
-avg-pool projector) and pixtral (RMS-norm ViT + 2D RoPE + gated FFN),
-each converted through the product converter to clip.cpp-convention
-mmproj GGUFs and checked for projected-feature parity against
-transformers (ref: tools/mtmd/clip.cpp build_siglip/build_pixtral)."""
+avg-pool projector), pixtral (RMS-norm ViT + 2D RoPE + gated FFN) and
+internvl (LN ViT + layer scales + pixel shuffle), each converted through
+the product converter to clip.cpp-convention mmproj GGUFs and checked
+for projected-feature parity against transformers (ref:
+tools/mtmd/clip.cpp build_siglip/build_pixtral/build_internvl)."""
 
 import numpy as np
 import pytest
@@ -142,3 +143,55 @@ def test_pixtral_text_loads(pixtral):
     _, gguf, _ = pixtral
     m = load_model(gguf, dtype=jnp.float32)
     assert m.config.arch == "llama"  # mistral maps to llama family
+
+
+@pytest.fixture(scope="module")
+def internvl(tmp_path_factory):
+    import transformers as T
+
+    torch.manual_seed(2)
+    vc = T.InternVLVisionConfig(
+        image_size=IMG, patch_size=P, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4)
+    tc = T.Qwen2Config(vocab_size=160, hidden_size=64, intermediate_size=96,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=2)
+    cfg = T.InternVLConfig(vision_config=vc, text_config=tc,
+                           image_token_id=150)
+    hf = T.InternVLForConditionalGeneration(cfg)
+    hf.eval()
+    d = tmp_path_factory.mktemp("internvl") / "hf"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    out = d / "m.gguf"
+    info = convert(str(d), str(out), out_type="f32")
+    assert info["n_mmproj_tensors"] > 0
+    return hf, str(out), info["mmproj"]
+
+
+def test_internvl_vision_parity(internvl):
+    """LN ViT with cls token + ls1/ls2 layer scales, pixel shuffle, and
+    the mm.model.mlp LN+MLP projector vs HF get_image_features
+    (clip.cpp build_internvl semantics)."""
+    hf, _, mmproj = internvl
+    vcfg, vparams = load_mmproj(mmproj)
+    assert vcfg.proj_type == "internvl"
+    assert vcfg.scale_factor == 2  # 1 / downsample_ratio
+    assert vcfg.has_class_embd
+    assert "ls1_w" in vparams["layers"] and "ls2_w" in vparams["layers"]
+    fwd = jax.jit(make_vision_forward(vcfg))
+    px = np.random.default_rng(2).standard_normal(
+        (1, 3, IMG, IMG)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf.get_image_features(torch.tensor(px))
+    ref = np.asarray(ref[0] if isinstance(ref, (list, tuple)) else ref)
+    got = np.asarray(fwd(vparams, jnp.asarray(px)))
+    # pixel shuffle: 4x4 patches -> 2x2 tokens at 4x channel width
+    assert got.shape[1] == 4
+    np.testing.assert_allclose(got.reshape(ref.shape), ref,
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_internvl_text_loads(internvl):
+    _, gguf, _ = internvl
+    m = load_model(gguf, dtype=jnp.float32)
+    assert m.config.arch == "qwen2"
